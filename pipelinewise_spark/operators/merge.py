@@ -1,0 +1,84 @@
+"""MERGE-by-primary-key upsert, soft delete and hard delete.
+
+Reference semantics (Snowflake MERGE generated per flush —
+/root/reference/singer-connectors/target-snowflake/target_snowflake/db_sync.py:449-527,
+file_formats/csv.py:25-45; update-then-insert emulation for Postgres
+target_postgres/db_sync.py:359-431):
+
+    MERGE INTO target t USING batch s ON <pk equality>
+      WHEN MATCHED THEN UPDATE SET *        -- last batch wins
+      WHEN NOT MATCHED THEN INSERT *
+
+- soft delete: deleted rows arrive with ``_sdc_deleted_at`` set and are
+  upserted like any row (target_snowflake/__init__.py:173-176)
+- hard delete: after the merge, ``DELETE FROM t WHERE _sdc_deleted_at IS NOT
+  NULL`` (db_sync.py:632-637)
+
+Spark-first implementation: a single full-outer equi-join on the PK with
+"source wins" column resolution. One hash shuffle of each side on the PK —
+the same physical shape Delta's MERGE lowers to. At 100 TB the win is
+bucketing/partitioning both sides by PK so the join is co-located; AQE handles
+skewed PKs. The batch side should already be last-wins deduped
+(operators.dedupe) so the join is 1:1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
+
+_MARK = "__pws_src_present"
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    primary_keys: Sequence[str],
+    hard_delete: bool = False,
+) -> DataFrame:
+    """Return the merged table contents (caller publishes atomically).
+
+    Column set is the union of both sides (schema evolution adds NULLs for
+    columns missing on either side). Source rows win on PK collision.
+    """
+    if not primary_keys:
+        raise ValueError("merge_upsert requires primary keys; use append instead")
+
+    out_cols = list(target.columns) + [
+        c for c in source.columns if c not in target.columns
+    ]
+    # align schemas: add missing columns as NULL of the other side's type
+    for c in out_cols:
+        if c not in source.columns:
+            source = source.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
+
+    src = source.withColumn(_MARK, F.lit(True))
+    t, s = target.alias("t"), src.alias("s")
+    joined = t.join(s, on=list(primary_keys), how="full_outer")
+
+    take_source = F.col(f"s.{_MARK}").isNotNull()
+    merged = joined.select(
+        *[F.col(pk) for pk in primary_keys],
+        *[
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in out_cols
+            if c not in primary_keys
+        ],
+    )
+    if hard_delete and SDC_DELETED_AT in out_cols:
+        merged = merged.filter(F.col(SDC_DELETED_AT).isNull())
+    return merged
+
+
+def append_only(target: DataFrame | None, source: DataFrame) -> DataFrame:
+    """No-PK path: plain append (reference COPY-without-MERGE,
+    db_sync.py:529-547). Union by name with NULL fill for evolved columns."""
+    if target is None:
+        return source
+    return target.unionByName(source, allowMissingColumns=True)

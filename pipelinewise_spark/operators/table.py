@@ -1,0 +1,91 @@
+"""ParquetTable — snapshot-versioned parquet table with atomic publish.
+
+The reference publishes atomically via load-to-temp-table + ``ALTER TABLE ...
+SWAP WITH`` (/root/reference/pipelinewise/fastsync/commons/target_snowflake.py:448-469).
+Delta/Iceberg give this for free; since this environment has plain parquet, we
+implement the same guarantee with snapshot directories and a version pointer:
+
+    <root>/<table>/
+        _VERSION            # text file: name of the live snapshot dir
+        snap-00000001/      # immutable parquet snapshot
+        snap-00000002/
+
+A writer materializes a complete new ``snap-N`` directory, then atomically
+replaces ``_VERSION`` (tmp + rename). Readers resolve ``_VERSION`` once and
+read an immutable directory — object-store friendly (no dir renames), and
+readers never observe partial data. This is exactly the lakehouse
+table-format trick (Iceberg metadata pointer) in miniature.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_VERSION_FILE = "_VERSION"
+
+
+class ParquetTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ------------------------------------------------------------- metadata
+    def _version_path(self) -> str:
+        return os.path.join(self.root, _VERSION_FILE)
+
+    def current_snapshot(self) -> str | None:
+        vp = self._version_path()
+        if not os.path.exists(vp):
+            return None
+        with open(vp, encoding="utf-8") as fh:
+            name = fh.read().strip()
+        return os.path.join(self.root, name) if name else None
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    def _next_snapshot_dir(self) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        existing = [
+            d for d in os.listdir(self.root) if d.startswith("snap-")
+        ]
+        n = 1 + max((int(d.split("-")[1]) for d in existing), default=0)
+        return os.path.join(self.root, f"snap-{n:08d}")
+
+    def _publish(self, snap_dir: str) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(os.path.basename(snap_dir))
+        os.replace(tmp, self._version_path())
+
+    # ------------------------------------------------------------------ IO
+    def read(self, spark: SparkSession) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table has no published snapshot: {self.root}")
+        return spark.read.parquet(snap)
+
+    def schema(self, spark: SparkSession) -> T.StructType | None:
+        return self.read(spark).schema if self.exists() else None
+
+    def overwrite(self, df: DataFrame) -> str:
+        """Full-refresh publish (ACTIVATE_VERSION / atomic swap semantics)."""
+        snap = self._next_snapshot_dir()
+        df.write.mode("overwrite").parquet(snap)
+        self._publish(snap)
+        return snap
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` snapshots (old readers beware)."""
+        snaps = sorted(
+            d for d in os.listdir(self.root) if d.startswith("snap-")
+        )
+        live = os.path.basename(self.current_snapshot() or "")
+        for d in snaps[:-keep]:
+            if d != live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

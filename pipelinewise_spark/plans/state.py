@@ -1,0 +1,58 @@
+"""Bookmark state store — the engine's ``state.json``.
+
+Mirrors the Singer state contract (bookmarks keyed by tap_stream_id holding
+per-method keys such as ``replication_key_value`` / ``version`` / offsets —
+/root/reference/pipelinewise/cli/pipelinewise.py:2010-2045). Writes are atomic
+(tmp file + rename) like the reference's save_state_file under lock
+(/root/reference/pipelinewise/fastsync/commons/utils.py:271-302).
+
+At cluster scale this file lives on shared storage (S3/HDFS); the interface is
+intentionally tiny so a different backend (e.g. a Delta table or DynamoDB) can
+replace it without touching operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+
+class BookmarkStore:
+    def __init__(self, path: str):
+        self.path = path
+        self._state: dict[str, Any] = {"bookmarks": {}}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                loaded = json.load(fh)
+            if isinstance(loaded, dict):
+                self._state = loaded
+                self._state.setdefault("bookmarks", {})
+
+    def get(self, tap_stream_id: str, key: str, default: Any = None) -> Any:
+        return self._state["bookmarks"].get(tap_stream_id, {}).get(key, default)
+
+    def get_bookmark(self, tap_stream_id: str) -> dict[str, Any]:
+        return dict(self._state["bookmarks"].get(tap_stream_id, {}))
+
+    def set(self, tap_stream_id: str, key: str, value: Any) -> None:
+        self._state["bookmarks"].setdefault(tap_stream_id, {})[key] = value
+
+    def update(self, tap_stream_id: str, values: dict[str, Any]) -> None:
+        self._state["bookmarks"].setdefault(tap_stream_id, {}).update(values)
+
+    def save(self) -> None:
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(self._state, fh, indent=2, sort_keys=True, default=str)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def as_dict(self) -> dict[str, Any]:
+        return json.loads(json.dumps(self._state, default=str))

