@@ -48,6 +48,7 @@ def merge_upsert(
     if not primary_keys:
         raise ValueError("merge_upsert requires primary keys; use append instead")
 
+    source_cols = set(source.columns)  # columns the batch actually SETs
     out_cols = list(target.columns) + [
         c for c in source.columns if c not in target.columns
     ]
@@ -63,13 +64,17 @@ def merge_upsert(
     joined = t.join(s, on=list(primary_keys), how="full_outer")
 
     take_source = F.col(f"s.{_MARK}").isNotNull()
+
+    def _resolve(c: str) -> F.Column:
+        if c not in source_cols:
+            # MERGE only SETs the batch's columns: matched rows keep the
+            # target value; inserted rows get NULL (t side is NULL anyway)
+            return F.col(f"t.{c}").alias(c)
+        return F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+
     merged = joined.select(
         *[F.col(pk) for pk in primary_keys],
-        *[
-            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            for c in out_cols
-            if c not in primary_keys
-        ],
+        *[_resolve(c) for c in out_cols if c not in primary_keys],
     )
     if hard_delete and SDC_DELETED_AT in out_cols:
         merged = merged.filter(F.col(SDC_DELETED_AT).isNull())
