@@ -31,6 +31,14 @@ BENCH_QUERIES = [
     "pk_dedupe_events",
     "mask_transforms_customer",
     "mask_conditional_orders",
+    "merge_soft_delete_orders",
+    "exact_dedup_documents",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "ngram_jaccard_pairs_documents",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "text_quality_documents",
 ]
 
 

@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup: one hash-groupBy on the canonical key (single shuffle).
+- MinHash+LSH: shingle → k minhash signatures (one shuffle to aggregate) →
+  band keys → candidate pairs via band-bucket self-join (shuffle on band key;
+  NO O(n²) cross join) → exact Jaccard verify on candidates only.
+- SimHash: per-token 32-bit hashes aggregated into a per-doc signature with
+  bit-majority vote — one explode + one groupBy; near-dup lookup then joins
+  on rotated signature bands (classic Charikar; bands not materialized here).
+- n-gram Jaccard: quadratic only *within* a blocking key (here: lang) —
+  the blocked self-join is the scale-path contract; skewed blocks get salted
+  upstream.
+
+Hashing is md5-hex everywhere (portable: identical in Spark and DuckDB, so
+every operator has an exact SQL oracle). minhash = lexicographic MIN of the
+seeded md5 hex — a uniform order statistic, equivalent to numeric minhash.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.functions.text import fingerprint, tokens
+from pipelinewise_spark.partitioning import spread
+
+NUM_HASHES = 16
+NUM_BANDS = 8  # rows per band = NUM_HASHES / NUM_BANDS = 2
+SIMHASH_BITS = 32
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower(trim(text))."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # guard: sequence() runs backwards when size < n — emit [] instead
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of lower(trim(text))."""
+    t = F.lower(F.trim(col))
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+    )
+    return F.when(F.length(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by canonical fingerprint; keep lowest id as survivor."""
+    return (
+        spread(df).withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy(F.col("__fp").alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) — distinct word-n-gram sets, narrow projection.
+
+    Tokenization is materialized as its own column first: inlining the
+    split() into every element_at of the shingle lambda makes Catalyst
+    re-evaluate it per access (~n·|shingles| splits per row).
+    """
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    shingles = F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        spread(df)
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .select(F.col(id_col), shingles.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}) from a shingle-set frame — one explode + one
+    groupBy-shuffle; signatures only, no arrays carried."""
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two pre-distinct arrays, as double."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Banding: band key b = md5('b|' ++ concat of its rows' minhashes); docs
+    sharing any band key become candidates; candidates verified with exact
+    Jaccard on their shingle sets. Never materializes the cross product.
+    """
+    rows_per_band = num_hashes // num_bands
+    # sh feeds three plan branches (signatures + both verify joins): persist
+    # so scan+shingling runs once (at 100 TB this is a materialized sidecar)
+    sh = shingle_sets(df, id_col, text_col).persist()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat(F.lit(f"{b}|"), *parts)))
+    # narrow (id, band_key) frame — candidate generation never touches arrays
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification joins fetch each side's shingle set once per pair
+    x = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Charikar SimHash over the distinct token set (weight 1 per token).
+
+    bit_j(doc) = majority over tokens of bit_j(hash32(token)); signature =
+    Σ bit_j·2^j. One explode + one groupBy with `bits` conditional sums.
+    """
+    ex = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", _hash32(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count("*").alias("n_tokens"), *bit_sums)
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{j}") * 2 > F.col("n_tokens"), F.lit(1 << j))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            for j in range(bits)
+        ],
+    )
+    return agg.select(
+        F.col(id_col), sig.alias("simhash"), F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | str,
+    threshold: float = 0.5,
+    n: int = 3,
+    grid: int = 1,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dups, quadratic only within a block.
+
+    Scale levers (plan-level only — output is block/threshold semantics):
+    - ``grid`` > 1 salts the self-join into a grid of id-hash cells so a hot
+      block parallelizes across grid² tasks instead of one (each unordered
+      pair meets in exactly one cell).
+    - a size prefilter (min/max gram-set size >= threshold, a necessary
+      condition for Jaccard >= threshold) prunes pairs before the
+      intersection is computed.
+    """
+    if isinstance(block_cols, str):
+        block_cols = [block_cols]
+    # materialize the normalized text once (see shingle_sets note)
+    t = F.col("__t")
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    grams = F.when(
+        F.length(t) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        spread(df)
+        .withColumn("__t", F.lower(F.trim(F.col(text_col))))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            grams.alias("grams"),
+        )
+        .withColumn("gsize", F.size("grams"))
+    )
+
+    cells = F.array(*[F.lit(i) for i in range(max(grid, 1))])
+    a = (
+        g.withColumn("__ga", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
+        .withColumn("__gb", F.explode(cells))
+        .alias("a")
+    )
+    b = (
+        g.withColumn("__gb", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
+        .withColumn("__ga", F.explode(cells))
+        .alias("b")
+    )
+    cond = (F.col("a.__ga") == F.col("b.__ga")) & (
+        F.col("a.__gb") == F.col("b.__gb")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # size prefilter: evaluated on ints before any array intersection
+    cond = cond & (
+        F.least(F.col("a.gsize"), F.col("b.gsize")).cast("double")
+        / F.greatest(F.col("a.gsize"), F.col("b.gsize"))
+        >= threshold
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
+  against the (huge) corpus; one scan, one per-query top-k window. The
+  baseline and the verifier for approximate methods.
+- ``lsh_buckets``: random-hyperplane (sign) LSH — deterministic ±1
+  hyperplanes derived from sha256 so results are reproducible and
+  oracle-checkable. The 100 TB path: bucket once (narrow projection), then
+  search within buckets (candidates ≪ corpus).
+
+All math is double-precision fold-left dot products via built-in higher-order
+functions (zip_with/aggregate) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.partitioning import spread
+
+DIM = 64
+NUM_PLANES = 8
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold-left dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (query_id, neighbor_id, cos, rank).
+
+    The query side broadcasts; the corpus is scanned once. Cos is rounded to
+    ``round_to`` decimals and ranking ties break on neighbor id, so results
+    are engine-independent despite FP summation-order differences.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from sha256 bits (pure function)."""
+    planes = []
+    for p in range(num_planes):
+        row: list[int] = []
+        counter = 0
+        while len(row) < dim:
+            digest = hashlib.sha256(f"plane:{p}:{counter}".encode()).digest()
+            for byte in digest:
+                for bit in range(8):
+                    if len(row) >= dim:
+                        break
+                    row.append(1 if (byte >> bit) & 1 else -1)
+            counter += 1
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """(id, bucket) — bucket = Σ_j [v·plane_j > 0]·2^j. Narrow projection,
+    no shuffle; bucketing 100 TB of embeddings is a single map stage."""
+    planes = hyperplanes(num_planes, dim)
+    df = spread(df)
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact cosine within.
+
+    At scale this turns the O(|Q|·|C|) scan into O(candidates); recall is
+    tunable via multiple tables/plane counts (multi-probe left to config).
+    """
+    cb = lsh_buckets(corpus, id_col, vec_col).alias("cb")
+    qb = lsh_buckets(queries, id_col, vec_col).alias("qb")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cand = (
+        qb.join(cb, F.col(f"qb.bucket") == F.col(f"cb.bucket"))
+        .select(
+            F.col(f"qb.{id_col}").alias("query_id"),
+            F.col(f"cb.{id_col}").alias("neighbor_id"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,311 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — each with an exact DuckDB oracle built from
+the same constants so both engines compute literally the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.functions import dedup as D
+from pipelinewise_spark.functions import multimodal as M
+from pipelinewise_spark.functions import similarity as S
+from pipelinewise_spark.functions import text as TX
+from pipelinewise_spark.queries.registry import register
+from pipelinewise_spark.sources.files import read_table
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+# ------------------------------------------------------------ text analysis
+@register(
+    "text_quality_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_PATTERN}')) AS BIGINT)
+               AS bpe_tokens,
+           least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0 * 0.5
+             + CAST(len(regexp_extract_all(lower(text),
+                        '{TX.STOPWORD_PATTERN}')) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) * 0.3
+             + least(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                          AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE), 10.0) / 10.0 * 0.2
+               AS quality
+    FROM documents
+    """.replace("\\b", "\\b"),
+)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and composite quality
+    score — pure projections, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("bpe_tokens"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in TX.LANG_MARKERS.items()
+    }
+    score["zh"] = f"len(regexp_extract_all(text, '{TX.CJK_PATTERN}'))"
+    whens = []
+    for idx, lang in enumerate(TX.LANG_ORDER):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{o}" for o in TX.LANG_ORDER[idx + 1:]]
+        conds += [f"s_{lang} > s_{o}" for o in TX.LANG_ORDER[:idx]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    cases = "\n           ".join(whens)
+    scores_sql = ",\n           ".join(
+        f"{expr} AS s_{lang}" for lang, expr in score.items()
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {scores_sql}
+        FROM documents)
+    SELECT doc_id,
+           CASE {cases} ELSE 'unknown' END AS lang_detected
+    FROM scored
+    """
+
+
+@register("lang_id_documents", oracle=_langid_oracle())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic argmax tie-break."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_detected"))
+
+
+_FP = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+
+
+@register(
+    "fingerprint_documents",
+    oracle=f"SELECT doc_id, {_FP} AS fingerprint FROM documents",
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical set-of-words fingerprint (key-collision method)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------------- dedup
+@register(
+    "exact_dedup_documents",
+    oracle=f"""
+    SELECT {_FP} AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the canonical fingerprint — one hash-groupBy shuffle;
+    survivor = lowest doc_id."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", "text")
+
+
+def _minhash_oracle(threshold: float = 0.3) -> str:
+    k, b = D.NUM_HASHES, D.NUM_BANDS
+    r = k // b
+    sigs = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, md5('{b}|' || {cols}) AS band_key FROM sig".format(
+            b=bi, cols=" || ".join(f"h{bi * r + ri}" for ri in range(r))
+        )
+        for bi in range(b)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM tok WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    sig AS (
+        SELECT doc_id,
+             {sigs}
+        FROM ex GROUP BY doc_id),
+    band AS (
+        {band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               AS jaccard
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@register("minhash_lsh_pairs_documents", oracle=_minhash_oracle())
+def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands×2) near-dup pairs, exact-Jaccard verified at
+    0.3 — band-bucket join, never a cross product."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+
+
+def _simhash_oracle() -> str:
+    bits = D.SIMHASH_BITS
+    sums = ",\n             ".join(
+        f"sum((h >> {j}) & 1) AS b{j}" for j in range(bits)
+    )
+    terms = "\n             + ".join(
+        f"(CASE WHEN b{j} * 2 > n_tokens THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM tok),
+    agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+             {sums}
+        FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           CAST({terms} AS BIGINT) AS simhash,
+           n_tokens
+    FROM agg
+    """
+
+
+@register("simhash_documents", oracle=_simhash_oracle())
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit Charikar SimHash signatures (bit-majority over token hashes)."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs_documents",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
+                   range(1, length(lower(trim(text))) - 1),
+                   i -> substring(lower(trim(text)), i, 3))) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dups, blocked by (lang, source) with a
+    4×4 salted-grid self-join (quadratic only within a block, parallel even
+    when a block is hot)."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, grid=4
+    )
+
+
+# -------------------------------------------------------- similarity search
+_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _cosine_topk_oracle(k: int = 3) -> str:
+    cos = (
+        f"round({_DOT.format(a='qv', b='cv')} / "
+        f"(sqrt({_DOT.format(a='qv', b='qv')}) * "
+        f"sqrt({_DOT.format(a='cv', b='cv')})), 6)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {cos} AS cos
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+               FROM s)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("embedding_cosine_topk", oracle=_cosine_topk_oracle())
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for query vectors (vec_id < 10) —
+    broadcast queries × one corpus scan, ranked window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+def _lsh_buckets_oracle() -> str:
+    planes = S.hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dot = f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    expr = "\n           + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+    SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM e
+    """
+
+
+@register("embedding_lsh_buckets", oracle=_lsh_buckets_oracle())
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing with deterministic sha256-derived hyperplanes —
+    the scale path for ANN (bucket = map stage, search within buckets)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(emb, "vec_id", "embedding")
+
+
+# -------------------------------------------------------------- multimodal
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           sha256(text) AS content_hash,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table: content hash + byte size computed JVM-side
+    (media payload simulated from text bytes)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d, "doc_id", "text", media_type="image")
+    return media.select("media_id", "media_type", "content_hash", "n_bytes")
+
+
+@register("multimodal_features_stub")  # no SQL oracle: mapInPandas plumbing
+def multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with deterministic stub
+    decoder (real codecs not in this environment) — rows-only check."""
+    d = read_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d, "doc_id", "text", media_type="image")
+    return M.extract_features(media, decode_stub=True)
