@@ -13,3 +13,4 @@ from pipelinewise_spark.queries import pipeline as _pipeline  # noqa: F401,E402
 from pipelinewise_spark.queries import analytics as _analytics  # noqa: F401,E402
 from pipelinewise_spark.queries import targets as _targets  # noqa: F401,E402
 from pipelinewise_spark.queries import llmdata as _llmdata  # noqa: F401,E402
+from pipelinewise_spark.queries import streaming as _streaming  # noqa: F401,E402

@@ -115,6 +115,67 @@ def incremental_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ partial sync
+_PS_START, _PS_END = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+
+
+@register(
+    "partial_sync_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice,
+           o_orderdate, o_orderpriority,
+           CASE WHEN o_orderdate BETWEEN TIMESTAMP '{_PS_START}'
+                                     AND TIMESTAMP '{_PS_END}'
+                THEN TIMESTAMP '{T1}' ELSE TIMESTAMP '{T0}' END
+               AS _sdc_extracted_at,
+           CASE WHEN o_orderdate BETWEEN TIMESTAMP '{_PS_START}'
+                                     AND TIMESTAMP '{_PS_END}'
+                THEN TIMESTAMP '{T1}' ELSE TIMESTAMP '{T0}' END
+               AS _sdc_batched_at,
+           CAST(NULL AS TIMESTAMP) AS _sdc_deleted_at
+    FROM orders
+    """,
+)
+def partial_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial range resync: the 1996 slice is corrupted in the target
+    (price zeroed), then re-merged from the source with
+    `WHERE key BETWEEN start AND end` (reference partialsync,
+    fastsync/partialsync/mysql_to_snowflake.py)."""
+    from pipelinewise_spark.operators.sync import partial_sync
+
+    src = read_table(spark, sf_dir, "orders")
+    spec = StreamSpec(
+        tap_stream_id="orders",
+        primary_keys=["o_orderkey"],
+        replication_key="o_orderdate",
+    )
+    tmp = tempfile.mkdtemp(prefix="pws_partial_")
+    table = ParquetTable(f"{tmp}/orders")
+
+    corrupted = src.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate").between(
+                F.lit(_PS_START).cast("timestamp"),
+                F.lit(_PS_END).cast("timestamp"),
+            ),
+            F.lit(0.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    full_table_sync(spark, corrupted, spec, table, extracted_at=T0, batched_at=T0)
+
+    out = partial_sync(
+        spark, src, spec, table,
+        start_value=_PS_START, end_value=_PS_END,
+        extracted_at=T1, batched_at=T1,
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority", "_sdc_extracted_at", "_sdc_batched_at", "_sdc_deleted_at",
+    )
+
+
 # ------------------------------------------------------------------- dedupe
 @register(
     "pk_dedupe_events",

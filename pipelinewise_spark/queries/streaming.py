@@ -1,0 +1,138 @@
+"""Streaming/CDC queries: a genuine Structured Streaming CDC apply whose end
+state is SQL-expressible, plus the tap-kafka record shape with offset seek.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.table import ParquetTable
+from pipelinewise_spark.operators.sdc import add_sdc_columns
+from pipelinewise_spark.plans.spec import StreamSpec
+from pipelinewise_spark.queries.pipeline import T0, T1
+from pipelinewise_spark.queries.registry import register
+from pipelinewise_spark.sources.files import read_table
+from pipelinewise_spark.streaming.cdc import run_cdc_stream
+from pipelinewise_spark.streaming.kafka import seek_offsets, to_kafka_records
+
+_ORDERS_PAYLOAD = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+# change plan: d if key%7==0; u (+1000 totalprice) if key%2==0; else c (same
+# values re-asserted). All events at T1 over a T0 full load.
+_CDC_CASE = f"""
+    CASE WHEN o_orderkey % 7 = 0 THEN TIMESTAMP '{T1}'
+         ELSE CAST(NULL AS TIMESTAMP) END AS _sdc_deleted_at
+"""
+
+
+def _orders_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("d"))
+        .when(F.col("o_orderkey") % 2 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+        .alias("_op"),
+        F.col("o_orderkey").alias("_seq"),
+        F.lit(T1).alias("_event_ts"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 2 == 0),
+            F.col("o_totalprice") + 1000.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "cdc_stream_apply_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0
+                THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority,
+           TIMESTAMP '{T1}' AS _sdc_extracted_at,
+           TIMESTAMP '{T1}' AS _sdc_batched_at,
+           {_CDC_CASE}
+    FROM orders
+    """,
+)
+def cdc_stream_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG_BASED replication end-to-end through Structured Streaming: a T0
+    full load, then a JSONL change-event stream (creates/updates/deletes at
+    T1) consumed with readStream → foreachBatch MERGE under Trigger.
+    AvailableNow with a checkpoint bookmark. Soft-delete semantics."""
+    import pyspark.sql.types as T
+
+    tmp = tempfile.mkdtemp(prefix="pws_cdc_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+
+    spec = StreamSpec(
+        tap_stream_id="orders", primary_keys=["o_orderkey"], hard_delete=False
+    )
+    table = ParquetTable(os.path.join(tmp, "orders"))
+
+    # T0 full load
+    orders = read_table(spark, sf_dir, "orders")
+    table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
+
+    # emit the change stream as JSONL (the transport; Kafka/Debezium in prod)
+    _orders_cdc_events(spark, sf_dir).coalesce(4).write.mode("overwrite").json(
+        events_dir
+    )
+
+    payload = T._parse_datatype_string(_ORDERS_PAYLOAD)
+    run_cdc_stream(
+        spark, events_dir, payload, spec, table,
+        checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+    )
+    return table.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        "_sdc_extracted_at", "_sdc_batched_at", "_sdc_deleted_at",
+    )
+
+
+@register(
+    "kafka_records_events",
+    oracle="""
+    WITH rec AS (
+        SELECT props AS message,
+               CAST(user_id % 4 AS INTEGER) AS message_partition,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS BIGINT)
+                   AS message_offset,
+               epoch_ms(ts) AS message_timestamp,
+               json_extract_string(props, '$.k') AS pk
+        FROM events)
+    SELECT message, message_partition, message_offset, message_timestamp, pk
+    FROM rec
+    WHERE message_offset >= 100
+    """,
+)
+def kafka_records_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tap-kafka record shape (message/partition/offset/timestamp + JSON-path
+    PK) over the events table, with a per-partition offset-seek bookmark
+    (resume from offset 100 on every partition)."""
+    events = read_table(spark, sf_dir, "events")
+    records = to_kafka_records(
+        events,
+        message_col="props",
+        partition_by=F.col("user_id") % 4,
+        order_by=F.col("event_id"),
+        timestamp_col="ts",
+        primary_key_path="k",
+    )
+    return seek_offsets(records, offsets={p: 100 for p in range(4)})

@@ -1,0 +1,82 @@
+"""Streaming/CDC behaviors beyond the oracle check: checkpoint resume,
+hard-delete, multi-batch ordering."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from pipelinewise_spark.operators.sdc import add_sdc_columns
+from pipelinewise_spark.operators.table import ParquetTable
+from pipelinewise_spark.plans.spec import StreamSpec
+from pipelinewise_spark.queries.pipeline import T0, T1
+from pipelinewise_spark.sources.files import read_table
+from pipelinewise_spark.streaming.cdc import run_cdc_stream
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def _mk_events(spark, tmp, rows):
+    events_dir = os.path.join(tmp, "events")
+    schema = (
+        "_op string, _seq long, _event_ts string, o_orderkey long, "
+        "o_totalprice double"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(
+        events_dir
+    )
+    return events_dir
+
+
+def test_cdc_hard_delete_and_checkpoint_resume(spark, tmp_path):
+    tmp = str(tmp_path)
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["o_orderkey"],
+                      hard_delete=True)
+    table = ParquetTable(os.path.join(tmp, "t"))
+    ckpt = os.path.join(tmp, "ckpt")
+
+    events_dir = _mk_events(spark, tmp, [
+        ("c", 1, T0, 1, 10.0),
+        ("c", 2, T0, 2, 20.0),
+        ("u", 3, T0, 2, 25.0),   # last-wins within batch
+    ])
+    run_cdc_stream(spark, events_dir, PAYLOAD, spec, table, ckpt)
+    got = {r.o_orderkey: r.o_totalprice for r in table.read(spark).collect()}
+    assert got == {1: 10.0, 2: 25.0}
+
+    # second batch: delete key 1 — hard delete removes the row; checkpoint
+    # means the first file is NOT reprocessed
+    _mk_events(spark, tmp, [("d", 4, T1, 1, 10.0)])
+    run_cdc_stream(spark, events_dir, PAYLOAD, spec, table, ckpt)
+    rows = table.read(spark).collect()
+    assert {r.o_orderkey for r in rows} == {2}
+    assert rows[0].o_totalprice == 25.0
+
+    # replaying with a FRESH checkpoint reprocesses everything; the merge is
+    # idempotent so the end state is identical
+    run_cdc_stream(spark, events_dir, PAYLOAD, spec, table,
+                   os.path.join(tmp, "ckpt2"))
+    assert {r.o_orderkey for r in table.read(spark).collect()} == {2}
+
+
+def test_cdc_multi_batch_file_order(spark, tmp_path):
+    """maxFilesPerTrigger=1 → one micro-batch per file, applied in order."""
+    tmp = str(tmp_path)
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["o_orderkey"])
+    table = ParquetTable(os.path.join(tmp, "t"))
+    events_dir = _mk_events(spark, tmp, [("c", 1, T0, 1, 10.0)])
+    import time
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _mk_events(spark, tmp, [("u", 2, T1, 1, 99.0)])
+    run_cdc_stream(spark, events_dir, PAYLOAD, spec, table,
+                   os.path.join(tmp, "ckpt"), max_files_per_trigger=1)
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].o_totalprice == 99.0
+    assert rows[0]._sdc_deleted_at is None
