@@ -14,3 +14,4 @@ from pipelinewise_spark.queries import analytics as _analytics  # noqa: F401,E40
 from pipelinewise_spark.queries import targets as _targets  # noqa: F401,E402
 from pipelinewise_spark.queries import llmdata as _llmdata  # noqa: F401,E402
 from pipelinewise_spark.queries import streaming as _streaming  # noqa: F401,E402
+from pipelinewise_spark.queries import ops as _ops  # noqa: F401,E402
