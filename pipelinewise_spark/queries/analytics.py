@@ -184,6 +184,83 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                            > 30 * 60 * 1000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running sum —
+    one user-hash shuffle, the standard event-analytics building block."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = e.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", F.col("session_id").cast("bigint").alias("session_id"),
+                "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "rollup_order_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_sql_sum_double("CAST(o_totalprice AS DECIMAL(12,4))")} AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation via ROLLUP (subtotals + grand total) — one
+    pass, grouping-set expansion handled by Catalyst."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            _sum_double(F.col("o_totalprice").cast("decimal(12,4)")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
     "events_topk_per_user",
     oracle="""
     SELECT user_id, event_id, event_type, value

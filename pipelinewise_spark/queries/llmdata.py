@@ -283,6 +283,68 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_buckets(emb, "vec_id", "embedding")
 
 
+def _ann_bucket_top1_oracle() -> str:
+    planes = S.hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dot = f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cos = (
+        f"round({_DOT.format(a='a.ev', b='b.ev')} / "
+        f"(sqrt({_DOT.format(a='a.ev', b='a.ev')}) * "
+        f"sqrt({_DOT.format(a='b.ev', b='b.ev')})), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      CAST({bucket} AS BIGINT) AS bucket
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {cos} AS cos
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT vec_id, neighbor_id, cos FROM ranked WHERE rn = 1
+    """
+
+
+@register("embedding_ann_bucket_top1", oracle=_ann_bucket_top1_oracle())
+def embedding_ann_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scale path: nearest neighbor *within the LSH
+    bucket* for every vector — candidates ≪ corpus², the ANN contract."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    b = S.lsh_buckets(emb, "vec_id", "embedding")
+    e = emb.join(b, "vec_id")
+    a = e.select(
+        F.col("vec_id"), F.col("embedding").alias("__av"), "bucket"
+    ).alias("a")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__bv"),
+        F.col("bucket").alias("__b2"),
+    ).alias("b")
+    scored = (
+        a.join(c, (F.col("bucket") == F.col("__b2"))
+               & (F.col("vec_id") != F.col("neighbor_id")))
+        .withColumn("cos", F.round(S.cosine(F.col("__av"), F.col("__bv")), 6))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "neighbor_id", "cos")
+    )
+
+
 # -------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_metadata",

@@ -1,0 +1,121 @@
+"""End-to-end pipeline runner: YAML → compiled spec → multi-stream run with
+bookmarks, masking, and a second incremental run picking up only new rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pipelinewise_spark.plans.yaml_config import compile_yaml
+from pipelinewise_spark.runner import PipelineRunner
+from pipelinewise_spark.schema.jsonschema import (
+    json_schema_to_struct,
+    merge_schemas,
+    struct_to_json_schema,
+)
+from pipelinewise_spark.sources.files import read_table
+
+YAML = """
+id: tpch_to_lake
+target_path: "{target}"
+schemas:
+  - source_schema: public
+    tables:
+      - table_name: nation
+        replication_method: FULL_TABLE
+        primary_keys: [n_nationkey]
+      - table_name: orders
+        replication_method: INCREMENTAL
+        replication_key: o_orderdate
+        primary_keys: [o_orderkey]
+        transformations:
+          - column: o_orderpriority
+            type: MASK-HIDDEN
+            when:
+              - column: o_orderstatus
+                equals: F
+"""
+
+
+def test_yaml_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    spec = compile_yaml(YAML.format(target=str(tmp_path)))
+    assert [s.tap_stream_id for s in spec.streams] == [
+        "public-nation", "public-orders"
+    ]
+    runner = PipelineRunner(spark, spec)
+
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < "1997-01-01")
+
+    r1 = runner.run(
+        {"public-nation": nation, "public-orders": early},
+        extracted_at="2026-01-01 00:00:00", batched_at="2026-01-01 00:00:00",
+    )
+    assert r1[0].rows_loaded == nation.count()
+    assert r1[1].rows_loaded == early.count()
+    assert r1[1].bookmark["replication_key"] == "o_orderdate"
+
+    # second incremental run: full source, bookmark filters to the tail
+    r2 = runner.run_stream(
+        spec.stream("public-orders"), orders,
+        extracted_at="2026-02-01 00:00:00", batched_at="2026-02-01 00:00:00",
+    )
+    assert r2.rows_loaded == orders.count()  # merged total
+
+    out = runner.table_for(spec.stream("public-orders")).read(spark)
+    masked = out.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    ).distinct().collect()
+    assert [r.o_orderpriority for r in masked] == ["hidden"]
+
+
+def test_json_schema_bridge_roundtrip():
+    js = {
+        "type": "object",
+        "properties": {
+            "id": {"type": ["null", "integer"]},
+            "amount": {"type": ["null", "number"], "multipleOf": 0.01},
+            "ratio": {"type": ["null", "number"]},
+            "ok": {"type": ["null", "boolean"]},
+            "created_at": {"type": ["null", "string"], "format": "date-time"},
+            "payload": {"type": ["null", "string"], "format": "binary"},
+            "doc": {"type": ["null", "object"]},
+            "tags": {"type": ["null", "array"],
+                     "items": {"type": ["null", "string"]}},
+            "ragged": {"type": ["null", "array"],
+                       "items": {"$ref": "#/definitions/sdc_recursive"}},
+        },
+    }
+    st = json_schema_to_struct(js)
+    kinds = {f.name: f.dataType.simpleString() for f in st.fields}
+    assert kinds == {
+        "id": "bigint", "amount": "decimal(38,2)", "ratio": "double",
+        "ok": "boolean", "created_at": "timestamp", "payload": "binary",
+        "doc": "string", "tags": "array<string>", "ragged": "string",
+    }
+    # float-compat mode reproduces the reference's decimal→float lossiness
+    st2 = json_schema_to_struct(js, float_compat=True)
+    assert st2["amount"].dataType.simpleString() == "double"
+    back = struct_to_json_schema(st)
+    assert back["properties"]["amount"]["multipleOf"] == 0.01
+    assert back["properties"]["created_at"]["format"] == "date-time"
+
+
+def test_schema_diff_flags():
+    import pyspark.sql.types as T
+
+    old = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("gone", T.StringType()),
+    ])
+    new = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),      # is-modified
+        T.StructField("c", T.DoubleType()),     # is-new
+    ])
+    d = merge_schemas(old, new)
+    assert d.added == ["c"]
+    assert d.modified == [("b", "string", "bigint")]
+    assert d.removed == ["gone"]
+    assert d.changed
