@@ -261,6 +261,66 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order since 1999 — the
+    filter pushes into the orders scan, the anti join broadcasts the smaller
+    side under AQE."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "semi_join_parts_shipped",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+)
+def semi_join_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): parts that ever shipped in quantity >= 45."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(
+        l, p.p_partkey == l.l_partkey, "left_semi"
+    ).select("p_partkey", "p_brand", "p_retailprice")
+
+
+@register(
+    "except_customers_both_segments",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_customers_both_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT DISTINCT): customers with open orders but no
+    finished ones."""
+    o = read_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(fin_c)  # EXCEPT DISTINCT semantics
+
+
+@register(
     "events_topk_per_user",
     oracle="""
     SELECT user_id, event_id, event_type, value

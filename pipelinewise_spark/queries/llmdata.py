@@ -88,6 +88,38 @@ _FP = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
 
 
 @register(
+    "winnowing_fingerprint_documents",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(trim(text))) - 6),
+                   i -> md5(substring(lower(trim(text)), i, 8))) AS hs
+        FROM documents
+        WHERE length(lower(trim(text))) >= 8)
+    SELECT doc_id, list_min(hs) AS winnow_fp, CAST(len(hs) AS BIGINT) AS n_grams
+    FROM g
+    """,
+)
+def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window (winnowing-style) fingerprint: minimum hash over all
+    char-8-gram windows — the plagiarism-detection document signature. Pure
+    per-row projection (no shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("__t")
+    idx = F.sequence(F.lit(1), F.length(t) - 7)
+    hs = F.transform(idx, lambda i: F.md5(F.substring(t, i, F.lit(8))))
+    return (
+        d.withColumn("__t", F.lower(F.trim(F.col("text"))))
+        .filter(F.length(t) >= 8)
+        .select(
+            "doc_id",
+            F.array_min(hs).alias("winnow_fp"),
+            F.size(hs).cast("bigint").alias("n_grams"),
+        )
+    )
+
+
+@register(
     "fingerprint_documents",
     oracle=f"SELECT doc_id, {_FP} AS fingerprint FROM documents",
 )
