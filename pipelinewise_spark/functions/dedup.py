@@ -94,20 +94,41 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return (
         spread(df)
         .withColumn("__toks", tokens(F.col(text_col)))
+        # filter on the cheap precondition (shingles nonempty ⟺ ≥n tokens):
+        # filtering on size(shingles) would re-evaluate the whole shingle
+        # expression in the pushed-down predicate
+        .filter(F.size(toks) >= n)
         .select(F.col(id_col), shingles.alias("shingles"))
-        .filter(F.size("shingles") > 0)
     )
+
+
+MINHASH_SEEDS = 4
+MINHASH_CHUNKS = 4  # NUM_HASHES = MINHASH_SEEDS * MINHASH_CHUNKS
 
 
 def minhash_signatures(
     sh: DataFrame, id_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
     """(id, h0..h{k-1}) from a shingle-set frame — one explode + one
-    groupBy-shuffle; signatures only, no arrays carried."""
-    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    groupBy-shuffle; signatures only, no arrays carried.
+
+    k hash functions come from k/4 md5 calls: each seeded md5 is split into
+    four 8-hex chunks, each an independent uniform order statistic
+    (h_{4s+c} = chunk c of md5("s:" ++ shingle)). The md5s are materialized
+    as columns before the aggregate so each is computed once per row, not
+    once per chunk."""
+    assert num_hashes == MINHASH_SEEDS * MINHASH_CHUNKS
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle")).select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"m{s}")
+            for s in range(MINHASH_SEEDS)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.substring(F.col(f"m{s}"), 1 + 8 * c, 8)).alias(f"h{4 * s + c}")
+        for s in range(MINHASH_SEEDS)
+        for c in range(MINHASH_CHUNKS)
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
@@ -230,6 +251,7 @@ def ngram_jaccard_pairs(
         F.length(t) >= n,
         F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))),
     ).otherwise(F.array().cast("array<string>"))
+    # gram sets feed candidate sizing AND two verify joins → persist
     g = (
         spread(df)
         .withColumn("__t", F.lower(F.trim(F.col(text_col))))
@@ -238,17 +260,23 @@ def ngram_jaccard_pairs(
             *[F.col(c) for c in block_cols],
             grams.alias("grams"),
         )
-        .withColumn("gsize", F.size("grams"))
+        .persist()
     )
 
+    # candidate generation on NARROW rows only (id, blocks, gsize) — the
+    # grid replication never copies the gram arrays through the shuffle
+    narrow = g.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.size("grams").alias("gsize"),
+    )
     cells = F.array(*[F.lit(i) for i in range(max(grid, 1))])
     a = (
-        g.withColumn("__ga", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
+        narrow.withColumn("__ga", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
         .withColumn("__gb", F.explode(cells))
         .alias("a")
     )
     b = (
-        g.withColumn("__gb", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
+        narrow.withColumn("__gb", F.pmod(F.col(id_col), F.lit(grid)).cast("int"))
         .withColumn("__ga", F.explode(cells))
         .alias("b")
     )
@@ -258,18 +286,24 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    # size prefilter: evaluated on ints before any array intersection
+    # size prefilter: a necessary condition for jaccard >= threshold,
+    # evaluated on ints before any array work
     cond = cond & (
         F.least(F.col("a.gsize"), F.col("b.gsize")).cast("double")
         / F.greatest(F.col("a.gsize"), F.col("b.gsize"))
         >= threshold
     )
+    cand = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    # verification joins fetch each side's gram set once per pair
+    x = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    y = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
-        )
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard", jaccard(F.col("g_a"), F.col("g_b")))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -73,10 +73,18 @@ class ParquetTable:
     def schema(self, spark: SparkSession) -> T.StructType | None:
         return self.read(spark).schema if self.exists() else None
 
-    def overwrite(self, df: DataFrame) -> str:
-        """Full-refresh publish (ACTIVATE_VERSION / atomic swap semantics)."""
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Full-refresh publish (ACTIVATE_VERSION / atomic swap semantics).
+
+        ``partition_by`` hive-partitions the snapshot so downstream reads
+        prune partitions (at 100 TB: partition facts by ingest date / status;
+        the reader shows PartitionFilters instead of scanning everything).
+        """
         snap = self._next_snapshot_dir()
-        df.write.mode("overwrite").parquet(snap)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap)
         self._publish(snap)
         return snap
 

@@ -261,6 +261,29 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (the same expression tree runs
+    streaming with a watermark — tests/test_windows_state.py proves
+    stream ≡ batch)."""
+    from pipelinewise_spark.streaming.windows import windowed_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return windowed_counts(e, by=["user_id"])
+
+
+@register(
     "anti_join_inactive_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment

@@ -150,7 +150,8 @@ def _minhash_oracle(threshold: float = 0.3) -> str:
     k, b = D.NUM_HASHES, D.NUM_BANDS
     r = k // b
     sigs = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+        f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(k)
     )
     band_rows = "\n        UNION ALL\n        ".join(
         "SELECT doc_id, md5('{b}|' || {cols}) AS band_key FROM sig".format(

@@ -1,0 +1,90 @@
+"""Windowed + stateful streaming: batch/stream unification and
+applyInPandasWithState cross-batch state."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from pipelinewise_spark.sources.files import read_table
+from pipelinewise_spark.streaming.windows import (
+    running_user_totals,
+    windowed_counts,
+)
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The same transformation over readStream (AvailableNow → memory sink)
+    must produce exactly the batch result — Structured Streaming's
+    unification contract."""
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.window_end, r.user_id): (r.n_events, r.value_sum)
+        for r in windowed_counts(events, by=["user_id"]).collect()
+    }
+
+    src = os.path.join(str(tmp_path), "events_parquet")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_counts(stream, by=["user_id"])
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start, r.window_end, r.user_id): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_running_totals_state_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches; the
+    final emitted totals equal the batch groupBy."""
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    src = os.path.join(str(tmp_path), "ev")
+    # two files → with maxFilesPerTrigger=1, two micro-batches
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user = final running total
+    rows = spark.sql(
+        """SELECT user_id, n_events, value_sum FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn
+               FROM running_totals) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.value_sum, 6)) for r in rows}
+    assert got == {u: (n, round(s, 6)) for u, (n, s) in expected.items()}
