@@ -53,6 +53,11 @@ class StreamSpec:
     flattening_max_level: int = 0
     options: dict[str, Any] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # accept plain strings for ergonomic construction
+        if not isinstance(self.replication_method, ReplicationMethod):
+            self.replication_method = ReplicationMethod(self.replication_method)
+
     @property
     def target_table(self) -> str:
         return self.table_name or self.tap_stream_id

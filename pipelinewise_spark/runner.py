@@ -57,6 +57,24 @@ class PipelineRunner:
         self, stream: StreamSpec, source_df: DataFrame,
         extracted_at=None, batched_at=None,
     ) -> StreamResult:
+        # primary_key_required guard (reference default true:
+        # target_snowflake/__init__.py:266-278) — PK-less streams may only
+        # take the append path, and only when explicitly allowed
+        pk_required = bool(
+            stream.options.get(
+                "primary_key_required",
+                self.spec.options.get("primary_key_required", True),
+            )
+        )
+        if (
+            pk_required
+            and not stream.primary_keys
+            and stream.replication_method is not ReplicationMethod.FULL_TABLE
+        ):
+            raise ValueError(
+                f"{stream.tap_stream_id}: no primary key — set "
+                "primary_key_required: false to allow the append-only path"
+            )
         table = self.table_for(stream)
         if stream.replication_method is ReplicationMethod.FULL_TABLE:
             out = full_table_sync(

@@ -96,6 +96,7 @@ def run_cdc_stream(
     table: ParquetTable,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    state=None,
 ) -> None:
     """Consume a JSONL change-event directory as a bounded stream.
 
@@ -120,3 +121,17 @@ def run_cdc_stream(
         .start()
     )
     query.awaitTermination()
+    if state is not None:
+        # surface the streaming bookmark into the engine's state.json twin
+        # (the reference emits STATE only after data is flushed — here the
+        # checkpoint already guarantees that ordering)
+        progress = query.lastProgress or {}
+        state.update(
+            spec.tap_stream_id,
+            {
+                "checkpoint": checkpoint_dir,
+                "last_batch_id": progress.get("batchId"),
+                "version": table.current_snapshot(),
+            },
+        )
+        state.save()

@@ -80,3 +80,21 @@ def test_file_source_read_with_metadata(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]._sdc_source_file.endswith("m.csv")
     assert src.read(spark, modified_since=datetime.utcnow()) is None
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.operators.sinks import write_csv_target
+    from pipelinewise_spark.sources.files import FileSource, read_table
+    from tests.conftest import SF_DIR
+
+    nation = read_table(spark, SF_DIR, "nation").withColumn(
+        "meta", F.struct(F.lit("x").alias("a"), F.lit(1).alias("b"))
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv_target(nation, out, compression=None)
+    back = FileSource(path=out, format="csv").read(spark)
+    assert back.count() == nation.count()
+    # nested struct flattened with __ separator
+    assert "meta__a" in back.columns and "meta__b" in back.columns

@@ -119,3 +119,45 @@ def test_schema_diff_flags():
     assert d.modified == [("b", "string", "bigint")]
     assert d.removed == ["gone"]
     assert d.changed
+
+
+def test_primary_key_required_guard(spark, sf_dir, tmp_path):
+    import pytest
+    from pipelinewise_spark.plans.spec import PipelineSpec, StreamSpec
+
+    spec = PipelineSpec(
+        pipeline_id="p", target_path=str(tmp_path),
+        streams=[StreamSpec(tap_stream_id="events",
+                            replication_method="INCREMENTAL",
+                            replication_key="ts")],
+    )
+    runner = PipelineRunner(spark, spec)
+    events = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="primary_key_required"):
+        runner.run_stream(spec.stream("events"), events)
+
+    # explicitly allowing PK-less streams takes the append path
+    spec.streams[0].options["primary_key_required"] = False
+    r = runner.run_stream(spec.stream("events"), events,
+                          extracted_at="2026-01-01", batched_at="2026-01-01")
+    assert r.rows_loaded == events.count()
+
+
+def test_selected_columns_projection(spark, sf_dir, tmp_path):
+    from pipelinewise_spark.plans.spec import PipelineSpec, StreamSpec
+
+    spec = PipelineSpec(
+        pipeline_id="p", target_path=str(tmp_path),
+        streams=[StreamSpec(tap_stream_id="nation",
+                            primary_keys=["n_nationkey"],
+                            selected_columns=["n_nationkey", "n_name"])],
+    )
+    runner = PipelineRunner(spark, spec)
+    runner.run_stream(spec.stream("nation"),
+                      read_table(spark, sf_dir, "nation"),
+                      extracted_at="2026-01-01", batched_at="2026-01-01")
+    out = runner.table_for(spec.stream("nation")).read(spark)
+    assert set(out.columns) == {
+        "n_nationkey", "n_name",
+        "_sdc_extracted_at", "_sdc_batched_at", "_sdc_deleted_at",
+    }
