@@ -1,0 +1,79 @@
+"""ManifestTable: partition-pruned MERGE must rewrite only touched
+partitions, re-reference untouched files, and produce exactly the same table
+contents as a full merge."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from pipelinewise_spark.operators.manifest_table import ManifestTable
+from pipelinewise_spark.operators.merge import merge_upsert
+from pipelinewise_spark.sources.files import read_table
+
+
+def _manifest(t: ManifestTable) -> dict:
+    with open(os.path.join(t.root, t.current_manifest_name())) as fh:
+        return json.load(fh)
+
+
+def test_partition_pruned_merge_reuses_untouched_files(spark, sf_dir, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "orders"))
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderstatus", F.col("o_orderstatus").cast("string")
+    )
+    t.overwrite(orders, partition_by=["o_orderstatus"])
+    m1 = _manifest(t)
+    files_by_part = {}
+    for e in m1["files"]:
+        files_by_part.setdefault(e["partition"]["o_orderstatus"], set()).add(
+            e["path"]
+        )
+    assert set(files_by_part) == {"F", "O", "P"}
+
+    # batch touches ONLY status 'O' rows
+    batch = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+    t.merge(spark, batch, ["o_orderkey"])
+
+    m2 = _manifest(t)
+    files2 = {}
+    for e in m2["files"]:
+        files2.setdefault(e["partition"]["o_orderstatus"], set()).add(e["path"])
+    # untouched partitions carry over by reference; touched one is new
+    assert files2["F"] == files_by_part["F"]
+    assert files2["P"] == files_by_part["P"]
+    assert files2["O"].isdisjoint(files_by_part["O"])
+
+    # contents equal a full merge
+    expected = merge_upsert(orders, batch, ["o_orderkey"])
+    got = t.read(spark)
+    assert got.count() == orders.count()
+    diff = got.select(sorted(got.columns)).exceptAll(
+        expected.select(sorted(got.columns))
+    )
+    assert diff.count() == 0
+
+    # manifest-side pruning: reading one partition lists only its files
+    only_f = t.read(spark, partitions={"o_orderstatus": ["F"]})
+    assert only_f.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_manifest_merge_handles_new_partition_values(spark, sf_dir, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "orders"))
+    orders = read_table(spark, sf_dir, "orders")
+    t.overwrite(orders, partition_by=["o_orderstatus"])
+
+    # batch introduces a brand-new partition value
+    batch = (
+        orders.limit(10)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    t.merge(spark, batch, ["o_orderkey"])
+    got = t.read(spark)
+    assert got.filter(F.col("o_orderstatus") == "X").count() == 10
+    assert got.count() == orders.count() + 10
