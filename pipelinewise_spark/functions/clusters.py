@@ -1,0 +1,74 @@
+"""Duplicate-cluster resolution — connected components over near-dup pairs.
+
+Pairwise near-dup detection (MinHash/Jaccard) yields edges; dedup needs
+*clusters* (keep one representative per component). Min-label propagation:
+every node repeatedly adopts the smallest id reachable over an edge until a
+fixpoint — O(diameter) joins, each a hash shuffle on the node id. Dedup
+graphs are shallow (near-dup clusters are small and dense), so the loop
+converges in a handful of iterations; each iteration is a pair of
+broadcast-or-shuffle joins that scale linearly with the edge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id in the connected
+    component. ``pairs`` is an undirected edge list."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(node, component, is_representative) — keep rows where
+    ``is_representative`` for a deduplicated corpus."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.withColumn(
+        "is_representative", F.col("node") == F.col("component")
+    )

@@ -1,0 +1,53 @@
+"""Skew-resistant aggregation (two-stage salted combine).
+
+A groupBy on a skewed key sends one key's entire volume to one reducer. The
+classic fix: salt the key into S shards, pre-aggregate per (key, salt), then
+combine the partials — turning one hot reducer into S. AQE handles skewed
+*joins*; skewed *aggregations* still need this pattern when partial
+aggregation alone can't keep up (high-cardinality payloads, e.g. collect-style
+aggs). For algebraic aggregates (sum/count/min/max) the two-stage result is
+exactly the one-stage result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__pws_salt"
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation: ``aggs`` maps output column → (input_col, fn)
+    with fn in {sum, count, min, max}. Result is identical to a direct
+    groupBy; the plan shards hot keys across ``salt_buckets`` reducers."""
+    first: list[Column] = []
+    second: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            first.append(F.count(col).alias(out))
+            second.append(F.sum(out).alias(out))
+        elif fn == "sum":
+            first.append(F.sum(col).alias(out))
+            second.append(F.sum(out).alias(out))
+        elif fn == "min":
+            first.append(F.min(col).alias(out))
+            second.append(F.min(out).alias(out))
+        elif fn == "max":
+            first.append(F.max(col).alias(out))
+            second.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    salted = df.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(k) for k in keys], F.spark_partition_id()),
+                      F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(*first)
+    return partial.groupBy(*keys).agg(*second)

@@ -72,6 +72,109 @@ def archive_load_metadata_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_events_by_type",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS value_sum,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation: event_type has only 5 hot keys
+    (the skewed-reducer case) — salted partials combine to the exact direct
+    groupBy result."""
+    from pipelinewise_spark.operators.skew import salted_aggregate
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "value_sum": ("__v", "sum"),
+            "min_event_id": ("event_id", "min"),
+            "max_event_id": ("event_id", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type", "n_events",
+        F.round(F.col("value_sum"), 6).cast("decimal(18,6)").cast("double")
+        .alias("value_sum"),
+        "min_event_id", "max_event_id",
+    )
+
+
+def _cluster_oracle() -> str:
+    from pipelinewise_spark.queries.llmdata import _minhash_oracle
+
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS component
+        FROM reach GROUP BY u)
+    SELECT node, component, node = component AS is_representative FROM comp
+    """
+
+
+@register("dedup_clusters_documents", oracle=_cluster_oracle())
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label propagation) over
+    the MinHash-LSH pair graph; one representative per component."""
+    from pipelinewise_spark.functions.clusters import dedup_clusters
+    from pipelinewise_spark.functions.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+    return dedup_clusters(pairs)
+
+
+@register(
+    "mask_condition_field_path_events",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_extract_string(props, '$.k') = '69'
+                THEN CAST(0 AS DOUBLE) ELSE value END AS value
+    FROM events
+    """,
+)
+def mask_condition_field_path_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition addressing a path INSIDE a JSON column (`when.field_path`,
+    transform.py:12-81): zero out value where props.k == 69."""
+    from pipelinewise_spark.functions.masking import apply_transformations
+
+    events = read_table(spark, sf_dir, "events")
+    out = apply_transformations(
+        events,
+        [
+            {
+                "field_id": "value",
+                "type": "MASK-NUMBER",
+                "when": [
+                    {"column": "props", "field_path": "k", "equals": "69"}
+                ],
+            }
+        ],
+    )
+    return out.select("event_id", "value")
+
+
+@register(
     "mask_json_field_paths_events",
     oracle="""
     SELECT event_id,
