@@ -174,6 +174,21 @@ def mask_condition_field_path_events(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select("event_id", "value")
 
 
+@register("approx_stats_lineitem")  # sketch outputs have no exact SQL oracle
+def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass HLL distinct + approximate quantiles (mergeable sketches —
+    the 100 TB profiling path); error-bounded vs exact in
+    tests/test_sketches_bounded.py. Rows-only driver check."""
+    from pipelinewise_spark.operators.sketches import approx_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return approx_stats(
+        li,
+        numeric_cols=["l_extendedprice", "l_quantity"],
+        distinct_cols=["l_orderkey", "l_partkey"],
+    )
+
+
 @register(
     "mask_json_field_paths_events",
     oracle="""
