@@ -44,12 +44,26 @@ class ManifestTable:
         with open(vp, encoding="utf-8") as fh:
             return fh.read().strip() or None
 
-    def _load_manifest(self) -> dict[str, Any]:
-        name = self.current_manifest_name()
-        if name is None:
-            raise FileNotFoundError(f"no published manifest: {self.root}")
+    def _load_manifest(self, version: int | None = None) -> dict[str, Any]:
+        if version is not None:
+            name = f"manifest-{version:08d}.json"
+            if not os.path.exists(os.path.join(self.root, name)):
+                raise FileNotFoundError(f"no such snapshot version: {version}")
+        else:
+            name = self.current_manifest_name()
+            if name is None:
+                raise FileNotFoundError(f"no published manifest: {self.root}")
         with open(os.path.join(self.root, name), encoding="utf-8") as fh:
             return json.load(fh)
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.root)
+            if f.startswith("manifest-") and f.endswith(".json")
+        )
 
     def exists(self) -> bool:
         return self.current_manifest_name() is not None
@@ -119,11 +133,15 @@ class ManifestTable:
 
     # --------------------------------------------------------------- read
     def read(
-        self, spark: SparkSession, partitions: dict[str, list[str]] | None = None
+        self,
+        spark: SparkSession,
+        partitions: dict[str, list[str]] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the live snapshot; ``partitions`` prunes manifest-side
-        (only matching files are ever listed to Spark)."""
-        m = self._load_manifest()
+        """Read the live snapshot (or a historical ``version`` — time
+        travel); ``partitions`` prunes manifest-side (only matching files are
+        ever listed to Spark)."""
+        m = self._load_manifest(version)
         entries = m["files"]
         if partitions:
             entries = [

@@ -77,3 +77,26 @@ def test_manifest_merge_handles_new_partition_values(spark, sf_dir, tmp_path):
     got = t.read(spark)
     assert got.filter(F.col("o_orderstatus") == "X").count() == 10
     assert got.count() == orders.count() + 10
+
+
+def test_time_travel_reads_historical_snapshot(spark, sf_dir, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "orders"))
+    orders = read_table(spark, sf_dir, "orders")
+    t.overwrite(orders, partition_by=["o_orderstatus"])
+    batch = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge(spark, batch, ["o_orderkey"])
+    assert t.versions() == [1, 2]
+
+    v1_sum = t.read(spark, version=1).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    orig_sum = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    assert v1_sum == orig_sum
+    v2_sum = t.read(spark).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    assert v2_sum > v1_sum
