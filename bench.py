@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
     "text_quality_documents",
+    "windowed_event_counts",
+    "sessionize_events",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "salted_agg_events_by_type",
+    "dedup_clusters_documents",
+    "validate_events",
 ]
 
 

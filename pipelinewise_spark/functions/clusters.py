@@ -27,6 +27,9 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        # cut the lineage: edges feed every iteration's joins — without this
+        # the (expensive) pair-generation upstream re-executes per iteration
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("node"))

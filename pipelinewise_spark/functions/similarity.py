@@ -115,6 +115,125 @@ def lsh_buckets(
     return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) coarse quantizer: deterministic k-means.
+
+    Centroids init from the ``num_centroids`` lowest-id vectors (reproducible
+    — no RNG), refined with a few Lloyd iterations executed as DataFrame
+    joins/aggregations (each iteration: one broadcast join + one groupBy).
+    Returns (assignments(id, centroid_id), centroids(centroid_id, centroid)).
+
+    At 100 TB the assignment pass is a single map stage against broadcast
+    centroids; search probes only the closest lists (see ``ivf_topk``).
+    """
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    centroids = (
+        v.orderBy(id_col).limit(num_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col("__v").alias("centroid"),
+        )
+    )
+    for _ in range(iterations):
+        assigned = _assign_to_centroids(v, centroids)
+        # new centroid = element-wise mean of member vectors
+        centroids = (
+            assigned.join(v, id_col)
+            .groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at(F.col("__v"), i + 1)).alias(f"c{i}")
+                        for i in range(DIM)
+                    ]
+                ).alias("centroid")
+            )
+        )
+    return _assign_to_centroids(v, centroids), centroids
+
+
+def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(v.columns[0]).orderBy(
+        F.col("__d").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(v.columns[0], "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN search: assign the corpus to inverted lists once, then probe
+    only each query's ``n_probe`` closest lists with exact cosine."""
+    assignments, centroids = ivf_assign(corpus, id_col, vec_col, num_centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    # query → its n_probe nearest centroid lists
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(
+        assignments.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        probes.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -378,6 +378,16 @@ def embedding_ann_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ivf_topk")  # FP centroid means aren't SQL-reproducible
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means inverted lists, n_probe-list search
+    (rows-only check; recall vs exact asserted in tests/test_llmdata.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding", k=3,
+                      num_centroids=8, n_probe=4)
+
+
 # -------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_metadata",

@@ -50,3 +50,21 @@ def test_minhash_pairs_are_subset_of_exact_jaccard(spark, sf_dir):
     pairs = QUERIES["minhash_lsh_pairs_documents"](spark, sf_dir).collect()
     for r in pairs:
         assert r.jaccard >= 0.3 and r.id_a < r.id_b
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with n_probe lists must recover most exact top-1 neighbors
+    (recall sanity of the scale path) and never return self-matches."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_top1 = {
+        r.query_id: r.neighbor_id
+        for r in S.cosine_topk(emb, queries, "vec_id", "embedding", k=1).collect()
+    }
+    ivf = S.ivf_topk(emb, queries, "vec_id", "embedding", k=1,
+                     num_centroids=8, n_probe=4).collect()
+    got = {r.query_id: r.neighbor_id for r in ivf}
+    assert all(r.query_id != r.neighbor_id for r in ivf)
+    assert len(got) == len(exact_top1)
+    hits = sum(1 for q, n in exact_top1.items() if got.get(q) == n)
+    assert hits / len(exact_top1) >= 0.5, f"recall@1 too low: {hits}/{len(exact_top1)}"
