@@ -437,6 +437,23 @@ def except_customers_both_segments(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "intersect_customers_both_statuses",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_customers_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT DISTINCT): customers with both open and
+    finished orders."""
+    o = read_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(fin_c)
+
+
+@register(
     "events_topk_per_user",
     oracle="""
     SELECT user_id, event_id, event_type, value
