@@ -1,0 +1,97 @@
+"""CLI — `python -m pipelinewise_spark <command>`.
+
+The reference's operational surface (cli/__init__.py commands) reduced to the
+engine's three verbs:
+
+    run        run every stream of a YAML pipeline (sources = parquet dirs)
+    profile    per-column statistics of a parquet table
+    state      print the pipeline's bookmark state
+
+Example:
+    python -m pipelinewise_spark run --config pipeline.yml \
+        --source-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+    from pipelinewise_spark.runner import PipelineRunner
+    from pipelinewise_spark.session import get_spark
+
+    spec = compile_yaml_file(args.config)
+    spark = get_spark(f"pipelinewise-{spec.pipeline_id}")
+    spark.sparkContext.setLogLevel("ERROR")
+    runner = PipelineRunner(spark, spec)
+    sources = {}
+    for s in spec.streams:
+        # tap_stream_id is "<schema>-<table>"; source file = <table>.parquet
+        table = s.tap_stream_id.split("-", 1)[-1]
+        p = os.path.join(args.source_dir, f"{table}.parquet")
+        if os.path.exists(p):
+            sources[s.tap_stream_id] = spark.read.parquet(p)
+    results = runner.run(sources)
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "stream": r.tap_stream_id,
+                    "method": r.method,
+                    "rows_loaded": r.rows_loaded,
+                    "bookmark": r.bookmark,
+                },
+                default=str,
+            )
+        )
+    return 0
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from pipelinewise_spark.operators.profile import profile
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.path)
+    for row in profile(df).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def _cmd_state(args: argparse.Namespace) -> int:
+    from pipelinewise_spark.plans.state import BookmarkStore
+
+    print(json.dumps(BookmarkStore(args.path).as_dict(), indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pipelinewise_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run a YAML pipeline")
+    run.add_argument("--config", required=True, help="pipeline YAML")
+    run.add_argument("--source-dir", required=True,
+                     help="directory of <table>.parquet sources")
+    run.set_defaults(fn=_cmd_run)
+
+    prof = sub.add_parser("profile", help="profile a parquet table")
+    prof.add_argument("path")
+    prof.set_defaults(fn=_cmd_profile)
+
+    st = sub.add_parser("state", help="print bookmark state")
+    st.add_argument("path")
+    st.set_defaults(fn=_cmd_state)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
