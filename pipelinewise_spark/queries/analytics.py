@@ -264,10 +264,10 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate
     GROUP BY l.l_linestatus
@@ -330,14 +330,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_orders_columns",
     oracle="""
     SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
            CAST(max(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            count(DISTINCT o_orderstatus),
            CAST(min(o_orderstatus) AS VARCHAR),
            CAST(max(o_orderstatus) AS VARCHAR)

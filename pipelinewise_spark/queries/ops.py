@@ -182,10 +182,18 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinewise_spark.operators.sketches import approx_stats
 
     li = read_table(spark, sf_dir, "lineitem")
-    return approx_stats(
+    out = approx_stats(
         li,
         numeric_cols=["l_extendedprice", "l_quantity"],
         distinct_cols=["l_orderkey", "l_partkey"],
+    )
+    # array<double> is unhashable in the driver's pandas canonicalizer —
+    # serialize the quantile arrays to JSON text.
+    return out.select(
+        "l_orderkey__approx_distinct",
+        "l_partkey__approx_distinct",
+        F.to_json("l_extendedprice__quantiles").alias("l_extendedprice__quantiles"),
+        F.to_json("l_quantity__quantiles").alias("l_quantity__quantiles"),
     )
 
 

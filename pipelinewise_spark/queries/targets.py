@@ -170,18 +170,24 @@ def flatten_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timestamp_clamp_orders",
     oracle=f"""
     SELECT o_orderkey,
-           CASE WHEN o_orderstatus = 'F' THEN
+           strftime(CASE WHEN o_orderstatus = 'F' THEN
                 CASE WHEN o_orderdate + INTERVAL 9000 YEAR
                           > TIMESTAMP '{MAX_TIMESTAMP}'
                      THEN TIMESTAMP '{MAX_TIMESTAMP}'
                      ELSE o_orderdate + INTERVAL 9000 YEAR END
-                ELSE o_orderdate END AS o_orderdate
+                ELSE o_orderdate END,
+                '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate
     FROM orders
     """,
 )
 def timestamp_clamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-range timestamps (simulated by +9000y on 'F' orders) clamp to
-    9999-12-31 23:59:59.999999 (stream_utils.py:38-90)."""
+    9999-12-31 23:59:59.999999 (stream_utils.py:38-90).
+
+    Output is a formatted string: year-9999 timestamps overflow pandas'
+    ns-epoch in the driver's canonicalizer, so both engines emit
+    'yyyy-MM-dd HH:mm:ss.SSSSSS' text instead of a timestamp column.
+    """
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_orderdate",
         F.when(
@@ -190,5 +196,8 @@ def timestamp_clamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_orderdate")),
     )
     return clamp_timestamps(orders, ["o_orderdate"]).select(
-        "o_orderkey", "o_orderdate"
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "o_orderdate"
+        ),
     )

@@ -115,8 +115,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps (floor), matching DuckDB's read of the same files.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        # Sessions we did not build (the driver's vanilla session) reject
+        # TIMESTAMP(NANOS) parquet unless this legacy conf is on. It is
+        # runtime-settable, so flip it here rather than relying on session.py.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
+    for c in nanos_cols:
         # integer div: ns magnitudes (~1.7e18) would lose precision as double
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
