@@ -87,8 +87,12 @@ def condition_sql(when: Sequence[dict[str, Any]]) -> str | None:
                     parts.append(f"({col} IS NULL OR CAST({col} AS VARCHAR) = '')")
                 else:
                     parts.append(f"{col} = '" + v.replace("'", "''") + "'")
+            elif isinstance(v, bool):  # before int: bool is an int subclass
+                parts.append(f"{col} = {'TRUE' if v else 'FALSE'}")
+            elif isinstance(v, (int, float)):
+                parts.append(f"{col} = {v!r}")
             else:
-                parts.append(f"{col} = {v}")
+                raise ValueError(f"unsupported equals literal: {v!r}")
         elif "regex_match" in cond:
             pat = cond["regex_match"].replace("'", "''")
             parts.append(f"regexp_matches(CAST({col} AS VARCHAR), '{pat}')")
@@ -97,9 +101,17 @@ def condition_sql(when: Sequence[dict[str, Any]]) -> str | None:
     return " AND ".join(parts)
 
 
-def transformation_sql(t: TransformationSpec | dict[str, Any]) -> str:
+def transformation_sql(
+    t: TransformationSpec | dict[str, Any], input_expr: str | None = None
+) -> str:
     """Full SELECT-list expression for one transformation (conditional masks
-    keep the original value when the condition fails)."""
+    keep the original value when the condition fails).
+
+    ``input_expr`` is the expression standing in for the column — used when
+    stacking multiple rules on one column so each rule masks the previous
+    rule's output (matching apply_transformations' sequential withColumn
+    semantics, where later conditions on the same column see masked values).
+    """
     if isinstance(t, dict):
         t = TransformationSpec(
             field_id=t["field_id"],
@@ -111,11 +123,18 @@ def transformation_sql(t: TransformationSpec | dict[str, Any]) -> str:
         raise ValueError(
             "field_paths masking is not SQL-pushdownable; use the Arrow path"
         )
-    masked = mask_sql(t.field_id, t.type)
-    cond = condition_sql(t.when)
+    src = f"({input_expr})" if input_expr is not None else t.field_id
+    masked = mask_sql(src, t.type)
+    # conditions on the masked column itself also see the stacked input
+    when = [
+        {**c, "column": src} if c.get("column") == t.field_id and input_expr
+        else c
+        for c in t.when
+    ]
+    cond = condition_sql(when)
     if cond is None:
         return masked
-    orig = _q(t.field_id)
+    orig = _q(src)
     if t.type.upper() in ("HASH", "MASK-HIDDEN") or _SKIP_FIRST.match(
         t.type.upper()
     ) or _SKIP_ENDS.match(t.type.upper()):
@@ -128,15 +147,18 @@ def masked_select_list(
     transformations: Sequence[TransformationSpec | dict[str, Any]],
 ) -> list[tuple[str, str]]:
     """(name, expr) pairs for JdbcSource.safe_select — untransformed columns
-    pass through untouched."""
-    by_field: dict[str, Any] = {}
+    pass through untouched; stacked rules on one column nest in order."""
+    by_field: dict[str, list[Any]] = {}
     for t in transformations:
         fid = t["field_id"] if isinstance(t, dict) else t.field_id
-        by_field[fid] = t
+        by_field.setdefault(fid, []).append(t)
     out = []
     for c in columns:
         if c in by_field:
-            out.append((c, transformation_sql(by_field[c])))
+            expr: str | None = None
+            for t in by_field[c]:
+                expr = transformation_sql(t, input_expr=expr)
+            out.append((c, expr))
         else:
             out.append((c, c))
     return out

@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VERSION_FILE = "_VERSION"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_hive_value(v: str) -> str | None:
+    """Hive partition dirs URL-escape special chars (':' -> '%3A') and write
+    NULL as __HIVE_DEFAULT_PARTITION__; manifests store the *logical* value
+    so batch-vs-manifest comparisons never miss a file."""
+    from urllib.parse import unquote
+
+    if v == _HIVE_NULL:
+        return None
+    return unquote(v)
 
 
 class ManifestTable:
@@ -112,7 +124,7 @@ class ManifestTable:
                 for seg in rel.split(os.sep):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
-                        partition[k] = v
+                        partition[k] = _decode_hive_value(v)
                 entries.append(
                     {
                         "path": os.path.relpath(p, self.root),
@@ -126,9 +138,16 @@ class ManifestTable:
         self, df: DataFrame, partition_by: Sequence[str] | None = None
     ) -> str:
         partition_by = list(partition_by or [])
+        ptypes = {
+            c: df.schema[c].dataType.simpleString() for c in partition_by
+        }
         entries = self._write_files(df, partition_by)
         return self._publish(
-            {"partition_by": partition_by, "files": entries}
+            {
+                "partition_by": partition_by,
+                "partition_types": ptypes,
+                "files": entries,
+            }
         )
 
     # --------------------------------------------------------------- read
@@ -151,31 +170,54 @@ class ManifestTable:
                     for k, v in partitions.items()
                 )
             ]
-        if not entries:
-            # empty slice (e.g. batch introduces a new partition value):
-            # derive the schema from any one live file + its partition cols
-            if not m["files"]:
-                raise ValueError("cannot infer schema of an empty manifest table")
-            e = m["files"][0]
-            one = spark.read.option(
-                "basePath", os.path.join(self.root, e["base"])
-            ).parquet(os.path.join(self.root, e["path"]))
-            return one.limit(0)
-        # group by write dir so hive partition columns reconstruct per base
-        by_base: dict[str, list[str]] = {}
-        for e in entries:
-            by_base.setdefault(e["base"], []).append(
-                os.path.join(self.root, e["path"])
-            )
-        dfs = []
-        for base, files in sorted(by_base.items()):
-            reader = spark.read.option(
-                "basePath", os.path.join(self.root, base)
-            )
-            dfs.append(reader.parquet(*sorted(files)))
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=True)
+        # Partition values come from directory names; Spark's type inference
+        # would guess (e.g. '2026-01-01 00:00:00' -> timestamp) and break
+        # schema fidelity. Read them as strings and cast back to the types
+        # recorded at write time. Discovery happens eagerly inside
+        # reader.parquet(), so the conf toggle is scoped to this call.
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        try:
+            old_infer = spark.conf.get(conf_key)
+        except Exception:
+            old_infer = None
+        spark.conf.set(conf_key, "false")
+        try:
+            if not entries:
+                # empty slice (e.g. batch introduces a new partition value):
+                # derive the schema from any one live file + its partition cols
+                if not m["files"]:
+                    raise ValueError(
+                        "cannot infer schema of an empty manifest table"
+                    )
+                e = m["files"][0]
+                one = spark.read.option(
+                    "basePath", os.path.join(self.root, e["base"])
+                ).parquet(os.path.join(self.root, e["path"]))
+                out = one.limit(0)
+            else:
+                # group by write dir so hive partition cols reconstruct per base
+                by_base: dict[str, list[str]] = {}
+                for e in entries:
+                    by_base.setdefault(e["base"], []).append(
+                        os.path.join(self.root, e["path"])
+                    )
+                dfs = []
+                for base, files in sorted(by_base.items()):
+                    reader = spark.read.option(
+                        "basePath", os.path.join(self.root, base)
+                    )
+                    dfs.append(reader.parquet(*sorted(files)))
+                out = dfs[0]
+                for d in dfs[1:]:
+                    out = out.unionByName(d, allowMissingColumns=True)
+        finally:
+            if old_infer is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old_infer)
+        for c, dt in m.get("partition_types", {}).items():
+            if c in out.columns and dt != "string":
+                out = out.withColumn(c, F.col(c).cast(dt))
         return out
 
     # -------------------------------------------------------------- merge
@@ -207,10 +249,11 @@ class ManifestTable:
         batch_str = batch
         for c in partition_by:
             batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
+        batch_parts = batch_str.select(*partition_by).distinct().collect()
         affected = {
-            c: sorted(
-                {r[c] for r in batch_str.select(*partition_by).distinct().collect()}
-            )
+            # None (NULL partition) sorts first; manifest values are decoded
+            # so logical equality holds for escaped chars and NULLs alike
+            c: sorted({r[c] for r in batch_parts}, key=lambda x: (x is not None, x))
             for c in partition_by
         }
         target_slice = self.read(spark, partitions=affected)
@@ -229,5 +272,11 @@ class ManifestTable:
             )
         ]
         self._publish(
-            {"partition_by": partition_by, "files": kept + new_entries}
+            {
+                "partition_by": partition_by,
+                # merged data was written with stringified partition cols, but
+                # dir encodings are identical — keep the original logical types
+                "partition_types": m.get("partition_types", {}),
+                "files": kept + new_entries,
+            }
         )

@@ -100,6 +100,10 @@ def incremental_sync(
     if bookmark is not None:
         df = df.filter(F.col(key) >= F.lit(bookmark).cast(df.schema[key].dataType))
     batch = prepare_batch(df, spec, extracted_at=extracted_at, batched_at=batched_at)
+    # Pin the batch: the bookmark below must come from the rows actually
+    # written, not a second source scan (rows inserted between the two scans
+    # would advance the bookmark past data never loaded).
+    batch = batch.persist()
 
     if table.exists():
         if spec.primary_keys:
@@ -113,7 +117,9 @@ def incremental_sync(
         merged = batch
     table.overwrite(merged)
 
+    # Served from the cache populated by the overwrite job above.
     new_max = batch.agg(F.max(F.col(key)).alias("m")).collect()[0]["m"]
+    batch.unpersist()
     if new_max is not None:
         state.update(
             spec.tap_stream_id,
@@ -158,7 +164,15 @@ def partial_sync(
             tcond = tcond & (F.col(key) <= F.lit(end_value).cast(dtype))
         target = target.filter(~tcond)
         merged = append_only(target, batch)
-    else:
+    elif spec.primary_keys:
         merged = merge_upsert(target, batch, spec.primary_keys)
+    else:
+        # PK-less stream: the range-resync contract still applies — replace
+        # the range wholesale (delete-range-then-append), same as hard_delete
+        # but without tombstone semantics.
+        tcond = F.col(key) >= F.lit(start_value).cast(dtype)
+        if end_value is not None:
+            tcond = tcond & (F.col(key) <= F.lit(end_value).cast(dtype))
+        merged = append_only(target.filter(~tcond), batch)
     table.overwrite(merged)
     return table.read(spark)

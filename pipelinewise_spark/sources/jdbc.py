@@ -29,6 +29,19 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def sql_literal(value: Any) -> str:
+    """Render a bookmark value as a safe SQL literal. Bookmarks derive from
+    source data (max replication key), so embedded quotes must be escaped —
+    otherwise a crafted value breaks the query / reaches the source as SQL."""
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 @dataclass
 class JdbcSource:
     url: str  # jdbc:postgresql://replica:5432/db etc.
@@ -117,6 +130,5 @@ class JdbcSource:
         idempotent)."""
         where = None
         if bookmark is not None:
-            b = f"'{bookmark}'" if isinstance(bookmark, str) else str(bookmark)
-            where = f"{replication_key} >= {b}"
+            where = f"{replication_key} >= {sql_literal(bookmark)}"
         return self.read(spark, bounds=bounds, where=where)
