@@ -42,8 +42,12 @@ def _decode_hive_value(v: str) -> str | None:
 
 
 class ManifestTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, partition_by: Sequence[str] | None = None):
+        """``partition_by`` is the default partition spec for writes made
+        through the generic table interface (sync/CDC paths call
+        ``overwrite(df)`` without one)."""
         self.root = root
+        self.partition_by = list(partition_by or [])
 
     # ---------------------------------------------------------- manifests
     def _version_path(self) -> str:
@@ -79,6 +83,10 @@ class ManifestTable:
 
     def exists(self) -> bool:
         return self.current_manifest_name() is not None
+
+    def current_snapshot(self) -> str | None:
+        """ParquetTable-interface alias: the live manifest is the snapshot."""
+        return self.current_manifest_name()
 
     def _next_manifest_name(self) -> str:
         existing = [
@@ -137,7 +145,9 @@ class ManifestTable:
     def overwrite(
         self, df: DataFrame, partition_by: Sequence[str] | None = None
     ) -> str:
-        partition_by = list(partition_by or [])
+        partition_by = list(
+            self.partition_by if partition_by is None else partition_by
+        )
         ptypes = {
             c: df.schema[c].dataType.simpleString() for c in partition_by
         }
@@ -170,11 +180,19 @@ class ManifestTable:
                     for k, v in partitions.items()
                 )
             ]
-        # Partition values come from directory names; Spark's type inference
-        # would guess (e.g. '2026-01-01 00:00:00' -> timestamp) and break
-        # schema fidelity. Read them as strings and cast back to the types
-        # recorded at write time. Discovery happens eagerly inside
-        # reader.parquet(), so the conf toggle is scoped to this call.
+        return self._read_entries(spark, entries, m)
+
+    def _read_entries(
+        self, spark: SparkSession, entries: list[dict[str, Any]], m: dict[str, Any]
+    ) -> DataFrame:
+        """Read a set of manifest entries with schema fidelity.
+
+        Partition values come from directory names; Spark's type inference
+        would guess (e.g. '2026-01-01 00:00:00' -> timestamp) and break
+        schema fidelity. Read them as strings and cast back to the types
+        recorded at write time. Discovery happens eagerly inside
+        reader.parquet(), so the conf toggle is scoped to this call.
+        """
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         try:
             old_infer = spark.conf.get(conf_key)
@@ -280,3 +298,65 @@ class ManifestTable:
                 "files": kept + new_entries,
             }
         )
+
+    # -------------------------------------------------------------- compact
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int:
+        """Rewrite partitions fragmented across >= ``min_files`` files into
+        one file each and republish; healthy partitions carry over by
+        reference. Returns the number of partitions compacted.
+
+        Repeated MERGEs grow file counts (every batch adds one file per
+        touched partition); at scale read amortization dies without periodic
+        compaction — the Iceberg/Delta OPTIMIZE analogue. One Spark job:
+        all fragmented partitions read together, hash-repartitioned on the
+        partition columns so each hive dir is written by exactly one task.
+        """
+        m = self._load_manifest()
+        partition_by = m["partition_by"]
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for e in m["files"]:
+            key = tuple(sorted(e["partition"].items()))
+            groups.setdefault(key, []).append(e)
+        frag = {k for k, es in groups.items() if len(es) >= min_files}
+        if not frag:
+            return 0
+        frag_entries = [e for k in frag for e in groups[k]]
+        df = self._read_entries(spark, frag_entries, m)
+        if partition_by:
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        else:
+            df = df.coalesce(1)
+        new_entries = self._write_files(df, partition_by)
+        kept = [e for k, es in groups.items() if k not in frag for e in es]
+        self._publish(
+            {
+                "partition_by": partition_by,
+                "partition_types": m.get("partition_types", {}),
+                "files": kept + new_entries,
+            }
+        )
+        return len(frag)
+
+    def vacuum(self, keep_manifests: int = 2) -> None:
+        """Delete data files referenced by no retained manifest (old readers
+        pinned to dropped manifests beware — same contract as snapshot
+        expiry in Iceberg/Delta VACUUM)."""
+        versions = self.versions()
+        keep = set(versions[-keep_manifests:]) if keep_manifests else set()
+        live_name = self.current_manifest_name()
+        if live_name:
+            keep.add(int(live_name.split("-")[1].split(".")[0]))
+        referenced: set[str] = set()
+        for v in keep:
+            for e in self._load_manifest(v)["files"]:
+                referenced.add(os.path.normpath(e["path"]))
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, names in os.walk(data_root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                rel = os.path.normpath(os.path.relpath(p, self.root))
+                if n.endswith(".parquet") and rel not in referenced:
+                    os.remove(p)
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.root, f"manifest-{v:08d}.json"))

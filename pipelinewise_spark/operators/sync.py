@@ -105,17 +105,22 @@ def incremental_sync(
     # would advance the bookmark past data never loaded).
     batch = batch.persist()
 
-    if table.exists():
-        if spec.primary_keys:
-            merged = merge_upsert(
-                table.read(spark), batch, spec.primary_keys,
-                hard_delete=spec.hard_delete,
-            )
-        else:
-            merged = append_only(table.read(spark), batch)
+    if not table.exists():
+        table.overwrite(batch)
+    elif spec.primary_keys and hasattr(table, "merge"):
+        # Scale path: a manifest/partitioned target merges only the
+        # partitions the batch touches — a 0.1 % batch must NOT read and
+        # rewrite 100 % of a 100 TB table. Untouched files carry over by
+        # reference in the new snapshot.
+        table.merge(spark, batch, spec.primary_keys, hard_delete=spec.hard_delete)
+    elif spec.primary_keys:
+        merged = merge_upsert(
+            table.read(spark), batch, spec.primary_keys,
+            hard_delete=spec.hard_delete,
+        )
+        table.overwrite(merged)
     else:
-        merged = batch
-    table.overwrite(merged)
+        table.overwrite(append_only(table.read(spark), batch))
 
     # Served from the cache populated by the overwrite job above.
     new_max = batch.agg(F.max(F.col(key)).alias("m")).collect()[0]["m"]

@@ -16,12 +16,14 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Any
 
 
 class BookmarkStore:
     def __init__(self, path: str):
         self.path = path
+        self._lock = threading.RLock()  # streams run concurrently in the runner
         self._state: dict[str, Any] = {"bookmarks": {}}
         if os.path.exists(path):
             with open(path, encoding="utf-8") as fh:
@@ -31,28 +33,35 @@ class BookmarkStore:
                 self._state.setdefault("bookmarks", {})
 
     def get(self, tap_stream_id: str, key: str, default: Any = None) -> Any:
-        return self._state["bookmarks"].get(tap_stream_id, {}).get(key, default)
+        with self._lock:
+            return self._state["bookmarks"].get(tap_stream_id, {}).get(key, default)
 
     def get_bookmark(self, tap_stream_id: str) -> dict[str, Any]:
-        return dict(self._state["bookmarks"].get(tap_stream_id, {}))
+        with self._lock:
+            return dict(self._state["bookmarks"].get(tap_stream_id, {}))
 
     def set(self, tap_stream_id: str, key: str, value: Any) -> None:
-        self._state["bookmarks"].setdefault(tap_stream_id, {})[key] = value
+        with self._lock:
+            self._state["bookmarks"].setdefault(tap_stream_id, {})[key] = value
 
     def update(self, tap_stream_id: str, values: dict[str, Any]) -> None:
-        self._state["bookmarks"].setdefault(tap_stream_id, {}).update(values)
+        with self._lock:
+            self._state["bookmarks"].setdefault(tap_stream_id, {}).update(values)
 
     def save(self) -> None:
-        d = os.path.dirname(os.path.abspath(self.path))
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                json.dump(self._state, fh, indent=2, sort_keys=True, default=str)
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        with self._lock:
+            d = os.path.dirname(os.path.abspath(self.path))
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                    json.dump(
+                        self._state, fh, indent=2, sort_keys=True, default=str
+                    )
+                os.replace(tmp, self.path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
 
     def as_dict(self) -> dict[str, Any]:
         return json.loads(json.dumps(self._state, default=str))

@@ -79,7 +79,13 @@ def incremental_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step INCREMENTAL replication on orders (key = o_orderdate):
     initial load at T0, then a bookmarked `key >= bookmark` batch at T1 merged
     by PK — the reference's `>=` re-reads the boundary row idempotently
-    (tap-postgres sync_strategies/incremental.py)."""
+    (tap-postgres sync_strategies/incremental.py).
+
+    Target is a ManifestTable partitioned by o_orderstatus: the T1 batch
+    merges partition-pruned — untouched partitions' files carry over by
+    reference instead of being rewritten (the 100 TB MERGE path)."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
     src = read_table(spark, sf_dir, "orders")
     spec = StreamSpec(
         tap_stream_id="orders",
@@ -88,7 +94,7 @@ def incremental_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         replication_key="o_orderdate",
     )
     tmp = tempfile.mkdtemp(prefix="pws_incr_")
-    table = ParquetTable(f"{tmp}/orders")
+    table = ManifestTable(f"{tmp}/orders", partition_by=["o_orderstatus"])
     state = BookmarkStore(f"{tmp}/state.json")
 
     # initial historical load (everything before the cutoff), bookmark set

@@ -31,6 +31,24 @@ from pipelinewise_spark.plans.spec import PipelineSpec, ReplicationMethod, Strea
 from pipelinewise_spark.plans.state import BookmarkStore
 
 
+def estimated_input_mb(df: DataFrame) -> float | None:
+    """Best-effort source size estimate from the scan's input files
+    (None when the source isn't file-backed, e.g. JDBC)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if not os.path.exists(p):
+            return None
+        total += os.path.getsize(p)
+    return total / (1024 * 1024)
+
+
 @dataclass
 class StreamResult:
     tap_stream_id: str
@@ -48,10 +66,26 @@ class PipelineRunner:
         )
         self.state = BookmarkStore(state_path)
 
-    def table_for(self, stream: StreamSpec) -> ParquetTable:
-        return ParquetTable(
-            os.path.join(self.spec.target_path, stream.target_table)
+    def table_for(self, stream: StreamSpec):
+        """Target table handle. ``table_format: manifest`` (stream- or
+        pipeline-level) selects the snapshot-manifest table whose MERGE
+        rewrites only touched partitions — the default for INCREMENTAL /
+        LOG_BASED streams at scale; ``partition_by`` names its partition
+        columns."""
+        root = os.path.join(self.spec.target_path, stream.target_table)
+        fmt = stream.options.get(
+            "table_format", self.spec.options.get("table_format", "parquet")
         )
+        if fmt == "manifest":
+            from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+            partition_by = list(
+                stream.options.get("partition_by")
+                or self.spec.options.get("partition_by")
+                or []
+            )
+            return ManifestTable(root, partition_by=partition_by)
+        return ParquetTable(root)
 
     def run_stream(
         self, stream: StreamSpec, source_df: DataFrame,
@@ -76,6 +110,28 @@ class PipelineRunner:
                 "primary_key_required: false to allow the append-only path"
             )
         table = self.table_for(stream)
+        # autoresync size guard (reference cli/pipelinewise.py:1115-1129 +
+        # allowed_resync_max_size.table_mb): a full resync of an oversized
+        # table must be an explicit human decision, not an automatic one
+        is_initial_full = stream.replication_method is ReplicationMethod.FULL_TABLE or (
+            stream.replication_method is ReplicationMethod.INCREMENTAL
+            and self.state.get(stream.tap_stream_id, "replication_key_value") is None
+        )
+        max_mb = stream.options.get(
+            "allowed_resync_max_size_mb",
+            self.spec.options.get("allowed_resync_max_size_mb"),
+        )
+        force = bool(
+            stream.options.get("force_resync", self.spec.options.get("force_resync"))
+        )
+        if is_initial_full and max_mb is not None and not force:
+            est = estimated_input_mb(source_df)
+            if est is not None and est > float(max_mb):
+                raise ValueError(
+                    f"{stream.tap_stream_id}: source ≈{est:.0f} MB exceeds "
+                    f"allowed_resync_max_size_mb={max_mb}; pass force_resync "
+                    "to run the full load anyway"
+                )
         if stream.replication_method is ReplicationMethod.FULL_TABLE:
             out = full_table_sync(
                 self.spark, source_df, stream, table, self.state,
@@ -99,17 +155,41 @@ class PipelineRunner:
         )
 
     def run(
-        self, sources: dict[str, DataFrame], extracted_at=None, batched_at=None
+        self,
+        sources: dict[str, DataFrame],
+        extracted_at=None,
+        batched_at=None,
+        parallelism: int | None = None,
     ) -> list[StreamResult]:
-        """Run every selected stream whose source DataFrame is provided."""
-        results = []
-        for stream in self.spec.streams:
-            if stream.tap_stream_id not in sources:
-                continue
-            results.append(
+        """Run every selected stream whose source DataFrame is provided.
+
+        ``parallelism`` > 1 submits streams from a thread pool — the
+        reference's ``fastsync_parallelism`` process fan-out, but as
+        concurrent job submission into one SparkSession (the scheduler
+        interleaves independent jobs across executors; FAIR scheduling
+        recommended on a shared cluster). Defaults to the pipeline option
+        ``fastsync_parallelism`` or sequential.
+        """
+        streams = [s for s in self.spec.streams if s.tap_stream_id in sources]
+        if parallelism is None:
+            parallelism = int(self.spec.options.get("fastsync_parallelism", 1))
+        if parallelism <= 1 or len(streams) <= 1:
+            return [
                 self.run_stream(
-                    stream, sources[stream.tap_stream_id],
+                    s, sources[s.tap_stream_id],
                     extracted_at=extracted_at, batched_at=batched_at,
                 )
-            )
-        return results
+                for s in streams
+            ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            futures = [
+                pool.submit(
+                    self.run_stream, s, sources[s.tap_stream_id],
+                    extracted_at=extracted_at, batched_at=batched_at,
+                )
+                for s in streams
+            ]
+            # preserve stream order in results; propagate the first failure
+            return [f.result() for f in futures]

@@ -74,18 +74,26 @@ def apply_change_batch(
         )
         .drop(OP_COL, SEQ_COL, EVENT_TS_COL)
     )
-    if table.exists():
-        merged = merge_upsert(
-            table.read(spark), prepared, spec.primary_keys,
-            hard_delete=spec.hard_delete,
-        )
-    else:
+    if not table.exists():
         merged = (
             prepared.filter(F.col(SDC_DELETED_AT).isNull())
             if spec.hard_delete
             else prepared
         )
-    table.overwrite(merged)
+        table.overwrite(merged)
+    elif hasattr(table, "merge"):
+        # Scale path (ManifestTable): merge only the partitions this
+        # micro-batch touches; untouched files carry over by reference.
+        # Constraint: partition columns must be immutable per PK (an update
+        # that moves a row across partitions would strand the old copy) —
+        # the same contract as Delta/Iceberg partition-pruned MERGE.
+        table.merge(spark, prepared, spec.primary_keys, hard_delete=spec.hard_delete)
+    else:
+        merged = merge_upsert(
+            table.read(spark), prepared, spec.primary_keys,
+            hard_delete=spec.hard_delete,
+        )
+        table.overwrite(merged)
 
 
 def run_cdc_stream(

@@ -100,3 +100,43 @@ def test_time_travel_reads_historical_snapshot(spark, sf_dir, tmp_path):
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
     ).collect()[0][0]
     assert v2_sum > v1_sum
+
+
+def test_compact_bounds_file_count_after_merges(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), partition_by=["pt"])
+    d1 = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(50)],
+        "id int, pt string, v double",
+    )
+    d2 = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(50, 100)],
+        "id int, pt string, v double",
+    )
+    # two write batches into one snapshot — every partition holds files from
+    # both (exactly what parallel tasks / successive merges produce at scale)
+    t.overwrite(d1)
+    m1 = t._load_manifest()
+    e2 = t._write_files(d2, ["pt"])
+    t._publish({**m1, "files": m1["files"] + e2})
+    m = t._load_manifest()
+    per_part = {}
+    for e in m["files"]:
+        per_part.setdefault(e["partition"]["pt"], []).append(e["path"])
+    assert all(len(v) >= 2 for v in per_part.values()), per_part
+
+    before = {r.id: (r.pt, r.v) for r in t.read(spark).collect()}
+    assert len(before) == 100
+    n = t.compact(spark)
+    assert n == 2
+    m2 = t._load_manifest()
+    per_part2 = {}
+    for e in m2["files"]:
+        per_part2[e["partition"]["pt"]] = per_part2.get(e["partition"]["pt"], 0) + 1
+    assert all(c == 1 for c in per_part2.values()), per_part2
+    after = {r.id: (r.pt, r.v) for r in t.read(spark).collect()}
+    assert after == before
+
+    # vacuum drops unreferenced data files but keeps the live snapshot whole
+    t.vacuum(keep_manifests=1)
+    again = {r.id: (r.pt, r.v) for r in t.read(spark).collect()}
+    assert again == before

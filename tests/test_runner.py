@@ -3,6 +3,8 @@ bookmarks, masking, and a second incremental run picking up only new rows."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from pipelinewise_spark.plans.yaml_config import compile_yaml
@@ -161,3 +163,51 @@ def test_selected_columns_projection(spark, sf_dir, tmp_path):
         "n_nationkey", "n_name",
         "_sdc_extracted_at", "_sdc_batched_at", "_sdc_deleted_at",
     }
+
+
+def test_parallel_run_matches_sequential(spark, sf_dir, tmp_path):
+    """fastsync_parallelism fan-out: concurrent stream submission produces
+    the same tables and bookmarks as the sequential loop."""
+    from pipelinewise_spark.plans.spec import PipelineSpec, StreamSpec
+
+    sources = {
+        "nation": read_table(spark, sf_dir, "nation"),
+        "region": read_table(spark, sf_dir, "region"),
+        "supplier": read_table(spark, sf_dir, "supplier"),
+    }
+    spec = PipelineSpec(
+        pipeline_id="p", target_path=os.path.join(str(tmp_path), "t"),
+        options={"fastsync_parallelism": 3},
+        streams=[
+            StreamSpec(tap_stream_id=k, primary_keys=[pk],
+                       add_metadata_columns=False)
+            for k, pk in [("nation", "n_nationkey"), ("region", "r_regionkey"),
+                          ("supplier", "s_suppkey")]
+        ],
+    )
+    runner = PipelineRunner(spark, spec)
+    results = {r.tap_stream_id: r.rows_loaded for r in runner.run(sources)}
+    assert results == {
+        k: sources[k].count() for k in sources
+    }
+
+
+def test_autoresync_size_guard(spark, sf_dir, tmp_path):
+    from pipelinewise_spark.plans.spec import PipelineSpec, StreamSpec
+    import pytest
+
+    src = read_table(spark, sf_dir, "lineitem")
+    spec = PipelineSpec(
+        pipeline_id="p", target_path=os.path.join(str(tmp_path), "t"),
+        options={"allowed_resync_max_size_mb": 0.001},
+        streams=[StreamSpec(tap_stream_id="lineitem",
+                            primary_keys=["l_orderkey", "l_linenumber"])],
+    )
+    runner = PipelineRunner(spark, spec)
+    with pytest.raises(ValueError, match="allowed_resync_max_size_mb"):
+        runner.run({"lineitem": src})
+
+    # force_resync overrides the guard
+    spec.options["force_resync"] = True
+    out = PipelineRunner(spark, spec).run({"lineitem": src})
+    assert out[0].rows_loaded == src.count()
