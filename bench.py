@@ -6,7 +6,8 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed twice: a warmup pass is NOT taken (we measure cold,
 single-shot, like the driver would); timing covers plan + execution to a
-count()/collect() materialization.
+`noop`-sink materialization (every output column is computed and consumed —
+a bare count() would let Catalyst prune projection-only queries to a scan).
 """
 
 from __future__ import annotations
@@ -46,6 +47,13 @@ BENCH_QUERIES = [
     "salted_agg_events_by_type",
     "dedup_clusters_documents",
     "validate_events",
+    "partial_sync_orders",
+    "except_customers_both_segments",
+    "intersect_customers_both_statuses",
+    "rollup_order_revenue",
+    "timestamp_clamp_orders",
+    "flatten_events_props",
+    "archive_load_metadata_orders",
 ]
 
 
@@ -71,10 +79,11 @@ def main() -> None:
         for _attempt in range(2):  # min-of-2: damps JIT/GC/scheduler noise
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink: full plan runs and every output column is computed
+            # and consumed (count() would let Catalyst prune projections)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            assert n >= 0
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
