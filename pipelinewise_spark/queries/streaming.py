@@ -136,3 +136,70 @@ def kafka_records_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary_key_path="k",
     )
     return seek_offsets(records, offsets={p: 100 for p in range(4)})
+
+
+_EVENT_PROTO = """
+syntax = "proto3";
+message Ev {
+  int64 event_id = 1;
+  int64 user_id = 2;
+  string event_type = 3;
+  double value = 4;
+  string props = 5;
+  int64 ts_us = 6;
+}
+"""
+
+
+@register(
+    "kafka_protobuf_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def kafka_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tap-kafka ``message_format: protobuf``: events rows are serialized as
+    Confluent-framed protobuf messages (producer fixture), then deserialized
+    back to a typed struct — the reference compiles the configured
+    ``proto_schema`` with protoc and decodes to dicts
+    (tap-kafka/tap_kafka/serialization/protobuf.py); here the .proto text is
+    parsed directly and the wire decode runs as an Arrow-batched pandas UDF
+    feeding JVM-side ``from_json`` (streaming/serialization.py). The oracle
+    checks full-fidelity round-trip against the source table."""
+    from pipelinewise_spark.streaming.serialization import (
+        from_protobuf_py,
+        protobuf_encode,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = events.select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    encoded = protobuf_encode(src, _EVENT_PROTO, confluent=True)
+    decoded = encoded.select(
+        from_protobuf_py(
+            F.col("message"), _EVENT_PROTO, confluent=True
+        ).alias("m")
+    )
+    return decoded.select("m.*")
+
+
+@register(
+    "kafka_json_payload_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def kafka_json_payload_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tap-kafka ``message_format: json``: schema'd JSON payload parsing via
+    ``from_json`` — fully JVM-side, the Spark twin of
+    serialization/json_with_no_schema.py."""
+    from pipelinewise_spark.streaming.serialization import from_json_payload
+
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", from_json_payload(F.col("props"), "k int").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
