@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions.masking import apply_transformations
-from pipelinewise_spark.operators.validation import Constraint, validate
+from pipelinewise_spark.operators.validation import validate
 from pipelinewise_spark.queries.registry import register
 from pipelinewise_spark.sources.files import read_table
 
@@ -18,11 +18,12 @@ from pipelinewise_spark.sources.files import read_table
     WITH v AS (
         SELECT event_id,
                list_filter([
-                   CASE WHEN NOT (value IS NOT NULL AND value BETWEEN 0 AND 50)
+                   CASE WHEN NOT (value IS NULL OR value BETWEEN 0 AND 50)
                         THEN 'value:between' END,
-                   CASE WHEN NOT (event_type IN ('click','view','purchase'))
+                   CASE WHEN NOT (event_type IS NULL OR
+                                  event_type IN ('click','view','purchase'))
                         THEN 'event_type:in_set' END,
-                   CASE WHEN NOT (props IS NOT NULL AND
+                   CASE WHEN NOT (props IS NULL OR
                                   regexp_matches(props, '^\\{"k": [0-9]+\\}$'))
                         THEN 'props:matches' END
                ], x -> x IS NOT NULL) AS violations
@@ -31,18 +32,30 @@ from pipelinewise_spark.sources.files import read_table
     """,
 )
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constraint validation (the reference's optional JSON-Schema record
-    check, target_snowflake/__init__.py:148-158) as vectorized predicates
-    with per-row violation reporting."""
+    """JSON-Schema record validation (the reference's ``validate_records``
+    Draft-7 check, target_snowflake/__init__.py:148-158): an actual JSON
+    Schema document is compiled into vectorized Column predicates with
+    per-row violation reporting (operators/validation.py
+    ``compile_json_schema``)."""
+    from pipelinewise_spark.operators.validation import compile_json_schema
+
+    stream_schema = {
+        "type": "object",
+        "required": ["event_id"],
+        "properties": {
+            "value": {"type": ["number", "null"], "minimum": 0, "maximum": 50},
+            "event_type": {
+                "type": ["string", "null"],
+                "enum": ["click", "view", "purchase"],
+            },
+            "props": {
+                "type": ["string", "null"],
+                "pattern": r'^\{"k": [0-9]+\}$',
+            },
+        },
+    }
     events = read_table(spark, sf_dir, "events")
-    out = validate(
-        events,
-        [
-            Constraint("value", "between", (0, 50)),
-            Constraint("event_type", "in_set", ("click", "view", "purchase")),
-            Constraint("props", "matches", (r'^\{"k": [0-9]+\}$',)),
-        ],
-    )
+    out = validate(events, compile_json_schema(stream_schema))
     return out.select("event_id", "violations", "is_valid")
 
 
