@@ -228,3 +228,55 @@ def mask_json_field_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"field_id": "props", "type": "MASK-NUMBER", "field_paths": ["k"]}],
     )
     return out.select("event_id", "props")
+
+
+@register(
+    "mongo_documents_normalize",
+    oracle="""
+    SELECT lpad(lower(to_hex(doc_id)), 24, '0') AS _id,
+           '{"_id": "' || lpad(lower(to_hex(doc_id)), 24, '0') ||
+           '", "at": "' ||
+           strftime(epoch_ms(1704067200000 + doc_id * 1000),
+                    '%Y-%m-%dT%H:%M:%S.%f') ||
+           'Z", "lang": "' || lang ||
+           '", "n_chars": ' || n_chars ||
+           ', "source": "' || source || '"}' AS document,
+           lang
+    FROM documents
+    """,
+)
+def mongo_documents_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB BSON-document normalization end-to-end (the reference's
+    fastsync ``serialize_document``/``class_to_string``,
+    fastsync/commons/tap_mongodb.py:32-155): build Extended-JSON v2 docs
+    (ObjectId _id, canonical $date, $numberLong) from the documents table
+    JVM-side, run the Arrow-batched normalize, then project a field back out
+    of the normalized JSON (get_json_object, JVM-side).
+
+    The oracle reconstructs the exact normalized JSON text (sorted keys,
+    singer ISO timestamps) by string composition in DuckDB — a full
+    value-level check of the transform table, not just row counts.
+    """
+    from pipelinewise_spark.sources.mongo import document_field, normalize_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    ms = (F.lit(1704067200000) + F.col("doc_id") * 1000).cast("string")
+    ext = docs.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lower(F.lpad(F.hex("doc_id"), 24, "0")).alias("$oid")
+                ).alias("_id"),
+                F.struct(
+                    F.struct(ms.alias("$numberLong")).alias("$date")
+                ).alias("at"),
+                F.col("lang"),
+                F.struct(
+                    F.col("n_chars").cast("string").alias("$numberLong")
+                ).alias("n_chars"),
+                F.col("source"),
+            )
+        ).alias("doc")
+    )
+    out = normalize_documents(ext, "doc")
+    return document_field(out, "lang").select("_id", "document", "lang")
