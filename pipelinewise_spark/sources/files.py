@@ -76,11 +76,32 @@ class FileSource:
             )
         df = reader.load(files)
         if with_source_metadata:
-            df = df.select(
-                "*",
+            meta = [
                 F.col("_metadata.file_path").alias("_sdc_source_file"),
                 F.lit(os.path.abspath(self.path)).alias("_sdc_source_bucket"),
-            )
+            ]
+            if self.format in ("csv", "json"):
+                # Per-file line number (reference sync.py:89 emits
+                # records_synced + 2: header CSVs put record 1 on line 2).
+                # Ordering inside one split is the file's physical line order;
+                # across splits of one file, file_block_start orders them —
+                # a per-file window, the minimum coordination lineno needs.
+                from pyspark.sql import Window
+
+                header = (
+                    self.format == "csv"
+                    and self.options.get("header", "true") == "true"
+                )
+                w = Window.partitionBy(F.col("_metadata.file_path")).orderBy(
+                    F.col("_metadata.file_block_start"),
+                    F.monotonically_increasing_id(),
+                )
+                meta.append(
+                    (F.row_number().over(w) + F.lit(1 if header else 0)).alias(
+                        "_sdc_source_lineno"
+                    )
+                )
+            df = df.select("*", *meta)
         return df
 
     def max_mtime(self) -> datetime | None:
