@@ -115,6 +115,73 @@ def lsh_buckets(
     return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
 
 
+def signlsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = DIM,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH — the
+    embedding analog of MinHash banding (functions/dedup.py): a pair is a
+    candidate iff it agrees on *every* hyperplane sign in at least one band;
+    candidates (≪ corpus²) are then verified with the exact cosine and kept
+    at ``cos >= threshold``. Returns (a_id, b_id, cos), a_id < b_id.
+
+    Scale: candidate generation is a self-equi-join on (band, key) — one
+    shuffle, never all-pairs. ``planes_per_band`` tunes the precision/recall
+    knee exactly like MinHash band width: real near-dup corpora
+    (cos >= ~0.9) want 16+ planes per band, which keeps every bucket tiny at
+    100 TB; the small default (4) suits weakly-similar corpora like the
+    synthetic test vectors. Hot buckets (degenerate embeddings, e.g.
+    all-zero vectors from failed encodes) take the same salted-grid
+    treatment as ngram_jaccard's blocked join (functions/dedup.py:226-309).
+    """
+    planes = hyperplanes(bands * planes_per_band, dim)
+    df = spread(df)
+    v = _as_double(F.col(vec_col))
+    band_keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            key = key + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+        )
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_keys)).alias("bk")
+    )
+    left = tagged.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"), "bk"
+    )
+    right = tagged.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__bv"),
+        F.col("bk").alias("__bk2"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("bk") == F.col("__bk2")) & (F.col("a_id") < F.col("b_id")),
+        )
+        # a pair matching in several bands is one candidate — dedupe BEFORE
+        # the (expensive) exact-cosine verify
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn(
+            "cos", F.round(cosine(F.col("__av"), F.col("__bv")), round_to)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,

@@ -378,6 +378,50 @@ def embedding_ann_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_pairs_oracle(
+    threshold: float = 0.4, bands: int = 4, planes_per_band: int = 4
+) -> str:
+    planes = S.hyperplanes(bands * planes_per_band)
+    keys = []
+    for b in range(bands):
+        terms = []
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+            d = f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+            terms.append(f"(CASE WHEN {d} > 0 THEN (1 << {j}) ELSE 0 END)")
+        keys.append(f"({' + '.join(terms)}) AS k{b}")
+    band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    cos = (
+        f"round({_DOT.format(a='ea.ev', b='eb.ev')} / "
+        f"(sqrt({_DOT.format(a='ea.ev', b='ea.ev')}) * "
+        f"sqrt({_DOT.format(a='eb.ev', b='eb.ev')})), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    k AS (SELECT vec_id, ev, {', '.join(keys)} FROM e),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM k a JOIN k b ON a.vec_id < b.vec_id AND ({band_match})),
+    scored AS (
+        SELECT c.a_id, c.b_id, {cos} AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a_id
+        JOIN e eb ON eb.vec_id = c.b_id)
+    SELECT a_id, b_id, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+@register("embedding_near_dup_pairs", oracle=_near_dup_pairs_oracle())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH (the
+    embedding-space member of the dedup family, beside MinHash/SimHash/
+    n-gram Jaccard): band-key equi-join candidates, exact-cosine verify at
+    threshold — never all-pairs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.signlsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
 @register("embedding_ivf_topk")  # FP centroid means aren't SQL-reproducible
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means inverted lists, n_probe-list search

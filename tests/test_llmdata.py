@@ -68,3 +68,30 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert len(got) == len(exact_top1)
     hits = sum(1 for q, n in exact_top1.items() if got.get(q) == n)
     assert hits / len(exact_top1) >= 0.5, f"recall@1 too low: {hits}/{len(exact_top1)}"
+
+
+def test_near_dup_pairs_subset_of_exact_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.a_id, r.b_id): r.cos
+        for r in S.signlsh_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    # exact all-pairs reference (small corpus): every reported pair must be a
+    # true >=threshold pair with the exact cosine; LSH may miss pairs (recall
+    # < 1) but must never invent or mis-score one
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    exact = {
+        (r.a_id, r.b_id): r.cos
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(S.cosine(F.col("av"), F.col("bv")), 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("a_id", "b_id", "cos")
+        .collect()
+    }
+    assert got, "banded LSH found no pairs at all"
+    for pair, cos in got.items():
+        assert pair in exact and exact[pair] == cos
+    assert len(got) >= len(exact) * 0.3  # banded recall floor for weak sims
