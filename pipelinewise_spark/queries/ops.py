@@ -260,8 +260,17 @@ def mongo_documents_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinewise_spark.sources.mongo import document_field, normalize_documents
 
     docs = read_table(spark, sf_dir, "documents")
+    out = normalize_documents(documents_ext_json(docs), "doc")
+    return document_field(out, "lang").select("_id", "document", "lang")
+
+
+def documents_ext_json(docs: DataFrame, lang=None) -> DataFrame:
+    """documents rows → Extended-JSON v2 document strings (ObjectId ``_id``
+    from doc_id, canonical $date, $numberLong) — the fixture transport for
+    the Mongo source/CDC queries. Keeps ``doc_id`` alongside for event-plan
+    derivation."""
     ms = (F.lit(1704067200000) + F.col("doc_id") * 1000).cast("string")
-    ext = docs.select(
+    return docs.select(
         F.to_json(
             F.struct(
                 F.struct(
@@ -270,13 +279,12 @@ def mongo_documents_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.struct(ms.alias("$numberLong")).alias("$date")
                 ).alias("at"),
-                F.col("lang"),
+                (lang if lang is not None else F.col("lang")).alias("lang"),
                 F.struct(
                     F.col("n_chars").cast("string").alias("$numberLong")
                 ).alias("n_chars"),
                 F.col("source"),
             )
-        ).alias("doc")
+        ).alias("doc"),
+        "doc_id",
     )
-    out = normalize_documents(ext, "doc")
-    return document_field(out, "lang").select("_id", "document", "lang")

@@ -203,3 +203,91 @@ def kafka_json_payload_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", from_json_payload(F.col("props"), "k int").alias("p")
     ).select("event_id", F.col("p.k").alias("k"))
+
+
+@register(
+    "mongo_change_stream_apply",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, n_chars,
+               lpad(lower(to_hex(doc_id)), 24, '0') AS _id,
+               strftime(epoch_ms(1704067200000 + doc_id * 1000),
+                        '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS at
+        FROM documents)
+    SELECT _id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE '{{"_id": "' || _id || '", "at": "' || at ||
+                     '", "lang": "' ||
+                     CASE WHEN doc_id % 2 = 0 THEN 'xx' ELSE lang END ||
+                     '", "n_chars": ' || n_chars ||
+                     ', "source": "' || source || '"}}'
+           END AS document,
+           CASE WHEN doc_id % 7 = 0 THEN TIMESTAMP '{T1}'
+                ELSE CAST(NULL AS TIMESTAMP) END AS _sdc_deleted_at
+    FROM d
+    """,
+)
+def mongo_change_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB change-stream CDC end-to-end (tap-mongodb
+    change_streams.py:73-226): a T0 full export (FastSync Mongo shape —
+    ``_id`` + serialized document, fastsync/commons/tap_mongodb.py:239-456),
+    then insert/update/delete change events whose ``fullDocument`` goes
+    through the Extended-JSON normalizer, applied by ``_id`` MERGE under a
+    checkpointed bounded stream. Deletes carry no fullDocument (the change
+    stream contract) → document NULL + ``_sdc_deleted_at``; the reference's
+    update-buffer+re-fetch collapses into last-wins dedupe within the
+    micro-batch."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.queries.ops import documents_ext_json
+    from pipelinewise_spark.sources.mongo import normalize_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="pws_mongo_cdc_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    spec = StreamSpec(
+        tap_stream_id="mongo_documents", primary_keys=["_id"], hard_delete=False
+    )
+    table = ParquetTable(os.path.join(tmp, "documents"))
+
+    # T0 full export/load: _id + serialized document
+    base = normalize_documents(documents_ext_json(docs), "doc")
+    table.overwrite(add_sdc_columns(base, extracted_at=T0, batched_at=T0))
+
+    # change events at T1: d (no fullDocument) / u (lang -> 'xx') / c
+    updated = normalize_documents(
+        documents_ext_json(docs, lang=F.lit("xx")), "doc"
+    )
+    ids = docs.select(
+        F.lower(F.lpad(F.hex("doc_id"), 24, "0")).alias("_id"),
+        F.col("doc_id"),
+    )
+    op = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("d"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    base_doc = base.withColumnRenamed("document", "__doc0")
+    upd_doc = updated.withColumnRenamed("document", "__doc1")
+    events = (
+        ids.join(base_doc, "_id").join(upd_doc, "_id")
+        .select(
+            op.alias("_op"),
+            F.col("doc_id").alias("_seq"),
+            F.lit(T1).alias("_event_ts"),
+            "_id",
+            F.when(op == "d", F.lit(None))
+            .when(op == "u", F.col("__doc1"))
+            .otherwise(F.col("__doc0"))
+            .alias("document"),
+        )
+    )
+    events.coalesce(4).write.mode("overwrite").json(events_dir)
+
+    payload = T._parse_datatype_string("_id string, document string")
+    run_cdc_stream(
+        spark, events_dir, payload, spec, table,
+        checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+    )
+    return table.read(spark).select("_id", "document", "_sdc_deleted_at")
