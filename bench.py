@@ -54,6 +54,19 @@ BENCH_QUERIES = [
     "timestamp_clamp_orders",
     "flatten_events_props",
     "archive_load_metadata_orders",
+    "semi_join_parts_shipped",
+    "anti_join_inactive_customers",
+    "profile_orders_columns",
+    "cdc_stream_apply_orders",
+    "kafka_protobuf_events",
+    "kafka_json_payload_events",
+    "mongo_documents_normalize",
+    "mongo_change_stream_apply",
+    "embedding_near_dup_pairs",
+    "embedding_ann_bucket_top1",
+    "lang_id_documents",
+    "fingerprint_documents",
+    "winnowing_fingerprint_documents",
 ]
 
 

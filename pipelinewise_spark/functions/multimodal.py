@@ -96,3 +96,118 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode → resize → re-encode, as Arrow-batched ``mapInPandas``.
+
+    Stub re-encode: the "resized" payload is the first
+    ``target_w*target_h/8`` bytes of the original (deterministic,
+    oracle-checkable); a real implementation swaps the lambda for
+    PIL/libvips at this seam. Output rows carry the new binary payload,
+    its hash/size, and the target dimensions — the same shape a real
+    resizer produces, so downstream plumbing is exercised for real."""
+    import hashlib
+
+    budget = (target_w * target_h) // 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries (PIL/libvips);"
+                    " replace the stub re-encode at this seam"
+                )
+            resized = pdf["content"].map(
+                lambda b: (bytes(b) if b is not None else b"")[:budget]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": resized,
+                    "content_hash": resized.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    fps: int = 25,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (row-expanding
+    ``mapInPandas`` — the Arrow path for 1→N decode). Frame count comes from
+    the (stub) decoder; indices step by ``every_n``; ``ts_ms`` assumes
+    ``fps``. Stub frame payload hash = sha256(content ‖ '-' ‖ index), so the
+    expansion is deterministic and oracle-checkable; a real decoder emits
+    actual frame bytes at the same seam."""
+    import hashlib
+
+    ms_per_frame = 1000 // fps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg; replace the stub "
+                    "decoder at this seam"
+                )
+            ids, idxs, tss, hashes = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(b) if b is not None else b""
+                _w, _h, n_frames = _fake_decode(content)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * ms_per_frame)
+                    hashes.append(
+                        hashlib.sha256(
+                            content + b"-" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

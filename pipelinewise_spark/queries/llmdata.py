@@ -458,3 +458,51 @@ def multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = M.to_media_table(d, "doc_id", "text", media_type="image")
     return M.extract_features(media, decode_stub=True)
+
+
+@register(
+    "multimodal_resize_images",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(substr(text, 1, 512)) AS content_hash,
+           CAST(least(strlen(text), 512) AS BIGINT) AS n_bytes,
+           CAST(64 AS INTEGER) AS width,
+           CAST(64 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize pipeline stage (decode → resize → re-encode) as
+    Arrow-batched mapInPandas; deterministic stub re-encode makes the whole
+    1→1 transform value-oracle-checkable while keeping the Spark plumbing
+    (schema, batching, hash/size recompute) real."""
+    d = read_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d, "doc_id", "text", media_type="image")
+    out = M.resize_media(media, target_w=64, target_h=64)
+    return out.select("media_id", "content_hash", "n_bytes", "width", "height")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               1 + ascii(substr(text, 3, 1)) % 8 AS n_frames
+        FROM documents),
+    f AS (SELECT media_id, text,
+                 unnest(range(0, n_frames, 2)) AS fi
+          FROM m)
+    SELECT media_id,
+           CAST(fi AS INTEGER) AS frame_index,
+           CAST(fi * 40 AS BIGINT) AS ts_ms,
+           sha256(text || '-' || CAST(fi AS VARCHAR)) AS frame_hash
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1→N row expansion through Arrow mapInPandas
+    (every 2nd frame at 25 fps), deterministic stub frame hashes — the
+    row-multiplying decode path a video training pipeline needs."""
+    d = read_table(spark, sf_dir, "documents")
+    media = M.to_media_table(d, "doc_id", "text", media_type="video")
+    return M.sample_frames(media, every_n=2, fps=25)

@@ -95,3 +95,18 @@ def test_near_dup_pairs_subset_of_exact_cosine(spark, sf_dir):
     for pair, cos in got.items():
         assert pair in exact and exact[pair] == cos
     assert len(got) >= len(exact) * 0.3  # banded recall floor for weak sims
+
+
+def test_resize_and_frame_sample_decode_seam(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").limit(5)
+    media = M.to_media_table(d, "doc_id", "text", media_type="video")
+    # the real-decoder seam raises exactly at the stub boundary
+    with pytest.raises(Exception):
+        M.resize_media(media, decode_stub=False).collect()
+    with pytest.raises(Exception):
+        M.sample_frames(media, decode_stub=False).collect()
+    # row expansion: every media row yields >=1 sampled frame, frame 0 always
+    frames = M.sample_frames(media).collect()
+    assert {r.media_id for r in frames} == {r.media_id for r in media.collect()}
+    assert all(r.ts_ms == r.frame_index * 40 for r in frames)
+    assert [r.frame_index for r in frames if r.frame_index == 0]
