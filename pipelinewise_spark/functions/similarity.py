@@ -153,16 +153,15 @@ def signlsh_near_dup_pairs(
         band_keys.append(
             F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
         )
+    # candidate generation and dedupe carry ONLY id pairs — at 100 TB the
+    # multi-band dedupe shuffle moves (long, long) rows, not embedding
+    # payloads; vectors are joined back just for the verify stage
     tagged = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_keys)).alias("bk")
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("bk")
     )
-    left = tagged.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"), "bk"
-    )
+    left = tagged.select(F.col(id_col).alias("a_id"), "bk")
     right = tagged.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("__bv"),
-        F.col("bk").alias("__bk2"),
+        F.col(id_col).alias("b_id"), F.col("bk").alias("__bk2")
     )
     cand = (
         left.join(
@@ -171,11 +170,37 @@ def signlsh_near_dup_pairs(
         )
         # a pair matching in several bands is one candidate — dedupe BEFORE
         # the (expensive) exact-cosine verify
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # pair rows are tiny in bytes but each costs a 64-dim fold in the verify
+    # stage — AQE's byte-based coalesce would starve the CPU here (observed:
+    # 3 post-coalesce partitions on 32 cores). Re-spread the narrow frame.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # norms are per-vector, not per-pair: precompute once in the side frames
+    # (bit-identical to inline cosine() — same sqrt(dot(v,v)) expression,
+    # just evaluated |V| times instead of |candidates| times)
+    dv = _as_double(F.col(vec_col))
+    va = df.select(
+        F.col(id_col).alias("a_id"),
+        dv.alias("__av"),
+        F.sqrt(dot(dv, dv)).alias("__an"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("b_id"),
+        dv.alias("__bv"),
+        F.sqrt(dot(dv, dv)).alias("__bn"),
+    )
     return (
-        cand.withColumn(
-            "cos", F.round(cosine(F.col("__av"), F.col("__bv")), round_to)
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn")),
+                round_to,
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
