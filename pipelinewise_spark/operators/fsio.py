@@ -1,0 +1,94 @@
+"""Filesystem seam for table-metadata IO, built on ``pyarrow.fs``.
+
+ManifestTable's data files are written/read by Spark through its own Hadoop
+layer; everything else — version pointer, manifest JSON, file listing,
+vacuum deletes — is small metadata IO that must work on local disk AND
+object stores. ``pyarrow.fs.FileSystem.from_uri`` dispatches ``s3://``,
+``hdfs://``, ``gs://`` (via GcsFileSystem) and plain paths to the right
+implementation, so the manifest machinery has no ``os.walk``/``open``
+dependence on a local filesystem.
+
+Atomicity: the version pointer is the one write that must be all-or-nothing.
+On a local filesystem that is tmp-file + POSIX rename; on object stores a
+single PUT *is* an atomic replace, so the pointer is written directly
+(the same contract Iceberg relies on for its version-hint file).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+from pyarrow import fs as pafs
+
+
+class MetaFS:
+    """Rooted filesystem view: all paths are POSIX-relative to ``root_uri``.
+
+    ``uri(rel)`` returns the Spark-visible absolute form; internal pyarrow
+    paths are kept separate because ``from_uri`` strips the scheme.
+    """
+
+    def __init__(self, root_uri: str):
+        self.root_uri = root_uri.rstrip("/")
+        if "://" in self.root_uri:
+            self.fs, self.root = pafs.FileSystem.from_uri(self.root_uri)
+        else:
+            import os
+
+            self.fs = pafs.LocalFileSystem()
+            self.root = os.path.abspath(self.root_uri)
+
+    # ------------------------------------------------------------- paths
+    def _p(self, *rel: str) -> str:
+        return posixpath.join(self.root, *rel) if rel else self.root
+
+    def uri(self, *rel: str) -> str:
+        """Spark-visible absolute path/URI for a root-relative path."""
+        return posixpath.join(self.root_uri, *rel) if rel else self.root_uri
+
+    # ---------------------------------------------------------------- io
+    def exists(self, *rel: str) -> bool:
+        info = self.fs.get_file_info(self._p(*rel))
+        return info.type != pafs.FileType.NotFound
+
+    def read_text(self, *rel: str) -> str:
+        with self.fs.open_input_stream(self._p(*rel)) as f:
+            return f.read().decode("utf-8")
+
+    def write_text(self, data: str, *rel: str, atomic: bool = False) -> None:
+        path = self._p(*rel)
+        if atomic and isinstance(self.fs, pafs.LocalFileSystem):
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(data.encode("utf-8"))
+            self.fs.move(tmp, path)  # POSIX rename: atomic on one fs
+        else:
+            # object stores: a PUT replaces the object atomically
+            with self.fs.open_output_stream(path) as f:
+                f.write(data.encode("utf-8"))
+
+    def mkdirs(self, *rel: str) -> None:
+        self.fs.create_dir(self._p(*rel), recursive=True)
+
+    def delete(self, *rel: str) -> None:
+        self.fs.delete_file(self._p(*rel))
+
+    # ------------------------------------------------------------ listing
+    def listdir(self) -> list[str]:
+        """Basenames of entries directly under the root ('' if missing)."""
+        if not self.exists():
+            return []
+        sel = pafs.FileSelector(self.root, recursive=False,
+                                allow_not_found=True)
+        return [posixpath.basename(i.path) for i in self.fs.get_file_info(sel)]
+
+    def walk_files(self, *rel: str) -> list[str]:
+        """Root-relative POSIX paths of every file under a subdirectory."""
+        base = self._p(*rel)
+        sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
+        return [
+            posixpath.relpath(i.path, self.root)
+            for i in self.fs.get_file_info(sel)
+            if i.type == pafs.FileType.File
+        ]

@@ -12,19 +12,25 @@ directory moves, readers pin a manifest and never see partial writes).
     <root>/_VERSION                 # name of the live manifest
     <root>/manifest-00000002.json   # {"partition_by": [...], "files": [...]}
     <root>/data/<write-id>/pt=A/part-*.parquet   # immutable data files
+
+``root`` may be a local path or any ``pyarrow.fs`` URI (s3://, hdfs://):
+manifest/pointer metadata goes through the MetaFS seam (operators/fsio.py),
+data files through Spark's own Hadoop IO — no local-filesystem assumption
+anywhere in the table machinery.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
+import posixpath
 import uuid
 from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.fsio import MetaFS
 
 _VERSION_FILE = "_VERSION"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -45,39 +51,34 @@ class ManifestTable:
     def __init__(self, root: str, partition_by: Sequence[str] | None = None):
         """``partition_by`` is the default partition spec for writes made
         through the generic table interface (sync/CDC paths call
-        ``overwrite(df)`` without one)."""
+        ``overwrite(df)`` without one). ``root`` may be a plain path or any
+        ``pyarrow.fs`` URI (``s3://…``, ``hdfs://…``) — metadata IO goes
+        through the MetaFS seam, data IO through Spark."""
         self.root = root
+        self.mfs = MetaFS(root)
         self.partition_by = list(partition_by or [])
 
     # ---------------------------------------------------------- manifests
-    def _version_path(self) -> str:
-        return os.path.join(self.root, _VERSION_FILE)
-
     def current_manifest_name(self) -> str | None:
-        vp = self._version_path()
-        if not os.path.exists(vp):
+        if not self.mfs.exists(_VERSION_FILE):
             return None
-        with open(vp, encoding="utf-8") as fh:
-            return fh.read().strip() or None
+        return self.mfs.read_text(_VERSION_FILE).strip() or None
 
     def _load_manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is not None:
             name = f"manifest-{version:08d}.json"
-            if not os.path.exists(os.path.join(self.root, name)):
+            if not self.mfs.exists(name):
                 raise FileNotFoundError(f"no such snapshot version: {version}")
         else:
             name = self.current_manifest_name()
             if name is None:
                 raise FileNotFoundError(f"no published manifest: {self.root}")
-        with open(os.path.join(self.root, name), encoding="utf-8") as fh:
-            return json.load(fh)
+        return json.loads(self.mfs.read_text(name))
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.root):
-            return []
         return sorted(
             int(f.split("-")[1].split(".")[0])
-            for f in os.listdir(self.root)
+            for f in self.mfs.listdir()
             if f.startswith("manifest-") and f.endswith(".json")
         )
 
@@ -89,24 +90,16 @@ class ManifestTable:
         return self.current_manifest_name()
 
     def _next_manifest_name(self) -> str:
-        existing = [
-            f for f in os.listdir(self.root)
-            if f.startswith("manifest-") and f.endswith(".json")
-        ] if os.path.isdir(self.root) else []
-        n = 1 + max(
-            (int(f.split("-")[1].split(".")[0]) for f in existing), default=0
-        )
+        n = 1 + max(self.versions(), default=0)
         return f"manifest-{n:08d}.json"
 
     def _publish(self, manifest: dict[str, Any]) -> str:
-        os.makedirs(self.root, exist_ok=True)
+        self.mfs.mkdirs()
         name = self._next_manifest_name()
-        with open(os.path.join(self.root, name), "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh, indent=1)
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            fh.write(name)
-        os.replace(tmp, self._version_path())
+        self.mfs.write_text(json.dumps(manifest, indent=1), name)
+        # the pointer write is the commit point — atomic rename locally,
+        # atomic PUT on object stores
+        self.mfs.write_text(name, _VERSION_FILE, atomic=True)
         return name
 
     # -------------------------------------------------------------- write
@@ -115,31 +108,24 @@ class ManifestTable:
     ) -> list[dict[str, Any]]:
         """Write a data dir and return manifest entries for its files."""
         write_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.root, "data", write_id)
+        base_rel = posixpath.join("data", write_id)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(out_dir)
+        writer.parquet(self.mfs.uri(base_rel))
 
         entries: list[dict[str, Any]] = []
-        for dirpath, _dirs, names in os.walk(out_dir):
-            for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, n)
-                rel = os.path.relpath(dirpath, out_dir)
-                partition = {}
-                for seg in rel.split(os.sep):
-                    if "=" in seg:
-                        k, v = seg.split("=", 1)
-                        partition[k] = _decode_hive_value(v)
-                entries.append(
-                    {
-                        "path": os.path.relpath(p, self.root),
-                        "base": os.path.relpath(out_dir, self.root),
-                        "partition": partition,
-                    }
-                )
+        for rel in self.mfs.walk_files(base_rel):
+            if not rel.endswith(".parquet"):
+                continue
+            partition = {}
+            for seg in posixpath.relpath(posixpath.dirname(rel), base_rel).split("/"):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[k] = _decode_hive_value(v)
+            entries.append(
+                {"path": rel, "base": base_rel, "partition": partition}
+            )
         return entries
 
     def overwrite(
@@ -209,20 +195,20 @@ class ManifestTable:
                     )
                 e = m["files"][0]
                 one = spark.read.option(
-                    "basePath", os.path.join(self.root, e["base"])
-                ).parquet(os.path.join(self.root, e["path"]))
+                    "basePath", self.mfs.uri(e["base"])
+                ).parquet(self.mfs.uri(e["path"]))
                 out = one.limit(0)
             else:
                 # group by write dir so hive partition cols reconstruct per base
                 by_base: dict[str, list[str]] = {}
                 for e in entries:
                     by_base.setdefault(e["base"], []).append(
-                        os.path.join(self.root, e["path"])
+                        self.mfs.uri(e["path"])
                     )
                 dfs = []
                 for base, files in sorted(by_base.items()):
                     reader = spark.read.option(
-                        "basePath", os.path.join(self.root, base)
+                        "basePath", self.mfs.uri(base)
                     )
                     dfs.append(reader.parquet(*sorted(files)))
                 out = dfs[0]
@@ -349,14 +335,10 @@ class ManifestTable:
         referenced: set[str] = set()
         for v in keep:
             for e in self._load_manifest(v)["files"]:
-                referenced.add(os.path.normpath(e["path"]))
-        data_root = os.path.join(self.root, "data")
-        for dirpath, _dirs, names in os.walk(data_root):
-            for n in names:
-                p = os.path.join(dirpath, n)
-                rel = os.path.normpath(os.path.relpath(p, self.root))
-                if n.endswith(".parquet") and rel not in referenced:
-                    os.remove(p)
+                referenced.add(posixpath.normpath(e["path"]))
+        for rel in self.mfs.walk_files("data"):
+            if rel.endswith(".parquet") and posixpath.normpath(rel) not in referenced:
+                self.mfs.delete(rel)
         for v in versions:
             if v not in keep:
-                os.remove(os.path.join(self.root, f"manifest-{v:08d}.json"))
+                self.mfs.delete(f"manifest-{v:08d}.json")
