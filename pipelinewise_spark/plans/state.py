@@ -17,6 +17,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 from typing import Any
 
 
@@ -24,6 +25,8 @@ class BookmarkStore:
     def __init__(self, path: str):
         self.path = path
         self._lock = threading.RLock()  # streams run concurrently in the runner
+        self._dirty_updates = 0
+        self._last_save = 0.0
         self._state: dict[str, Any] = {"bookmarks": {}}
         if os.path.exists(path):
             with open(path, encoding="utf-8") as fh:
@@ -43,10 +46,36 @@ class BookmarkStore:
     def set(self, tap_stream_id: str, key: str, value: Any) -> None:
         with self._lock:
             self._state["bookmarks"].setdefault(tap_stream_id, {})[key] = value
+            self._dirty_updates += 1
 
     def update(self, tap_stream_id: str, values: dict[str, Any]) -> None:
         with self._lock:
             self._state["bookmarks"].setdefault(tap_stream_id, {}).update(values)
+            self._dirty_updates += 1
+
+    def save_throttled(
+        self, min_interval_s: float = 10.0, max_pending: int = 100
+    ) -> bool:
+        """Write-throttled save for high-frequency bookmark advances.
+
+        The reference never writes state per record: tap-postgres flushes the
+        LSN bookmark every UPDATE_BOOKMARK_PERIOD (10 000) changes
+        (logical_replication.py:23,681), tap-kafka commits on
+        ``commit_interval_ms`` (sync.py:411). Same contract here: persist
+        when ``min_interval_s`` has elapsed since the last write OR
+        ``max_pending`` updates have accumulated; otherwise defer (the final
+        ``save()`` always flushes). Returns True if a write happened.
+        """
+        with self._lock:
+            if self._dirty_updates == 0:
+                return False
+            if (
+                self._dirty_updates < max_pending
+                and time.monotonic() - self._last_save < min_interval_s
+            ):
+                return False
+            self.save()
+            return True
 
     def save(self) -> None:
         with self._lock:
@@ -59,6 +88,8 @@ class BookmarkStore:
                         self._state, fh, indent=2, sort_keys=True, default=str
                     )
                 os.replace(tmp, self.path)
+                self._dirty_updates = 0
+                self._last_save = time.monotonic()
             finally:
                 if os.path.exists(tmp):
                     os.unlink(tmp)

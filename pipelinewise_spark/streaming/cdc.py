@@ -120,10 +120,21 @@ def run_cdc_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(events_path)
+
+    def _on_batch(batch: DataFrame, epoch: int) -> None:
+        apply_change_batch(table, batch, spec)
+        if state is not None:
+            # per-batch bookmark advance, write-throttled like the
+            # reference's UPDATE_BOOKMARK_PERIOD / commit_interval_ms —
+            # state.json never becomes the hot path on a busy stream
+            state.update(
+                spec.tap_stream_id,
+                {"last_batch_id": epoch, "version": table.current_snapshot()},
+            )
+            state.save_throttled()
+
     query = (
-        stream.writeStream.foreachBatch(
-            lambda batch, _epoch: apply_change_batch(table, batch, spec)
-        )
+        stream.writeStream.foreachBatch(_on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

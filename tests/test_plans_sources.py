@@ -98,3 +98,26 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert back.count() == nation.count()
     # nested struct flattened with __ separator
     assert "meta__a" in back.columns and "meta__b" in back.columns
+
+
+def test_bookmark_store_throttled_save(tmp_path):
+    p = str(tmp_path / "state.json")
+    st = BookmarkStore(p)
+    # nothing dirty -> no write
+    assert st.save_throttled() is False
+    st.update("orders", {"replication_key_value": "1"})
+    # first dirty write goes through (no prior save timestamp)
+    assert st.save_throttled(min_interval_s=10) is True
+    st.update("orders", {"replication_key_value": "2"})
+    # within the interval and under max_pending -> deferred
+    assert st.save_throttled(min_interval_s=10, max_pending=100) is False
+    assert BookmarkStore(p).get("orders", "replication_key_value") == "1"
+    # accumulation past max_pending forces the write despite the interval
+    for i in range(99):
+        st.set("orders", "replication_key_value", str(3 + i))
+    assert st.save_throttled(min_interval_s=10, max_pending=100) is True
+    assert BookmarkStore(p).get("orders", "replication_key_value") == "101"
+    # the final unconditional save always flushes
+    st.update("orders", {"replication_key_value": "x"})
+    st.save()
+    assert BookmarkStore(p).get("orders", "replication_key_value") == "x"
