@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "timestamp_clamp_orders",
     "flatten_events_props",
     "archive_load_metadata_orders",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_orders",
     "semi_join_parts_shipped",
     "anti_join_inactive_customers",
     "profile_orders_columns",

@@ -478,3 +478,112 @@ def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (late-shipment
+    variant — this schema has no commit/receipt dates). The semi join keeps
+    the orders scan narrow (no lineitem columns survive the join) and
+    aggregates after — one shuffle on the join key, one on the group key."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_sql_sum_double(_SQL_DISC_PRICE.format(p="l."))} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue. The
+    returnflag filter is pushed into the lineitem scan; nation broadcasts;
+    the customer/orders joins shuffle on their keys (both sides fact-sized
+    at scale). Deterministic top-k: ties broken on c_custkey."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_sum_double(_disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 6)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 150)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an exact-decimal quantity sum, then join
+    back to orders/customer. The heavy aggregation runs FIRST (map-side
+    partial combine on l_orderkey), so only qualifying orders reach the
+    joins — the aggregate-then-join ordering that survives 100×."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select(
+            "l_orderkey",
+            F.round(F.col("__sq"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
