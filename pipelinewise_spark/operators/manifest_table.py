@@ -231,6 +231,7 @@ class ManifestTable:
         batch: DataFrame,
         primary_keys: Sequence[str],
         hard_delete: bool = False,
+        guard_col: str | None = None,
     ) -> None:
         """Partition-pruned MERGE: only partitions present in the batch are
         read, merged and rewritten; untouched files carry over by reference.
@@ -244,7 +245,8 @@ class ManifestTable:
         partition_by = m["partition_by"]
         if not partition_by:
             merged = merge_upsert(
-                self.read(spark), batch, primary_keys, hard_delete=hard_delete
+                self.read(spark), batch, primary_keys,
+                hard_delete=hard_delete, guard_col=guard_col,
             )
             self.overwrite(merged, [])
             return
@@ -264,7 +266,8 @@ class ManifestTable:
         for c in partition_by:
             target_slice = target_slice.withColumn(c, F.col(c).cast("string"))
         merged = merge_upsert(
-            target_slice, batch_str, primary_keys, hard_delete=hard_delete
+            target_slice, batch_str, primary_keys,
+            hard_delete=hard_delete, guard_col=guard_col,
         )
         new_entries = self._write_files(merged, partition_by)
 

@@ -39,11 +39,21 @@ def merge_upsert(
     source: DataFrame,
     primary_keys: Sequence[str],
     hard_delete: bool = False,
+    guard_col: str | None = None,
 ) -> DataFrame:
     """Return the merged table contents (caller publishes atomically).
 
     Column set is the union of both sides (schema evolution adds NULLs for
-    columns missing on either side). Source rows win on PK collision.
+    columns missing on either side). Source rows win on PK collision —
+    unless ``guard_col`` names a monotonic version column (LSN / offset /
+    sequence): then a matched source row only wins when its version is >=
+    the target's, so an event replayed or re-ordered ACROSS micro-batches
+    can never roll a row back (the same staleness guard Debezium sinks put
+    in their MERGE condition). Rows whose target has no version (legacy /
+    fresh inserts) always take the source. Note the standard tombstone
+    caveat: with ``hard_delete`` the deleted row's version leaves the table,
+    so a stale pre-delete update arriving later reinserts — use soft delete
+    when the transport can replay across deletes.
     """
     if not primary_keys:
         raise ValueError("merge_upsert requires primary keys; use append instead")
@@ -64,6 +74,11 @@ def merge_upsert(
     joined = t.join(s, on=list(primary_keys), how="full_outer")
 
     take_source = F.col(f"s.{_MARK}").isNotNull()
+    if guard_col is not None and guard_col in out_cols:
+        take_source = take_source & (
+            F.col(f"t.{guard_col}").isNull()
+            | (F.col(f"s.{guard_col}") >= F.col(f"t.{guard_col}"))
+        )
 
     def _resolve(c: str) -> F.Column:
         if c not in source_cols:

@@ -41,6 +41,8 @@ from pipelinewise_spark.plans.spec import StreamSpec
 OP_COL = "_op"          # c | u | d  (create/update/delete)
 SEQ_COL = "_seq"        # monotonically increasing LSN / offset / event id
 EVENT_TS_COL = "_event_ts"  # event time (drives _sdc_* columns)
+#: the event sequence persisted into the target — the MERGE staleness guard
+SDC_SEQ_COL = "_sdc_seq"
 
 
 def envelope_schema(payload: T.StructType) -> T.StructType:
@@ -72,6 +74,10 @@ def apply_change_batch(
         .withColumn(
             SDC_DELETED_AT, F.when(F.col(OP_COL) == "d", ts).otherwise(F.lit(None))
         )
+        # persist the event sequence: the cross-batch staleness guard —
+        # within a batch last-wins dedupe orders events, but a replayed or
+        # late event in a LATER micro-batch must not roll the row back
+        .withColumn(SDC_SEQ_COL, F.col(SEQ_COL).cast("long"))
         .drop(OP_COL, SEQ_COL, EVENT_TS_COL)
     )
     if not table.exists():
@@ -87,11 +93,14 @@ def apply_change_batch(
         # Constraint: partition columns must be immutable per PK (an update
         # that moves a row across partitions would strand the old copy) —
         # the same contract as Delta/Iceberg partition-pruned MERGE.
-        table.merge(spark, prepared, spec.primary_keys, hard_delete=spec.hard_delete)
+        table.merge(
+            spark, prepared, spec.primary_keys,
+            hard_delete=spec.hard_delete, guard_col=SDC_SEQ_COL,
+        )
     else:
         merged = merge_upsert(
             table.read(spark), prepared, spec.primary_keys,
-            hard_delete=spec.hard_delete,
+            hard_delete=spec.hard_delete, guard_col=SDC_SEQ_COL,
         )
         table.overwrite(merged)
 

@@ -80,3 +80,34 @@ def test_cdc_multi_batch_file_order(spark, tmp_path):
     rows = table.read(spark).collect()
     assert len(rows) == 1 and rows[0].o_totalprice == 99.0
     assert rows[0]._sdc_deleted_at is None
+
+
+def test_cdc_out_of_order_across_batches(spark, tmp_path):
+    """Replayed/late events in a LATER micro-batch must not roll rows back:
+    the _sdc_seq guard in the MERGE keeps the newest version (within-batch
+    ordering is last-wins dedupe; across batches only the guard protects)."""
+    import time
+
+    tmp = str(tmp_path)
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["o_orderkey"])
+    table = ParquetTable(os.path.join(tmp, "t"))
+    events_dir = _mk_events(spark, tmp, [
+        ("c", 1, T0, 1, 10.0),
+        ("u", 5, T1, 1, 50.0),
+    ])
+    time.sleep(1.1)
+    _mk_events(spark, tmp, [("u", 3, T1, 1, 30.0)])  # stale replay
+    time.sleep(1.1)
+    _mk_events(spark, tmp, [("d", 7, T1, 1, 50.0)])  # soft delete
+    time.sleep(1.1)
+    _mk_events(spark, tmp, [("u", 6, T1, 1, 60.0)])  # stale pre-delete update
+    run_cdc_stream(spark, events_dir, PAYLOAD, spec, table,
+                   os.path.join(tmp, "ckpt"), max_files_per_trigger=1)
+    rows = table.read(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the stale seq-3 update never landed; the seq-7 tombstone survived the
+    # stale seq-6 update
+    assert r.o_totalprice == 50.0
+    assert r._sdc_seq == 7
+    assert r._sdc_deleted_at is not None
