@@ -79,3 +79,32 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = _plan(spark, "pk_dedupe_events", sf_dir)
     # props is not selected; the parquet scan must not read it
     assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q4_semi_join_no_lineitem_columns_survive(spark, sf_dir):
+    plan = _plan(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan, "EXISTS must lower to a semi join"
+    assert "CartesianProduct" not in plan
+    # lineitem contributes only the join keys: the scan reads 2 columns
+    read_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    li_scans = [s for s in read_schemas if "l_orderkey" in s]
+    assert li_scans and all("l_extendedprice" not in s for s in li_scans)
+
+
+def test_q10_broadcasts_nation_and_pushes_returnflag(spark, sf_dir):
+    plan = _plan(spark, "q10_returned_items", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, "filter must reach the scan"
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, "q18_large_orders", sf_dir)
+    # the quantity rollup must appear below the joins (aggregate-then-join),
+    # with a map-side partial aggregate before its exchange
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert plan.count("HashAggregate") >= 2, "partial+final aggregate expected"
