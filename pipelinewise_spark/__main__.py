@@ -6,6 +6,7 @@ engine's three verbs:
     run        run every stream of a YAML pipeline (sources = parquet dirs)
     profile    per-column statistics of a parquet table
     state      print the pipeline's bookmark state
+    discover   emit a Singer-style catalog (streams + JSON Schemas)
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
@@ -71,6 +72,40 @@ def _cmd_state(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_discover(args: argparse.Namespace) -> int:
+    """Singer-style catalog discovery over a directory of parquet tables —
+    the `pipelinewise discover_tap` surface: every stream with its JSON
+    Schema (via the §1.3 type bridge) and selection metadata."""
+    from pipelinewise_spark.schema.jsonschema import struct_to_json_schema
+    from pipelinewise_spark.session import get_spark
+    from pipelinewise_spark.sources.files import glob_tables
+
+    spark = get_spark("pipelinewise-discover")
+    spark.sparkContext.setLogLevel("ERROR")
+    streams = []
+    for table in glob_tables(args.source_dir):
+        df = spark.read.parquet(os.path.join(args.source_dir, f"{table}.parquet"))
+        streams.append(
+            {
+                "tap_stream_id": f"{args.schema_name}-{table}",
+                "table_name": table,
+                "schema": struct_to_json_schema(df.schema),
+                "metadata": [
+                    {
+                        "breadcrumb": [],
+                        "metadata": {
+                            "selected": True,
+                            "schema-name": args.schema_name,
+                            "row-count": None,
+                        },
+                    }
+                ],
+            }
+        )
+    print(json.dumps({"streams": streams}, indent=2, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pipelinewise_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -88,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("state", help="print bookmark state")
     st.add_argument("path")
     st.set_defaults(fn=_cmd_state)
+
+    disc = sub.add_parser(
+        "discover", help="emit a Singer-style catalog for a source dir"
+    )
+    disc.add_argument("source_dir")
+    disc.add_argument("--schema-name", default="public")
+    disc.set_defaults(fn=_cmd_discover)
 
     args = p.parse_args(argv)
     return args.fn(args)

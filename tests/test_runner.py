@@ -211,3 +211,19 @@ def test_autoresync_size_guard(spark, sf_dir, tmp_path):
     spec.options["force_resync"] = True
     out = PipelineRunner(spark, spec).run({"lineitem": src})
     assert out[0].rows_loaded == src.count()
+
+
+def test_cli_discover_catalog(capsys, sf_dir):
+    import json
+
+    from pipelinewise_spark.__main__ import main
+
+    assert main(["discover", sf_dir, "--schema-name", "tpch"]) == 0
+    cat = json.loads(capsys.readouterr().out)
+    by_table = {s["table_name"]: s for s in cat["streams"]}
+    assert "orders" in by_table and "documents" in by_table
+    orders = by_table["orders"]
+    assert orders["tap_stream_id"] == "tpch-orders"
+    props = orders["schema"]["properties"]
+    assert "o_orderkey" in props and "type" in props["o_orderkey"]
+    assert orders["metadata"][0]["metadata"]["selected"] is True
