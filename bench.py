@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "flatten_events_props",
     "archive_load_metadata_orders",
     "q4_order_priority",
+    "asof_join_click_purchase",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

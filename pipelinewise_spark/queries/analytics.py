@@ -587,3 +587,56 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@register(
+    "asof_join_click_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               event_id AS purchase_event_id, value AS purchase_value,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'),
+    p1 AS (SELECT user_id, ts_us, purchase_event_id, purchase_value
+           FROM p WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts_us,
+           p1.purchase_event_id, p1.purchase_value
+    FROM c ASOF LEFT JOIN p1
+      ON c.user_id = p1.user_id AND c.ts_us >= p1.ts_us
+    """,
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness for feature pipelines: every click event
+    joined to the same user's newest purchase at-or-before it, via the
+    merge-sort as-of join (operators/asof.py). Oracle = DuckDB's native
+    ASOF LEFT JOIN, value-for-value."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    # determinism: one purchase per (user, instant)
+    w = Window.partitionBy("user_id", "ts_us").orderBy("purchase_event_id")
+    p1 = (
+        purchases.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = asof_join(clicks, p1, by=["user_id"], on="ts_us")
+    return out.select(
+        "event_id", "user_id", "ts_us", "purchase_event_id", "purchase_value"
+    )

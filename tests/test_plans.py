@@ -108,3 +108,40 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
     assert plan.count("HashAggregate") >= 2, "partial+final aggregate expected"
+
+
+def test_asof_join_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (3, 1, 999.0)],
+        "k long, t long, px double",
+    )
+    out = {
+        (r.k, r.t): r.px
+        for r in asof_join(left, right, by=["k"], on="t").collect()
+    }
+    # equal instant matches (<=); earlier rows get NULL; absent key gets NULL
+    assert out == {(1, 10): 100.0, (1, 20): 150.0, (1, 5): None, (2, 7): None}
+
+    # colliding value columns must be rejected, not silently renamed
+    try:
+        asof_join(left, right.withColumnRenamed("px", "tag"), ["k"], "t")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "collide" in str(e)
+
+    # one shuffle + one sort: no join operator at all in the plan
+    plan_df = asof_join(left, right, by=["k"], on="t")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Window" in plan
