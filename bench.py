@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "archive_load_metadata_orders",
     "q4_order_priority",
     "asof_join_click_purchase",
+    "range_join_attribution",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

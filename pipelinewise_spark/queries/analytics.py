@@ -640,3 +640,51 @@ def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts_us", "purchase_event_id", "purchase_value"
     )
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'),
+    p AS (
+        SELECT event_id AS purchase_event_id, user_id,
+               epoch_us(ts) - 3600000000 AS w_start, epoch_us(ts) AS w_end
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_event_id,
+           count(*) AS n_clicks,
+           CAST(min(c.event_id) AS BIGINT) AS first_click_event_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts_us >= p.w_start AND c.ts_us <= p.w_end
+    GROUP BY 1
+    """,
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: clicks within the 1 h window before
+    each same-user purchase, via the bucketed interval join
+    (operators/rangejoin.py) — an equi-join on (user, bucket), never a
+    nested loop. Oracle = the plain inequality join in DuckDB."""
+    from pipelinewise_spark.operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        (F.col("ts_us") - 3_600_000_000).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+    )
+    joined = range_join(
+        clicks, purchases, "ts_us", "w_start", "w_end",
+        by=["user_id"], bucket_width=3_600_000_000,
+    )
+    return joined.groupBy("purchase_event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("event_id").cast("bigint").alias("first_click_event_id"),
+    )

@@ -145,3 +145,30 @@ def test_asof_join_semantics(spark):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert "Join" not in plan and "Window" in plan
+
+
+def test_range_join_bucketed_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "range_join_attribution", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_range_join_exact_pairs(spark):
+    from pipelinewise_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 150), (2, 100)], "k long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 90, 160, "w1"), (1, 140, 300, "w2"), (2, 0, 50, "w3")],
+        "k long, s long, e long, tag string",
+    )
+    got = {
+        (r.k, r.t, r.tag)
+        for r in range_join(points, iv, "t", "s", "e", by=["k"],
+                            bucket_width=50).collect()
+    }
+    # boundary-inclusive on both ends; (point, interval) pairs never dupe
+    # even when an interval spans several buckets
+    assert got == {(1, 100, "w1"), (1, 150, "w1"), (1, 150, "w2")}
