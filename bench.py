@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "asof_join_click_purchase",
     "range_join_attribution",
+    "stratified_sample_documents",
+    "quality_filter_documents",
+    "shard_documents_by_tokens",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

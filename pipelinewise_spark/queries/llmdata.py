@@ -506,3 +506,97 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = M.to_media_table(d, "doc_id", "text", media_type="video")
     return M.sample_frames(media, every_n=2, fps=25)
+
+
+# ---------------------------------------------------------------- curation
+_SQL_QUALITY = f"""least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0 * 0.5
+             + CAST(len(regexp_extract_all(lower(text),
+                        '{TX.STOPWORD_PATTERN}')) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) * 0.3
+             + least(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                          AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE), 10.0) / 10.0 * 0.2"""
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+          < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class downsampling (keep 50% of en, 20% of the
+    rest) via the md5 key hash — the training-mix sampler that re-selects
+    identical rows on every run of a 100 TB job. No shuffle."""
+    from pipelinewise_spark.functions.curation import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, key_col="doc_id", stratum_col="lang",
+        rates={"en": 50}, default_rate=20,
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "quality_filter_documents",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, {_SQL_QUALITY} AS quality
+        FROM documents),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM q)
+    SELECT doc_id, lang, quality FROM r WHERE rn <= FLOOR(n * 0.5)
+    """,
+)
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering as a rank cutoff: keep the top half of each
+    language by quality score (ties on doc_id). Exact and deterministic
+    where a float percentile threshold would flip rows between engines."""
+    from pipelinewise_spark.functions.curation import top_fraction_by
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return top_fraction_by(
+        scored, stratum_col="lang", order_col="quality",
+        key_col="doc_id", fraction=0.5,
+    )
+
+
+@register(
+    "shard_documents_by_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 2000.0) AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def shard_documents_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding for training (each shard ~2000 tokens, rows in
+    key order) via the two-phase distributed prefix sum — range partitions
+    compute running sums in parallel; only #partitions offset rows reach
+    the driver."""
+    from pipelinewise_spark.functions.curation import shard_by_token_budget
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = shard_by_token_budget(
+        t, key_col="doc_id", tokens_col="n_tokens", budget=2000
+    )
+    return out.select("doc_id", "n_tokens", "shard")

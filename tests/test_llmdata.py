@@ -110,3 +110,26 @@ def test_resize_and_frame_sample_decode_seam(spark, sf_dir):
     assert {r.media_id for r in frames} == {r.media_id for r in media.collect()}
     assert all(r.ts_ms == r.frame_index * 40 for r in frames)
     assert [r.frame_index for r in frames if r.frame_index == 0]
+
+
+def test_shard_by_token_budget_two_phase_prefix_sum(spark):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.functions.curation import shard_by_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10 * (1 + i % 3)) for i in range(100)], "k long, tok long"
+    )
+    out = shard_by_token_budget(
+        df, "k", "tok", budget=100, num_partitions=7
+    ).orderBy("k").collect()
+    # reference: driver-side exact prefix sum
+    rows = [(i, 10 * (1 + i % 3)) for i in range(100)]
+    acc, expected = 0, []
+    for k, tok in rows:
+        expected.append(acc // 100)
+        acc += tok
+    assert [r.shard for r in out] == expected
+    # shards are contiguous in key order and never skip
+    shards = [r.shard for r in out]
+    assert shards == sorted(shards)
