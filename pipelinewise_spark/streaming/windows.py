@@ -96,3 +96,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedupe(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop duplicate keys arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state is bounded
+    by the watermark instead of growing forever, which is what makes
+    dedup-on-ingest viable on an unbounded 100 TB/day stream; classic
+    ``dropDuplicates`` on a stream retains every key seen).
+
+    The batch path uses plain dropDuplicates so one call site serves both
+    (stream ≡ batch, modulo the horizon: batch dedupes globally).
+    """
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return stream.dropDuplicates(keys)

@@ -88,3 +88,56 @@ def test_running_totals_state_across_batches(spark, sf_dir, tmp_path):
     ).collect()
     got = {r.user_id: (r.n_events, round(r.value_sum, 6)) for r in rows}
     assert got == {u: (n, round(s, 6)) for u, (n, s) in expected.items()}
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """Duplicate content fingerprints on an event stream are dropped on
+    ingest; state stays bounded by the watermark."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.streaming.windows import streaming_dedupe
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"fp": "a", "ts": "2026-01-01 10:00:00", "doc": "d1"},
+        {"fp": "a", "ts": "2026-01-01 10:00:30", "doc": "d1-dup"},
+        {"fp": "b", "ts": "2026-01-01 10:01:00", "doc": "d2"},
+        {"fp": "b", "ts": "2026-01-01 10:02:00", "doc": "d2-dup"},
+        {"fp": "c", "ts": "2026-01-01 10:03:00", "doc": "d3"},
+    ]
+    import json
+    with open(os.path.join(src, "batch.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = T.StructType([
+        T.StructField("fp", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("doc", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = streaming_dedupe(stream, ["fp"], ts_col="ts", watermark="10 minutes")
+    out_dir = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.fp: r.doc for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == "d1" and got["b"] == "d2"  # first occurrence survives
+
+    # batch path: same call site, global dedupe
+    batch = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "fp string, doc string"
+    )
+    assert streaming_dedupe(batch, ["fp"]).count() == 2
