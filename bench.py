@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "stratified_sample_documents",
     "quality_filter_documents",
     "shard_documents_by_tokens",
+    "gopher_quality_documents",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

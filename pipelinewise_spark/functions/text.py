@@ -98,3 +98,53 @@ def fingerprint(col: Column) -> Column:
     OpenRefine/key-collision method) — the standard exact-dedup key after
     canonicalization."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def gopher_stats(col: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Gopher-rule quality signals (Rae et al. 2021, public filtering
+    heuristics for web-scale training corpora): word count, mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, duplicate
+    3-gram fraction. Pass ``toks`` as a pre-materialized token-array column
+    (withColumn) — higher-order lambdas re-evaluate inlined subexpressions
+    per element, so the split must not be inlined five times."""
+    if toks is None:
+        toks = tokens(col)
+    n = F.size(toks).cast("double")
+    mean_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n
+    symbol_ratio = (F.regexp_count(col, F.lit(r"[#…]")) .cast("double")) / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)
+        ),
+    )
+    dup_3gram_frac = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": F.size(toks).cast("bigint"),
+        "mean_word_len": F.round(mean_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "alpha_frac": F.round(alpha_frac, 6),
+        "dup_3gram_frac": F.round(dup_3gram_frac, 6),
+    }
+
+
+def gopher_keep(stats: dict[str, Column]) -> Column:
+    """The composite Gopher keep-rule over ``gopher_stats`` output."""
+    return (
+        stats["n_words"].between(50, 100_000)
+        & stats["mean_word_len"].between(3.0, 10.0)
+        & (stats["symbol_ratio"] < 0.1)
+        & (stats["alpha_frac"] > 0.8)
+        & (stats["dup_3gram_frac"] < 0.3)
+    )

@@ -600,3 +600,59 @@ def shard_documents_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, key_col="doc_id", tokens_col="n_tokens", budget=2000
     )
     return out.select("doc_id", "n_tokens", "shard")
+
+
+@register(
+    "gopher_quality_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, text, toks,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS grams
+        FROM tok),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                     / len(toks), 6) AS mean_word_len,
+               round(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+                     / len(toks), 6) AS symbol_ratio,
+               round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                          AS DOUBLE) / len(toks), 6) AS alpha_frac,
+               round(CASE WHEN len(grams) > 0
+                          THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams)
+                          ELSE 0.0 END, 6) AS dup_3gram_frac
+        FROM g)
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND (symbol_ratio < 0.1)
+           AND (alpha_frac > 0.8)
+           AND (dup_3gram_frac < 0.3) AS keep
+    FROM s
+    """,
+)
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus filtering signals + composite keep decision
+    (functions/text.py:gopher_stats) — the published heuristics a web-scale
+    training pipeline applies before anything expensive runs. Pure
+    projections over one materialized token array; no shuffle."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "__toks", TX.tokens(F.col("text"))
+    )
+    stats = TX.gopher_stats(F.col("text"), toks=F.col("__toks"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in stats.items()],
+    ).withColumn(
+        "keep",
+        (F.col("n_words").between(50, 100_000))
+        & (F.col("mean_word_len").between(3.0, 10.0))
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("dup_3gram_frac") < 0.3),
+    )
