@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "quality_filter_documents",
     "shard_documents_by_tokens",
     "gopher_quality_documents",
+    "pii_scrub_documents",
+    "decontaminate_documents",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

@@ -656,3 +656,114 @@ def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_frac") > 0.8)
         & (F.col("dup_3gram_frac") < 0.3),
     )
+
+
+@register(
+    "pii_scrub_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact: user' || doc_id ||
+               '@example.com from 10.0.' || (doc_id % 256) || '.7 tel +1 555 '
+               || (1000000 + doc_id) AS raw
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                 '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+')) AS BIGINT)
+               AS email_count,
+           CAST(len(regexp_extract_all(raw,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+               AS ip_count,
+           CAST(len(regexp_extract_all(raw, '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT)
+               AS phone_count
+    FROM t
+    """,
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing (emails/IPs/phones → token placeholders) with
+    per-rule audit counts — pure regexp_replace chain, no shuffle. The test
+    corpus gets deterministic synthetic PII appended so the rules actually
+    fire (the raw-text construction is part of the oracle)."""
+    from pipelinewise_spark.functions.pii import pii_counts, scrub_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +1 555 "),
+        (F.col("doc_id") + 1_000_000).cast("string"),
+    )
+    d = d.withColumn("__raw", raw)
+    counts = pii_counts(F.col("__raw"))
+    return d.select(
+        "doc_id",
+        scrub_pii(F.col("__raw")).alias("scrubbed"),
+        *[c.alias(name) for name, c in counts.items()],
+    )
+
+
+@register(
+    "decontaminate_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3])) AS grams
+        FROM tok WHERE len(toks) >= 4),
+    bench AS (
+        SELECT doc_id AS bench_id, unnest(grams) AS gram
+        FROM sh WHERE doc_id % 50 = 0),
+    train AS (
+        SELECT doc_id, unnest(grams) AS gram
+        FROM sh WHERE doc_id % 50 <> 0)
+    SELECT DISTINCT t.doc_id AS contaminated_doc_id
+    FROM train t JOIN bench b ON t.gram = b.gram
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing any
+    4-gram with a benchmark set (here: every 50th document). The scalable
+    shape is shingle-explode + SEMI join on the gram (the benchmark side is
+    tiny and broadcasts; candidates never materialize a cross product) —
+    the n-gram-collision protocol used for public benchmark decontamination."""
+    ev = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    sh = (
+        ev.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= 4)
+        .withColumn(
+            "gram",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("__toks"), i),
+                            F.element_at(F.col("__toks"), i + 1),
+                            F.element_at(F.col("__toks"), i + 2),
+                            F.element_at(F.col("__toks"), i + 3),
+                        ),
+                    )
+                )
+            ),
+        )
+        .select("doc_id", "gram")
+    )
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("gram")
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
