@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "timestamp_clamp_orders",
     "flatten_events_props",
     "archive_load_metadata_orders",
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "asof_join_click_purchase",
     "range_join_attribution",

@@ -688,3 +688,40 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clicks"),
         F.min("event_id").cast("bigint").alias("first_click_event_id"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+        FROM lineitem GROUP BY 1, 2)
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, ps.best_price
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size <= 10
+      AND ps.best_price = (SELECT min(ps2.best_price) FROM ps ps2
+                           WHERE ps2.l_partkey = ps.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (cheapest supplier per
+    part), written as actual SQL so Catalyst's subquery DECORRELATION does
+    the rewrite — it lowers to an aggregate + self-join, never a per-row
+    probe. Demonstrates the engine's full-SQL surface beside the DataFrame
+    API (same session, same tables)."""
+    for t in ("lineitem", "part", "supplier"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__q2_{t}")
+    return spark.sql("""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+            FROM __q2_lineitem GROUP BY 1, 2)
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, ps.best_price
+        FROM ps
+        JOIN __q2_part p ON p.p_partkey = ps.l_partkey
+        JOIN __q2_supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE p.p_size <= 10
+          AND ps.best_price = (SELECT min(ps2.best_price) FROM ps ps2
+                               WHERE ps2.l_partkey = ps.l_partkey)
+    """)
