@@ -114,3 +114,36 @@ def shard_by_token_budget(
         "shard",
         F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long"),
     ).drop("__pid", "__run")
+
+
+def weighted_sample_top_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): rank by u^(1/w) where u = the uniform md5 hash of the
+    key in (0,1); keep the top ``n`` (per stratum if given). Heavier rows
+    are proportionally likelier to survive, yet reruns pick identical rows —
+    the reproducibility contract a 100 TB curation job needs. One window
+    shuffle; no driver state.
+
+    The A-ES key is computed as (1/w)·ln(u) (monotone in u^(1/w)) to stay
+    in a numerically safe range; ties on the md5 are broken by key.
+    """
+    u = (
+        uniform_hash_bucket(F.col(key_col), buckets=2**31 - 1).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**31))  # (0, 1]
+    score = F.log(u) / F.col(weight_col).cast("double")  # maximize => top-n
+    strata = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*strata).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -767,3 +767,34 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("contaminated_doc_id"))
         .distinct()
     )
+
+
+@register(
+    "weighted_sample_documents",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {2**31 - 1}) + 1.0) / {float(2**31)} AS uval
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln(uval) / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id) AS rn
+        FROM u)
+    SELECT doc_id, lang, n_chars FROM s WHERE rn <= 20
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, md5-derived uniforms): 20 docs per language, selection
+    probability proportional to n_chars, identical rows on every rerun."""
+    from pipelinewise_spark.functions.curation import weighted_sample_top_n
+
+    d = read_table(spark, sf_dir, "documents")
+    out = weighted_sample_top_n(
+        d, key_col="doc_id", weight_col="n_chars", n=20, stratum_col="lang"
+    )
+    return out.select("doc_id", "lang", "n_chars")
