@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "archive_load_metadata_orders",
     "q2_min_cost_supplier",
     "q4_order_priority",
+    "q7_nation_volume",
     "asof_join_click_purchase",
     "range_join_attribution",
     "stratified_sample_documents",
