@@ -716,7 +716,7 @@ def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
         SELECT doc_id,
-               list_distinct(list_transform(range(1, len(toks) - 3),
+               list_distinct(list_transform(range(1, len(toks) - 2),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                         || ' ' || toks[i+3])) AS grams
         FROM tok WHERE len(toks) >= 4),
