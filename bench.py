@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "gopher_quality_documents",
     "pii_scrub_documents",
     "decontaminate_documents",
+    "curation_pipeline_documents",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",

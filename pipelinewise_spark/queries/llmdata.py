@@ -798,3 +798,91 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, key_col="doc_id", weight_col="n_chars", n=20, stratum_col="lang"
     )
     return out.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "curation_pipeline_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, text, toks,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS grams
+        FROM tok),
+    kept AS (
+        SELECT doc_id, text
+        FROM g
+        WHERE (len(toks) BETWEEN 50 AND 100000)
+          AND (list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / len(toks) BETWEEN 3.0 AND 10.0)
+          AND (CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+               / len(toks) < 0.1)
+          AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                    AS DOUBLE) / len(toks) > 0.8)
+          AND (CASE WHEN len(grams) > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams)
+                    ELSE 0.0 END < 0.3)),
+    scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                     '<EMAIL>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                   '<IP>', 'g'),
+                 '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS clean
+        FROM kept),
+    fp AS (
+        SELECT doc_id, clean,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(lower(trim(clean)), '\\s+'))), ' '))
+                   AS fingerprint
+        FROM scrubbed),
+    survivors AS (
+        SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+    surv_tok AS (
+        SELECT s.doc_id, s.fingerprint,
+               CAST(len(regexp_split_to_array(lower(trim(f.clean)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM survivors s JOIN fp f ON f.doc_id = s.doc_id)
+    SELECT doc_id, fingerprint, n_tokens,
+           CAST(FLOOR((sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 2000.0) AS BIGINT) AS shard
+    FROM surv_tok
+    """,
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation dataflow, composed from the
+    engine's operators: Gopher-rule filter → PII scrub → exact dedup
+    (min-doc_id survivor per fingerprint) → token-budget sharding.
+    One declarative plan — Catalyst pipelines the projections, and the
+    only shuffles are the dedup groupBy and the prefix-sum range
+    partitioning. The oracle recomputes the whole chain in SQL."""
+    from pipelinewise_spark.functions.curation import shard_by_token_budget
+    from pipelinewise_spark.functions.pii import scrub_pii
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "__toks", TX.tokens(F.col("text"))
+    )
+    stats = TX.gopher_stats(F.col("text"), toks=F.col("__toks"))
+    kept = d.filter(TX.gopher_keep(stats)).select("doc_id", "text")
+    clean = kept.withColumn("__clean", scrub_pii(F.col("text")))
+    fp = clean.select(
+        "doc_id",
+        F.col("__clean").alias("clean"),
+        TX.fingerprint(F.col("__clean")).alias("fingerprint"),
+    )
+    survivors = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    surv = survivors.join(fp.select("doc_id", "clean"), "doc_id").select(
+        "doc_id", "fingerprint",
+        TX.token_count(F.col("clean")).alias("n_tokens"),
+    )
+    out = shard_by_token_budget(
+        surv, key_col="doc_id", tokens_col="n_tokens", budget=2000
+    )
+    return out.select("doc_id", "fingerprint", "n_tokens", "shard")
