@@ -172,3 +172,11 @@ def test_range_join_exact_pairs(spark):
     # boundary-inclusive on both ends; (point, interval) pairs never dupe
     # even when an interval spans several buckets
     assert got == {(1, 100, "w1"), (1, 150, "w1"), (1, 150, "w2")}
+
+
+def test_curation_pipeline_stays_jvm_side(spark, sf_dir):
+    """The whole gopher->scrub->dedup->shard chain is Column expressions:
+    no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, "curation_pipeline_documents", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # the dedup groupBy survives optimization
