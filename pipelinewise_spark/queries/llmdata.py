@@ -865,18 +865,37 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. The oracle recomputes the whole chain in SQL."""
     from pipelinewise_spark.functions.curation import shard_by_token_budget
     from pipelinewise_spark.functions.pii import scrub_pii
+    from pipelinewise_spark.partitioning import spread
 
-    d = read_table(spark, sf_dir, "documents").withColumn(
+    # single-file parquet = one split: spread BEFORE the regex/lambda-heavy
+    # projections or the whole chain runs on one core
+    d = spread(read_table(spark, sf_dir, "documents")).withColumn(
         "__toks", TX.tokens(F.col("text"))
     )
     stats = TX.gopher_stats(F.col("text"), toks=F.col("__toks"))
-    kept = d.filter(TX.gopher_keep(stats)).select("doc_id", "text")
+    # evaluate the signals as a PROJECTION, then cut lineage before
+    # filtering: a pushable filter would collapse into the scan and
+    # re-evaluate the higher-order gram expressions outside codegen's
+    # subexpression elimination (measured 40x slower than projecting)
+    scored = d.select(
+        "doc_id", "text", *[c.alias(k) for k, c in stats.items()]
+    ).localCheckpoint(eager=False)
+    kept = scored.filter(
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("dup_3gram_frac") < 0.3)
+    ).select("doc_id", "text")
     clean = kept.withColumn("__clean", scrub_pii(F.col("text")))
     fp = clean.select(
         "doc_id",
         F.col("__clean").alias("clean"),
         TX.fingerprint(F.col("__clean")).alias("fingerprint"),
     )
+    # three consumers (dedup agg, survivor join, shard prefix-sum) would
+    # each recompute the expensive chain — truncate the lineage once
+    fp = fp.localCheckpoint(eager=False)
     survivors = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     surv = survivors.join(fp.select("doc_id", "clean"), "doc_id").select(
         "doc_id", "fingerprint",
