@@ -905,3 +905,42 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, key_col="doc_id", tokens_col="n_tokens", budget=2000
     )
     return out.select("doc_id", "fingerprint", "n_tokens", "shard")
+
+
+@register(
+    "bm25_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, dlen, unnest(toks) AS term FROM dl),
+    tfq AS (
+        SELECT doc_id, dlen, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ('data', 'pipeline', 'spark')
+        GROUP BY 1, 2, 3),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tfq GROUP BY 1)
+    SELECT t.doc_id,
+           round(sum(
+               ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dlen / s.avgdl))
+           ), 6) AS score
+    FROM tfq t JOIN dfreq f USING (term) CROSS JOIN stats s
+    GROUP BY 1
+    """,
+)
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores for a fixed query over the corpus
+    (functions/retrieval.py): one corpus scan, query-term document
+    frequencies broadcast — retrieval-style quality scoring for curation
+    and eval-set mining."""
+    from pipelinewise_spark.functions.retrieval import bm25_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        d, "doc_id", "text", query_terms=["data", "pipeline", "spark"]
+    )
