@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",
+    "q20_excess_suppliers",
+    "term_frequencies_documents",
     "asof_join_click_purchase",
     "range_join_attribution",
     "stratified_sample_documents",

@@ -779,3 +779,34 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_sum_double(_disc_price()).alias("revenue"))
     )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > 400)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly-nested IN subqueries — written as SQL so
+    Catalyst rewrites both levels into semi joins (small-part filter feeds
+    the lineitem aggregation, which semi-joins into supplier). Exact
+    decimal HAVING on both engines."""
+    for t in ("lineitem", "part", "supplier"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__q20_{t}")
+    return spark.sql("""
+        SELECT s.s_suppkey, s.s_name
+        FROM __q20_supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM __q20_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM __q20_part
+                                WHERE p_size <= 5)
+            GROUP BY l_suppkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > 400)
+    """)

@@ -944,3 +944,34 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         d, "doc_id", "text", query_terms=["data", "pipeline", "spark"]
     )
+
+
+@register(
+    "term_frequencies_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS}) AS term FROM documents),
+    c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1)
+    SELECT term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+    FROM c
+    """,
+)
+def term_frequencies_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (term → frequency → Zipf rank) — the
+    input a tokenizer/vocab-building step consumes. One explode + one
+    groupBy; the rank window runs on the (tiny) vocabulary, not the corpus."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
