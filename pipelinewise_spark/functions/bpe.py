@@ -1,0 +1,108 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training.
+
+The textbook merge loop, map-reduce shaped: the corpus collapses once into a
+(word, frequency) table — for natural text this is heavy-hitter-small
+relative to the corpus (Zipf), and it is the ONLY state the loop touches.
+Each iteration counts adjacent symbol pairs weighted by word frequency (one
+explode + groupBy over the word table), picks the most frequent pair
+(deterministic tie-break: lexicographic), and rewrites the symbol sequences.
+The driver holds only the chosen merge per round; pair counting and symbol
+rewriting stay distributed.
+
+At 100 TB the word-frequency collapse is the one corpus-sized shuffle;
+everything after runs on the vocabulary table. ``localCheckpoint`` per
+iteration truncates the growing lineage exactly like the dedup-cluster
+label propagation (functions/clusters.py).
+
+No SQL oracle (iterative — not expressible as one query); correctness is
+pinned against a pure-Python reference implementation in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    from pipelinewise_spark.functions.text import tokens
+    from pipelinewise_spark.partitioning import spread
+
+    return (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        # initial symbols: characters + end-of-word marker
+        .withColumn(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(END))),
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    idx = F.sequence(F.lit(1), F.size("syms") - 1)
+    pair = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("syms"), i),
+            F.element_at(F.col("syms"), i + 1)
+        ),
+    )
+    return (
+        words.select(F.explode(pair).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(left, right, count), …]
+    in merge order."""
+    words = _word_table(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merges.append((left, right, int(top[0]["n"])))
+        # rewrite: fold over symbols, merging adjacent (left, right)
+        merged = F.lit(left + right)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_train_df(
+    spark: SparkSession, df: DataFrame, text_col: str, num_merges: int
+) -> DataFrame:
+    """Merge table as a DataFrame: (rank, left, right, count)."""
+    rows = [
+        (i + 1, left, right, n)
+        for i, (left, right, n) in enumerate(bpe_train(df, text_col, num_merges))
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, count long"
+    )

@@ -975,3 +975,15 @@ def term_frequencies_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     )
+
+
+@register("bpe_merges_documents")  # iterative: no single-SQL oracle;
+# pinned against a pure-Python BPE reference in tests/test_llmdata.py
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (functions/bpe.py): 10 merges
+    learned from the corpus — map-reduce pair counting over the Zipf-small
+    word-frequency table, greedy merge loop with lexicographic tie-break."""
+    from pipelinewise_spark.functions.bpe import bpe_train_df
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe_train_df(spark, d, "text", num_merges=10)

@@ -133,3 +133,51 @@ def test_shard_by_token_budget_two_phase_prefix_sum(spark):
     # shards are contiguous in key order and never skip
     shards = [r.shard for r in out]
     assert shards == sorted(shards)
+
+
+def _bpe_reference(texts, num_merges):
+    """Pure-Python BPE (greedy left-to-right merge, lexicographic
+    tie-break) — the ground truth for the distributed trainer."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            words[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, freq in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((left, right, n))
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    from pipelinewise_spark.functions.bpe import bpe_train
+
+    d = read_table(spark, sf_dir, "documents").limit(50)
+    texts = [r.text for r in d.collect()]
+    got = bpe_train(d, "text", num_merges=8)
+    want = _bpe_reference(texts, 8)
+    assert got == want
+    # merges are usable: counts non-increasing is NOT guaranteed by BPE,
+    # but every count is positive and pairs are distinct
+    assert all(n > 0 for _, _, n in got)
+    assert len({(a, b) for a, b, _ in got}) == len(got)
