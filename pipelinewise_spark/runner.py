@@ -65,6 +65,11 @@ class PipelineRunner:
             spec.target_path, "_state.json"
         )
         self.state = BookmarkStore(state_path)
+        from pipelinewise_spark.alerts import AlertSender
+
+        # reference: cli/alert_sender.py — handlers from config, every one
+        # notified on a failed run; unknown types fail at construction
+        self.alerts = AlertSender(self.spec.options.get("alert_handlers"))
 
     def table_for(self, stream: StreamSpec):
         """Target table handle. ``table_format: manifest`` (stream- or
@@ -88,6 +93,24 @@ class PipelineRunner:
         return ParquetTable(root)
 
     def run_stream(
+        self, stream: StreamSpec, source_df: DataFrame,
+        extracted_at=None, batched_at=None,
+    ) -> StreamResult:
+        try:
+            return self._run_stream(
+                stream, source_df,
+                extracted_at=extracted_at, batched_at=batched_at,
+            )
+        except Exception as exc:
+            # alert BEFORE propagating (reference: run_tap failure triggers
+            # AlertSender.send_to_all_handlers, then the error surfaces)
+            self.alerts.send_to_all(
+                f"pipeline {self.spec.pipeline_id!r} stream "
+                f"{stream.tap_stream_id!r} failed: {exc}"
+            )
+            raise
+
+    def _run_stream(
         self, stream: StreamSpec, source_df: DataFrame,
         extracted_at=None, batched_at=None,
     ) -> StreamResult:

@@ -227,3 +227,52 @@ def test_cli_discover_catalog(capsys, sf_dir):
     props = orders["schema"]["properties"]
     assert "o_orderkey" in props and "type" in props["o_orderkey"]
     assert orders["metadata"][0]["metadata"]["selected"] is True
+
+
+def test_alert_sender_dispatch_on_stream_failure(spark, tmp_path, sf_dir):
+    from pipelinewise_spark.alerts import AlertSender
+    from pipelinewise_spark.plans.spec import PipelineSpec
+    from pipelinewise_spark.runner import PipelineRunner
+    from pipelinewise_spark.sources.files import read_table
+
+    # unknown handler type fails at construction, not at failure time
+    try:
+        AlertSender({"pagerduty": {}})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "invalid alert handler" in str(e)
+
+    spec = PipelineSpec.from_dict({
+        "pipeline_id": "alerting",
+        "target_path": str(tmp_path),
+        "options": {"alert_handlers": {"log": {"level": "ERROR"}}},
+        "streams": [{
+            "tap_stream_id": "public-orders",
+            "table_name": "orders",
+            "replication_method": "INCREMENTAL",
+            "replication_key": "o_orderdate",
+            # PK-less + pk_required default -> run_stream raises
+        }],
+    })
+    runner = PipelineRunner(spark, spec)
+    got: list[str] = []
+    runner.alerts.add(got.append)
+
+    orders = read_table(spark, sf_dir, "orders")
+    try:
+        runner.run({"public-orders": orders})
+        raise AssertionError("expected failure")
+    except Exception:
+        pass
+    assert len(got) == 1 and "public-orders" in got[0] and "alerting" in got[0]
+
+    # a crashing handler never masks the pipeline error or other handlers
+    def boom(_msg):
+        raise RuntimeError("handler down")
+    runner.alerts._handlers.insert(0, boom)
+    got.clear()
+    try:
+        runner.run({"public-orders": orders})
+    except Exception:
+        pass
+    assert len(got) == 1
