@@ -93,3 +93,34 @@ def test_sdc_source_lineno_jsonl(spark, tmp_path):
            for r in df.select("id", "_sdc_source_lineno").collect()}
     # no header line in JSONL: numbering starts at 1
     assert got == {1: 1, 2: 2}
+
+
+def test_flatten_key_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               max_codepoint=127),
+        min_size=1, max_size=120,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(seg, min_size=1, max_size=6))
+    def check(segments):
+        from pipelinewise_spark.operators.flattening import (
+            SEPARATOR, flatten_key,
+        )
+
+        key = flatten_key(segments)
+        # deterministic
+        assert key == flatten_key(segments)
+        # joins exactly len(segments) parts
+        assert len(key.split(SEPARATOR)) >= len(segments)  # parts may contain no sep
+        # under the limit unless EVERY segment was already compacted
+        # (reference loop gives up after one pass)
+        if len(key) >= 255:
+            short = flatten_key([s for s in segments])
+            assert short == key  # stable fixed point
+
+    check()
