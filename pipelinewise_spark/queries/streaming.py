@@ -172,7 +172,10 @@ def kafka_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         protobuf_encode,
     )
 
-    events = read_table(spark, sf_dir, "events")
+    from pipelinewise_spark.partitioning import spread
+
+    # single-split parquet would pin both Arrow UDF passes to one core
+    events = spread(read_table(spark, sf_dir, "events"))
     src = events.select(
         "event_id", "user_id", "event_type", "value", "props",
         F.unix_micros("ts").alias("ts_us"),
