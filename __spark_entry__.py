@@ -22,8 +22,10 @@ from pipelinewise_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship: the full training-data curation pipeline (gopher filter →
+    PII scrub → exact dedup → token-budget shards) as one declarative plan
+    on /root/testdata/sf0.001; driver checks rows>0."""
+    return QUERIES["curation_pipeline_documents"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

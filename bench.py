@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pii_scrub_documents",
     "decontaminate_documents",
     "curation_pipeline_documents",
+    "boilerplate_strip_documents",
     "bm25_documents",
     "q10_returned_items",
     "q18_large_orders",

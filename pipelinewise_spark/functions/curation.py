@@ -116,6 +116,49 @@ def shard_by_token_budget(
     ).drop("__pid", "__run")
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet-style line dedup): a line
+    whose normalized form appears in ``min_docs``+ distinct documents is
+    boilerplate (nav bars, footers, cookie banners) and is stripped from
+    every document it appears in.
+
+    Scale shape: one line-frequency groupBy (map-side partial aggregation;
+    the output is the corpus line vocabulary, Zipf-shaped, and only the
+    >= min_docs head survives the filter, so the boilerplate set is tiny
+    and broadcasts), a broadcast left mark join, then one groupBy(key) to
+    reassemble documents. Two shuffles on narrow rows; no all-pairs step.
+    Returns (key, cleaned, n_lines_kept, n_lines_removed).
+    """
+    lines = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__norm", F.lower(F.trim(F.col("line"))))
+    boiler = (
+        lines.filter(F.col("__norm") != "")
+        .groupBy("__norm")
+        .agg(F.count_distinct(key_col).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__norm", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(F.broadcast(boiler), "__norm", "left")
+    is_b = F.coalesce(F.col("__boiler"), F.lit(False))
+    # collect_list drops NULLs, so boilerplate lines vanish before the sort
+    kept = F.when(~is_b, F.struct(F.col("pos"), F.col("line")))
+    return marked.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("cleaned"),
+        F.sum(F.when(is_b, 0).otherwise(1)).cast("long").alias("n_lines_kept"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_lines_removed"),
+    )
+
+
 def weighted_sample_top_n(
     df: DataFrame,
     key_col: str,

@@ -801,6 +801,68 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_strip_documents",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'home | news | about ' || source || chr(10) ||
+               'subscribe to our newsletter' || chr(10) ||
+               'ref ' || md5(CAST(doc_id AS VARCHAR)) || chr(10) ||
+               text || chr(10) ||
+               'copyright 2026 ' || source || ' all rights reserved' AS raw
+        FROM documents),
+    parts AS (SELECT doc_id, string_split(raw, chr(10)) AS parts FROM raw),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(1, len(parts) + 1)) AS pos,
+               unnest(parts) AS line
+        FROM parts),
+    normed AS (
+        SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines),
+    boiler AS (
+        SELECT norm FROM normed WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 3),
+    marked AS (
+        SELECT n.doc_id, n.pos, n.line, (b.norm IS NOT NULL) AS is_b
+        FROM normed n LEFT JOIN boiler b ON n.norm = b.norm)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_b), '') AS cleaned,
+           CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate stripping (functions/curation.py:
+    strip_boilerplate): documents get deterministic per-source web chrome
+    (header / global nav / footer) plus a unique ref line; any line present
+    in >= 3 distinct docs is removed corpus-wide, CCNet-style. The chrome
+    construction is part of the oracle so the rule demonstrably fires:
+    header+nav+footer vanish, the ref line and body survive."""
+    from pipelinewise_spark.functions.curation import strip_boilerplate
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    raw = F.concat_ws(
+        "\n",
+        F.concat(F.lit("home | news | about "), F.col("source")),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("ref "), F.md5(F.col("doc_id").cast("string"))),
+        F.col("text"),
+        F.concat(
+            F.lit("copyright 2026 "), F.col("source"),
+            F.lit(" all rights reserved"),
+        ),
+    )
+    return strip_boilerplate(
+        d.select("doc_id", raw.alias("__raw")), "doc_id", "__raw", min_docs=3
+    )
+
+
+@register(
     "curation_pipeline_documents",
     oracle=f"""
     WITH tok AS (

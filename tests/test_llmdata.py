@@ -181,3 +181,31 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     # but every count is positive and pairs are distinct
     assert all(n > 0 for _, _, n in got)
     assert len({(a, b) for a, b, _ in got}) == len(got)
+
+
+def test_strip_boilerplate_semantics(spark):
+    from pipelinewise_spark.functions.curation import strip_boilerplate
+
+    nav = "subscribe now"
+    docs = [
+        (1, f"{nav}\nunique one\nfooter"),
+        (2, f"{nav}\nunique two\nfooter"),
+        (3, f"{nav}\nunique three\nfooter"),
+        (4, f"{nav}\nfooter"),  # becomes empty once boilerplate goes
+        (5, "only here\nappears twice"),
+        (6, "appears twice"),  # 2 docs < min_docs=3 -> kept
+    ]
+    out = {
+        r["doc"]: r
+        for r in strip_boilerplate(
+            spark.createDataFrame(docs, "doc long, text string"),
+            "doc", "text", min_docs=3,
+        ).collect()
+    }
+    assert out[1]["cleaned"] == "unique one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_removed"] == 2
+    # NAV appears in 4 docs, footer in 4 -> doc 4 is pure chrome
+    assert out[4]["cleaned"] == "" and out[4]["n_lines_kept"] == 0
+    # below-threshold repeats survive, order preserved
+    assert out[5]["cleaned"] == "only here\nappears twice"
+    assert out[6]["cleaned"] == "appears twice"
