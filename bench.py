@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q7_nation_volume",
     "q20_excess_suppliers",
+    "q6_forecast_revenue",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     "term_frequencies_documents",
     "asof_join_click_purchase",
     "range_join_attribution",

@@ -810,3 +810,304 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l_suppkey
             HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > 400)
     """)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(ROUND(SUM(
+               CAST(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                    CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(22,8))
+           ), 6) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate reaches
+    the parquet scan (PushedFilters on shipdate/discount/quantity), the
+    projection prunes to three columns, and the single global sum combines
+    map-side — the canonical no-shuffle query."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(22,8)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_double(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate
+    (customers with zero qualifying orders must survive with c_count = 0),
+    then a histogram over the per-customer counts. count(o_orderkey) counts
+    only matched rows — the outer-join-aware aggregate. Two shuffles: the
+    outer join on custkey, the tiny histogram groupBy."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem's distinct (part, supplier) pairs stand in
+    for partsupp — this schema ships none). NOT IN over a never-NULL key
+    becomes a broadcast ANTI join against the small excluded-supplier set;
+    the part filter broadcasts into the pair frame; count(DISTINCT) is the
+    only wide shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            pairs.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pl AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#5'),
+    thr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                   / count(*) * 0.2 AS t
+        FROM pl GROUP BY 1)
+    SELECT CAST(CAST(ROUND(SUM(
+               CAST(pl.l_extendedprice AS DECIMAL(12,4))), 6)
+           AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM pl JOIN thr ON pl.l_partkey = thr.l_partkey
+    WHERE pl.l_quantity < thr.t
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery, decorrelated the
+    Spark way — aggregate per l_partkey once, join the threshold back
+    (aggregate-then-join beats a correlated rescan at any scale). The
+    threshold is an exact decimal sum over integer-valued quantities cast to
+    DOUBLE at the end, so the < comparison is bit-identical in both engines."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = read_table(spark, sf_dir, "lineitem")
+    pl = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = pl.groupBy("l_partkey").agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double")
+            / F.count("*") * F.lit(0.2)
+        ).alias("t")
+    )
+    joined = pl.join(thr, "l_partkey").filter(F.col("l_quantity") < F.col("t"))
+    return joined.agg(
+        (_sum_double(_dec("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_sql_sum_double(_SQL_DISC_PRICE.format(p="l."))} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across both join
+    sides. Catalyst extracts the common single-side conjuncts (brand/size on
+    part, quantity range on lineitem) as pushed pre-join filters, then
+    applies the residual disjunction after the broadcast join — the plan
+    scans a fraction of each table instead of evaluating the OR row-by-row
+    on the full join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(_sum_double(_disc_price()).alias("revenue"))
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-blamed supplier: returnflag 'R' stands in for
+    the missing receipt/commit dates). The two correlated EXISTS become ONE
+    per-order aggregate instead of two lineitem self-joins:
+    supp_cnt >= 2 ⇔ "another supplier exists on the order", and
+    r_supp_cnt = 1 with l1 itself flagged 'R' ⇔ "no OTHER supplier has 'R'".
+    One extra shuffle on l_orderkey replaces two semi/anti self-shuffles of
+    the biggest table — the decorrelation you want at 100 TB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__supp_cnt"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__r_supp_cnt"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    blamed = (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("__supp_cnt") >= 2) & (F.col("__r_supp_cnt") == 1))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+    )
+    return (
+        blamed.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+        SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+               c_acctbal
+        FROM customer WHERE c_nationkey % 10 IN (0, 3, 5, 7)),
+    avgbal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(*) AS a
+        FROM eligible WHERE c_acctbal > 0.0)
+    SELECT e.cntrycode,
+           count(*) AS numcust,
+           CAST(CAST(ROUND(SUM(CAST(e.c_acctbal AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS totacctbal
+    FROM eligible e, avgbal
+    WHERE e.c_acctbal > avgbal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+    GROUP BY e.cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey mod 10 stands in for the missing phone
+    country code): scalar AVG subquery broadcast as a cross-joined literal
+    frame, NOT EXISTS as a LEFT ANTI join against orders. The average is an
+    exact decimal sum divided double-side so the > cut is bit-identical in
+    both engines; the anti join shuffles on custkey (orders is pre-projected
+    to the join key only)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    eligible = cust.filter((F.col("c_nationkey") % 10).isin(0, 3, 5, 7)).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
+        "c_acctbal",
+    )
+    avgbal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("__a")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(orders, eligible.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _sum_double(F.col("c_acctbal").cast("decimal(12,2)")).alias(
+                "totacctbal"
+            ),
+        )
+    )

@@ -180,3 +180,40 @@ def test_curation_pipeline_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, "curation_pipeline_documents", sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan  # the dedup groupBy survives optimization
+
+
+def test_q6_all_predicates_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)",
+                 "GreaterThanOrEqual(l_discount,0.05)"):
+        assert frag in plan, f"q6: {frag} must reach the parquet scan"
+    # single global agg: exactly one tiny shuffle (partial -> final)
+    assert plan.count("Exchange") <= 2
+
+
+def test_q19_single_side_conjuncts_extracted(spark, sf_dir):
+    # Catalyst must extract brand/size (part side) and quantity (lineitem
+    # side) from the OR-of-ANDs and push them below the join
+    plan = _plan(spark, "q19_disjunctive_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "And(EqualTo(p_brand,Brand#12)" in plan, (
+        "part-side disjunct union must be pushed to the part scan"
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
+        "lineitem-side quantity range union must be pushed to the scan"
+    )
+
+
+def test_q21_no_lineitem_self_join(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    # aggregate: the plan must contain NO semi/anti join of lineitem
+    # against itself
+    plan = _plan(spark, "q21_waiting_suppliers", sf_dir)
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    plan = _plan(spark, "q22_global_sales_opportunity", sf_dir)
+    assert "LeftAnti" in plan, "NOT EXISTS must compile to an anti join"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
