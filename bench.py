@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "curation_pipeline_documents",
     "boilerplate_strip_documents",
+    "chunk_documents_token_windows",
     "bm25_documents",
     "q10_returned_items",
     "q18_large_orders",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "anti_join_inactive_customers",
     "profile_orders_columns",
     "cdc_stream_apply_orders",
+    "stream_stream_join_attribution",
     "kafka_protobuf_events",
     "kafka_json_payload_events",
     "mongo_documents_normalize",

@@ -190,3 +190,42 @@ def weighted_sample_top_n(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    key_col: str,
+    toks_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token array into overlapping training chunks:
+    windows of ``window`` tokens every ``stride`` tokens (the standard LLM
+    context-window preprocessing step). The final partial window is kept.
+
+    Pure narrow plan — sequence + posexplode + slice, no shuffle, no Python.
+    Each chunk row re-references the parent token array by pointer until the
+    final projection, so the explode does not copy the document per chunk.
+    Returns (key, chunk_id, chunk_start, chunk_text, n_tokens).
+    """
+    d = (
+        df.withColumn("__n", F.size(F.col(toks_col)))
+        .filter(F.col("__n") > 0)
+        .select(
+            key_col,
+            toks_col,
+            "__n",
+            F.posexplode(
+                F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+            ).alias("chunk_id", "__s"),
+        )
+    )
+    length = F.least(F.lit(window), F.col("__n") - F.col("__s") + 1)
+    chunk = F.slice(F.col(toks_col), F.col("__s"), length)
+    return d.select(
+        key_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("__s").cast("long").alias("chunk_start"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

@@ -1037,11 +1037,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     supp = read_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__supp_cnt"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__r_supp_cnt"),
+    # two-level aggregate instead of two COUNT(DISTINCT)s: a pair of
+    # distincts over one group compiles to an Expand (doubling every
+    # lineitem row before the shuffle); (orderkey, suppkey) partial agg
+    # then a count per orderkey computes the same without row expansion
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "__has_r"
+        )
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("__supp_cnt"),
+        F.sum("__has_r").alias("__r_supp_cnt"),
     )
     l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
     blamed = (

@@ -863,6 +863,37 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_token_windows",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(1, len(toks) + 1, 48)) AS s
+        FROM tok WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           array_to_string(list_slice(toks, s, least(s + 63, n)), ' ')
+               AS chunk_text,
+           CAST(least(s + 63, n) - s + 1 AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/curation.py:
+    chunk_by_tokens): 64-token context windows every 48 tokens, final
+    partial window kept — the standard long-document → training-sample
+    split. Narrow sequence/posexplode/slice plan, zero shuffles."""
+    from pipelinewise_spark.functions.curation import chunk_by_tokens
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents")).withColumn(
+        "__toks", TX.tokens(F.col("text"))
+    )
+    return chunk_by_tokens(d, "doc_id", "__toks", window=64, stride=48)
+
+
+@register(
     "curation_pipeline_documents",
     oracle=f"""
     WITH tok AS (

@@ -294,3 +294,69 @@ def mongo_change_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(tmp, "_checkpoint"),
     )
     return table.read(spark).select("_id", "document", "_sdc_deleted_at")
+
+
+@register(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (streaming/joins.py): clicks
+    and purchases are two live streams; each purchase matches prior clicks
+    by the same user within 2 hours. Both sides watermarked + both-sided
+    time bounds in the condition, so join state is evicted past
+    (watermark + interval) — bounded memory at any throughput. Run bounded
+    with Trigger.AvailableNow into a memory sink (prod: kafka/parquet sink);
+    the streamed result equals the batch inequality join, which is the
+    oracle."""
+    import uuid
+
+    from pipelinewise_spark.streaming.joins import interval_join
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="pws_ssj_")
+    src = os.path.join(tmp, "src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        clicks, purchases, ("user_id", "p_user"),
+        "click_ts", "purchase_ts", upper="2 hours", watermark="2 hours",
+    ).select(
+        "user_id", "click_id", "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+    )
+    sink = f"pws_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -111,3 +111,39 @@ def test_cdc_out_of_order_across_batches(spark, tmp_path):
     assert r.o_totalprice == 50.0
     assert r._sdc_seq == 7
     assert r._sdc_deleted_at is not None
+
+
+def test_interval_join_boundary_semantics(spark):
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.streaming.joins import interval_join
+
+    from datetime import timedelta
+
+    def ts(m):
+        return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    clicks = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 101, ts(0))], "u long, cid long, cts timestamp"
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, 200, ts(0)),    # same instant: included (>= lower)
+            (1, 201, ts(60)),   # exactly upper bound: included (<=)
+            (1, 202, ts(61)),   # one past: excluded
+            (2, 203, ts(30)),   # different user than click 100
+        ],
+        "pu long, pid long, pts timestamp",
+    )
+    got = sorted(
+        (r["cid"], r["pid"])
+        for r in interval_join(
+            clicks, purchases, ("u", "pu"), "cts", "pts",
+            upper="1 hour", watermark="1 hour",
+        ).collect()
+    )
+    assert got == [(100, 200), (100, 201), (101, 203)]
+    # streaming frames produce a streaming joined frame
+    assert not clicks.isStreaming
