@@ -77,12 +77,15 @@ BENCH_QUERIES = [
     "curation_pipeline_documents",
     "boilerplate_strip_documents",
     "chunk_documents_token_windows",
+    "intra_doc_line_dedup_documents",
     "bm25_documents",
     "q10_returned_items",
     "q18_large_orders",
     "semi_join_parts_shipped",
     "anti_join_inactive_customers",
     "profile_orders_columns",
+    "histogram_order_totals",
+    "pivot_user_event_counts",
     "cdc_stream_apply_orders",
     "stream_stream_join_attribution",
     "kafka_protobuf_events",

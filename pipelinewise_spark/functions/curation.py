@@ -229,3 +229,35 @@ def chunk_by_tokens(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def dedupe_lines_within_doc(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Intra-document repetition removal: keep only the FIRST occurrence of
+    each (normalized) line within a document — the within-page half of
+    CCNet-style cleanup ([[strip_boilerplate]] is the cross-document half).
+
+    One window shuffle on (doc, normalized line); reassembly groups by doc.
+    Returns (key, cleaned, n_lines_kept, n_lines_removed).
+    """
+    lines = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__norm", F.lower(F.trim(F.col("line"))))
+    w = Window.partitionBy(key_col, "__norm").orderBy(F.col("pos"))
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    first = F.col("__rn") == 1
+    kept = F.when(first, F.struct(F.col("pos"), F.col("line")))
+    return marked.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("cleaned"),
+        F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        F.sum(F.when(first, 0).otherwise(1)).cast("long").alias(
+            "n_lines_removed"
+        ),
+    )

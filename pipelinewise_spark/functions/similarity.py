@@ -96,6 +96,25 @@ def hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[int]]
     return planes
 
 
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = NUM_PLANES,
+    dim: int = DIM,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append the sign-LSH bucket (Σ_j [v·plane_j > 0]·2^j) as a column —
+    narrow projection, no shuffle, keeps every input column so callers
+    don't need a join-back to recover the vector."""
+    planes = hyperplanes(num_planes, dim)
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket.cast("bigint"))
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -105,14 +124,9 @@ def lsh_buckets(
 ) -> DataFrame:
     """(id, bucket) — bucket = Σ_j [v·plane_j > 0]·2^j. Narrow projection,
     no shuffle; bucketing 100 TB of embeddings is a single map stage."""
-    planes = hyperplanes(num_planes, dim)
-    df = spread(df)
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), bucket.cast("bigint").alias("bucket"))
+    return with_lsh_bucket(
+        spread(df), vec_col, num_planes=num_planes, dim=dim
+    ).select(F.col(id_col), "bucket")
 
 
 def signlsh_near_dup_pairs(

@@ -1118,3 +1118,77 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           50000.0 * floor(o_totalprice / 50000.0) AS bin_lo,
+           count(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric histogram (profiling family): bin id computed as
+    a projection so the aggregation is an ordinary groupBy with map-side
+    partial combine — one shuffle whose cardinality is #bins, not #rows.
+    The per-bin decimal sum stays exact in both engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(50000.0))
+    return (
+        orders.withColumn("bin", bin_id.cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            _sum_double(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "total"
+            ),
+        )
+        .select(
+            "bin",
+            (F.lit(50000.0) * F.col("bin")).alias("bin_lo"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event type.
+    The category list is pinned, so Spark skips the extra distinct-values
+    job and the pivot compiles to conditional aggregates — exactly the
+    oracle's CASE sums, one shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "signup", "view", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; the oracle's CASE sums yield 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )

@@ -104,7 +104,10 @@ def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFra
     """Rolling-window (winnowing-style) fingerprint: minimum hash over all
     char-8-gram windows — the plagiarism-detection document signature. Pure
     per-row projection (no shuffle)."""
-    d = read_table(spark, sf_dir, "documents")
+    from pipelinewise_spark.partitioning import spread
+
+    # single-split parquet would run ~300 md5/row on one core
+    d = spread(read_table(spark, sf_dir, "documents"))
     t = F.col("__t")
     idx = F.sequence(F.lit(1), F.length(t) - 7)
     hs = F.transform(idx, lambda i: F.md5(F.substring(t, i, F.lit(8))))
@@ -352,9 +355,12 @@ def embedding_ann_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket* for every vector — candidates ≪ corpus², the ANN contract."""
     from pyspark.sql import Window
 
+    from pipelinewise_spark.partitioning import spread
+
     emb = read_table(spark, sf_dir, "embeddings")
-    b = S.lsh_buckets(emb, "vec_id", "embedding")
-    e = emb.join(b, "vec_id")
+    # bucket computed inline (no (id,bucket)->vector join-back): each side
+    # of the bucket self-join is one narrow scan+projection
+    e = S.with_lsh_bucket(spread(emb), "embedding")
     a = e.select(
         F.col("vec_id"), F.col("embedding").alias("__av"), "bucket"
     ).alias("a")
@@ -859,6 +865,61 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return strip_boilerplate(
         d.select("doc_id", raw.alias("__raw")), "doc_id", "__raw", min_docs=3
+    )
+
+
+@register(
+    "intra_doc_line_dedup_documents",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'promo: subscribe today' || chr(10) ||
+               text || chr(10) ||
+               'promo: subscribe today' || chr(10) ||
+               'unique ' || md5(CAST(doc_id AS VARCHAR)) || chr(10) ||
+               text AS raw
+        FROM documents),
+    parts AS (SELECT doc_id, string_split(raw, chr(10)) AS parts FROM raw),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(1, len(parts) + 1)) AS pos,
+               unnest(parts) AS line
+        FROM parts),
+    marked AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY doc_id, lower(trim(line))
+                                  ORDER BY pos) AS rn
+        FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS cleaned,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def intra_doc_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal (functions/curation.py:
+    dedupe_lines_within_doc): each doc gets a repeated promo line and its own
+    body duplicated (the construction is part of the oracle so the rule
+    demonstrably fires); only the first occurrence of each normalized line
+    survives, order preserved."""
+    from pipelinewise_spark.functions.curation import dedupe_lines_within_doc
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    raw = F.concat_ws(
+        "\n",
+        F.lit("promo: subscribe today"),
+        F.col("text"),
+        F.lit("promo: subscribe today"),
+        F.concat(F.lit("unique "), F.md5(F.col("doc_id").cast("string"))),
+        F.col("text"),
+    )
+    return dedupe_lines_within_doc(
+        d.select("doc_id", raw.alias("__raw")), "doc_id", "__raw"
     )
 
 
