@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
     "term_frequencies_documents",
     "asof_join_click_purchase",
     "range_join_attribution",

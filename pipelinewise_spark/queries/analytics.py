@@ -1192,3 +1192,204 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
     )
+
+
+@register(
+    "q8_national_market_share",
+    oracle=f"""
+    WITH alln AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_SQL_DISC_PRICE.format(p="l.")} AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT o_year,
+           {_sql_sum_double(
+               "CASE WHEN supp_nation = 'NATION_3' THEN volume "
+               "ELSE CAST(0 AS DECIMAL(22,8)) END")}
+           / {_sql_sum_double("volume")} AS mkt_share
+    FROM alln GROUP BY o_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-table star join, per-year share of one supplier
+    nation in a region's volume. Every dimension broadcasts (part is
+    type-filtered first); the two fact tables shuffle once on orderkey; the
+    share is a conditional-sum / sum ratio of exact decimals."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation")
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_vol = F.when(
+        F.col("supp_nation") == "NATION_3", _disc_price()
+    ).otherwise(F.lit(0).cast("decimal(22,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (_sum_double(nat_vol) / _sum_double(_disc_price())).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+_SQL_COST01 = (
+    "CAST(CAST(CAST(p.p_retailprice AS DECIMAL(12,4)) * "
+    "CAST(l.l_quantity AS DECIMAL(12,4)) AS DECIMAL(22,8)) * "
+    "CAST(0.1 AS DECIMAL(3,2)) AS DECIMAL(26,10))"
+)
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_sql_sum_double(
+               "CAST(" + _SQL_DISC_PRICE.format(p="l.")
+               + " - " + _SQL_COST01 + " AS DECIMAL(30,12))")}
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (this schema has no partsupp/supplycost, so cost is
+    proxied as 10% of p_retailprice per unit): profit by supplier nation and
+    order year for parts matching a name pattern. The LIKE filter prunes
+    part before its broadcast; decimal widths capped stepwise exactly like
+    the charge expression."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    cost = (
+        (_dec("p_retailprice") * _dec("l_quantity")).cast("decimal(22,8)")
+        * F.lit(0.1).cast("decimal(3,2)")
+    ).cast("decimal(26,10)")
+    profit = (_disc_price() - cost).cast("decimal(30,12)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_sum_double(F.col("__p")).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH v AS (
+        SELECT l.l_partkey, {_SQL_DISC_PRICE.format(p="l.")} AS val
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2')),
+    g AS (
+        SELECT l_partkey, {_sql_sum_double("val")} AS part_value
+        FROM v GROUP BY l_partkey),
+    t AS (SELECT {_sql_sum_double("val")} AS total FROM v)
+    SELECT g.l_partkey AS p_partkey, g.part_value
+    FROM g, t WHERE g.part_value > 0.001 * t.total
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value over two supplier nations stands in
+    for partsupp stock value): per-part value HAVING > fraction of the
+    grand total — the grand total is a 1-row broadcast, never a re-scan.
+    Both sums are exact decimals surfaced as identical doubles, so the
+    threshold cut picks the same parts in both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", _disc_price().alias("__val"))
+    )
+    g = v.groupBy("l_partkey").agg(_sum_double(F.col("__val")).alias("part_value"))
+    t = v.agg(_sum_double(F.col("__val")).alias("__total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("__total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_sql_sum_double(_SQL_DISC_PRICE.format(p=""))}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey),
+    m AS (SELECT max(total_revenue) AS mr FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN m ON r.total_revenue = m.mr
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the top
+    one(s) via max-scalar equality (not LIMIT 1 — ties must all surface).
+    The max is a 1-row broadcast against the already-aggregated revenue
+    frame; supplier broadcasts into the tiny result."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _sum_double(_disc_price()).alias("total_revenue")
+    )
+    m = rev.agg(F.max("total_revenue").alias("__mr"))
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("total_revenue") == F.col("__mr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
