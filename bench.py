@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "profile_orders_columns",
     "histogram_order_totals",
     "pivot_user_event_counts",
+    "cube_order_revenue",
+    "median_order_price_by_priority",
+    "funnel_click_purchase",
+    "retention_cohorts_weekly",
     "cdc_stream_apply_orders",
     "stream_stream_join_attribution",
     "kafka_protobuf_events",

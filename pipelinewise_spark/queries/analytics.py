@@ -1393,3 +1393,166 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "cube_order_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           count(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all four grouping sets in one pass —
+    Spark expands to a single Expand + one shuffle, not four scans), with
+    GROUPING() markers so total/subtotal rows are distinguishable from
+    genuine NULL dimension values."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus").agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+            _sum_double(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "median_order_price_by_priority",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM orders)
+    SELECT o_orderpriority, o_totalprice AS median_price
+    FROM r WHERE rn = (cnt + 1) // 2
+    """,
+)
+def median_order_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by rank selection (lower middle, ties broken
+    on the key): pure sort + pick, ZERO floating-point arithmetic, so both
+    engines select the identical row. One shuffle on the group key. For
+    approximate quantiles at scale see approx_stats_lineitem
+    (percentile_approx); this is the exact twin."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    cnt = Window.partitionBy("o_orderpriority")
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count("*").over(cnt))
+        .filter(F.col("__rn") == F.floor((F.col("__cnt") + 1) / 2))
+        .select("o_orderpriority", F.col("o_totalprice").alias("median_price"))
+    )
+
+
+@register(
+    "funnel_click_purchase",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, min(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+          AND e.ts <= fc.first_click + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+    SELECT fc.user_id,
+           epoch_us(fc.first_click) AS first_click_us,
+           epoch_us(conv.first_purchase) AS first_purchase_us,
+           (conv.user_id IS NOT NULL) AS converted
+    FROM fc LEFT JOIN conv ON fc.user_id = conv.user_id
+    """,
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: first click per user, then first purchase within 7
+    days of it. Aggregate-then-join both stages (each stage is one groupBy
+    on user_id; the stage-2 join reuses the same key partitioning — no
+    extra exchange under co-partitioned AQE). LEFT join keeps
+    non-converters with NULL purchase."""
+    ev = read_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fc.join(purchases, fc.user_id == F.col("p_user"))
+        .filter(
+            (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(F.col("user_id").alias("c_user"), "first_purchase")
+    )
+    return (
+        fc.join(conv, fc.user_id == F.col("c_user"), "left")
+        .select(
+            "user_id",
+            F.unix_micros("first_click").alias("first_click_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            F.col("c_user").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts_weekly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_trunc('week', e.ts) AS active_week
+        FROM events e)
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in each later week they were active. first-seen is one groupBy; the
+    distinct user-week activity is computed BEFORE the join so the join
+    input is already collapsed (distinct-then-join, not join-then-distinct
+    — the order that survives 100×)."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
