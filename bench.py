@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "median_order_price_by_priority",
     "funnel_click_purchase",
     "retention_cohorts_weekly",
+    "session_window_events",
     "cdc_stream_apply_orders",
     "stream_stream_join_attribution",
     "kafka_protobuf_events",

@@ -103,6 +103,47 @@ class ManifestTable:
         return name
 
     # -------------------------------------------------------------- write
+    def _file_stats(self, rel: str) -> dict[str, list[Any]]:
+        """File-level [min, max] per top-level column, straight from the
+        parquet footer (metadata-only read — no data pages touched). Values
+        are stored JSON-safe in an order-preserving encoding: numbers as-is,
+        strings as-is, datetimes as ``isoformat(sep=' ')`` strings (which
+        compare lexicographically in timestamp order). Columns whose stats
+        aren't representable (bytes, nested) are simply omitted — skipping
+        is best-effort by design: a missing stat can never skip a file.
+        """
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        def enc(v: Any) -> Any:
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat(sep=" ")
+            if isinstance(v, (bool, int, float, str)):
+                return v
+            return None
+
+        with self.mfs.fs.open_input_file(self.mfs._p(rel)) as f:
+            md = pq.ParquetFile(f).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                mn, mx = enc(st.min), enc(st.max)
+                if mn is None or mx is None:
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
     def _write_files(
         self, df: DataFrame, partition_by: Sequence[str]
     ) -> list[dict[str, Any]]:
@@ -124,7 +165,12 @@ class ManifestTable:
                     k, v = seg.split("=", 1)
                     partition[k] = _decode_hive_value(v)
             entries.append(
-                {"path": rel, "base": base_rel, "partition": partition}
+                {
+                    "path": rel,
+                    "base": base_rel,
+                    "partition": partition,
+                    "stats": self._file_stats(rel),
+                }
             )
         return entries
 
@@ -147,15 +193,18 @@ class ManifestTable:
         )
 
     # --------------------------------------------------------------- read
-    def read(
+    def select_entries(
         self,
-        spark: SparkSession,
         partitions: dict[str, list[str]] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
         version: int | None = None,
-    ) -> DataFrame:
-        """Read the live snapshot (or a historical ``version`` — time
-        travel); ``partitions`` prunes manifest-side (only matching files are
-        ever listed to Spark)."""
+    ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
+        """Manifest entries surviving partition pruning and min/max file
+        skipping. ``ranges`` maps column → (lo, hi) bounds (either side
+        None = open); a file is skipped only when its footer stats PROVE the
+        range can't match — missing stats keep the file. Bounds for
+        timestamp columns are their ``isoformat(sep=' ')`` strings (the
+        manifest's stats encoding)."""
         m = self._load_manifest(version)
         entries = m["files"]
         if partitions:
@@ -166,6 +215,35 @@ class ManifestTable:
                     for k, v in partitions.items()
                 )
             ]
+        if ranges:
+            def matches(e: dict[str, Any]) -> bool:
+                stats = e.get("stats", {})
+                for c, (lo, hi) in ranges.items():
+                    if c not in stats:
+                        continue
+                    mn, mx = stats[c]
+                    if lo is not None and mx < lo:
+                        return False
+                    if hi is not None and mn > hi:
+                        return False
+                return True
+
+            entries = [e for e in entries if matches(e)]
+        return entries, m
+
+    def read(
+        self,
+        spark: SparkSession,
+        partitions: dict[str, list[str]] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+    ) -> DataFrame:
+        """Read the live snapshot (or a historical ``version`` — time
+        travel). ``partitions`` prunes manifest-side; ``ranges`` adds
+        footer-stats file skipping (Iceberg/Delta-style data skipping: only
+        files whose [min,max] can overlap the predicate are ever listed to
+        Spark — the caller still applies the exact row-level filter)."""
+        entries, m = self.select_entries(partitions, ranges, version)
         return self._read_entries(spark, entries, m)
 
     def _read_entries(

@@ -140,3 +140,50 @@ def test_compact_bounds_file_count_after_merges(spark, tmp_path):
     t.vacuum(keep_manifests=1)
     again = {r.id: (r.pt, r.v) for r in t.read(spark).collect()}
     assert again == before
+
+
+def test_minmax_file_skipping(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "mt_skip"))
+    df = spark.createDataFrame(
+        [(i, float(i) / 7, f"u{i}") for i in range(1000)],
+        "id long, v double, name string",
+    )
+    # range-partition on id: each of the 5 files covers a disjoint id range,
+    # so footer stats can prove most files irrelevant for a narrow predicate
+    t.overwrite(df.repartitionByRange(5, F.col("id")))
+
+    all_entries, _ = t.select_entries()
+    assert len(all_entries) == 5
+    assert all("id" in e["stats"] for e in all_entries)
+
+    hit, _ = t.select_entries(ranges={"id": (100, 120)})
+    assert 1 <= len(hit) < 5, [e["stats"]["id"] for e in all_entries]
+
+    # skipped read + residual filter == full read + filter
+    got = sorted(
+        r.id
+        for r in t.read(spark, ranges={"id": (100, 120)})
+        .filter(F.col("id").between(100, 120))
+        .collect()
+    )
+    assert got == list(range(100, 121))
+
+    # open bounds and missing-stats columns never skip
+    assert len(t.select_entries(ranges={"id": (None, None)})[0]) == 5
+    assert len(t.select_entries(ranges={"nosuch": (0, 1)})[0]) == 5
+
+    # string stats skip too
+    hit_s, _ = t.select_entries(ranges={"name": ("u100", "u100")})
+    assert len(hit_s) < 5
+
+    # timestamp-free sanity: stats survive merge (new files get stats)
+    batch = spark.createDataFrame(
+        [(5, 999.0, "u5-new")], "id long, v double, name string"
+    )
+    t.merge(spark, batch, ["id"])
+    entries2, _ = t.select_entries()
+    assert all("stats" in e for e in entries2)
