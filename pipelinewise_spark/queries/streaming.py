@@ -351,12 +351,22 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         ),
     )
     sink = f"pws_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-heavy streaming sizes shuffle partitions to STATE volume, not
+    # CPU count: every partition opens+commits a state store per side per
+    # batch, so 32 partitions of tiny state is pure overhead (and on a real
+    # cluster this would be set to state-bytes / ~200MB)
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
     return spark.table(sink)

@@ -209,3 +209,38 @@ def test_strip_boilerplate_semantics(spark):
     # below-threshold repeats survive, order preserved
     assert out[5]["cleaned"] == "only here\nappears twice"
     assert out[6]["cleaned"] == "appears twice"
+
+
+def test_chunk_by_tokens_edges(spark):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.functions.curation import chunk_by_tokens
+
+    cases = {
+        1: list("abc"),            # n < window
+        2: list("abcde"),          # n == window
+        3: list("abcdef"),         # n == window + 1 -> second partial chunk
+        4: [],                     # empty -> no rows
+        5: list("abcdefghij"),     # several chunks
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in cases.items()], "doc long, toks array<string>"
+    )
+    out = chunk_by_tokens(df, "doc", "toks", window=5, stride=3)
+    rows = sorted(
+        ((r["doc"], r["chunk_id"], r["chunk_start"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    for doc, cid, start, text, n in rows:
+        toks = cases[doc]
+        assert start == 1 + cid * 3
+        expect = toks[start - 1 : start - 1 + 5]
+        assert text.split(" ") == expect and n == len(expect)
+    # every token of every doc is inside at least one chunk
+    for doc, toks in cases.items():
+        covered = set()
+        for d, cid, start, text, n in rows:
+            if d == doc:
+                covered.update(range(start - 1, start - 1 + n))
+        assert covered == set(range(len(toks))), doc
+    assert not [r for r in rows if r[0] == 4]

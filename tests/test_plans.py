@@ -217,3 +217,18 @@ def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
     plan = _plan(spark, "q22_global_sales_opportunity", sf_dir)
     assert "LeftAnti" in plan, "NOT EXISTS must compile to an anti join"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q8_q9_dims_broadcast_no_cartesian(spark, sf_dir):
+    for name in ("q8_national_market_share", "q9_product_type_profit"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "session_window_events", sf_dir)
+    # session aggregation: one exchange on the session key group
+    assert plan.count("Exchange") <= 2, plan
+    assert "UpdatingSessionsIterator" in plan or "SessionWindow" in plan or \
+        "session_window" in plan
