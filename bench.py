@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "timestamp_clamp_orders",
     "flatten_events_props",
     "archive_load_metadata_orders",
+    "csv_source_lineno_orders",
+    "orc_roundtrip_orders",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

@@ -288,3 +288,75 @@ def documents_ext_json(docs: DataFrame, lang=None) -> DataFrame:
         ).alias("doc"),
         "doc_id",
     )
+
+
+@register(
+    "csv_source_lineno_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number() OVER (ORDER BY o_orderkey) + 1 AS _sdc_source_lineno
+    FROM orders
+    """,
+)
+def csv_source_lineno_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/CSV source end-to-end (sources/files.py:FileSource): orders
+    written as ONE header CSV sorted by key, read back through FileSource
+    with `_sdc_source_*` decoration — `_sdc_source_lineno` is the physical
+    line number (header on line 1, first record on line 2, matching the
+    reference's records_synced + 2 convention), reproduced by the oracle as
+    key-rank + 1 because the file is written key-sorted."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.files import FileSource
+
+    tmp = tempfile.mkdtemp(prefix="pws_csv_")
+    path = os.path.join(tmp, "orders_csv")
+    (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    src = FileSource(path=path, format="csv")
+    df = src.read(spark, with_source_metadata=True)
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("_sdc_source_lineno").cast("long").alias("_sdc_source_lineno"),
+    )
+
+
+@register(
+    "orc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format interop (the second columnar format Spark ships in-box):
+    orders round-trip parquet → ORC → aggregate, proving type fidelity
+    (timestamps/doubles/strings) through the ORC writer+reader. Avro is
+    not deployable in this environment (external module jar absent) and is
+    documented as env-gated."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pws_orc_")
+    path = os.path.join(tmp, "orders_orc")
+    read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("total"),
+    )

@@ -244,3 +244,21 @@ def test_chunk_by_tokens_edges(spark):
                 covered.update(range(start - 1, start - 1 + n))
         assert covered == set(range(len(toks))), doc
     assert not [r for r in rows if r[0] == 4]
+
+
+def test_strip_boilerplate_idempotent(spark):
+    from pipelinewise_spark.functions.curation import strip_boilerplate
+
+    nav = "subscribe now"
+    docs = [(i, f"{nav}\nbody {i}\nfooter") for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc long, text string")
+    once = strip_boilerplate(df, "doc", "text", min_docs=3)
+    # a second pass over the cleaned corpus removes nothing: stripping is a
+    # fixed point (cleaned docs contain only sub-threshold lines)
+    twice = strip_boilerplate(
+        once.select("doc", "cleaned"), "doc", "cleaned", min_docs=3
+    )
+    a = {r["doc"]: r["cleaned"] for r in once.collect()}
+    b = {r["doc"]: r["cleaned"] for r in twice.collect()}
+    assert a == b
+    assert all(r["n_lines_removed"] == 0 for r in twice.collect())
