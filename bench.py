@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "archive_load_metadata_orders",
     "csv_source_lineno_orders",
     "orc_roundtrip_orders",
+    "manifest_time_travel_orders",
+    "snapshot_diff_orders",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

@@ -360,3 +360,96 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+def _manifest_two_versions(spark: SparkSession, sf_dir: str):
+    """Shared fixture: a ManifestTable whose v1 is the orders table and
+    whose v2 merged a deterministic update/insert batch (keys %5==0 get
+    +500 totalprice; one new key max+1)."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ManifestTable(tempfile.mkdtemp(prefix="pws_tt_") + "/orders")
+    t.overwrite(orders)
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    batch = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .unionByName(
+            spark.createDataFrame(
+                [(int(max_key) + 1, "O", 1.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    t.merge(spark, batch, ["o_orderkey"])
+    return t
+
+
+@register(
+    "manifest_time_travel_orders",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def manifest_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (operators/manifest_table.py): after a MERGE
+    creates v2, ``read(version=1)`` still returns the original table
+    bit-for-bit — v1's manifest pins its immutable files, so history reads
+    cost nothing beyond reading those files (the Iceberg/Delta VERSION AS OF
+    contract). The oracle is simply the original orders table."""
+    t = _manifest_two_versions(spark, sf_dir)
+    first = t.versions()[0]
+    return t.read(spark, version=first)
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT o_orderkey, 'u' AS op,
+           o_totalprice AS old_totalprice,
+           o_totalprice + 500.0 AS new_totalprice
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT (SELECT max(o_orderkey) + 1 FROM orders), 'i',
+           CAST(NULL AS DOUBLE), 1.0
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed analog: diff two manifest snapshots by full-outer
+    PK join (v1 vs v2), classifying each key as insert / update / delete —
+    how a lakehouse table emits downstream change streams without a log.
+    The join shuffles on the PK once; unchanged rows are filtered before
+    anything wide."""
+    t = _manifest_two_versions(spark, sf_dir)
+    v = t.versions()
+    old = t.read(spark, version=v[0]).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("old_totalprice"),
+    )
+    new = t.read(spark, version=v[-1]).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("new_totalprice"),
+    )
+    j = old.join(new, old.k == new.k2, "full_outer")
+    return (
+        j.withColumn(
+            "op",
+            F.when(F.col("k").isNull(), F.lit("i"))
+            .when(F.col("k2").isNull(), F.lit("d"))
+            .when(
+                F.col("old_totalprice") != F.col("new_totalprice"), F.lit("u")
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            F.coalesce(F.col("k"), F.col("k2")).alias("o_orderkey"),
+            "op",
+            "old_totalprice",
+            "new_totalprice",
+        )
+    )
