@@ -106,3 +106,64 @@ def bpe_train_df(
     return spark.createDataFrame(
         rows, "rank long, left string, right string, count long"
     )
+
+
+def bpe_apply(
+    words: DataFrame, merges: list[tuple[str, str, int]], syms_col: str = "syms"
+) -> DataFrame:
+    """Apply a trained merge sequence to a (word, syms) vocabulary table —
+    the ENCODE half of BPE. Same distributed fold as training's rewrite,
+    replayed in merge-rank order; ``localCheckpoint`` every few merges keeps
+    the expression tree (and lineage) bounded. Encoding operates on the
+    VOCABULARY (Zipf-small), never the corpus — the corpus only joins the
+    finished vocab."""
+    for i, (left, right, _n) in enumerate(merges):
+        merged = F.lit(left + right)
+        words = words.withColumn(
+            syms_col,
+            F.aggregate(
+                F.col(syms_col),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+        if (i + 1) % 4 == 0:
+            words = words.localCheckpoint()
+    return words.localCheckpoint()
+
+
+def bpe_encode_counts(
+    df: DataFrame, key_col: str, text_col: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Per-document subword statistics under a trained BPE vocabulary:
+    (key, n_words, n_subwords). The distinct-word vocab is encoded once via
+    ``bpe_apply`` and broadcast back onto the corpus tokens — the corpus
+    itself is never rewritten symbol-by-symbol."""
+    from pipelinewise_spark.functions.text import tokens
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(df).withColumn("__toks", tokens(F.col(text_col)))
+    vocab = (
+        d.select(F.explode("__toks").alias("word"))
+        .distinct()
+        .withColumn(
+            "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+        )
+    )
+    enc = bpe_apply(vocab, merges).select(
+        "word", F.size("syms").alias("__n_syms")
+    )
+    tok = d.select(key_col, F.explode("__toks").alias("word"))
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__n_syms").cast("long").alias("n_subwords"),
+        )
+    )

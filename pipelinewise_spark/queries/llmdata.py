@@ -1141,3 +1141,19 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bpe_train_df(spark, d, "text", num_merges=10)
+
+
+@register("bpe_encode_documents")  # trained-vocab encode: no single-SQL
+# oracle (merge replay is iterative); pinned against the pure-Python
+# reference encoder in tests/test_llmdata.py
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (functions/bpe.py:bpe_encode_counts): train 8 merges,
+    then compute per-document subword counts under that vocabulary. The
+    encode rewrites only the distinct-word vocab (Zipf-small) and
+    broadcasts it back onto corpus tokens — the scale contract for
+    tokenizing 100 TB with a fixed vocab."""
+    from pipelinewise_spark.functions.bpe import bpe_encode_counts, bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=8)
+    return bpe_encode_counts(d, "doc_id", "text", merges)

@@ -262,3 +262,33 @@ def test_strip_boilerplate_idempotent(spark):
     b = {r["doc"]: r["cleaned"] for r in twice.collect()}
     assert a == b
     assert all(r["n_lines_removed"] == 0 for r in twice.collect())
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    from pipelinewise_spark.functions.bpe import bpe_encode_counts, bpe_train
+
+    d = read_table(spark, sf_dir, "documents").limit(40)
+    texts = {r.doc_id: r.text for r in d.collect()}
+    merges = bpe_train(d, "text", num_merges=8)
+
+    # pure-Python encode with the same merges
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for left, right, _ in merges:
+            out = []
+            for tok in syms:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode_counts(d, "doc_id", "text", merges).collect()
+    }
+    for doc_id, text in texts.items():
+        words = text.lower().strip().split()
+        want = (len(words), sum(len(encode(w)) for w in words))
+        assert got[doc_id] == want, doc_id
