@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "funnel_click_purchase",
     "retention_cohorts_weekly",
     "session_window_events",
+    "ntile_documents_by_length",
+    "monthly_revenue_moving_avg",
     "cdc_stream_apply_orders",
     "stream_stream_join_attribution",
     "kafka_protobuf_events",

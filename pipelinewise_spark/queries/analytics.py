@@ -1602,3 +1602,72 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "ntile_documents_by_length",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ntile(4) OVER (ORDER BY n_chars, doc_id) AS size_quartile
+    FROM documents
+    """,
+)
+def ntile_documents_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile assignment (corpus size-striation for curation
+    mixes): deterministic because the window order carries the doc_id
+    tie-break. Single global window — correct here because the bucketing
+    is corpus-wide by definition; at scale the same cut comes from
+    approx-quantile thresholds instead (documented trade-off)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return d.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("size_quartile")
+    )
+
+
+@register(
+    "monthly_revenue_moving_avg",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1)
+    SELECT CAST(month AS DATE) AS month,
+           CAST(CAST(ROUND(rev, 6) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(SUM(rev) OVER (
+                    ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                6) AS DECIMAL(18,6)) AS DOUBLE)
+           / least(CAST(row_number() OVER (ORDER BY month) AS BIGINT), 3)
+               AS moving_avg_3m
+    FROM m
+    """,
+)
+def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup + trailing window: monthly revenue and its
+    3-month moving average. The moving sum runs over DECIMAL monthly
+    totals (exact regardless of frame evaluation order) and divides by the
+    actual frame size, so the leading partial windows are true averages.
+    The window is over ~dozens of month rows — driver-scale after the
+    groupBy, no skew concern."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("__month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("__rev"))
+    w = Window.orderBy("__month").rowsBetween(-2, 0)
+    rn = Window.orderBy("__month")
+    return m.select(
+        F.col("__month").cast("date").alias("month"),
+        F.round(F.col("__rev"), 6).cast("decimal(18,6)").cast("double").alias(
+            "revenue"
+        ),
+        (
+            F.round(F.sum("__rev").over(w), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            / F.least(F.row_number().over(rn).cast("long"), F.lit(3))
+        ).alias("moving_avg_3m"),
+    )
