@@ -129,32 +129,37 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         best = None
-        for _attempt in range(2):  # min-of-2: damps JIT/GC/scheduler noise
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: full plan runs and every output column is computed
-            # and consumed (count() would let Catalyst prune projections)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _attempt in range(2):  # min-of-2: damps JIT/GC/scheduler noise
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink: full plan runs and every output column is computed
+                # and consumed (count() would let Catalyst prune projections)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # one bad query must never zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -132,23 +133,36 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated test table (TESTDATA.md layout).
 
-    TIMESTAMP(NANOS) columns come back as long nanos; convert to µs-precision
-    timestamps (floor), matching DuckDB's read of the same files.
+    Timestamp normalization (driver-session-proof): the test parquet has
+    shipped with both TIMESTAMP(NANOS) (read as long nanos under the legacy
+    conf) and TIMESTAMP_NTZ(MICROS) columns across rounds. Downstream
+    operators use instant functions (unix_millis, session_window, stream
+    watermarks) that require TIMESTAMP, so every wall-clock column is
+    normalized here to µs-precision TIMESTAMP with the session pinned to UTC
+    (wall time == instant, matching DuckDB's naive-timestamp read of the same
+    files). Pipelines run in UTC, same contract as the reference
+    (pipelinewise/fastsync/commons/utils.py uses UTC throughout).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_columns(path)
-    if nanos_cols:
-        # Sessions we did not build (the driver's vanilla session) reject
-        # TIMESTAMP(NANOS) parquet unless this legacy conf is on. It is
-        # runtime-settable, so flip it here rather than relying on session.py.
+    # Both confs are runtime-settable; the driver's vanilla session doesn't
+    # run our session.py, so set them here (idempotent).
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(k, v)
         except Exception:
             pass
     df = spark.read.parquet(path)
     for c in nanos_cols:
         # integer div: ns magnitudes (~1.7e18) would lose precision as double
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for f in df.schema.fields:
+        # NTZ wall time -> instant at UTC; cast is exact (both µs precision)
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
