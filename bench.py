@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "orc_roundtrip_orders",
     "manifest_time_travel_orders",
     "snapshot_diff_orders",
+    "incremental_mv_orders",
+    "zorder_pruned_read_orders",
+    "dedup_keep_best_documents",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

@@ -11,7 +11,7 @@ broadcast-or-shuffle joins that scale linearly with the edge count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,4 +74,40 @@ def dedup_clusters(
     cc = connected_components(pairs, id_a, id_b)
     return cc.withColumn(
         "is_representative", F.col("node") == F.col("component")
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical-document selection: every doc gets its near-dup component
+    (docs in no pair are their own singleton component) and ``keep`` marks
+    the best doc per component — highest ``quality_col``, smallest id on
+    ties (deterministic). This is the step an actual corpus dedup runs
+    after pair detection: drop ``keep = false`` rows.
+
+    Plan shape: components come from the pair graph only (tiny vs the
+    corpus); the corpus-side work is ONE left join on the id (components
+    broadcast when small) and ONE window shuffle keyed by component —
+    no all-pairs anything, scales with corpus + edges.
+    """
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "node", id_col
+    )
+    joined = docs.join(cc, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .withColumn("keep", F.col("__rk") == 1)
+        .drop("__rk")
     )

@@ -157,6 +157,52 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _keep_best_oracle() -> str:
+    from pipelinewise_spark.queries.llmdata import _minhash_oracle
+
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS component
+        FROM reach GROUP BY u),
+    resolved AS (
+        SELECT d.doc_id, d.n_chars,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, component,
+           row_number() OVER (
+               PARTITION BY component
+               ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+    FROM resolved
+    """
+
+
+@register("dedup_keep_best_documents", oracle=_keep_best_oracle())
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the whole corpus
+    (functions/clusters.py:resolve_duplicates): near-dup components from the
+    MinHash-LSH pair graph, singletons included, keeping the
+    highest-quality doc (longest, smallest id on ties) per component —
+    the drop step a real dedup pipeline runs. Corpus-side cost is one left
+    join + one window shuffle; the component graph is edge-scale only."""
+    from pipelinewise_spark.functions.clusters import resolve_duplicates
+    from pipelinewise_spark.functions.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+    out = resolve_duplicates(d, pairs, "doc_id", "n_chars")
+    return out.select("doc_id", "component", "keep")
+
+
 @register(
     "mask_condition_field_path_events",
     oracle="""
@@ -388,6 +434,119 @@ def _manifest_two_versions(spark: SparkSession, sf_dir: str):
     )
     t.merge(spark, batch, ["o_orderkey"])
     return t
+
+
+@register(
+    "zorder_pruned_read_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + 2-D data skipping (operators/zorder.py): orders
+    laid out along the Morton curve of (o_custkey, o_totalprice) into a
+    ManifestTable, then a 2-D box read via footer-stats ranges — only files
+    whose rectangles intersect the box are listed to Spark, and the exact
+    row-level filter runs on that sliver. The oracle is the plain filter
+    over the unclustered table: pruning must never change the answer.
+    tests/test_zorder.py asserts the layout actually skips files vs the
+    natural order."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.zorder import cluster_by
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ManifestTable(tempfile.mkdtemp(prefix="pws_z_") + "/orders_z")
+    t.overwrite(cluster_by(orders, ["o_custkey", "o_totalprice"], num_files=8))
+    box = {"o_custkey": (100, 400), "o_totalprice": (50000.0, 150000.0)}
+    pruned = t.read(spark, ranges=box)
+    return pruned.filter(
+        F.col("o_custkey").between(100, 400)
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+    )
+
+
+@register(
+    "incremental_mv_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) + 1 FROM orders), 'O', 1.0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_price
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/incremental_agg.py): a revenue-by-status rollup built over
+    snapshot v1 is brought current by applying the v1→v2 change feed ONLY —
+    the base table is never re-read. Work is proportional to the batch (one
+    narrow +/- projection, one tiny-key shuffle, one broadcast-size merge
+    join), which is what keeps a 100 TB rollup maintainable from 0.1 %
+    batches. The oracle recomputes the aggregate from the merged state — the
+    incremental result must match a full rebuild exactly (decimal-exact
+    maintained sums)."""
+    from pipelinewise_spark.operators.incremental_agg import (
+        apply_change_feed,
+        build_aggregate,
+    )
+
+    t = _manifest_two_versions(spark, sf_dir)
+    v = t.versions()
+    old = t.read(spark, version=v[0])
+    new = t.read(spark, version=v[-1])
+    mv = build_aggregate(
+        old, ["o_orderstatus"], {"total_price": "o_totalprice"}
+    )
+    # change feed straight off the snapshot diff, carrying old/new group
+    # keys so updates that move rows between groups stay exact
+    o = old.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("old_o_orderstatus"),
+        F.col("o_totalprice").alias("old_o_totalprice"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("new_o_orderstatus"),
+        F.col("o_totalprice").alias("new_o_totalprice"),
+    )
+    j = o.join(n, o.k == n.k2, "full_outer")
+    changes = (
+        j.withColumn(
+            "op",
+            F.when(F.col("k").isNull(), F.lit("i"))
+            .when(F.col("k2").isNull(), F.lit("d"))
+            .when(
+                (F.col("old_o_totalprice") != F.col("new_o_totalprice"))
+                | (F.col("old_o_orderstatus") != F.col("new_o_orderstatus")),
+                F.lit("u"),
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    out = apply_change_feed(
+        mv, changes, ["o_orderstatus"], {"total_price": "o_totalprice"}
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("total_price"), 6)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_price"),
+    )
 
 
 @register(
