@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "ntile_documents_by_length",
     "monthly_revenue_moving_avg",
     "cdc_stream_apply_orders",
+    "cdc_stream_mv_orders",
     "stream_stream_join_attribution",
     "kafka_protobuf_events",
     "kafka_json_payload_events",

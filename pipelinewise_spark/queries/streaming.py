@@ -106,6 +106,69 @@ def cdc_stream_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_stream_mv_orders",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(ROUND(SUM(CAST(
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS DECIMAL(28,6))), 6)
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_stream_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup maintenance (streaming/mv.py): the CDC stream from
+    cdc_stream_apply_orders replayed as FOUR micro-batches
+    (maxFilesPerTrigger=1), with a revenue-by-status rollup folded forward
+    per batch from the change feed alone — the base table is scanned once at
+    T0 and never again. The oracle recomputes the aggregate over the final
+    LIVE state (deletes excluded, updates applied): four incremental folds
+    must land exactly on the full recompute, decimal-exact."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.streaming.mv import StreamingRollup
+
+    tmp = tempfile.mkdtemp(prefix="pws_cdcmv_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+
+    spec = StreamSpec(
+        tap_stream_id="orders", primary_keys=["o_orderkey"], hard_delete=False
+    )
+    table = ParquetTable(os.path.join(tmp, "orders"))
+    orders = read_table(spark, sf_dir, "orders")
+    table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
+
+    rollup = StreamingRollup(
+        ParquetTable(os.path.join(tmp, "orders_mv")),
+        keys=["o_orderstatus"],
+        sums={"total_price": "o_totalprice"},
+    )
+    rollup.initialize(table.read(spark))
+
+    _orders_cdc_events(spark, sf_dir).coalesce(4).write.mode("overwrite").json(
+        events_dir
+    )
+    payload = T._parse_datatype_string(_ORDERS_PAYLOAD)
+    run_cdc_stream(
+        spark, events_dir, payload, spec, table,
+        checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+        max_files_per_trigger=1,
+        rollup=rollup,
+    )
+    return rollup.read(spark).select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("total_price"), 6)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
     "kafka_records_events",
     oracle="""
     WITH rec AS (

@@ -114,6 +114,7 @@ def run_cdc_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     state=None,
+    rollup=None,
 ) -> None:
     """Consume a JSONL change-event directory as a bounded stream.
 
@@ -131,6 +132,10 @@ def run_cdc_stream(
     stream = reader.load(events_path)
 
     def _on_batch(batch: DataFrame, epoch: int) -> None:
+        if rollup is not None:
+            # maintained aggregate folds the batch against the PRE-merge
+            # target state (streaming/mv.py) — must precede the merge
+            rollup.on_batch(spark, table, batch, spec.primary_keys)
         apply_change_batch(table, batch, spec)
         if state is not None:
             # per-batch bookmark advance, write-throttled like the

@@ -1,0 +1,149 @@
+"""Streaming rollup maintenance — a materialized aggregate kept current by
+every CDC micro-batch, at batch cost.
+
+Composes the CDC apply path (streaming/cdc.py) with the incremental
+aggregate delta rule (operators/incremental_agg.py): per micro-batch, the
+change feed is derived by joining the (deduped) batch against the target's
+PRE-merge state — one PK join against exactly the rows the MERGE itself is
+about to touch — and applied to the rollup table. The base table is never
+scanned; a 100 TB fact table's dashboard rollup updates at the cost of the
+0.1 % batch. Mirrors the target's own semantics, so streamed == recomputed:
+
+- only LIVE rows count (soft-deleted rows leave the rollup);
+- the ``_sdc_seq`` staleness guard is replayed here: an event the MERGE
+  would discard as stale contributes nothing;
+- redelivered events are no-ops (old == new → zero delta).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.dedupe import last_wins_dedupe
+from pipelinewise_spark.operators.incremental_agg import (
+    apply_change_feed,
+    build_aggregate,
+)
+from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
+from pipelinewise_spark.streaming.cdc import OP_COL, SDC_SEQ_COL, SEQ_COL
+
+
+class StreamingRollup:
+    """A maintained aggregate over the LIVE rows of a CDC-replicated table.
+
+    ``sums`` maps output column -> source column (additive measures; count
+    is always maintained as ``count_col``). The rollup itself lives in any
+    table object with ``exists()/read(spark)/overwrite(df)`` (ParquetTable /
+    ManifestTable) and is published atomically per micro-batch, so readers
+    see rollup versions that correspond to target versions.
+    """
+
+    def __init__(
+        self,
+        mv_table,
+        keys: Sequence[str],
+        sums: Mapping[str, str],
+        count_col: str = "n_rows",
+    ):
+        self.mv_table = mv_table
+        self.keys = list(keys)
+        self.sums = dict(sums)
+        self.count_col = count_col
+
+    def initialize(self, base: DataFrame) -> None:
+        """Full build from the T0 load (the one base-table scan there is)."""
+        live = (
+            base.filter(F.col(SDC_DELETED_AT).isNull())
+            if SDC_DELETED_AT in base.columns
+            else base
+        )
+        self.mv_table.overwrite(
+            build_aggregate(live, self.keys, self.sums, self.count_col)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.mv_table.read(spark)
+
+    def on_batch(
+        self,
+        spark: SparkSession,
+        target,
+        batch: DataFrame,
+        primary_keys: Sequence[str],
+    ) -> None:
+        """Fold one micro-batch into the rollup. MUST run against the
+        target's PRE-merge state (call before ``apply_change_batch``).
+
+        The old side is the target restricted to the batch's PKs — for a
+        ManifestTable this is a partition/stats-pruned read; either way the
+        join is batch-sized, not table-sized.
+        """
+        touched = [*self.keys, *{src for src in self.sums.values()}]
+        deduped = last_wins_dedupe(batch, primary_keys, SEQ_COL)
+        if not target.exists():
+            feed = deduped.filter(F.col(OP_COL) != "d").select(
+                F.lit("i").alias("op"),
+                *[F.lit(None).alias(f"old_{c}") for c in touched],
+                *[F.col(c).alias(f"new_{c}") for c in touched],
+            )
+        else:
+            old_cols = [*primary_keys, *touched]
+            if SDC_SEQ_COL in target.read(spark).columns:
+                old_cols.append(SDC_SEQ_COL)
+            old = target.read(spark).select(
+                *[F.col(c).alias(f"__old_{c}") for c in old_cols],
+                F.col(SDC_DELETED_AT).alias("__old_deleted")
+                if SDC_DELETED_AT in target.read(spark).columns
+                else F.lit(None).cast("timestamp").alias("__old_deleted"),
+            )
+            cond = [
+                deduped[pk].eqNullSafe(old[f"__old_{pk}"])
+                for pk in primary_keys
+            ]
+            j = deduped.join(old, cond, "left")
+            matched = F.col(f"__old_{primary_keys[0]}").isNotNull()
+            applied = (
+                ~matched
+                | F.col(f"__old_{SDC_SEQ_COL}").isNull()
+                | (F.col(SEQ_COL) >= F.col(f"__old_{SDC_SEQ_COL}"))
+                if SDC_SEQ_COL in old_cols
+                else F.lit(True)
+            )
+            old_live = matched & F.col("__old_deleted").isNull()
+            new_live = F.col(OP_COL) != "d"
+            op = (
+                F.when(~applied, F.lit(None))
+                .when(old_live & new_live, F.lit("u"))
+                .when(old_live & ~new_live, F.lit("d"))
+                .when(~old_live & new_live, F.lit("i"))
+            )
+            feed = (
+                j.withColumn("op", op)
+                .filter(F.col("op").isNotNull())
+                .select(
+                    "op",
+                    *[
+                        F.col(f"__old_{c}").alias(f"old_{c}")
+                        for c in touched
+                    ],
+                    *[F.col(c).alias(f"new_{c}") for c in touched],
+                )
+            )
+        mv = (
+            self.read(spark)
+            if self.mv_table.exists()
+            else build_aggregate(
+                spark.createDataFrame([], deduped.schema),
+                self.keys, self.sums, self.count_col,
+            )
+        )
+        new_mv = apply_change_feed(
+            mv, feed, self.keys, self.sums, self.count_col
+        )
+        # publish eagerly: the feed references the target's pre-merge files,
+        # which stay valid (snapshots are immutable) but the rollup version
+        # must land before the target advances
+        self.mv_table.overwrite(new_mv)

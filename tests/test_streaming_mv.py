@@ -1,0 +1,89 @@
+"""StreamingRollup: per-batch folds mirror the MERGE's own semantics —
+stale events (seq guard) contribute nothing, deletes leave the rollup,
+re-inserts after soft delete come back, redelivered events are no-ops."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.sdc import add_sdc_columns
+from pipelinewise_spark.operators.table import ParquetTable
+from pipelinewise_spark.plans.spec import StreamSpec
+from pipelinewise_spark.streaming.cdc import apply_change_batch
+from pipelinewise_spark.streaming.mv import StreamingRollup
+
+_ENV = (
+    "_op string, _seq long, _event_ts string, "
+    "id long, grp string, val double"
+)
+
+
+def _mv(rollup, spark):
+    return {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in rollup.read(spark).collect()
+    }
+
+
+def test_rollup_tracks_merge_semantics(spark):
+    tmp = tempfile.mkdtemp(prefix="pws_mvtest_")
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["id"], hard_delete=False)
+    table = ParquetTable(os.path.join(tmp, "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, grp string, val double",
+    )
+    table.overwrite(
+        add_sdc_columns(base, extracted_at="2026-01-01", batched_at="2026-01-01")
+        .withColumn("_sdc_seq", F.lit(0).cast("long"))
+    )
+    rollup = StreamingRollup(
+        ParquetTable(os.path.join(tmp, "mv")), ["grp"], {"total": "val"}
+    )
+    rollup.initialize(table.read(spark))
+    assert _mv(rollup, spark) == {"a": (2, 30.0), "b": (1, 30.0)}
+
+    def fold(rows):
+        batch = spark.createDataFrame(rows, _ENV)
+        rollup.on_batch(spark, table, batch, spec.primary_keys)
+        apply_change_batch(table, batch, spec)
+
+    # batch 1: update id=1 (10->15), delete id=3, insert id=4 into b
+    fold([
+        ("u", 10, "2026-01-02", 1, "a", 15.0),
+        ("d", 11, "2026-01-02", 3, "b", None),
+        ("c", 12, "2026-01-02", 4, "b", 7.0),
+    ])
+    assert _mv(rollup, spark) == {"a": (2, 35.0), "b": (1, 7.0)}
+
+    # batch 2: STALE update of id=1 (seq 5 < persisted 10) — discarded by
+    # the merge guard, must also not touch the rollup; plus redelivery of
+    # the id=4 insert (old == new -> zero delta)
+    fold([
+        ("u", 5, "2026-01-02", 1, "a", 99.0),
+        ("c", 12, "2026-01-02", 4, "b", 7.0),
+    ])
+    assert _mv(rollup, spark) == {"a": (2, 35.0), "b": (1, 7.0)}
+
+    # batch 3: re-insert id=3 after its soft delete (comes back live),
+    # and a group-moving update id=2 a->b
+    fold([
+        ("c", 20, "2026-01-03", 3, "b", 31.0),
+        ("u", 21, "2026-01-03", 2, "b", 20.0),
+    ])
+    assert _mv(rollup, spark) == {"a": (1, 15.0), "b": (3, 58.0)}
+
+    # rollup == recompute over the live target, decimal-exact
+    live = table.read(spark).filter(F.col("_sdc_deleted_at").isNull())
+    expect = {
+        r["grp"]: (r["n"], float(r["s"]))
+        for r in live.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("val").cast("decimal(28,6)")).alias("s"))
+        .collect()
+    }
+    assert _mv(rollup, spark) == expect
