@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "incremental_mv_orders",
     "zorder_pruned_read_orders",
+    "bloom_point_lookup_orders",
     "dedup_keep_best_documents",
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -198,13 +198,17 @@ class ManifestTable:
         partitions: dict[str, list[str]] | None = None,
         ranges: dict[str, tuple[Any, Any]] | None = None,
         version: int | None = None,
+        points: dict[str, Any] | None = None,
     ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
-        """Manifest entries surviving partition pruning and min/max file
-        skipping. ``ranges`` maps column → (lo, hi) bounds (either side
-        None = open); a file is skipped only when its footer stats PROVE the
-        range can't match — missing stats keep the file. Bounds for
-        timestamp columns are their ``isoformat(sep=' ')`` strings (the
-        manifest's stats encoding)."""
+        """Manifest entries surviving partition pruning, min/max file
+        skipping, and Bloom point-lookup pruning. ``ranges`` maps column →
+        (lo, hi) bounds (either side None = open); a file is skipped only
+        when its footer stats PROVE the range can't match — missing stats
+        keep the file. Bounds for timestamp columns are their
+        ``isoformat(sep=' ')`` strings (the manifest's stats encoding).
+        ``points`` maps column → value or list of values; files whose Bloom
+        filter (add_bloom_filters) proves NONE of the values present are
+        skipped — no filter on a file keeps it (best-effort, like stats)."""
         m = self._load_manifest(version)
         entries = m["files"]
         if partitions:
@@ -229,6 +233,20 @@ class ManifestTable:
                 return True
 
             entries = [e for e in entries if matches(e)]
+        if points:
+            def bloom_keeps(e: dict[str, Any]) -> bool:
+                blooms = e.get("bloom", {})
+                for c, vals in points.items():
+                    if c not in blooms:
+                        continue
+                    vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
+                    if not any(
+                        self._bloom_maybe_contains(blooms[c], v) for v in vlist
+                    ):
+                        return False
+                return True
+
+            entries = [e for e in entries if bloom_keeps(e)]
         return entries, m
 
     def read(
@@ -237,13 +255,15 @@ class ManifestTable:
         partitions: dict[str, list[str]] | None = None,
         version: int | None = None,
         ranges: dict[str, tuple[Any, Any]] | None = None,
+        points: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Read the live snapshot (or a historical ``version`` — time
         travel). ``partitions`` prunes manifest-side; ``ranges`` adds
-        footer-stats file skipping (Iceberg/Delta-style data skipping: only
-        files whose [min,max] can overlap the predicate are ever listed to
-        Spark — the caller still applies the exact row-level filter)."""
-        entries, m = self.select_entries(partitions, ranges, version)
+        footer-stats file skipping; ``points`` adds Bloom point-lookup
+        skipping (Iceberg/Delta-style data skipping: only files that can
+        match are ever listed to Spark — the caller still applies the exact
+        row-level filter)."""
+        entries, m = self.select_entries(partitions, ranges, version, points)
         return self._read_entries(spark, entries, m)
 
     def _read_entries(
@@ -365,6 +385,104 @@ class ManifestTable:
                 "files": kept + new_entries,
             }
         )
+
+    # -------------------------------------------------------------- bloom
+    @staticmethod
+    def _bloom_positions_py(value: Any, m: int, k: int) -> list[int]:
+        """Driver-side twin of the JVM bloom hash: md5 of the value's string
+        form, split into k 8-hex-digit chunks, each mod m. Only exact string
+        casts are safe — restrict bloom columns to integer/string types."""
+        import hashlib
+
+        h = hashlib.md5(str(value).encode()).hexdigest()
+        return [int(h[8 * i: 8 * i + 8], 16) % m for i in range(k)]
+
+    def add_bloom_filters(
+        self,
+        spark: SparkSession,
+        cols: Sequence[str],
+        m: int = 8192,
+        k: int = 3,
+    ) -> None:
+        """Attach a per-file Bloom filter over ``cols`` to every manifest
+        entry and republish (an OPTIMIZE-style amortized pass, like Delta's
+        bloom index / Iceberg puffin files). Point lookups on a column
+        UNCORRELATED with the layout — where [min,max] spans everything —
+        then prune to the files that actually contain the key (plus an
+        m/k-governed false-positive sliver).
+
+        Build is ONE distributed pass: k hash positions per row exploded
+        JVM-side (md5 chunks — reproducible from Python at query time),
+        collapsed to a distinct (file, col, position) set — at most m
+        positions per file per column ever cross to the driver, so the
+        collected index is metadata-scale regardless of row count.
+        ``cols`` must be integer or string typed (exact string-cast
+        round-trip); the positions land in ``entry["bloom"][col]`` as a
+        sorted int list with the (m, k) parameters.
+        """
+        mfest = self._load_manifest()
+        entries = mfest["files"]
+        by_name = {posixpath.basename(e["path"]): e for e in entries}
+        df = self._read_entries(spark, entries, mfest)
+        for c in cols:
+            dt = dict(df.dtypes)[c]
+            if not (dt in ("string",) or dt in ("tinyint", "smallint", "int", "bigint")):
+                raise ValueError(f"bloom column must be integer/string: {c} is {dt}")
+        pos_rows = []
+        for c in cols:
+            h = F.md5(F.col(c).cast("string"))
+            positions = F.array(
+                *[
+                    F.conv(F.substring(h, 8 * i + 1, 8), 16, 10)
+                    .cast("long") % m
+                    for i in range(k)
+                ]
+            )
+            pos_rows.append(
+                df.filter(F.col(c).isNotNull()).select(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("__file"),
+                    F.lit(c).alias("__col"),
+                    F.explode(positions).alias("__pos"),
+                )
+            )
+        allpos = pos_rows[0]
+        for p in pos_rows[1:]:
+            allpos = allpos.unionByName(p)
+        collected = (
+            allpos.distinct()
+            .groupBy("__file", "__col")
+            .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
+            .collect()
+        )
+        import base64
+
+        for r in collected:
+            e = by_name.get(r["__file"])
+            if e is None:
+                continue
+            bits = bytearray((m + 7) // 8)
+            for p in r["__positions"]:
+                bits[p // 8] |= 1 << (p % 8)
+            e.setdefault("bloom", {})[r["__col"]] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+        self._publish(mfest)
+
+    @staticmethod
+    def _bloom_maybe_contains(bloom: dict[str, Any], value: Any) -> bool:
+        import base64
+
+        bits = base64.b64decode(bloom["bits"])
+        for p in ManifestTable._bloom_positions_py(
+            value, bloom["m"], bloom["k"]
+        ):
+            if not bits[p // 8] & (1 << (p % 8)):
+                return False
+        return True
 
     # -------------------------------------------------------------- compact
     def compact(self, spark: SparkSession, min_files: int = 2) -> int:

@@ -473,6 +473,48 @@ def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_point_lookup_orders",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders)
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey IN (
+        SELECT o_orderkey FROM ranked WHERE rn IN (1, 100, 1000))
+    """,
+)
+def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter point lookup
+    (operators/manifest_table.py:add_bloom_filters): orders laid out by
+    CUSTOMER hash — so every file spans the full o_orderkey range and
+    min/max stats prune nothing — then three order keys (the 1st, 100th,
+    1000th smallest) looked up through the Bloom index: only files whose
+    filter admits one of the keys are listed to Spark, and the exact IN
+    filter runs on that sliver. tests/test_bloom.py asserts the index
+    actually skips files where stats cannot."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ManifestTable(tempfile.mkdtemp(prefix="pws_bloom_") + "/orders_b")
+    t.overwrite(orders.repartition(8, "o_custkey"))
+    t.add_bloom_filters(spark, ["o_orderkey"])
+
+    keys = [
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(1000).collect()
+    ]
+    lookups = [keys[0], keys[99], keys[999]]
+    pruned = t.read(spark, points={"o_orderkey": lookups})
+    return pruned.filter(F.col("o_orderkey").isin(lookups))
+
+
+@register(
     "incremental_mv_orders",
     oracle="""
     WITH v2 AS (
