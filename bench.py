@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "zorder_pruned_read_orders",
     "bloom_point_lookup_orders",
     "dedup_keep_best_documents",
+    "pack_sequences_documents",
+    "salted_join_events_users",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

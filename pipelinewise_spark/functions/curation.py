@@ -70,6 +70,63 @@ def top_fraction_by(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    shard_budget: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: rows (in key order) concatenate into
+    training examples of at most ``max_tokens`` tokens — a new example
+    starts whenever the next row would overflow (a row alone larger than
+    the budget gets its own example). Output adds ``shard`` and ``example``
+    (example index within its shard).
+
+    Greedy packing is a sequential recurrence (the running total RESETS at
+    each boundary), which no window function expresses — a single global
+    scan would serialize 100 TB onto one task. The scale shape is
+    hierarchical: the distributed prefix sum first cuts the corpus into
+    ~``shard_budget``-token shards (parallel, deterministic), then each
+    shard packs independently inside one Arrow batch
+    (``applyInPandas`` — thousands of shards pack concurrently).
+    Examples never span shards; with ``shard_budget`` >> ``max_tokens``
+    the packing loss at shard boundaries is one partial example per shard.
+    This is how production training pipelines pack at scale, and the
+    determinism contract holds: same corpus, same budgets → same examples.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    shard_budget = shard_budget or max_tokens * 64
+    sharded = shard_by_token_budget(
+        df, key_col, tokens_col, shard_budget, num_partitions
+    )
+    # copy: StructType.add mutates in place and .schema may be cached
+    out_schema = T.StructType(
+        list(sharded.schema.fields) + [T.StructField("example", T.LongType())]
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(key_col).reset_index(drop=True)
+        ex, acc, cur = [], 0, 0
+        for i, t in enumerate(pdf[tokens_col]):
+            t = int(t)
+            if i == 0:
+                acc = t
+            elif acc + t > max_tokens:
+                cur += 1
+                acc = t
+            else:
+                acc += t
+            ex.append(cur)
+        pdf["example"] = ex
+        return pdf
+
+    return sharded.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
 def shard_by_token_budget(
     df: DataFrame,
     key_col: str,

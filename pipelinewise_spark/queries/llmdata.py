@@ -609,6 +609,54 @@ def shard_documents_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_documents",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents),
+    s AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((sum(n_tokens) OVER (ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 2000.0) AS BIGINT) AS shard
+        FROM t),
+    d AS (
+        SELECT s.*, row_number() OVER (
+            PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM s),
+    pack(shard, rn, doc_id, n_tokens, example, acc) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN p.acc + d.n_tokens > 512
+                    THEN p.example + 1 ELSE p.example END,
+               CASE WHEN p.acc + d.n_tokens > 512
+                    THEN d.n_tokens ELSE p.acc + d.n_tokens END
+        FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+    SELECT doc_id, n_tokens, shard, example FROM pack
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into <=512-token training examples
+    (functions/curation.py:pack_sequences): hierarchical — the distributed
+    prefix sum cuts ~2000-token shards in parallel, then every shard packs
+    independently inside one Arrow batch; thousands of shards pack
+    concurrently and no global scan serializes. The oracle replays the
+    greedy recurrence exactly with a recursive CTE (one recursion step per
+    row position within a shard)."""
+    from pipelinewise_spark.functions.curation import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(
+        t, key_col="doc_id", tokens_col="n_tokens",
+        max_tokens=512, shard_budget=2000,
+    )
+    return out.select("doc_id", "n_tokens", "shard", "example")
+
+
+@register(
     "gopher_quality_documents",
     oracle=f"""
     WITH tok AS (

@@ -473,6 +473,31 @@ def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_events_users",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def salted_join_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.py:salted_join): the
+    events fact side has ~150 hot user keys (each key is ~0.7 % of all
+    rows — the skewed-reducer shape); the user dim is replicated across 16
+    salt shards so each hot key spreads over 16 reducers. Row-identical to
+    the plain join — the oracle IS the plain join."""
+    from pipelinewise_spark.operators.skew import salted_join
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    users = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    out = salted_join(events, users, ["user_id"], salt_buckets=16)
+    return out.select("event_id", "user_id", "c_name", "value")
+
+
+@register(
     "bloom_point_lookup_orders",
     oracle="""
     WITH ranked AS (
