@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q11_important_parts",
     "q15_top_supplier",
     "term_frequencies_documents",
+    "frequent_tokens_documents",
     "asof_join_click_purchase",
     "range_join_attribution",
     "stratified_sample_documents",

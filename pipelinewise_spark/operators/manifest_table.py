@@ -451,9 +451,10 @@ class ManifestTable:
         for p in pos_rows[1:]:
             allpos = allpos.unionByName(p)
         collected = (
-            allpos.distinct()
-            .groupBy("__file", "__col")
-            .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
+            # collect_set dedups inside the aggregation buffer (bounded by m
+            # entries per file/col) — one shuffle, not distinct + groupBy
+            allpos.groupBy("__file", "__col")
+            .agg(F.collect_set("__pos").alias("__positions"))
             .collect()
         )
         import base64

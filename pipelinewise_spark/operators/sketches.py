@@ -14,6 +14,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    min_fraction: float,
+) -> DataFrame:
+    """EXACT frequent items (value, n) for every value with frequency >=
+    ``min_fraction`` of all rows — without ever shuffling the long tail.
+
+    Direct ``groupBy(col)`` shuffles the full value space (at 100 TB, the
+    token vocabulary of a web corpus). The distributed heavy-hitter shape
+    instead:
+
+    1. LOCAL candidate pass: per input partition, count values in-memory
+       (Arrow batch) and emit only those meeting the threshold *locally*.
+       Pigeonhole guarantee: a value with global count >= f*N must reach
+       count >= f*N_p in at least one partition (if it missed the local bar
+       everywhere, its global count would be < f * sum(N_p) = f*N), so the
+       candidate set provably contains every true heavy hitter — this pass
+       has NO false-negative risk, only false positives.
+    2. EXACT verify pass: broadcast the (tiny) candidate set, semi-join it
+       against the data, and count candidates exactly — the only groupBy
+       keys that shuffle are the candidates themselves.
+
+    Two narrow scans, shuffles proportional to the answer, exact result.
+    """
+    spark = df.sparkSession
+
+    def _local_candidates(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            for v, c in pdf[col].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+        bar = min_fraction * total
+        vals = [v for v, c in counts.items() if c >= bar]
+        yield pd.DataFrame({col: vals})
+
+    candidates = (
+        df.select(col)
+        .mapInPandas(_local_candidates, schema=df.select(col).schema)
+        .distinct()
+    )
+    n_total = df.count()
+    exact = (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(float(min_fraction)) * F.lit(n_total))
+    )
+    return exact
+
+
 def approx_stats(
     df: DataFrame,
     numeric_cols: list[str],

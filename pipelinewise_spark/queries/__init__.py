@@ -15,3 +15,58 @@ from pipelinewise_spark.queries import targets as _targets  # noqa: F401,E402
 from pipelinewise_spark.queries import llmdata as _llmdata  # noqa: F401,E402
 from pipelinewise_spark.queries import streaming as _streaming  # noqa: F401,E402
 from pipelinewise_spark.queries import ops as _ops  # noqa: F401,E402
+
+# Registry iteration order is the order external harnesses see (and a
+# bounded harness may only sample a PREFIX of it). Lead with a
+# representative cross-section of every operator family — sync/CDC,
+# sinks/sources, masking, relational/window, streaming, lakehouse/scale
+# machinery, LLM-data — rather than module import order, which would
+# front-load one family and starve the rest.
+_SHOWCASE_ORDER = [
+    # replication core
+    "full_table_sync_lineitem", "incremental_sync_orders",
+    "partial_sync_orders", "cdc_stream_apply_orders", "pk_dedupe_events",
+    "merge_soft_delete_orders", "merge_hard_delete_orders",
+    "schema_evolution_add_column", "timestamp_clamp_orders",
+    # sinks / sources
+    "validate_events", "flatten_events_props", "csv_source_lineno_orders",
+    "mongo_documents_normalize", "mongo_change_stream_apply",
+    "kafka_protobuf_events", "kafka_json_payload_events",
+    # transformations
+    "mask_transforms_customer", "mask_conditional_orders",
+    "mask_condition_field_path_events", "mask_json_field_paths_events",
+    # relational / windows
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_type_profit",
+    "q21_waiting_suppliers", "rollup_order_revenue", "events_topk_per_user",
+    "sessionize_events", "asof_join_click_purchase", "range_join_attribution",
+    # streaming
+    "windowed_event_counts", "stream_stream_join_attribution",
+    "cdc_stream_mv_orders",
+    # lakehouse / scale machinery
+    "manifest_time_travel_orders", "snapshot_diff_orders",
+    "incremental_mv_orders", "zorder_pruned_read_orders",
+    "bloom_point_lookup_orders", "salted_agg_events_by_type",
+    "salted_join_events_users",
+    # LLM training-data
+    "exact_dedup_documents", "minhash_lsh_pairs_documents",
+    "ngram_jaccard_pairs_documents", "dedup_clusters_documents",
+    "dedup_keep_best_documents", "embedding_cosine_topk",
+    "embedding_near_dup_pairs", "gopher_quality_documents",
+    "curation_pipeline_documents", "pack_sequences_documents",
+    "frequent_tokens_documents",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _SHOWCASE_ORDER if n not in QUERIES]
+    assert not missing, f"showcase order names unknown queries: {missing}"
+    ordered = {n: QUERIES[n] for n in _SHOWCASE_ORDER}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+_reorder()

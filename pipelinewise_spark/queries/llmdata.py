@@ -1149,6 +1149,32 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_tokens_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS total FROM t)
+    SELECT token, count(*) AS n
+    FROM t GROUP BY token
+    HAVING count(*) >= 0.002 * (SELECT total FROM tot)
+    """,
+)
+def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (>= 0.2 % of the corpus) without shuffling
+    the vocabulary long tail (operators/sketches.py:frequent_items): local
+    per-partition candidate counts with a pigeonhole recall guarantee, then
+    an exact broadcast-semi-join verify — shuffle volume proportional to
+    the ANSWER, not the token space. The oracle is the direct full groupBy
+    with the same threshold."""
+    from pipelinewise_spark.functions.text import tokens
+    from pipelinewise_spark.operators.sketches import frequent_items
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return frequent_items(toks, "token", min_fraction=0.002)
+
+
+@register(
     "term_frequencies_documents",
     oracle=f"""
     WITH t AS (

@@ -120,12 +120,13 @@ def cdc_stream_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_stream_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming rollup maintenance (streaming/mv.py): the CDC stream from
-    cdc_stream_apply_orders replayed as FOUR micro-batches
-    (maxFilesPerTrigger=1), with a revenue-by-status rollup folded forward
-    per batch from the change feed alone — the base table is scanned once at
-    T0 and never again. The oracle recomputes the aggregate over the final
-    LIVE state (deletes excluded, updates applied): four incremental folds
-    must land exactly on the full recompute, decimal-exact."""
+    cdc_stream_apply_orders replayed as TWO micro-batches
+    (maxFilesPerTrigger=2 over 4 files), with a revenue-by-status rollup
+    folded forward per batch from the change feed alone — the base table is
+    scanned once at T0 and never again. The oracle recomputes the aggregate
+    over the final LIVE state (deletes excluded, updates applied): the
+    incremental folds must land exactly on the full recompute,
+    decimal-exact."""
     import pyspark.sql.types as T
 
     from pipelinewise_spark.streaming.mv import StreamingRollup
@@ -155,7 +156,7 @@ def cdc_stream_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_cdc_stream(
         spark, events_dir, payload, spec, table,
         checkpoint_dir=os.path.join(tmp, "_checkpoint"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=2,
         rollup=rollup,
     )
     return rollup.read(spark).select(
