@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "manifest_time_travel_orders",
     "snapshot_diff_orders",
     "incremental_mv_orders",
+    "incremental_mv_minmax_orders",
     "zorder_pruned_read_orders",
     "bloom_point_lookup_orders",
     "dedup_keep_best_documents",

@@ -7,6 +7,7 @@ engine's three verbs:
     profile    per-column statistics of a parquet table
     state      print the pipeline's bookmark state
     discover   emit a Singer-style catalog (streams + JSON Schemas)
+    optimize   ManifestTable maintenance: compact / Z-order / Bloom / vacuum
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
@@ -106,6 +107,37 @@ def _cmd_discover(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    """Lakehouse table maintenance in one pass — the OPTIMIZE verb: compact
+    fragmented partitions, optionally re-cluster along a Z-order, attach
+    Bloom indexes, and vacuum unreferenced files."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.zorder import cluster_by
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-optimize")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    report: dict = {"table": args.table}
+    if args.zorder:
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        df = cluster_by(t.read(spark), cols, num_files=args.target_files)
+        t.overwrite(df, t.partition_by)
+        report["zorder"] = cols
+    else:
+        report["compacted_partitions"] = t.compact(spark)
+    if args.bloom:
+        cols = [c.strip() for c in args.bloom.split(",") if c.strip()]
+        t.add_bloom_filters(spark, cols)
+        report["bloom"] = cols
+    if args.vacuum:
+        t.vacuum(keep_manifests=args.keep_manifests)
+        report["vacuumed"] = True
+    report["version"] = t.current_manifest_name()
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pipelinewise_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -130,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
     disc.add_argument("source_dir")
     disc.add_argument("--schema-name", default="public")
     disc.set_defaults(fn=_cmd_discover)
+
+    opt = sub.add_parser(
+        "optimize",
+        help="ManifestTable maintenance: compact / zorder / bloom / vacuum",
+    )
+    opt.add_argument("table", help="ManifestTable root path")
+    opt.add_argument("--zorder", help="comma-separated Z-order columns")
+    opt.add_argument("--bloom", help="comma-separated Bloom-index columns")
+    opt.add_argument("--vacuum", action="store_true")
+    opt.add_argument("--keep-manifests", type=int, default=2)
+    opt.add_argument("--target-files", type=int, default=None)
+    opt.set_defaults(fn=_cmd_optimize)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -617,6 +617,54 @@ def incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_mv_minmax_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) + 1 FROM orders), 'O', 1.0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def incremental_mv_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive MV maintenance (incremental_agg.py:rescope_groups):
+    min/max can't be folded through deletes/updates, so only the groups the
+    change feed TOUCHES are recomputed from the new snapshot (at scale a
+    partition/manifest-pruned sliver) and spliced over the stale rows;
+    untouched groups carry over from the old MV without any base read. The
+    oracle is a full recompute over the merged state."""
+    from pipelinewise_spark.operators.incremental_agg import rescope_groups
+
+    t = _manifest_two_versions(spark, sf_dir)
+    v = t.versions()
+    old = t.read(spark, version=v[0])
+    new = t.read(spark, version=v[-1])
+    mv = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    # touched groups: any status appearing on either side of a change
+    changed_keys = (
+        new.join(old.select("o_orderkey", F.col("o_totalprice").alias("__o")),
+                 "o_orderkey", "left")
+        .filter(F.col("__o").isNull() | (F.col("__o") != F.col("o_totalprice")))
+        .select("o_orderstatus")
+        .distinct()
+    )
+    out = rescope_groups(
+        mv, new, changed_keys, ["o_orderstatus"],
+        {"lo": ("o_totalprice", "min"), "hi": ("o_totalprice", "max")},
+    )
+    return out.select("o_orderstatus", "n_rows", "lo", "hi")
+
+
+@register(
     "manifest_time_travel_orders",
     oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )

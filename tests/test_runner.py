@@ -276,3 +276,34 @@ def test_alert_sender_dispatch_on_stream_failure(spark, tmp_path, sf_dir):
     except Exception:
         pass
     assert len(got) == 1
+
+
+def test_cli_optimize_zorder_bloom_vacuum(capsys, spark, sf_dir, tmp_path):
+    import json
+
+    from pipelinewise_spark.__main__ import main
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.sources.files import read_table
+
+    root = str(tmp_path / "orders_opt")
+    t = ManifestTable(root)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.overwrite(orders.repartition(4))
+    n_before = orders.count()
+
+    assert main([
+        "optimize", root,
+        "--zorder", "o_custkey,o_totalprice",
+        "--bloom", "o_orderkey",
+        "--vacuum",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["zorder"] == ["o_custkey", "o_totalprice"]
+    assert rep["bloom"] == ["o_orderkey"]
+
+    t2 = ManifestTable(root)
+    assert t2.read(spark).count() == n_before
+    entries, _ = t2.select_entries()
+    assert any("o_orderkey" in e.get("bloom", {}) for e in entries)
