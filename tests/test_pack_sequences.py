@@ -34,3 +34,35 @@ def test_deterministic_across_parallelism(spark):
         df.repartition(13), "doc_id", "n_tokens", 512, 2000, num_partitions=7
     )
     assert _packed(a) == _packed(b)
+
+
+def test_random_matches_pure_python_reference(spark):
+    import random
+
+    def ref_pack(tokens):
+        ex, out, acc, cur = [], [], 0, 0
+        for i, t in enumerate(tokens):
+            if i == 0:
+                acc = t
+            elif acc + t > 512:
+                cur += 1
+                acc = t
+            else:
+                acc += t
+            out.append(cur)
+        return out
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        toks = [rng.randint(1, 700) for _ in range(rng.randint(1, 120))]
+        rows = [(i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        # one giant shard => the Spark pack must equal the GLOBAL greedy
+        out = pack_sequences(
+            df, "doc_id", "n_tokens", max_tokens=512, shard_budget=10**9
+        )
+        got = [
+            r["example"]
+            for r in out.orderBy("doc_id").collect()
+        ]
+        assert got == ref_pack(toks), f"seed {seed}"
