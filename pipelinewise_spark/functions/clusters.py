@@ -37,31 +37,29 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     for _ in range(max_iterations):
-        # each node adopts min(own label, neighbors' labels)
+        # each node adopts min(own label, neighbors' labels); the change
+        # flag rides along so convergence needs no extra join — one agg
+        # over the (already checkpointed) result per iteration
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        new_component = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component != F.col("component")).alias("__changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        labels = stepped.select("node", "component")
+        if not stepped.agg(F.max("__changed")).collect()[0][0]:
             break
     return labels
 
