@@ -438,6 +438,18 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       num_centroids=8, n_probe=4)
 
 
+@register("embedding_quantized_topk")  # round-half FP boundary differs per
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings (similarity.py:
+    quantize_embeddings) — 1/4 the working set of the float path with the
+    same plan shape; cosine error and recall vs exact are bounded in
+    tests/test_quantized.py. Rows-only: engines round ties at the
+    quantization boundary differently, so the driver checks rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.quantized_cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
 # -------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_metadata",
