@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "merge_soft_delete_orders",
     "exact_dedup_documents",
     "minhash_lsh_pairs_documents",
+    "minhash_incremental_batch_documents",
     "simhash_documents",
     "ngram_jaccard_pairs_documents",
     "embedding_cosine_topk",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "salted_agg_events_by_type",
     "dedup_clusters_documents",
     "validate_events",
+    "quarantine_events",
     "partial_sync_orders",
     "except_customers_both_segments",
     "intersect_customers_both_statuses",

@@ -188,6 +188,70 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, num_bands: int
+) -> DataFrame:
+    """Narrow (id, band_key) frame from a signature frame."""
+    rows_per_band = num_hashes // num_bands
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat(F.lit(f"{b}|"), *parts)))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+def minhash_lsh_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs (id_a ∈ corpus, id_b ∈ batch,
+    jaccard >= threshold) — dedup a NEW ingest batch against the standing
+    corpus without re-pairing the corpus against itself.
+
+    Scale shape: the corpus side's shingles/signatures/band keys are the
+    materialized LSH index (at 100 TB: written once per corpus build,
+    re-read per batch — here derived in-plan); the per-batch cost is
+    shingling the batch, one band-key equi-join (batch bands broadcast when
+    the batch is small) and exact-Jaccard verification on candidates only.
+    Corpus self-pairs never form, which is the entire point: ingest dedup
+    cost is O(batch × collision rate), not O(corpus²).
+    """
+    sh_c = shingle_sets(corpus, id_col, text_col).persist()
+    sh_b = shingle_sets(batch, id_col, text_col).persist()
+    bands_c = _band_keys(
+        minhash_signatures(sh_c, id_col, num_hashes), id_col, num_hashes, num_bands
+    )
+    bands_b = _band_keys(
+        minhash_signatures(sh_b, id_col, num_hashes), id_col, num_hashes, num_bands
+    )
+    cand = (
+        bands_c.alias("a")
+        .join(bands_b.alias("b"), "band_key")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    x = sh_c.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    y = sh_b.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _hash32(col: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5 as bigint."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

@@ -177,9 +177,17 @@ class ManifestTable:
     def overwrite(
         self, df: DataFrame, partition_by: Sequence[str] | None = None
     ) -> str:
-        partition_by = list(
-            self.partition_by if partition_by is None else partition_by
-        )
+        if partition_by is None:
+            # a fresh handle defaults to the LIVE spec (so partition
+            # evolution sticks across table objects); constructor arg and
+            # explicit parameter both override
+            if self.partition_by:
+                partition_by = self.partition_by
+            elif self.exists():
+                partition_by = self._load_manifest().get("partition_by", [])
+            else:
+                partition_by = []
+        partition_by = list(partition_by)
         ptypes = {
             c: df.schema[c].dataType.simpleString() for c in partition_by
         }
@@ -212,10 +220,14 @@ class ManifestTable:
         m = self._load_manifest(version)
         entries = m["files"]
         if partitions:
+            # an entry written under an OLDER partition spec (key absent
+            # from its partition dict — distinct from an explicit NULL
+            # value) may contain rows of any partition: keep it. Partition
+            # evolution stays correct because pruning is conservative.
             entries = [
                 e for e in entries
                 if all(
-                    e["partition"].get(k) in set(v)
+                    k not in e["partition"] or e["partition"][k] in set(v)
                     for k, v in partitions.items()
                 )
             ]
@@ -370,10 +382,17 @@ class ManifestTable:
         new_entries = self._write_files(merged, partition_by)
 
         affected_sets = {k: set(v) for k, v in affected.items()}
+        # entries from an older partition spec (key absent) are always
+        # possibly-affected: they are read into the merge above (the pruned
+        # read keeps them) and must NOT carry over, or their rows would
+        # duplicate the rewritten copies. First merge after a spec change
+        # migrates them to the new layout.
         kept = [
             e for e in m["files"]
             if not all(
-                e["partition"].get(k) in affected_sets[k] for k in partition_by
+                k not in e["partition"]
+                or e["partition"][k] in affected_sets[k]
+                for k in partition_by
             )
         ]
         self._publish(
@@ -383,6 +402,35 @@ class ManifestTable:
                 # dir encodings are identical — keep the original logical types
                 "partition_types": m.get("partition_types", {}),
                 "files": kept + new_entries,
+            }
+        )
+
+    # -------------------------------------------------- partition evolution
+    def set_partition_spec(
+        self, spark: SparkSession, partition_by: Sequence[str]
+    ) -> str:
+        """Change the table's partition spec WITHOUT rewriting data —
+        Iceberg-style partition evolution. Existing files keep their old
+        layout (their manifest entries simply lack the new keys); reads
+        treat spec-less entries conservatively (never pruned on the new
+        keys), and the first MERGE that touches the table migrates legacy
+        files into the new layout. New writes partition by the new spec
+        immediately."""
+        m = self._load_manifest()
+        partition_by = list(partition_by)
+        df = self.read(spark).limit(0)
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in table: {missing}")
+        ptypes = {
+            c: df.schema[c].dataType.simpleString() for c in partition_by
+        }
+        self.partition_by = partition_by
+        return self._publish(
+            {
+                "partition_by": partition_by,
+                "partition_types": ptypes,
+                "files": m["files"],
             }
         )
 

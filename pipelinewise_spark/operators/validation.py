@@ -142,3 +142,25 @@ def validate(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     return df.withColumn("violations", viols).withColumn(
         "is_valid", F.size("violations") == 0
     )
+
+
+def quarantine_split(
+    df: DataFrame, constraints: list[Constraint]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: (valid, quarantine). Valid rows drop the audit
+    columns and continue to the target; invalid rows carry ``violations``
+    plus the full original payload JSON-serialized as ``_dlq_record`` —
+    replayable after the schema/source is fixed, the operational upgrade
+    over the reference's validate-and-raise
+    (target_snowflake/__init__.py:148-158 aborts the whole load on the
+    first bad record). Both sides are one filter over the same validated
+    projection — the input is scanned once per consumed side, no shuffle."""
+    checked = validate(df, constraints)
+    valid = checked.filter(F.col("is_valid")).drop("violations", "is_valid")
+    quarantine = checked.filter(~F.col("is_valid")).select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
+            "_dlq_record"
+        ),
+        "violations",
+    )
+    return valid, quarantine

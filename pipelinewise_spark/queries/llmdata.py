@@ -199,6 +199,43 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
 
 
+def _minhash_against_oracle(threshold: float = 0.3) -> str:
+    """Same signature/band scheme as _minhash_oracle, but candidate pairs
+    are restricted to (corpus side: doc_id % 10 <> 0) × (batch side:
+    doc_id % 10 = 0) — the incremental ingest-dedup contract."""
+    base = _minhash_oracle(threshold)
+    return base.replace(
+        """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0""",
+    )
+
+
+@register(
+    "minhash_incremental_batch_documents",
+    oracle=_minhash_against_oracle(),
+)
+def minhash_incremental_batch_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest dedup (functions/dedup.py:
+    minhash_lsh_pairs_against): the 10 % of documents arriving as a new
+    batch are near-dup-checked against the standing 90 % corpus — corpus
+    self-pairs never form, so per-batch cost is O(batch × collision rate)
+    instead of re-running the full corpus dedup. At 100 TB the corpus
+    signatures/bands are the materialized LSH index this plan derives."""
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return D.minhash_lsh_pairs_against(
+        corpus, batch, "doc_id", "text", threshold=0.3
+    )
+
+
 def _simhash_oracle() -> str:
     bits = D.SIMHASH_BITS
     sums = ",\n             ".join(

@@ -60,6 +60,65 @@ def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quarantine_events",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type,
+               list_filter([
+                   CASE WHEN NOT (value IS NULL OR value BETWEEN 0 AND 50)
+                        THEN 'value:between' END,
+                   CASE WHEN NOT (event_type IS NULL OR
+                                  event_type IN ('click','view','purchase'))
+                        THEN 'event_type:in_set' END,
+                   CASE WHEN NOT (props IS NULL OR
+                                  regexp_matches(props, '^\\{"k": [0-9]+\\}$'))
+                        THEN 'props:matches' END
+               ], x -> x IS NOT NULL) AS violations
+        FROM events)
+    SELECT event_id, event_type, violations
+    FROM v WHERE len(violations) > 0
+    """,
+)
+def quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (operators/validation.py:quarantine_split):
+    records failing the JSON-Schema constraints leave the load path into a
+    quarantine side carrying their violations and the full payload as
+    replayable JSON — the operational upgrade over the reference's
+    validate-and-raise. The oracle recomputes the invalid set directly;
+    fields are projected back OUT of the quarantined JSON payload
+    (get_json_object), proving the record round-trips."""
+    from pipelinewise_spark.operators.validation import (
+        compile_json_schema,
+        quarantine_split,
+    )
+
+    stream_schema = {
+        "type": "object",
+        "required": ["event_id"],
+        "properties": {
+            "value": {"type": ["number", "null"], "minimum": 0, "maximum": 50},
+            "event_type": {
+                "type": ["string", "null"],
+                "enum": ["click", "view", "purchase"],
+            },
+            "props": {
+                "type": ["string", "null"],
+                "pattern": r'^\{"k": [0-9]+\}$',
+            },
+        },
+    }
+    events = read_table(spark, sf_dir, "events")
+    _valid, dlq = quarantine_split(events, compile_json_schema(stream_schema))
+    return dlq.select(
+        F.get_json_object("_dlq_record", "$.event_id")
+        .cast("long")
+        .alias("event_id"),
+        F.get_json_object("_dlq_record", "$.event_type").alias("event_type"),
+        "violations",
+    )
+
+
+@register(
     "archive_load_metadata_orders",
     oracle="""
     SELECT CAST(o_orderkey % 4 AS BIGINT) AS chunk,

@@ -87,3 +87,31 @@ def test_nullable_type_not_required_allows_null(spark):
     # required but nullable type -> no not_null constraint (Draft-7: null is
     # a valid instance of type ["integer","null"] even when required)
     assert cons == []
+
+
+def test_quarantine_split_partitions_input(spark, sf_dir):
+    from pipelinewise_spark.operators.validation import (
+        compile_json_schema,
+        quarantine_split,
+    )
+    from pipelinewise_spark.sources.files import read_table
+
+    schema = {
+        "type": "object",
+        "required": ["event_id"],
+        "properties": {
+            "value": {"type": ["number", "null"], "minimum": 0, "maximum": 50},
+        },
+    }
+    events = read_table(spark, sf_dir, "events")
+    valid, dlq = quarantine_split(events, compile_json_schema(schema))
+    assert valid.count() + dlq.count() == events.count()
+    assert valid.columns == events.columns  # audit columns dropped
+    assert set(dlq.columns) == {"_dlq_record", "violations"}
+    # quarantined payloads replay: every record parses back to its id
+    import pyspark.sql.functions as F
+
+    parsed = dlq.select(
+        F.get_json_object("_dlq_record", "$.event_id").isNotNull().alias("ok")
+    )
+    assert parsed.filter(~F.col("ok")).count() == 0
