@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "orc_roundtrip_orders",
     "manifest_time_travel_orders",
     "snapshot_diff_orders",
+    "snapshot_drift_orders",
     "incremental_mv_orders",
     "incremental_mv_minmax_orders",
     "zorder_pruned_read_orders",

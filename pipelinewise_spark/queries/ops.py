@@ -724,6 +724,61 @@ def incremental_mv_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_drift_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) + 1 FROM orders), 1.0),
+    old_s AS (
+        SELECT SUM(CAST(o_orderkey AS DECIMAL(28,6)))/COUNT(*) AS k_mean,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6)))/COUNT(*) AS p_mean
+        FROM orders),
+    new_s AS (
+        SELECT SUM(CAST(o_orderkey AS DECIMAL(28,6)))/COUNT(*) AS k_mean,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6)))/COUNT(*) AS p_mean
+        FROM v2),
+    r AS (
+        SELECT 'o_orderkey' AS "column",
+               (SELECT k_mean FROM old_s) AS om,
+               (SELECT k_mean FROM new_s) AS nm
+        UNION ALL
+        SELECT 'o_totalprice',
+               (SELECT p_mean FROM old_s),
+               (SELECT p_mean FROM new_s))
+    SELECT "column",
+           CAST(ROUND(om, 6) AS DOUBLE) AS old_mean,
+           CAST(ROUND(nm, 6) AS DOUBLE) AS new_mean,
+           CAST(ROUND(ABS(nm - om) / ABS(om), 6) AS DOUBLE) AS mean_shift,
+           CAST(0.0 AS DOUBLE) AS old_null_rate,
+           CAST(0.0 AS DOUBLE) AS new_null_rate,
+           ABS(nm - om) / ABS(om) > 0.0005 AS drifted
+    FROM r
+    """,
+)
+def snapshot_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift between two snapshots (operators/drift.py): one
+    aggregation pass per version, decimal-exact means, and explicit
+    threshold flags — the post-load data-quality gate. The merged batch
+    (+500 on 20 % of prices, one insert) shifts o_totalprice's mean past
+    the 0.05 % threshold while o_orderkey stays put; the oracle recomputes
+    both sides' stats from scratch."""
+    from pipelinewise_spark.operators.drift import snapshot_drift
+
+    t = _manifest_two_versions(spark, sf_dir)
+    v = t.versions()
+    old = t.read(spark, version=v[0])
+    new = t.read(spark, version=v[-1])
+    return snapshot_drift(
+        old, new, ["o_orderkey", "o_totalprice"],
+        mean_shift_threshold=0.0005,
+    )
+
+
+@register(
     "manifest_time_travel_orders",
     oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )
