@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "zorder_pruned_read_orders",
     "bloom_point_lookup_orders",
     "dedup_keep_best_documents",
+    "cluster_aware_split_documents",
     "pack_sequences_documents",
     "salted_join_events_users",
     "q2_min_cost_supplier",

@@ -75,6 +75,43 @@ def dedup_clusters(
     )
 
 
+def cluster_aware_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    valid_percent: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/validation split with NO near-duplicate leakage: every near-dup
+    component lands wholly on one side, chosen by a deterministic hash of
+    the component id (md5 bucket, engine-portable — the same device as
+    curation.uniform_hash_bucket). A doc-level random split leaks: a
+    training doc's near-duplicate in the validation set inflates eval.
+    Adds ``component`` and ``split`` ('train' | 'valid').
+
+    Corpus-side cost: one left join against the (edge-scale) component map
+    plus a narrow projection — same shape as resolve_duplicates.
+    """
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "node", id_col
+    )
+    joined = docs.join(cc, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+    )
+    return joined.withColumn(
+        "split",
+        F.when(bucket < valid_percent, F.lit("valid")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def resolve_duplicates(
     docs: DataFrame,
     pairs: DataFrame,

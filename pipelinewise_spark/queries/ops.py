@@ -216,6 +216,50 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _cluster_split_oracle() -> str:
+    from pipelinewise_spark.queries.llmdata import _minhash_oracle
+
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS component
+        FROM reach GROUP BY u),
+    resolved AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, component,
+           CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                         1, 8) AS BIGINT) % 100 < 10
+                THEN 'valid' ELSE 'train' END AS split
+    FROM resolved
+    """
+
+
+@register("cluster_aware_split_documents", oracle=_cluster_split_oracle())
+def cluster_aware_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid split (functions/clusters.py:
+    cluster_aware_split): near-dup components assigned WHOLLY to one side
+    by a deterministic md5 bucket of the component id — a doc-level random
+    split would put a training doc's near-duplicate into validation and
+    inflate eval. 10 % validation."""
+    from pipelinewise_spark.functions.clusters import cluster_aware_split
+    from pipelinewise_spark.functions.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+    out = cluster_aware_split(d, pairs, "doc_id", valid_percent=10)
+    return out.select("doc_id", "component", "split")
+
+
 def _keep_best_oracle() -> str:
     from pipelinewise_spark.queries.llmdata import _minhash_oracle
 

@@ -292,3 +292,26 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
         words = text.lower().strip().split()
         want = (len(words), sum(len(encode(w)) for w in words))
         assert got[doc_id] == want, doc_id
+
+
+def test_cluster_aware_split_no_leakage(spark, sf_dir):
+    """No near-dup component may span train and valid."""
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.functions.clusters import cluster_aware_split
+    from pipelinewise_spark.functions.dedup import minhash_lsh_pairs
+    from pipelinewise_spark.sources.files import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
+    out = cluster_aware_split(d, pairs, "doc_id", valid_percent=20)
+    spanning = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("sides"))
+        .filter(F.col("sides") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # both sides exist at a 20% rate on 500 docs
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "valid"}
