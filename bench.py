@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "mongo_documents_normalize",
     "mongo_change_stream_apply",
     "embedding_near_dup_pairs",
+    "embedding_mean_pool_by_label",
+    "embedding_quantized_topk",
     "embedding_ann_bucket_top1",
     "lang_id_documents",
     "fingerprint_documents",

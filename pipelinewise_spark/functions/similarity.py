@@ -460,3 +460,38 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Position-wise mean of vectors per group — pooling chunk/passage
+    embeddings into document embeddings (or centroid computation for any
+    grouping). posexplode -> (group, pos) partial-aggregated sums ->
+    re-assembled array: shuffle cardinality is #groups x dim, never row
+    count, and no vector list ever materializes in one task. Sums are
+    decimal-exact before the final double division (deterministic given
+    identical inputs)."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    s = F.sum(F.col("__x").cast("decimal(28,6)"))
+    agg = ex.groupBy(group_col, "__pos").agg(
+        (s.cast("double") / F.count(F.lit(1))).alias("__m")
+    )
+    return (
+        agg.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__m"))
+            ).alias("__pairs")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("__pairs"), lambda s: s["__m"]).alias(out_col),
+        )
+    )

@@ -475,6 +475,44 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       num_centroids=8, n_probe=4)
 
 
+@register(
+    "embedding_mean_pool_by_label",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS x
+        FROM embeddings)
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+               AS sum_micro,
+           COUNT(*) AS n
+    FROM ex GROUP BY label, pos
+    """,
+)
+def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector mean-pooling (similarity.py:mean_pool_vectors): chunk/passage
+    embeddings pooled position-wise into one vector per group (here the
+    label column stands in for a parent-document id). Shuffle cardinality
+    is #groups × dim, never row count. The oracle checks the EXACT
+    position-wise aggregation state — integer micro-unit sums and counts,
+    no float division anywhere (engines disagree on decimal-quotient and
+    double rounding at the last digit; sums cannot) — from which the mean
+    follows; the double-mean operator output itself is unit-tested against
+    these sums in tests/test_llmdata.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "__x")
+    )
+    # per-element micro-unit conversion: double multiply + half-away round
+    # are the same IEEE ops in both engines (decimal casts of FLOAT are not)
+    micro = F.round(F.col("__x").cast("double") * 1000000, 0).cast("long")
+    return ex.groupBy("label", "pos").agg(
+        F.sum(micro).alias("sum_micro"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("embedding_quantized_topk")  # round-half FP boundary differs per
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over int8-quantized embeddings (similarity.py:

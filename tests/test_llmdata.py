@@ -315,3 +315,37 @@ def test_cluster_aware_split_no_leakage(spark, sf_dir):
     # both sides exist at a 20% rate on 500 docs
     sides = {r["split"] for r in out.select("split").distinct().collect()}
     assert sides == {"train", "valid"}
+
+
+def test_mean_pool_vectors_matches_exact_sums(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pipelinewise_spark.functions.similarity import mean_pool_vectors
+    from pipelinewise_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pooled = mean_pool_vectors(emb, "label", "embedding")
+    got = {
+        (r["label"], r["pos"]): r["m"]
+        for r in pooled.select(
+            "label", F.posexplode("pooled").alias("pos", "m")
+        ).collect()
+    }
+    exact = {
+        (r["label"], r["pos"]): (r["s"], r["n"])
+        for r in emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (s, n) in exact.items():
+        assert abs(got[k] - float(s) / n) < 1e-12, k
+    # vector shape survives: every label has a dim-64 pooled array
+    dims = {len(r["pooled"]) for r in pooled.collect()}
+    assert dims == {64}
