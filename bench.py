@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cluster_aware_split_documents",
     "pack_sequences_documents",
     "salted_join_events_users",
+    "salted_topk_events_per_user",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",

@@ -53,6 +53,51 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*second)
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """EXACT per-key top-k that never serializes a hot key onto one
+    reducer. A plain ranked window partitions by key — one reducer sorts
+    ALL of a hot key's rows. Two salted stages instead:
+
+    1. top-k within each (key, salt) shard — S reducers share the hot
+       key's volume, each sorting 1/S of it;
+    2. top-k of the ≤ k*S surviving candidates per key — candidate volume
+       is k*S rows per key regardless of input size.
+
+    Exactness: any row in the true global top-k is also in the top-k of
+    whichever shard holds it (removing other rows can only improve its
+    shard rank), so stage 1 never discards a winner. Deterministic via the
+    (order_col, tiebreak_col) total order — same contract as the plain
+    window it replaces.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    tb = F.col(tiebreak_col).asc()
+    salted = df.withColumn(
+        _SALT,
+        F.pmod(F.hash(F.col(tiebreak_col)), F.lit(salt_buckets)),
+    )
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(oc, tb)
+    stage1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", _SALT)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(oc, tb)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

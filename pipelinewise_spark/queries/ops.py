@@ -576,6 +576,33 @@ def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_topk_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY value DESC, event_id ASC) AS INT) AS rank
+    FROM events
+    QUALIFY rank <= 3
+    """,
+)
+def salted_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof EXACT top-k per key (operators/skew.py:salted_topk): a
+    plain ranked window sorts a hot key's entire volume on one reducer;
+    the salted two-stage version spreads it over 16 shards and reduces
+    k*16 candidates per key — identical output (stage 1 provably never
+    drops a global winner). Oracle is the plain window."""
+    from pipelinewise_spark.operators.skew import salted_topk
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    return salted_topk(
+        e, ["user_id"], order_col="value", tiebreak_col="event_id", k=3
+    )
+
+
+@register(
     "salted_join_events_users",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_name, e.value
