@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "flatten_events_props",
     "archive_load_metadata_orders",
     "csv_source_lineno_orders",
+    "jsonl_source_lineno_orders",
     "orc_roundtrip_orders",
     "manifest_time_travel_orders",
     "snapshot_diff_orders",

@@ -481,6 +481,44 @@ def csv_source_lineno_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_source_lineno_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number() OVER (ORDER BY o_orderkey) AS _sdc_source_lineno
+    FROM orders
+    """,
+)
+def jsonl_source_lineno_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL file-source end-to-end (sources/files.py:FileSource, json
+    format): orders written as ONE key-sorted JSONL file, read back with
+    `_sdc_source_*` decoration — no header, so the first record is line 1
+    (the CSV twin starts at 2), reproduced by the oracle as key rank."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.files import FileSource
+
+    tmp = tempfile.mkdtemp(prefix="pws_jsonl_")
+    path = os.path.join(tmp, "orders_jsonl")
+    (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    src = FileSource(path=path, format="json")
+    df = src.read(spark, with_source_metadata=True)
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("_sdc_source_lineno").cast("long").alias("_sdc_source_lineno"),
+    )
+
+
+@register(
     "orc_roundtrip_orders",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
