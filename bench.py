@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "minhash_incremental_batch_documents",
     "simhash_documents",
     "ngram_jaccard_pairs_documents",
+    "edit_distance_pairs_documents",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
     "text_quality_documents",

@@ -1262,6 +1262,56 @@ def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "edit_distance_pairs_documents",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               substr(lower(trim(text)), 1, 40) AS head,
+               substr(lower(trim(text)), 1, 8) AS block
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+    FROM k a JOIN k b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+)
+def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs for SHORT strings (titles, URLs,
+    leading snippets) — the dedup family MinHash handles poorly (tiny
+    shingle sets). Prefix BLOCKING keys the self-join (docs sharing an
+    8-char normalized prefix), so levenshtein — O(len²) per comparison —
+    only runs inside blocks, never all-pairs; the blocked join is the same
+    scale shape as the banded-LSH candidate join. levenshtein is JVM-side
+    in Spark and native in DuckDB: the oracle is the identical
+    computation."""
+    d = read_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 8).alias("block"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("bigint"),
+        )
+        .filter(F.col("dist") <= 5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "dist",
+        )
+    )
+
+
+@register(
     "term_frequencies_documents",
     oracle=f"""
     WITH t AS (
