@@ -132,6 +132,34 @@ BENCH_QUERIES = [
     "winnowing_fingerprint_documents",
 ]
 
+# The ~20 timings carried on the printed one-line JSON (the driver's capture
+# window is small); one representative per operator family. Full timings for
+# every BENCH_QUERIES entry land in BENCH_DETAIL.json.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "full_table_sync_lineitem",
+    "incremental_sync_orders",
+    "cdc_stream_apply_orders",
+    "merge_soft_delete_orders",
+    "mask_transforms_customer",
+    "validate_events",
+    "flatten_events_props",
+    "exact_dedup_documents",
+    "minhash_lsh_pairs_documents",
+    "dedup_clusters_documents",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "gopher_quality_documents",
+    "pack_sequences_documents",
+    "windowed_event_counts",
+    "stream_stream_join_attribution",
+    "sessionize_events",
+    "kafka_protobuf_events",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,16 +202,41 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a local file; the driver's tail-capture
+    # window is ~2 KB, so the one printed JSON line must stay compact
+    # (< 1.5 KB): total + the HEADLINE subset of timings only.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:  # hard guard: never exceed the driver's window again
+        out["queries"] = dict(list(out["queries"].items())[:10])
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,90 @@
+"""Exact global ranking without a single-reducer global sort.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) plans as
+``Exchange SinglePartition`` — every row funnels through ONE task, the
+classic 100-TB scale-killer. The exact same result comes from the
+distributed-sort structure instead (the two-phase pattern
+``functions/curation.py:shard_by_token_budget`` already uses for prefix
+sums):
+
+1. ``repartitionByRange`` on the order key — partitions hold disjoint,
+   ordered key ranges (this is how Spark's own sort plans its shuffle);
+2. per-partition ``row_number`` windows run in parallel (keys are local);
+3. per-partition counts collect to the driver (#partitions rows of
+   metadata, never row data) and fold into broadcast offsets;
+4. global rank = local row_number + partition offset.
+
+The order key must be unique (add a tie-break column) — otherwise equal
+keys may straddle a range boundary and the rank is non-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_RN = "__rank_rn"
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = exact 1-based global row number under
+    ``ORDER BY order_cols`` with no global-sort exchange. Returns the
+    input columns plus ``out_col``."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(n, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_in = Window.partitionBy(_PID).orderBy(*cols)
+    d = d.withColumn(_RN, F.row_number().over(w_in))
+    # per-partition row counts -> cumulative offsets (metadata-scale
+    # collect: one row per shuffle partition)
+    counts = {
+        r[_PID]: r["c"] for r in d.groupBy(_PID).agg(
+            F.count("*").alias("c")).collect()
+    }
+    off: Column = F.lit(0).cast("long")
+    acc = 0
+    for pid in sorted(counts):
+        off = F.when(F.col(_PID) == pid, F.lit(acc).cast("long")).otherwise(
+            off
+        )
+        acc += counts[pid]
+    return (
+        d.withColumn(out_col, (F.col(_RN).cast("long") + off))
+        .drop(_PID, _RN)
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` semantics (the first
+    ``N mod n`` buckets take ``ceil(N/n)`` rows, the rest ``floor(N/n)``)
+    computed from the distributed global rank — bit-identical to the SQL
+    window, no ``Exchange SinglePartition`` in the plan."""
+    ranked = distributed_row_number(
+        df, order_cols, out_col="__ntile_rank", num_partitions=num_partitions
+    )
+    total = ranked.count()
+    q, rem = divmod(total, n_buckets)
+    r = F.col("__ntile_rank")
+    big = rem * (q + 1)  # rows living in the ceil-sized leading buckets
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        bucket = r
+    else:
+        bucket = F.when(
+            r <= F.lit(big), F.floor((r - 1) / F.lit(q + 1)) + 1
+        ).otherwise(F.lit(rem) + F.floor((r - F.lit(big) - 1) / F.lit(q)) + 1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__ntile_rank")

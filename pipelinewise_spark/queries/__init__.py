@@ -26,36 +26,40 @@ _SHOWCASE_ORDER = [
     # replication core
     "full_table_sync_lineitem", "incremental_sync_orders",
     "partial_sync_orders", "cdc_stream_apply_orders", "pk_dedupe_events",
-    "merge_soft_delete_orders", "merge_hard_delete_orders",
-    "schema_evolution_add_column", "timestamp_clamp_orders",
-    # sinks / sources
-    "validate_events", "flatten_events_props", "csv_source_lineno_orders",
+    "merge_soft_delete_orders", "timestamp_clamp_orders",
+    # sinks / sources (r5 rotation: orc roundtrip in; csv-lineno, the mask
+    # variant trio, kafka-json, merge-hard-delete, schema-evolution,
+    # rollup, topk, minhash-incremental all driver-green in r3/r4 and rest
+    # on pytest now)
+    "validate_events", "flatten_events_props", "orc_roundtrip_orders",
     "mongo_documents_normalize", "mongo_change_stream_apply",
-    "kafka_protobuf_events", "kafka_json_payload_events",
+    "kafka_protobuf_events",
     # transformations + validation routing
-    "mask_transforms_customer", "mask_conditional_orders",
-    "mask_condition_field_path_events", "mask_json_field_paths_events",
-    "quarantine_events",
+    "mask_transforms_customer", "quarantine_events",
     # relational / windows (all 22 TPC-H shapes are registered and were
     # driver-green in r03; q1/q3 stay as the flagship representatives)
     "q1_pricing_summary", "q3_shipping_priority",
-    "rollup_order_revenue", "events_topk_per_user",
     "sessionize_events", "asof_join_click_purchase", "range_join_attribution",
+    "ntile_documents_by_length",
     # streaming
     "windowed_event_counts", "stream_stream_join_attribution",
     "cdc_stream_mv_orders",
     # lakehouse / scale machinery
     "manifest_time_travel_orders", "snapshot_diff_orders",
-    "incremental_mv_orders", "zorder_pruned_read_orders",
+    "snapshot_drift_orders", "incremental_mv_orders",
+    "incremental_mv_minmax_orders", "zorder_pruned_read_orders",
     "bloom_point_lookup_orders", "salted_agg_events_by_type",
-    "salted_join_events_users",
+    "salted_topk_events_per_user",
     # LLM training-data
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
-    "minhash_incremental_batch_documents", "dedup_clusters_documents",
+    "simhash_documents", "ngram_jaccard_pairs_documents",
+    "edit_distance_pairs_documents", "dedup_clusters_documents",
     "dedup_keep_best_documents", "cluster_aware_split_documents",
-    "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "gopher_quality_documents", "curation_pipeline_documents",
-    "pack_sequences_documents", "frequent_tokens_documents",
+    "weighted_sample_documents", "embedding_cosine_topk",
+    "embedding_near_dup_pairs", "gopher_quality_documents",
+    "curation_pipeline_documents", "pack_sequences_documents",
+    "frequent_tokens_documents", "bm25_documents",
+    "multimodal_resize_images",
 ]
 
 

@@ -1614,16 +1614,20 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_documents_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartile assignment (corpus size-striation for curation
-    mixes): deterministic because the window order carries the doc_id
-    tie-break. Single global window — correct here because the bucketing
-    is corpus-wide by definition; at scale the same cut comes from
-    approx-quantile thresholds instead (documented trade-off)."""
-    from pyspark.sql import Window
+    mixes): deterministic because the order carries the doc_id tie-break.
+    NOT a global window (that plans Exchange SinglePartition — one task
+    sorts the corpus): ``operators/rank.py:ntile_exact`` computes the exact
+    same bucketing from a range-partitioned two-phase global rank, so the
+    sort parallelizes like Spark's own orderBy while staying bit-identical
+    to ``ntile(4) OVER (ORDER BY n_chars, doc_id)``."""
+    from pipelinewise_spark.operators.rank import ntile_exact
 
     d = read_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
-    return d.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("size_quartile")
+    return ntile_exact(
+        d.select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"],
+        4,
+        out_col="size_quartile",
     )
 
 

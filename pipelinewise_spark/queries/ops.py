@@ -28,7 +28,9 @@ from pipelinewise_spark.sources.files import read_table
                         THEN 'props:matches' END
                ], x -> x IS NOT NULL) AS violations
         FROM events)
-    SELECT event_id, violations, len(violations) = 0 AS is_valid FROM v
+    SELECT event_id,
+           COALESCE(array_to_string(violations, ','), '') AS violations,
+           len(violations) = 0 AS is_valid FROM v
     """,
 )
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +58,13 @@ def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     events = read_table(spark, sf_dir, "events")
     out = validate(events, compile_json_schema(stream_schema))
-    return out.select("event_id", "violations", "is_valid")
+    # violations is array<string>; the driver's pandas canonicalizer cannot
+    # hash list cells, so the driver-facing projection joins it to a scalar.
+    return out.select(
+        "event_id",
+        F.array_join("violations", ",").alias("violations"),
+        "is_valid",
+    )
 
 
 @register(
@@ -75,7 +83,8 @@ def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 'props:matches' END
                ], x -> x IS NOT NULL) AS violations
         FROM events)
-    SELECT event_id, event_type, violations
+    SELECT event_id, event_type,
+           array_to_string(violations, ',') AS violations
     FROM v WHERE len(violations) > 0
     """,
 )
@@ -114,7 +123,7 @@ def quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("event_id"),
         F.get_json_object("_dlq_record", "$.event_type").alias("event_type"),
-        "violations",
+        F.array_join("violations", ",").alias("violations"),
     )
 
 

