@@ -207,6 +207,7 @@ class ManifestTable:
         ranges: dict[str, tuple[Any, Any]] | None = None,
         version: int | None = None,
         points: dict[str, Any] | None = None,
+        partition_rows: list[dict[str, Any]] | None = None,
     ) -> tuple[list[dict[str, Any]], dict[str, Any]]:
         """Manifest entries surviving partition pruning, min/max file
         skipping, and Bloom point-lookup pruning. ``ranges`` maps column →
@@ -216,9 +217,23 @@ class ManifestTable:
         ``isoformat(sep=' ')`` strings (the manifest's stats encoding).
         ``points`` maps column → value or list of values; files whose Bloom
         filter (add_bloom_filters) proves NONE of the values present are
-        skipped — no filter on a file keeps it (best-effort, like stats)."""
+        skipped — no filter on a file keeps it (best-effort, like stats).
+        ``partition_rows`` prunes on full partition-value TUPLES (each dict
+        one complete assignment) — with a composite spec this is strictly
+        tighter than ``partitions``' independent per-column sets, which
+        would also keep every cross-combination of the listed values."""
         m = self._load_manifest(version)
         entries = m["files"]
+        if partition_rows is not None:
+            keys = sorted({k for r in partition_rows for k in r})
+            allowed = {tuple(r.get(k) for k in keys) for r in partition_rows}
+            entries = [
+                e for e in entries
+                # older-spec entries (some key absent) may hold any rows:
+                # conservative keep, same as the per-column path
+                if any(k not in e["partition"] for k in keys)
+                or tuple(e["partition"][k] for k in keys) in allowed
+            ]
         if partitions:
             # an entry written under an OLDER partition spec (key absent
             # from its partition dict — distinct from an explicit NULL
@@ -268,14 +283,18 @@ class ManifestTable:
         version: int | None = None,
         ranges: dict[str, tuple[Any, Any]] | None = None,
         points: dict[str, Any] | None = None,
+        partition_rows: list[dict[str, Any]] | None = None,
     ) -> DataFrame:
         """Read the live snapshot (or a historical ``version`` — time
-        travel). ``partitions`` prunes manifest-side; ``ranges`` adds
+        travel). ``partitions`` prunes manifest-side (``partition_rows``
+        prunes on exact value tuples instead); ``ranges`` adds
         footer-stats file skipping; ``points`` adds Bloom point-lookup
         skipping (Iceberg/Delta-style data skipping: only files that can
         match are ever listed to Spark — the caller still applies the exact
         row-level filter)."""
-        entries, m = self.select_entries(partitions, ranges, version, points)
+        entries, m = self.select_entries(
+            partitions, ranges, version, points, partition_rows
+        )
         return self._read_entries(spark, entries, m)
 
     def _read_entries(
@@ -366,13 +385,12 @@ class ManifestTable:
         for c in partition_by:
             batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
         batch_parts = batch_str.select(*partition_by).distinct().collect()
-        affected = {
-            # None (NULL partition) sorts first; manifest values are decoded
-            # so logical equality holds for escaped chars and NULLs alike
-            c: sorted({r[c] for r in batch_parts}, key=lambda x: (x is not None, x))
-            for c in partition_by
-        }
-        target_slice = self.read(spark, partitions=affected)
+        # exact value-TUPLE pruning: with a composite spec, per-column sets
+        # would also read every cross-combination of the batch's values
+        # (correct but over-wide); manifest values are decoded so logical
+        # equality holds for escaped chars and NULLs alike
+        affected_rows = [{c: r[c] for c in partition_by} for r in batch_parts]
+        target_slice = self.read(spark, partition_rows=affected_rows)
         for c in partition_by:
             target_slice = target_slice.withColumn(c, F.col(c).cast("string"))
         merged = merge_upsert(
@@ -381,7 +399,9 @@ class ManifestTable:
         )
         new_entries = self._write_files(merged, partition_by)
 
-        affected_sets = {k: set(v) for k, v in affected.items()}
+        affected_tuples = {
+            tuple(r[c] for c in partition_by) for r in affected_rows
+        }
         # entries from an older partition spec (key absent) are always
         # possibly-affected: they are read into the merge above (the pruned
         # read keeps them) and must NOT carry over, or their rows would
@@ -389,11 +409,9 @@ class ManifestTable:
         # migrates them to the new layout.
         kept = [
             e for e in m["files"]
-            if not all(
-                k not in e["partition"]
-                or e["partition"][k] in affected_sets[k]
-                for k in partition_by
-            )
+            if all(k in e["partition"] for k in partition_by)
+            and tuple(e["partition"][k] for k in partition_by)
+            not in affected_tuples
         ]
         self._publish(
             {

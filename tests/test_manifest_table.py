@@ -187,3 +187,51 @@ def test_minmax_file_skipping(spark, tmp_path):
     t.merge(spark, batch, ["id"])
     entries2, _ = t.select_entries()
     assert all("stats" in e for e in entries2)
+
+
+def test_composite_spec_merge_prunes_on_tuples(spark, tmp_path):
+    """With a 2-col partition spec, a batch touching (a=1,b=x) and (a=2,b=y)
+    must NOT read or rewrite the cross-combinations (1,y) and (2,x) — the
+    per-column-set formulation would."""
+    t = ManifestTable(os.path.join(str(tmp_path), "t2"), partition_by=["a", "b"])
+    base = spark.createDataFrame(
+        [(i, i % 2 + 1, "x" if i % 4 < 2 else "y", float(i)) for i in range(40)],
+        "id long, a int, b string, v double",
+    )
+    t.overwrite(base, partition_by=["a", "b"])
+    m1 = _manifest(t)
+    files1 = {}
+    for e in m1["files"]:
+        files1.setdefault(
+            (e["partition"]["a"], e["partition"]["b"]), set()
+        ).add(e["path"])
+    assert set(files1) == {("1", "x"), ("1", "y"), ("2", "x"), ("2", "y")}
+
+    batch = base.filter(
+        ((F.col("a") == 1) & (F.col("b") == "x"))
+        | ((F.col("a") == 2) & (F.col("b") == "y"))
+    ).withColumn("v", F.col("v") + 100.0)
+
+    # the pruned read must list only the two exact-tuple partitions
+    rows = [{"a": "1", "b": "x"}, {"a": "2", "b": "y"}]
+    entries, _ = t.select_entries(partition_rows=rows)
+    touched = {(e["partition"]["a"], e["partition"]["b"]) for e in entries}
+    assert touched == {("1", "x"), ("2", "y")}
+
+    t.merge(spark, batch, ["id"])
+    m2 = _manifest(t)
+    files2 = {}
+    for e in m2["files"]:
+        files2.setdefault(
+            (e["partition"]["a"], e["partition"]["b"]), set()
+        ).add(e["path"])
+    # cross-combinations carry over by reference, touched tuples rewritten
+    assert files2[("1", "y")] == files1[("1", "y")]
+    assert files2[("2", "x")] == files1[("2", "x")]
+    assert files2[("1", "x")].isdisjoint(files1[("1", "x")])
+    assert files2[("2", "y")].isdisjoint(files1[("2", "y")])
+
+    expected = merge_upsert(base, batch, ["id"])
+    got = t.read(spark).select("id", "v")
+    diff = got.exceptAll(expected.select("id", "v"))
+    assert diff.count() == 0 and got.count() == 40
