@@ -122,7 +122,10 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     if args.zorder:
         cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         df = cluster_by(t.read(spark), cols, num_files=args.target_files)
-        t.overwrite(df, t.partition_by)
+        # a fresh CLI handle has partition_by=[] — pass None so overwrite()
+        # falls back to the manifest's LIVE partition spec instead of
+        # silently rewriting a partitioned table unpartitioned
+        t.overwrite(df, t.partition_by or None)
         report["zorder"] = cols
     else:
         report["compacted_partitions"] = t.compact(spark)

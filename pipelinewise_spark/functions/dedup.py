@@ -210,10 +210,18 @@ def minhash_lsh_pairs_against(
     threshold: float = 0.3,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    caches: list | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: pairs (id_a ∈ corpus, id_b ∈ batch,
     jaccard >= threshold) — dedup a NEW ingest batch against the standing
     corpus without re-pairing the corpus against itself.
+
+    Cache lifetime: the two shingle-set frames are persisted (each feeds
+    both the band-key derivation and the verify join). The CALLER owns the
+    lifetime — pass a list as ``caches`` to receive the persisted handles
+    and ``unpersist()`` them once the returned plan has been consumed. A
+    per-batch ingest loop that skips this accumulates dead shingle sets in
+    executor storage memory until LRU eviction.
 
     Scale shape: the corpus side's shingles/signatures/band keys are the
     materialized LSH index (at 100 TB: written once per corpus build,
@@ -225,6 +233,8 @@ def minhash_lsh_pairs_against(
     """
     sh_c = shingle_sets(corpus, id_col, text_col).persist()
     sh_b = shingle_sets(batch, id_col, text_col).persist()
+    if caches is not None:
+        caches.extend([sh_c, sh_b])
     bands_c = _band_keys(
         minhash_signatures(sh_c, id_col, num_hashes), id_col, num_hashes, num_bands
     )

@@ -488,7 +488,25 @@ class ManifestTable:
         """
         mfest = self._load_manifest()
         entries = mfest["files"]
-        by_name = {posixpath.basename(e["path"]): e for e in entries}
+        # key entries by base-relative path, NOT basename: one task writing
+        # several hive partitions emits the same part-NNNNN-<uuid> basename
+        # in each dir, and basename keying would merge those files'
+        # positions into one arbitrary entry (conservative but the other
+        # colliding files silently get no filter)
+        by_rel: dict[str, list[tuple[str, dict[str, Any]]]] = {}
+        for e in entries:
+            rel = posixpath.relpath(e["path"], e["base"])
+            by_rel.setdefault(posixpath.basename(rel), []).append((rel, e))
+
+        def _entry_for(fname: str) -> dict[str, Any] | None:
+            from urllib.parse import unquote
+
+            decoded = unquote(fname)
+            for rel, ent in by_rel.get(posixpath.basename(decoded), []):
+                if decoded == rel or decoded.endswith("/" + rel):
+                    return ent
+            return None
+
         df = self._read_entries(spark, entries, mfest)
         for c in cols:
             dt = dict(df.dtypes)[c]
@@ -506,9 +524,7 @@ class ManifestTable:
             )
             pos_rows.append(
                 df.filter(F.col(c).isNotNull()).select(
-                    F.element_at(
-                        F.split(F.input_file_name(), "/"), -1
-                    ).alias("__file"),
+                    F.input_file_name().alias("__file"),
                     F.lit(c).alias("__col"),
                     F.explode(positions).alias("__pos"),
                 )
@@ -526,7 +542,7 @@ class ManifestTable:
         import base64
 
         for r in collected:
-            e = by_name.get(r["__file"])
+            e = _entry_for(r["__file"])
             if e is None:
                 continue
             bits = bytearray((m + 7) // 8)

@@ -134,8 +134,9 @@ def run_cdc_stream(
     def _on_batch(batch: DataFrame, epoch: int) -> None:
         if rollup is not None:
             # maintained aggregate folds the batch against the PRE-merge
-            # target state (streaming/mv.py) — must precede the merge
-            rollup.on_batch(spark, table, batch, spec.primary_keys)
+            # target state (streaming/mv.py) — must precede the merge; the
+            # epoch id makes the fold idempotent under checkpoint replay
+            rollup.on_batch(spark, table, batch, spec.primary_keys, epoch=epoch)
         apply_change_batch(table, batch, spec)
         if state is not None:
             # per-batch bookmark advance, write-throttled like the

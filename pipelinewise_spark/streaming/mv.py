@@ -17,6 +17,9 @@ scanned; a 100 TB fact table's dashboard rollup updates at the cost of the
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +56,62 @@ class StreamingRollup:
         self.sums = dict(sums)
         self.count_col = count_col
 
+    # ------------------------------------------------- replay idempotency
+    # foreachBatch is at-least-once: a crash after the rollup publish but
+    # before the target merge replays the SAME epoch against the still-
+    # pre-merge target, and the "redelivered events are no-ops" invariant
+    # only holds once the merge has landed — without a guard the deltas
+    # would fold twice. A sidecar records the last applied epoch plus the
+    # rollup version it published; the one non-atomic window (publish
+    # landed, sidecar write lost) is detected by the version mismatch.
+
+    def _epoch_path(self) -> str | None:
+        root = self.mv_table.root
+        if "://" in root:  # remote (s3://) rollup roots: fsio owns those
+            return None  # paths; the guard degrades to at-least-once there
+        return os.path.join(root, "_applied_epoch.json")
+
+    def _load_epoch(self) -> dict | None:
+        path = self._epoch_path()
+        if path is None:
+            return None
+        try:
+            with open(path, encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _save_epoch(self, epoch: int) -> None:
+        path = self._epoch_path()
+        if path is None:
+            return
+        os.makedirs(self.mv_table.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.mv_table.root)
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "mv_version": self.mv_table.current_snapshot(),
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+
+    def _already_applied(self, epoch: int) -> bool:
+        st = self._load_epoch()
+        if st is None:
+            return False
+        if epoch <= st["epoch"]:
+            return True
+        cur = self.mv_table.current_snapshot()
+        if st.get("mv_version") is not None and cur != st["mv_version"]:
+            # a rollup publish landed without its sidecar update — the
+            # crash hit between the two writes, so that publish WAS this
+            # replayed epoch's fold: record it and skip
+            self._save_epoch(epoch)
+            return True
+        return False
+
     def initialize(self, base: DataFrame) -> None:
         """Full build from the T0 load (the one base-table scan there is)."""
         live = (
@@ -73,14 +132,20 @@ class StreamingRollup:
         target,
         batch: DataFrame,
         primary_keys: Sequence[str],
+        epoch: int | None = None,
     ) -> None:
         """Fold one micro-batch into the rollup. MUST run against the
         target's PRE-merge state (call before ``apply_change_batch``).
+
+        Pass the foreachBatch ``epoch`` id so checkpoint replays of an
+        already-folded batch become no-ops (see _already_applied).
 
         The old side is the target restricted to the batch's PKs — for a
         ManifestTable this is a partition/stats-pruned read; either way the
         join is batch-sized, not table-sized.
         """
+        if epoch is not None and self._already_applied(epoch):
+            return
         touched = [*self.keys, *{src for src in self.sums.values()}]
         deduped = last_wins_dedupe(batch, primary_keys, SEQ_COL)
         if not target.exists():
@@ -147,3 +212,5 @@ class StreamingRollup:
         # which stay valid (snapshots are immutable) but the rollup version
         # must land before the target advances
         self.mv_table.overwrite(new_mv)
+        if epoch is not None:
+            self._save_epoch(epoch)

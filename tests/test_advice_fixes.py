@@ -106,3 +106,29 @@ def test_partial_sync_without_primary_keys(spark, tmp_path):
     # range [3,5] replaced wholesale: 3,4 updated, 5 dropped, rest untouched
     assert got == {**{i: f"v{i}" for i in [0, 1, 2, 6, 7, 8, 9]},
                    3: "new3", 4: "new4"}
+
+
+def test_cli_zorder_preserves_partition_spec(spark, tmp_path, capsys):
+    """`optimize --zorder` through a FRESH CLI handle (partition_by=[])
+    must keep the table's live partition spec — not silently rewrite it
+    unpartitioned and lose pruning + the CDC partition-merge path."""
+    import json
+
+    from pipelinewise_spark.__main__ import main
+
+    root = os.path.join(str(tmp_path), "zt")
+    t = ManifestTable(root, partition_by=["p"])
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 2), float(i)) for i in range(40)],
+        "id long, p string, v double",
+    )
+    t.overwrite(df, partition_by=["p"])
+
+    assert main(["optimize", root, "--zorder", "id,v"]) == 0
+    capsys.readouterr()
+    t2 = ManifestTable(root)  # fresh handle, like the CLI's
+    m = t2._load_manifest()
+    assert m["partition_by"] == ["p"]
+    assert all("p" in e["partition"] for e in m["files"])
+    got = sorted(r["id"] for r in t2.read(spark).collect())
+    assert got == list(range(40))

@@ -83,3 +83,38 @@ def test_bloom_survives_merge_conservatively(spark, sf_dir):
         .count()
     )
     assert got == 1
+
+
+def test_bloom_attaches_per_file_when_basenames_collide(spark, tmp_path):
+    """One task writing several hive partitions emits the SAME part-NNNNN
+    basename in each dir. Filters must key on the base-relative path, so
+    every file gets its own filter (basename keying merged them into one
+    arbitrary entry and left the rest unindexed)."""
+    import os
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(os.path.join(str(tmp_path), "collide"))
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), i * 7) for i in range(90)],
+        "id long, p string, v long",
+    ).coalesce(1)  # single task -> identical basenames across partitions
+    t.overwrite(df, partition_by=["p"])
+    entries, _ = t.select_entries()
+    import posixpath
+
+    names = [posixpath.basename(e["path"]) for e in entries]
+    assert len(entries) == 3 and len(set(names)) == 1, (
+        "fixture must produce colliding basenames: %s" % names
+    )
+
+    t.add_bloom_filters(spark, ["id"])
+    entries2, _ = t.select_entries()
+    assert all("id" in e.get("bloom", {}) for e in entries2), (
+        "every colliding file needs its own filter"
+    )
+    # filters must be file-accurate: each partition holds ids with
+    # id % 3 == k, so a point lookup keeps exactly its own file
+    for probe, part in ((0, "p0"), (1, "p1"), (2, "p2")):
+        kept, _ = t.select_entries(points={"id": probe})
+        assert [e["partition"]["p"] for e in kept] == [part], (probe, kept)

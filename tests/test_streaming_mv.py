@@ -87,3 +87,61 @@ def test_rollup_tracks_merge_semantics(spark):
         .collect()
     }
     assert _mv(rollup, spark) == expect
+
+
+def test_rollup_replay_is_idempotent_with_epoch(spark):
+    """foreachBatch is at-least-once: replaying an epoch whose rollup
+    publish already landed (crash before the target merge) must NOT fold
+    the deltas twice. Covers both replay shapes: sidecar recorded (normal),
+    and publish-landed-but-sidecar-lost (the non-atomic window)."""
+    tmp = tempfile.mkdtemp(prefix="pws_mvreplay_")
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["id"], hard_delete=False)
+    table = ParquetTable(os.path.join(tmp, "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, grp string, val double"
+    )
+    table.overwrite(
+        add_sdc_columns(base, extracted_at="2026-01-01", batched_at="2026-01-01")
+        .withColumn("_sdc_seq", F.lit(0).cast("long"))
+    )
+    rollup = StreamingRollup(
+        ParquetTable(os.path.join(tmp, "mv")), ["grp"], {"total": "val"}
+    )
+    rollup.initialize(table.read(spark))
+
+    batch = spark.createDataFrame(
+        [("u", 10, "2026-01-02", 1, "a", 15.0)], _ENV
+    )
+    # epoch 1 folds, then "crashes" before the merge; the replay re-runs
+    # on_batch against the SAME pre-merge target
+    rollup.on_batch(spark, table, batch, spec.primary_keys, epoch=1)
+    assert _mv(rollup, spark) == {"a": (1, 15.0), "b": (1, 20.0)}
+    rollup.on_batch(spark, table, batch, spec.primary_keys, epoch=1)  # replay
+    assert _mv(rollup, spark) == {"a": (1, 15.0), "b": (1, 20.0)}
+    apply_change_batch(table, batch, spec)
+
+    # non-atomic window: publish landed but the sidecar write was lost —
+    # simulate by rolling the sidecar back to the previous epoch
+    batch2 = spark.createDataFrame(
+        [("u", 20, "2026-01-03", 2, "b", 25.0)], _ENV
+    )
+    rollup.on_batch(spark, table, batch2, spec.primary_keys, epoch=2)
+    assert _mv(rollup, spark) == {"a": (1, 15.0), "b": (1, 25.0)}
+    import json as _json
+
+    sidecar = rollup._epoch_path()
+    st = _json.load(open(sidecar))
+    with open(sidecar, "w") as fh:
+        _json.dump({"epoch": 1, "mv_version": "stale-version"}, fh)
+    rollup.on_batch(spark, table, batch2, spec.primary_keys, epoch=2)  # replay
+    assert _mv(rollup, spark) == {"a": (1, 15.0), "b": (1, 25.0)}
+    # and the sidecar healed itself to epoch 2
+    assert _json.load(open(sidecar))["epoch"] == 2
+    apply_change_batch(table, batch2, spec)
+
+    # a genuinely NEW epoch still folds
+    batch3 = spark.createDataFrame(
+        [("c", 30, "2026-01-04", 3, "a", 5.0)], _ENV
+    )
+    rollup.on_batch(spark, table, batch3, spec.primary_keys, epoch=3)
+    assert _mv(rollup, spark) == {"a": (2, 20.0), "b": (1, 25.0)}
