@@ -232,7 +232,7 @@ def kafka_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding JVM-side ``from_json`` (streaming/serialization.py). The oracle
     checks full-fidelity round-trip against the source table."""
     from pipelinewise_spark.streaming.serialization import (
-        from_protobuf_py,
+        from_protobuf_auto,
         protobuf_encode,
     )
 
@@ -246,8 +246,10 @@ def kafka_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = protobuf_encode(src, _EVENT_PROTO, confluent=True)
     decoded = encoded.select(
-        from_protobuf_py(
-            F.col("message"), _EVENT_PROTO, confluent=True
+        # runtime dispatch: native from_protobuf if the jar ever ships,
+        # Arrow codec today (Confluent framing forces the codec path)
+        from_protobuf_auto(
+            F.col("message"), _EVENT_PROTO, confluent=True, spark=spark
         ).alias("m")
     )
     return decoded.select("m.*")

@@ -418,6 +418,51 @@ def native_from_protobuf(col, message_name: str, desc_file_path: str):
     return from_protobuf(col, message_name, descFilePath=desc_file_path)
 
 
+def native_protobuf_available(spark) -> bool:
+    """True when the spark-protobuf connector jar is on the JVM classpath.
+    Probe the IMPLEMENTATION class, not ``...protobuf.functions`` — the
+    thin functions wrapper ships inside spark-sql and loads even when the
+    connector (and thus the actual decoder) is absent."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def from_protobuf_auto(
+    col: Column, proto_schema_text: str, message: str | None = None,
+    confluent: bool = False, desc_file_path: str | None = None,
+    spark=None,
+) -> Column:
+    """Decode protobuf binary → typed struct through the best available
+    path, checked at runtime in this order:
+
+    1. native ``from_protobuf`` — when the spark-protobuf jar is on the
+       classpath AND a compiled descriptor file is supplied (the native API
+       consumes protoc's FileDescriptorSet, not ``.proto`` text) AND the
+       frame is not Confluent-framed (the native decoder has no frame
+       stripping);
+    2. otherwise the Arrow-batched pure-python codec (``from_protobuf_py``).
+
+    The moment the environment ships the jar the slow path disappears with
+    no change at call sites."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if (
+        desc_file_path
+        and not confluent
+        and spark is not None
+        and native_protobuf_available(spark)
+    ):
+        name = message or parse_proto(proto_schema_text).root
+        return native_from_protobuf(col, name, desc_file_path)
+    return from_protobuf_py(col, proto_schema_text, message, confluent)
+
+
 def protobuf_decode_json(
     col: Column, proto_schema_text: str, message: str | None = None,
     confluent: bool = False,

@@ -165,3 +165,35 @@ def test_from_json_payload(spark, sf_dir):
         r.event_id: _json.loads(r.props)["k"] for r in events.collect()
     }
     assert got == exp
+
+
+def test_from_protobuf_auto_dispatch_order(spark, monkeypatch):
+    """Jar absent → Arrow codec; jar present + descriptor file → native;
+    Confluent framing or no descriptor always falls back to the codec
+    (the native decoder strips no frames and parses no .proto text)."""
+    import pipelinewise_spark.streaming.serialization as S
+
+    calls = []
+    monkeypatch.setattr(
+        S, "native_from_protobuf",
+        lambda col, name, desc: calls.append(("native", name)) or F.lit(None),
+    )
+
+    # environment truth: the jar is absent here
+    assert S.native_protobuf_available(spark) is False
+    S.from_protobuf_auto(F.lit(b""), PROTO, desc_file_path="/x.desc", spark=spark)
+    assert calls == []  # codec path, native never touched
+
+    monkeypatch.setattr(S, "native_protobuf_available", lambda s: True)
+    S.from_protobuf_auto(F.lit(b""), PROTO, desc_file_path="/x.desc", spark=spark)
+    assert [c[0] for c in calls] == ["native"]
+    assert calls[0][1]  # message name resolved from the parsed .proto root
+
+    calls.clear()
+    # no descriptor file -> codec even with the jar
+    S.from_protobuf_auto(F.lit(b""), PROTO, spark=spark)
+    # Confluent-framed -> codec even with jar + descriptor
+    S.from_protobuf_auto(
+        F.lit(b""), PROTO, confluent=True, desc_file_path="/x.desc", spark=spark
+    )
+    assert calls == []
