@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "fingerprint_documents",
     "winnowing_fingerprint_documents",
+    "ngram_lm_score_documents",
+    "bigram_lm_score_documents",
+    "hybrid_retrieval_documents",
+    "repeated_ngram_coverage_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -70,3 +70,57 @@ def bm25_scores(
     )
     _ = terms  # documented shape: terms list is driver-side metadata
     return scored
+
+
+def hybrid_rerank(
+    bm25: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: lexical BM25 candidates reranked by
+    embedding cosine to the query vector — the standard search pipeline
+    (recall from the inverted/lexical stage, precision from the dense
+    stage). hybrid = alpha * bm25/max_bm25 + (1-alpha) * cosine, top-k with
+    a deterministic id tie-break.
+
+    Scale shape: the dense join touches ONLY the lexical candidate set
+    (candidates broadcast into the embedding scan when small); the
+    max-score normalizer is a broadcast 1-row aggregate; the rank window
+    runs on candidates, never the corpus. Scores round to 6 decimals so
+    rank order is reproducible across FP summation orders.
+    """
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.functions.similarity import cosine
+
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    cand = bm25.join(
+        embeddings.select(
+            F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("__cv")
+        ),
+        id_col,
+    ).crossJoin(F.broadcast(qv))
+    mx = bm25.agg(F.max("score").alias("__mx"))
+    scored = cand.crossJoin(F.broadcast(mx)).select(
+        id_col,
+        F.col("score").alias("bm25"),
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos"),
+        F.round(
+            F.lit(alpha) * F.col("score") / F.col("__mx")
+            + F.lit(1.0 - alpha)
+            * F.round(cosine(F.col("__cv"), F.col("__qv")), 6),
+            6,
+        ).alias("hybrid"),
+    )
+    w = Window.orderBy(F.col("hybrid").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -27,15 +27,14 @@ _PID = "__rank_pid"
 _RN = "__rank_rn"
 
 
-def distributed_row_number(
+def _ranked(
     df: DataFrame,
     order_cols: list[str | Column],
-    out_col: str = "rank",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Add ``out_col`` = exact 1-based global row number under
-    ``ORDER BY order_cols`` with no global-sort exchange. Returns the
-    input columns plus ``out_col``."""
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """(ranked frame, total row count) — the count is free metadata from
+    the per-partition offsets job."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -57,10 +56,24 @@ def distributed_row_number(
             off
         )
         acc += counts[pid]
-    return (
+    ranked = (
         d.withColumn(out_col, (F.col(_RN).cast("long") + off))
         .drop(_PID, _RN)
     )
+    return ranked, acc
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = exact 1-based global row number under
+    ``ORDER BY order_cols`` with no global-sort exchange. Returns the
+    input columns plus ``out_col``."""
+    ranked, _ = _ranked(df, order_cols, out_col, num_partitions)
+    return ranked
 
 
 def ntile_exact(
@@ -74,10 +87,9 @@ def ntile_exact(
     ``N mod n`` buckets take ``ceil(N/n)`` rows, the rest ``floor(N/n)``)
     computed from the distributed global rank — bit-identical to the SQL
     window, no ``Exchange SinglePartition`` in the plan."""
-    ranked = distributed_row_number(
-        df, order_cols, out_col="__ntile_rank", num_partitions=num_partitions
+    ranked, total = _ranked(
+        df, order_cols, "__ntile_rank", num_partitions
     )
-    total = ranked.count()
     q, rem = divmod(total, n_buckets)
     r = F.col("__ntile_rank")
     big = rem * (q + 1)  # rows living in the ceil-sized leading buckets

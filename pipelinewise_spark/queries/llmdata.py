@@ -1368,3 +1368,223 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     merges = bpe_train(d, "text", num_merges=8)
     return bpe_encode_counts(d, "doc_id", "text", merges)
+
+
+@register(
+    "ngram_lm_score_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY token),
+    s AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS vs FROM v),
+    p AS (SELECT token, ln((c + 1.0) / (n + vs)) AS log_p FROM v, s),
+    h AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(ROUND(-avg(log_p), 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS cross_entropy
+        FROM t JOIN p USING (token) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, cross_entropy,
+           cross_entropy <= 8.0 AS is_fluent
+    FROM h
+    """,
+)
+def ngram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filter (functions/lm.py): add-1 unigram LM
+    trained on the corpus, every document scored by cross-entropy under it
+    — the perplexity-band filter CCNet/Gopher pipelines cut on (here
+    self-trained; at scale the LM trains once on a clean reference corpus
+    and persists). LM is broadcast both ways; the fluency flag compares the
+    ROUNDED score so the boolean is reproducible."""
+    from pipelinewise_spark.functions.lm import (
+        train_unigram_lm,
+        unigram_cross_entropy,
+    )
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    lm = train_unigram_lm(d, "text")
+    scored = unigram_cross_entropy(d, lm, "doc_id", "text")
+    return scored.select(
+        "doc_id", "n_tokens", "cross_entropy",
+        (F.col("cross_entropy") <= 8.0).alias("is_fluent"),
+    )
+
+
+@register(
+    "hybrid_retrieval_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, dlen, unnest(toks) AS term FROM dl),
+    tfq AS (
+        SELECT doc_id, dlen, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ('data', 'pipeline', 'spark')
+        GROUP BY 1, 2, 3),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tfq GROUP BY 1),
+    bm AS (
+        SELECT t.doc_id,
+               round(sum(
+                   ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dlen / s.avgdl))
+               ), 6) AS bm25
+        FROM tfq t JOIN dfreq f USING (term) CROSS JOIN stats s
+        GROUP BY 1),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+        SELECT bm.doc_id, bm.bm25,
+               round({_DOT.format(a='ce.v', b='qv.q')} /
+                     (sqrt({_DOT.format(a='ce.v', b='ce.v')}) *
+                      sqrt({_DOT.format(a='qv.q', b='qv.q')})), 6) AS cos
+        FROM bm JOIN ce ON ce.vec_id = bm.doc_id CROSS JOIN qv),
+    mx AS (SELECT max(bm25) AS m FROM bm),
+    h AS (
+        SELECT doc_id, bm25, cos,
+               round(0.5 * bm25 / mx.m + 0.5 * cos, 6) AS hybrid
+        FROM sc CROSS JOIN mx)
+    SELECT doc_id, bm25, cos, hybrid,
+           CAST(row_number() OVER (ORDER BY hybrid DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM h
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid search (functions/retrieval.py:hybrid_rerank):
+    BM25 lexical candidates for a fixed term query, reranked by embedding
+    cosine to a fixed query vector (vec_id 0 — embeddings map 1:1 to
+    doc_id), blended 50/50 after max-normalizing the lexical score. The
+    dense stage touches only the candidate set; the rank window runs on
+    candidates, never the corpus."""
+    from pipelinewise_spark.functions.retrieval import bm25_scores, hybrid_rerank
+
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(d, "doc_id", "text", query_terms=["data", "pipeline", "spark"])
+    return hybrid_rerank(bm, emb, query_vec_id=0)
+
+
+@register(
+    "bigram_lm_score_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 1
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+                    ELSE [] END AS bigs
+        FROM d),
+    bg AS (SELECT doc_id, unnest(bigs) AS bigram FROM b),
+    c2 AS (SELECT bigram, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+           FROM c2 GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+          FROM (SELECT unnest(toks) AS tok FROM d)),
+    p AS (
+        SELECT bigram, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS log_p
+        FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+        CROSS JOIN v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(ROUND(-avg(log_p), 6) AS DECIMAL(18,6)) AS DOUBLE)
+               AS cross_entropy2
+    FROM bg JOIN p USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM fluency scoring (functions/lm.py:train_bigram_lm): add-1
+    smoothed bigram conditionals p(w2|w1) trained on the corpus, per-doc
+    cross-entropy under them — catches shuffled/boilerplate text that
+    unigram frequencies alone cannot (word SEQUENCE matters). Count tables
+    are Zipf-small and broadcast; two corpus scans total (train + score)."""
+    from pipelinewise_spark.functions.lm import (
+        bigram_cross_entropy,
+        train_bigram_lm,
+    )
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    lm = train_bigram_lm(d, "text")
+    return bigram_cross_entropy(d, lm, "doc_id", "text")
+
+
+@register(
+    "repeated_ngram_coverage_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(1, len(toks) - 6),
+                         i -> array_to_string(toks[i:i+7], ' '))
+                    ELSE [] END AS wins
+        FROM d),
+    win AS (SELECT doc_id, unnest(wins) AS win FROM w),
+    dup AS (
+        SELECT win FROM win GROUP BY win
+        HAVING count(DISTINCT doc_id) > 1)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE d.win IS NOT NULL) AS BIGINT)
+               AS dup_windows,
+           CAST(CAST(ROUND(
+               count(*) FILTER (WHERE d.win IS NOT NULL)
+               / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)
+               AS dup_fraction
+    FROM win w LEFT JOIN dup d USING (win)
+    GROUP BY w.doc_id
+    """,
+)
+def repeated_ngram_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring signal (the exact-substring dedup
+    statistic of Lee et al., 'Deduplicating Training Data Makes Language
+    Models Better'): per document, the fraction of its 8-token sliding
+    windows that also appear verbatim in ANOTHER document — high coverage
+    = boilerplate/mirror content. One window explode + one groupBy on the
+    window key (the same asymptotics the paper pays in its suffix-array
+    sort, here as a shuffle) + a semi-join back; docs shorter than the
+    window report zero windows and drop out, same as the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("doc_id"), TX.tokens(F.col("text")).alias("__t"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.expr("size(__t)") >= 8,
+                F.expr(
+                    "transform(sequence(1, size(__t) - 7), "
+                    "i -> array_join(slice(__t, i, 8), ' '))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        ).alias("win"),
+    )
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("win", F.lit(True).alias("__dup"))
+    )
+    return (
+        wins.join(dup, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.col("__dup")).alias("dup_windows"),
+            F.round(
+                F.count(F.col("__dup")) / F.count("*").cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("dup_fraction"),
+        )
+    )
