@@ -26,7 +26,7 @@ _SHOWCASE_ORDER = [
     # replication core
     "full_table_sync_lineitem", "incremental_sync_orders",
     "partial_sync_orders", "cdc_stream_apply_orders", "pk_dedupe_events",
-    "merge_soft_delete_orders", "timestamp_clamp_orders",
+    "merge_soft_delete_orders",
     # sinks / sources (r5 rotation: orc roundtrip in; csv-lineno, the mask
     # variant trio, kafka-json, merge-hard-delete, schema-evolution,
     # rollup, topk, minhash-incremental all driver-green in r3/r4 and rest
@@ -45,10 +45,10 @@ _SHOWCASE_ORDER = [
     "windowed_event_counts", "stream_stream_join_attribution",
     "cdc_stream_mv_orders",
     # lakehouse / scale machinery
-    "manifest_time_travel_orders", "snapshot_diff_orders",
+    "manifest_time_travel_orders",
     "snapshot_drift_orders", "incremental_mv_orders",
     "incremental_mv_minmax_orders", "zorder_pruned_read_orders",
-    "bloom_point_lookup_orders", "salted_agg_events_by_type",
+    "bloom_point_lookup_orders",
     "salted_topk_events_per_user",
     # LLM training-data
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
@@ -58,8 +58,11 @@ _SHOWCASE_ORDER = [
     "weighted_sample_documents", "embedding_cosine_topk",
     "embedding_near_dup_pairs", "gopher_quality_documents",
     "curation_pipeline_documents", "pack_sequences_documents",
-    "frequent_tokens_documents", "bm25_documents",
-    "multimodal_resize_images",
+    "bm25_documents", "multimodal_resize_images",
+    # round-5 additions (never driver-checked; timestamp_clamp,
+    # snapshot_diff, salted_agg, frequent_tokens rotate to pytest)
+    "ngram_lm_score_documents", "bigram_lm_score_documents",
+    "hybrid_retrieval_documents", "repeated_ngram_coverage_documents",
 ]
 
 
