@@ -1,0 +1,61 @@
+"""The round driver builds a VANILLA SparkSession — none of session.py's
+confs. Query paths must therefore self-normalize everything they depend on
+(read_table re-pins UTC + parquet-nanos at call time). Round 3 shipped
+failures of exactly this class (NTZ timestamps under the driver's session).
+
+This replays the most conf-sensitive prefix queries with the tuned confs
+flipped to hostile/driver-default values — wrong timezone, nanos conf off,
+200 shuffle partitions, 10 MB broadcast threshold — and still requires
+value-exact oracle equality.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipelinewise_spark.queries import ORACLES, QUERIES
+from tests.oracle import compare
+
+_HOSTILE = {
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.shuffle.partitions": "200",
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+}
+
+# timestamp-instant semantics, streaming/watermarks, Arrow UDFs, windows —
+# the paths where a session conf can silently change results
+SENSITIVE = [
+    "timestamp_clamp_orders",
+    "sessionize_events",
+    "windowed_event_counts",
+    "cdc_stream_apply_orders",
+    "kafka_protobuf_events",
+    "mongo_change_stream_apply",
+    "asof_join_click_purchase",
+    "range_join_attribution",
+    "monthly_revenue_moving_avg",
+    "events_topk_per_user",
+]
+
+
+@pytest.fixture()
+def hostile_spark(spark):
+    old: dict[str, str | None] = {}
+    for k, v in _HOSTILE.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_query_exact_under_hostile_session_confs(hostile_spark, sf_dir, name):
+    compare(hostile_spark, name, QUERIES[name], ORACLES[name], sf_dir)
