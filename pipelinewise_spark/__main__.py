@@ -3,11 +3,15 @@
 The reference's operational surface (cli/__init__.py commands) reduced to the
 engine's three verbs:
 
-    run        run every stream of a YAML pipeline (sources = parquet dirs)
-    profile    per-column statistics of a parquet table
-    state      print the pipeline's bookmark state
-    discover   emit a Singer-style catalog (streams + JSON Schemas)
-    optimize   ManifestTable maintenance: compact / Z-order / Bloom / vacuum
+    run          run every stream of a YAML pipeline (sources = parquet dirs)
+    profile      per-column statistics of a parquet table
+    state        print the pipeline's bookmark state
+    discover     emit a Singer-style catalog (streams + JSON Schemas)
+    optimize     ManifestTable maintenance: compact / Z-order / Bloom / vacuum
+    status       per-stream replication status (reference `status`)
+    validate     check a pipeline YAML for spec errors (reference `validate`)
+    reset-state  clear bookmarks so streams re-sync (reference `reset_state`)
+    init         scaffold a sample pipeline YAML (reference `init`)
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
@@ -141,6 +145,142 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_status(args: argparse.Namespace) -> int:
+    """Per-stream replication status (the reference's `status` table,
+    cli/pipelinewise.py): target table existence + live version + bookmark.
+    Driver-side metadata only — no SparkSession, no data reads."""
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.plans.state import BookmarkStore
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+
+    spec = compile_yaml_file(args.config)
+    state = BookmarkStore(
+        spec.state_path or os.path.join(spec.target_path, "_state.json")
+    )
+    rows = []
+    for s in spec.streams:
+        root = os.path.join(spec.target_path, s.target_table)
+        version: str | None = None
+        manifest_ptr = os.path.join(root, "_MANIFEST")
+        if os.path.exists(manifest_ptr):
+            with open(manifest_ptr, encoding="utf-8") as fh:
+                version = fh.read().strip()
+        else:
+            snap = ParquetTable(root).current_snapshot()
+            version = os.path.basename(snap) if snap else None
+        rows.append(
+            {
+                "stream": s.tap_stream_id,
+                "method": s.replication_method.value,
+                "table": s.target_table,
+                "exists": version is not None,
+                "version": version,
+                "bookmark": state.get_bookmark(s.tap_stream_id) or None,
+            }
+        )
+    print(json.dumps({"pipeline": spec.pipeline_id, "streams": rows},
+                     indent=2, default=str))
+    return 0
+
+
+def _cmd_validate(args: argparse.Namespace) -> int:
+    """Static pipeline validation (the reference's `validate` verb checks
+    YAML against JSON Schemas, cli/config.py): compile the YAML and apply
+    the spec invariants each replication method requires. Exit 1 on any
+    error so CI can gate on it."""
+    from pipelinewise_spark.plans.spec import ReplicationMethod
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+
+    errors: list[str] = []
+    try:
+        spec = compile_yaml_file(args.config)
+    except Exception as exc:
+        print(json.dumps({"valid": False,
+                          "errors": [f"yaml: {type(exc).__name__}: {exc}"]}))
+        return 1
+    if not spec.streams:
+        errors.append("pipeline defines no streams")
+    seen: set[str] = set()
+    for s in spec.streams:
+        sid = s.tap_stream_id
+        if sid in seen:
+            errors.append(f"{sid}: duplicate tap_stream_id")
+        seen.add(sid)
+        if s.replication_method is ReplicationMethod.INCREMENTAL and not s.replication_key:
+            errors.append(f"{sid}: INCREMENTAL requires replication_key")
+        if s.replication_method is ReplicationMethod.LOG_BASED and not s.primary_keys:
+            errors.append(f"{sid}: LOG_BASED requires primary_keys")
+        if s.hard_delete and not s.primary_keys:
+            errors.append(f"{sid}: hard_delete requires primary_keys")
+        if s.selected_columns is not None:
+            missing = [
+                pk for pk in s.primary_keys if pk not in s.selected_columns
+            ]
+            if missing:
+                errors.append(
+                    f"{sid}: primary keys excluded by column selection: {missing}"
+                )
+        for t in s.transformations:
+            if (
+                s.selected_columns is not None
+                and t.field_id not in s.selected_columns
+            ):
+                errors.append(
+                    f"{sid}: transformation on unselected column {t.field_id!r}"
+                )
+    print(json.dumps({"valid": not errors, "errors": errors}, indent=2))
+    return 1 if errors else 0
+
+
+def _cmd_reset_state(args: argparse.Namespace) -> int:
+    """Clear bookmarks (one stream via --stream, or all) so the next run
+    re-syncs from scratch — the reference's `reset_state`."""
+    from pipelinewise_spark.plans.state import BookmarkStore
+
+    cleared = BookmarkStore(args.path).reset(args.stream)
+    print(json.dumps({"cleared": cleared}))
+    return 0
+
+
+_SAMPLE_YAML = """\
+# pipelinewise_spark sample pipeline (compile_yaml_file shape)
+id: sample_to_lake
+target_path: ./lake
+schemas:
+  - source_schema: public
+    target_schema: repl
+    tables:
+      - table_name: orders
+        replication_method: INCREMENTAL
+        replication_key: o_orderdate
+        primary_keys: [o_orderkey]
+      - table_name: customer
+        replication_method: FULL_TABLE
+        primary_keys: [c_custkey]
+        transformations:
+          - column: c_name
+            type: HASH
+          - column: c_acctbal
+            type: SET-NULL
+            when:
+              - column: c_mktsegment
+                equals: BUILDING
+"""
+
+
+def _cmd_init(args: argparse.Namespace) -> int:
+    """Scaffold a sample pipeline YAML (the reference's `init` writes its
+    samples dir). Refuses to overwrite."""
+    if os.path.exists(args.path):
+        print(f"refusing to overwrite existing file: {args.path}",
+              file=sys.stderr)
+        return 1
+    with open(args.path, "w", encoding="utf-8") as fh:
+        fh.write(_SAMPLE_YAML)
+    print(json.dumps({"created": args.path}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pipelinewise_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -177,6 +317,24 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--keep-manifests", type=int, default=2)
     opt.add_argument("--target-files", type=int, default=None)
     opt.set_defaults(fn=_cmd_optimize)
+
+    stat = sub.add_parser("status", help="per-stream replication status")
+    stat.add_argument("--config", required=True, help="pipeline YAML")
+    stat.set_defaults(fn=_cmd_status)
+
+    val = sub.add_parser("validate", help="validate a pipeline YAML")
+    val.add_argument("--config", required=True, help="pipeline YAML")
+    val.set_defaults(fn=_cmd_validate)
+
+    rst = sub.add_parser("reset-state", help="clear bookmarks (re-sync)")
+    rst.add_argument("path", help="state.json path")
+    rst.add_argument("--stream", default=None,
+                     help="tap_stream_id (default: all streams)")
+    rst.set_defaults(fn=_cmd_reset_state)
+
+    ini = sub.add_parser("init", help="write a sample pipeline YAML")
+    ini.add_argument("path", help="output YAML path")
+    ini.set_defaults(fn=_cmd_init)
 
     args = p.parse_args(argv)
     return args.fn(args)

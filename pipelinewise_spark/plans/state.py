@@ -96,3 +96,22 @@ class BookmarkStore:
 
     def as_dict(self) -> dict[str, Any]:
         return json.loads(json.dumps(self._state, default=str))
+
+    def reset(self, tap_stream_id: str | None = None) -> list[str]:
+        """Drop bookmarks (one stream, or ALL when None) and persist — the
+        reference's ``reset_state`` verb: the next run re-syncs from
+        scratch. Returns the stream ids that were cleared."""
+        with self._lock:
+            if tap_stream_id is None:
+                cleared = sorted(self._state["bookmarks"])
+                self._state["bookmarks"] = {}
+            else:
+                cleared = (
+                    [tap_stream_id]
+                    if tap_stream_id in self._state["bookmarks"]
+                    else []
+                )
+                self._state["bookmarks"].pop(tap_stream_id, None)
+            self._dirty_updates += 1
+            self.save()
+        return cleared

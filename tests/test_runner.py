@@ -307,3 +307,86 @@ def test_cli_optimize_zorder_bloom_vacuum(capsys, spark, sf_dir, tmp_path):
     assert t2.read(spark).count() == n_before
     entries, _ = t2.select_entries()
     assert any("o_orderkey" in e.get("bloom", {}) for e in entries)
+
+
+def test_cli_init_validate_run_status_reset(capsys, spark, sf_dir, tmp_path):
+    """The operational verb cycle the reference CLI exposes: init scaffolds
+    a runnable YAML, validate accepts it, run loads both streams, status
+    reports live versions + bookmarks, reset-state clears a bookmark."""
+    import json as _json
+    import os as _os
+
+    from pipelinewise_spark.__main__ import main
+
+    yml = _os.path.join(str(tmp_path), "pipe.yml")
+    assert main(["init", yml]) == 0
+    capsys.readouterr()
+    # re-init must refuse to overwrite
+    assert main(["init", yml]) == 1
+    capsys.readouterr()
+
+    # point target_path into tmp (the sample uses a relative ./lake)
+    text = open(yml).read().replace(
+        "target_path: ./lake", f"target_path: {tmp_path}/lake"
+    )
+    open(yml, "w").write(text)
+
+    assert main(["validate", "--config", yml]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == {"valid": True, "errors": []}
+
+    assert main(["run", "--config", yml, "--source-dir", sf_dir]) == 0
+    capsys.readouterr()
+
+    assert main(["status", "--config", yml]) == 0
+    st = _json.loads(capsys.readouterr().out)
+    by = {s["stream"]: s for s in st["streams"]}
+    assert by["public-orders"]["exists"] and by["public-customer"]["exists"]
+    assert by["public-orders"]["bookmark"]["replication_key"] == "o_orderdate"
+
+    state_path = f"{tmp_path}/lake/_state.json"
+    assert main(["reset-state", state_path, "--stream", "public-orders"]) == 0
+    assert _json.loads(capsys.readouterr().out) == {"cleared": ["public-orders"]}
+    assert main(["status", "--config", yml]) == 0
+    st2 = _json.loads(capsys.readouterr().out)
+    by2 = {s["stream"]: s for s in st2["streams"]}
+    assert by2["public-orders"]["bookmark"] is None
+    # table itself untouched by the state reset
+    assert by2["public-orders"]["exists"]
+
+
+def test_cli_validate_rejects_bad_specs(capsys, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pipelinewise_spark.__main__ import main
+
+    yml = _os.path.join(str(tmp_path), "bad.yml")
+    open(yml, "w").write(
+        """
+id: bad
+target_path: ./lake
+schemas:
+  - source_schema: public
+    tables:
+      - table_name: orders
+        replication_method: INCREMENTAL
+      - table_name: events
+        replication_method: LOG_BASED
+      - table_name: customer
+        replication_method: FULL_TABLE
+        columns: [c_name]
+        primary_keys: [c_custkey]
+        transformations:
+          - column: c_acctbal
+            type: SET-NULL
+"""
+    )
+    assert main(["validate", "--config", yml]) == 1
+    out = _json.loads(capsys.readouterr().out)
+    assert not out["valid"]
+    joined = "\n".join(out["errors"])
+    assert "INCREMENTAL requires replication_key" in joined
+    assert "LOG_BASED requires primary_keys" in joined
+    assert "primary keys excluded by column selection" in joined
+    assert "transformation on unselected column" in joined
