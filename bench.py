@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "bigram_lm_score_documents",
     "hybrid_retrieval_documents",
     "repeated_ngram_coverage_documents",
+    "incremental_lm_update_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

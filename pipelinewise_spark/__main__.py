@@ -1,7 +1,7 @@
 """CLI — `python -m pipelinewise_spark <command>`.
 
-The reference's operational surface (cli/__init__.py commands) reduced to the
-engine's three verbs:
+The reference's operational surface (cli/__init__.py commands) re-expressed
+as engine verbs:
 
     run          run every stream of a YAML pipeline (sources = parquet dirs)
     profile      per-column statistics of a parquet table

@@ -1588,3 +1588,57 @@ def repeated_ngram_coverage_documents(spark: SparkSession, sf_dir: str) -> DataF
             .alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "incremental_lm_update_documents",
+    oracle=f"""
+    WITH live AS (
+        SELECT * FROM documents
+        WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)),
+    t AS (SELECT unnest({_TOKS}) AS token FROM live)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM t GROUP BY token
+    """,
+)
+def incremental_lm_update_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained LM vocabulary (functions/lm.py counts ×
+    operators/incremental_agg.py delta rule): the T0 vocab is built from
+    the base corpus (doc_id % 5 != 0); then one change batch INSERTS the
+    new docs (doc_id % 5 == 0) and DELETES the retired ones (doc_id % 7 ==
+    0), and the count table folds forward from the token change feed alone
+    — never re-reading the base corpus. Tokens whose count reaches zero
+    leave the vocab, exactly as a retrain would produce. At 100 TB this is
+    how a standing tokenizer/LM vocab tracks a growing corpus: per-ingest
+    cost ∝ batch tokens, not corpus tokens."""
+    from pipelinewise_spark.operators.incremental_agg import (
+        apply_change_feed,
+        build_aggregate,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    t0 = build_aggregate(
+        base.select(F.explode(TX.tokens(F.col("text"))).alias("token")),
+        ["token"], {}, count_col="freq",
+    )
+    inserts = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .select(
+            F.lit("i").alias("op"),
+            F.lit(None).cast("string").alias("old_token"),
+            F.col("token").alias("new_token"),
+        )
+    )
+    deletes = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .select(
+            F.lit("d").alias("op"),
+            F.col("token").alias("old_token"),
+            F.lit(None).cast("string").alias("new_token"),
+        )
+    )
+    feed = inserts.unionByName(deletes)
+    return apply_change_feed(t0, feed, ["token"], {}, count_col="freq")

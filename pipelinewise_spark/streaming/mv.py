@@ -155,13 +155,14 @@ class StreamingRollup:
                 *[F.col(c).alias(f"new_{c}") for c in touched],
             )
         else:
+            tgt = target.read(spark)
             old_cols = [*primary_keys, *touched]
-            if SDC_SEQ_COL in target.read(spark).columns:
+            if SDC_SEQ_COL in tgt.columns:
                 old_cols.append(SDC_SEQ_COL)
-            old = target.read(spark).select(
+            old = tgt.select(
                 *[F.col(c).alias(f"__old_{c}") for c in old_cols],
                 F.col(SDC_DELETED_AT).alias("__old_deleted")
-                if SDC_DELETED_AT in target.read(spark).columns
+                if SDC_DELETED_AT in tgt.columns
                 else F.lit(None).cast("timestamp").alias("__old_deleted"),
             )
             cond = [
