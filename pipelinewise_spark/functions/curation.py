@@ -216,6 +216,58 @@ def strip_boilerplate(
     )
 
 
+def dedupe_lines_across_docs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-level first-occurrence line dedup (the Dolma/RefinedWeb
+    "paragraph dedup" rule): a line whose normalized form already appeared
+    in an earlier document — ordered by (key, position) — is removed; the
+    single globally-first occurrence survives. Complements
+    [[strip_boilerplate]] (which removes *every* copy of high-frequency
+    lines) and [[dedupe_lines_within_doc]] (which only looks inside one
+    document).
+
+    Scale shape: the winner per line is ``min(struct(key, pos))`` via a
+    groupBy — map-side combinable, so a line present in half the corpus
+    still reduces locally instead of funneling into one task (a
+    ``row_number`` window over the line would not). Then one shuffle join
+    of lines against winners on the normalized line, and one groupBy(key)
+    to reassemble. Three shuffles on narrow rows; no all-pairs step; no
+    driver-side state. Blank lines are never deduped.
+    Returns (key, cleaned, n_lines_kept, n_lines_removed).
+    """
+    lines = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__norm", F.lower(F.trim(F.col("line"))))
+    winners = (
+        lines.filter(F.col("__norm") != "")
+        .groupBy("__norm")
+        .agg(
+            F.min(
+                F.struct(F.col(key_col).alias("k"), F.col("pos").alias("p"))
+            ).alias("__w")
+        )
+    )
+    marked = lines.join(winners, "__norm", "left")
+    keep = F.col("__w").isNull() | (
+        (F.col("__w.k") == F.col(key_col)) & (F.col("__w.p") == F.col("pos"))
+    )
+    kept = F.when(keep, F.struct(F.col("pos"), F.col("line")))
+    return marked.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("cleaned"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(
+            "n_lines_removed"
+        ),
+    )
+
+
 def weighted_sample_top_n(
     df: DataFrame,
     key_col: str,

@@ -1642,3 +1642,228 @@ def incremental_lm_update_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
     feed = inserts.unionByName(deletes)
     return apply_change_feed(t0, feed, ["token"], {}, count_col="freq")
+
+
+@register(
+    "cross_doc_line_dedup_documents",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'subscribe to our newsletter' || chr(10) ||
+               'trending in ' || lang || chr(10) ||
+               text || chr(10) ||
+               'ref ' || md5(CAST(doc_id AS VARCHAR)) AS raw
+        FROM documents),
+    parts AS (SELECT doc_id, string_split(raw, chr(10)) AS parts FROM raw),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(1, len(parts) + 1)) AS pos,
+               unnest(parts) AS line
+        FROM parts),
+    normed AS (
+        SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines),
+    marked AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN norm = '' THEN TRUE
+                    ELSE row_number() OVER (PARTITION BY norm
+                                            ORDER BY doc_id, pos) = 1
+               END AS keep
+        FROM normed)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE keep), '') AS cleaned,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def cross_doc_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level FIRST-OCCURRENCE line dedup (functions/curation.py:
+    dedupe_lines_across_docs — the Dolma-style paragraph-dedup rule, distinct
+    from boilerplate_strip_documents which removes *every* copy): documents
+    get a global promo line, a per-language header, their body, and a unique
+    ref line; each normalized line survives only in the (doc_id, pos)-first
+    document. Duplicate document bodies in the corpus dedupe too. The winner
+    per line is a map-side-combinable groupBy min — no window over the line,
+    so the Zipf head cannot single-task the job."""
+    from pipelinewise_spark.functions.curation import dedupe_lines_across_docs
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    raw = F.concat_ws(
+        "\n",
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("trending in "), F.col("lang")),
+        F.col("text"),
+        F.concat(F.lit("ref "), F.md5(F.col("doc_id").cast("string"))),
+    )
+    return dedupe_lines_across_docs(
+        d.select("doc_id", raw.alias("__raw")), "doc_id", "__raw"
+    )
+
+
+@register(
+    "lang_percentile_filter_documents",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{TX.BPE_PATTERN}'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang, n_bpe_tokens,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_bpe_tokens, doc_id)
+                   AS lang_pct
+        FROM s)
+    SELECT doc_id, lang, n_bpe_tokens, lang_pct
+    FROM r WHERE lang_pct >= 0.25
+    """,
+)
+def lang_percentile_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language quality calibration: rank documents *within* their
+    language and keep the top 75% — so a score scale that runs hot in one
+    language cannot crowd the others out of the training mix (the
+    per-stratum percentile normalization step in CCNet-style curation).
+
+    Scale shape: a bare ``percent_rank() OVER (PARTITION BY lang ...)``
+    funnels each language — terabytes at corpus scale — through ONE task.
+    Instead the global rank over (lang, score, doc_id) comes from
+    operators/rank.py:distributed_row_number (range-shuffle + per-partition
+    windows + metadata offsets), and each language's percent_rank is
+    recovered as (rank - first_rank_of_lang) / (docs_in_lang - 1) via a
+    broadcast join of per-language bounds (one row per language). Integer
+    ordering keys make the percentile exact and engine-portable — no FP
+    comparator drift."""
+    from pipelinewise_spark.operators.rank import distributed_row_number
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+    ranked = distributed_row_number(
+        d, ["lang", "n_bpe_tokens", "doc_id"], out_col="__grank"
+    )
+    bounds = ranked.groupBy(F.col("lang").alias("__lang")).agg(
+        F.min("__grank").alias("__lo"), F.count("*").alias("__n")
+    )
+    pct = (F.col("__grank") - F.col("__lo")).cast("double") / (
+        F.col("__n") - F.lit(1)
+    ).cast("double")
+    return (
+        ranked.join(
+            F.broadcast(bounds), F.col("lang") == F.col("__lang"), "inner"
+        )
+        .withColumn("lang_pct", pct)
+        .filter(F.col("lang_pct") >= 0.25)
+        .select("doc_id", "lang", "n_bpe_tokens", "lang_pct")
+    )
+
+
+@register(
+    "curation_funnel_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, text, toks,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS grams
+        FROM tok),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(toks,
+                         t -> CAST(length(t) AS DOUBLE))) / len(toks), 6)
+                   AS mean_word_len,
+               round(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+                     / len(toks), 6) AS symbol_ratio,
+               round(CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                     / len(toks), 6) AS alpha_frac,
+               round(CASE WHEN len(grams) > 0
+                          THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams)
+                          ELSE 0.0 END, 6) AS dup_3gram_frac,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+        FROM g),
+    ind AS (
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000) AS p1,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND (symbol_ratio < 0.1) AND (alpha_frac > 0.8)
+                 AND (dup_3gram_frac < 0.3) AS p2
+        FROM s),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN p2 AND is_canon THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3
+        FROM ind)
+    SELECT CAST(0 AS BIGINT) AS stage_id, 'ingested' AS stage,
+           total AS rows_in, total AS rows_out FROM c
+    UNION ALL
+    SELECT 1, 'word_count', total, c1 FROM c
+    UNION ALL
+    SELECT 2, 'gopher_quality', c1, c2 FROM c
+    UNION ALL
+    SELECT 3, 'exact_dedup', c2, c3 FROM c
+    """,
+)
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation accounting (the observability layer every 100 TB
+    curation run needs: how many documents each filter stage admitted).
+    All quality indicators are evaluated as columns of ONE scan and
+    aggregated with conditional sums — the funnel costs one pass plus the
+    map-side-combinable canonical-copy groupBy, never one job per stage.
+    Stages: ingest → Gopher word-count gate → full Gopher rules → exact
+    dedup (only the min-doc_id copy of identical text survives)."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "__toks", TX.tokens(F.col("text"))
+    )
+    stats = TX.gopher_stats(F.col("text"), toks=F.col("__toks"))
+    canon = (
+        d.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("__canon_id"))
+    )
+    d = d.join(canon, F.md5(F.col("text")) == F.col("__h"), "inner")
+    p1 = stats["n_words"].between(50, 100_000)
+    p2 = TX.gopher_keep(stats)
+    p3 = p2 & (F.col("doc_id") == F.col("__canon_id"))
+    agg = d.agg(
+        F.count("*").alias("total"),
+        F.sum(p1.cast("long")).alias("c1"),
+        F.sum(p2.cast("long")).alias("c2"),
+        F.sum(p3.cast("long")).alias("c3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("stage_id"),
+            F.lit("ingested").alias("stage"),
+            F.col("total").alias("rows_in"), F.col("total").alias("rows_out"),
+        ),
+        F.struct(
+            F.lit(1).cast("long").alias("stage_id"),
+            F.lit("word_count").alias("stage"),
+            F.col("total").alias("rows_in"), F.col("c1").alias("rows_out"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("stage_id"),
+            F.lit("gopher_quality").alias("stage"),
+            F.col("c1").alias("rows_in"), F.col("c2").alias("rows_out"),
+        ),
+        F.struct(
+            F.lit(3).cast("long").alias("stage_id"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("c2").alias("rows_in"), F.col("c3").alias("rows_out"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage_id", "s.stage", "s.rows_in", "s.rows_out"
+    )

@@ -445,3 +445,69 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set(conf_key, old)
     return spark.table(sink)
+
+
+@register(
+    "stream_dedupe_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup on ingest (streaming/windows.py:
+    streaming_dedupe → ``dropDuplicatesWithinWatermark``): the events table
+    plus one exact duplicate of every third event arrive as a JSONL stream
+    split over multiple micro-batches; duplicate event_ids are dropped by
+    bounded watermark state — including duplicates arriving in a LATER
+    micro-batch than the original, which is what distinguishes stateful
+    streaming dedup from per-batch dropDuplicates. The fixture horizon is
+    effectively infinite so the end state is exact; in production the
+    horizon bounds state at (keys per watermark window), the only
+    state-size contract that survives an unbounded 100 TB/day stream."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.streaming.windows import streaming_dedupe
+
+    tmp = tempfile.mkdtemp(prefix="pws_sdedup_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+
+    # default JSON timestampFormat truncates to milliseconds; events carry
+    # microsecond precision, so pin the format on both sides
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    events = read_table(spark, sf_dir, "events")
+    n = min(32, spark.sparkContext.defaultParallelism)
+    events.repartition(n).write.mode("append").option(
+        "timestampFormat", ts_fmt
+    ).json(src)
+    # exact duplicates of every third event, as separate files so many land
+    # in later micro-batches than their originals
+    events.filter(F.col("event_id") % 3 == 0).repartition(8).write.mode(
+        "append"
+    ).option("timestampFormat", ts_fmt).json(src)
+
+    payload = T._parse_datatype_string(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(payload)
+        .option("maxFilesPerTrigger", 16)
+        .option("timestampFormat", ts_fmt)
+        .json(src)
+    )
+    deduped = streaming_dedupe(
+        stream, ["event_id"], ts_col="ts", watermark="3650 days"
+    )
+    out = os.path.join(tmp, "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(payload).parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
