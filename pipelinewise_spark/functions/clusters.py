@@ -28,8 +28,10 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
         # cut the lineage: edges feed every iteration's joins — without this
-        # the (expensive) pair-generation upstream re-executes per iteration
-        .localCheckpoint(eager=True)
+        # the (expensive) pair-generation upstream re-executes per iteration.
+        # Lazy: the first iteration's convergence probe materializes it, so
+        # no standalone checkpoint job runs.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -56,7 +58,11 @@ def connected_components(
                 new_component.alias("component"),
                 (new_component != F.col("component")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence probe below is the first
+            # action, so ONE job per iteration both advances the labels and
+            # answers "did anything change" — an eager checkpoint would run
+            # a second, result-discarding job every iteration
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("node", "component")
         if not stepped.agg(F.max("__changed")).collect()[0][0]:

@@ -152,7 +152,12 @@ def shard_by_token_budget(
         .orderBy(F.col(key_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("__run", F.sum(F.col(tokens_col)).over(w_in))
+    # lazy checkpoint: the totals collect below materializes the running
+    # sums once; the returned plan then reads them back instead of
+    # re-executing the upstream scan + range shuffle + window a second time
+    d = d.withColumn(
+        "__run", F.sum(F.col(tokens_col)).over(w_in)
+    ).localCheckpoint(eager=False)
     # per-partition totals -> cumulative offsets (metadata-scale collect)
     totals = {
         r["__pid"]: r["t"]

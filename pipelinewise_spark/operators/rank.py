@@ -42,7 +42,12 @@ def _ranked(
         _PID, F.spark_partition_id()
     )
     w_in = Window.partitionBy(_PID).orderBy(*cols)
-    d = d.withColumn(_RN, F.row_number().over(w_in))
+    # lazy checkpoint: the offsets collect below materializes the local row
+    # numbers once; the returned plan reads them back instead of repeating
+    # the scan + range shuffle + window
+    d = d.withColumn(_RN, F.row_number().over(w_in)).localCheckpoint(
+        eager=False
+    )
     # per-partition row counts -> cumulative offsets (metadata-scale
     # collect: one row per shuffle partition)
     counts = {
