@@ -221,6 +221,87 @@ def signlsh_near_dup_pairs(
     )
 
 
+def signlsh_near_dup_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = DIM,
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental embedding near-dup: pairs (a_id ∈ corpus, b_id ∈ batch,
+    cos >= threshold) — check a NEW ingest batch against the standing
+    corpus without re-pairing the corpus against itself (the embedding
+    twin of ``dedup.minhash_lsh_pairs_against``).
+
+    Scale shape: the corpus side's band keys ARE the materialized sign-LSH
+    index (at 100 TB: built once per corpus, re-derived here in-plan); the
+    per-batch cost is bucketing the batch (one map stage), a band-key
+    equi-join — the batch side broadcasts when small — and exact-cosine
+    verification on candidates only. Corpus self-pairs never form, so
+    ingest-dedup cost is O(batch × collision rate), not O(corpus²).
+    Returns (a_id, b_id, cos).
+    """
+    planes = hyperplanes(bands * planes_per_band, dim)
+
+    def band_tagged(df: DataFrame, alias: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        keys = []
+        for b in range(bands):
+            key = F.lit(0)
+            for j in range(planes_per_band):
+                plane = planes[b * planes_per_band + j]
+                p = F.array(*[F.lit(float(x)) for x in plane])
+                key = key + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+            keys.append(
+                F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+            )
+        return df.select(
+            F.col(id_col).alias(alias), F.explode(F.array(*keys)).alias("bk")
+        )
+
+    cand = (
+        band_tagged(spread(corpus), "a_id")
+        .join(band_tagged(batch, "b_id"), "bk")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    dv = _as_double(F.col(vec_col))
+    va = corpus.select(
+        F.col(id_col).alias("a_id"),
+        dv.alias("__av"),
+        F.sqrt(dot(dv, dv)).alias("__an"),
+    )
+    vb = batch.select(
+        F.col(id_col).alias("b_id"),
+        dv.alias("__bv"),
+        F.sqrt(dot(dv, dv)).alias("__bn"),
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn")),
+                round_to,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,

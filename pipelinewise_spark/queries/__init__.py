@@ -37,12 +37,16 @@ _SHOWCASE_ORDER = [
     # transformations + validation routing
     "mask_transforms_customer", "quarantine_events",
     # relational / windows (all 22 TPC-H shapes are registered and were
-    # driver-green in r03; q1/q3 stay as the flagship representatives)
+    # driver-green in r03; q1/q3 stay as the flagship representatives.
+    # r5.2 rotation: asof/range-join/windowed-counts/cosine-topk/curation-
+    # pipeline went driver-green in r4 and rest on pytest; the five
+    # never-driver-checked round-5 additions take their slots)
     "q1_pricing_summary", "q3_shipping_priority",
-    "sessionize_events", "asof_join_click_purchase", "range_join_attribution",
+    "sessionize_events", "lang_percentile_filter_documents",
+    "cross_doc_line_dedup_documents",
     "ntile_documents_by_length",
     # streaming
-    "windowed_event_counts", "stream_stream_join_attribution",
+    "stream_dedupe_events", "stream_stream_join_attribution",
     "cdc_stream_mv_orders",
     # lakehouse / scale machinery
     "manifest_time_travel_orders",
@@ -55,9 +59,9 @@ _SHOWCASE_ORDER = [
     "simhash_documents", "ngram_jaccard_pairs_documents",
     "edit_distance_pairs_documents", "dedup_clusters_documents",
     "dedup_keep_best_documents", "cluster_aware_split_documents",
-    "weighted_sample_documents", "embedding_cosine_topk",
+    "weighted_sample_documents", "embedding_incremental_batch",
     "embedding_near_dup_pairs", "gopher_quality_documents",
-    "curation_pipeline_documents", "pack_sequences_documents",
+    "curation_funnel_documents", "pack_sequences_documents",
     "bm25_documents", "multimodal_resize_images",
     # round-5 additions (never driver-checked; timestamp_clamp,
     # snapshot_diff, salted_agg, frequent_tokens rotate to pytest)

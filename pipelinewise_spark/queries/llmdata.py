@@ -1867,3 +1867,36 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("s")).select(
         "s.stage_id", "s.stage", "s.rows_in", "s.rows_out"
     )
+
+
+def _near_dup_against_oracle(
+    threshold: float = 0.4, bands: int = 4, planes_per_band: int = 4
+) -> str:
+    """Same plane/band scheme as _near_dup_pairs_oracle, restricted to
+    (corpus: vec_id % 10 <> 0) × (batch: vec_id % 10 = 0) pairs — the
+    incremental embedding ingest-dedup contract."""
+    base = _near_dup_pairs_oracle(threshold, bands, planes_per_band)
+    return base.replace(
+        "FROM k a JOIN k b ON a.vec_id < b.vec_id AND",
+        "FROM k a JOIN k b ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0 "
+        "AND a.vec_id <> b.vec_id AND",
+    )
+
+
+@register(
+    "embedding_incremental_batch",
+    oracle=_near_dup_against_oracle(),
+)
+def embedding_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding ingest dedup (functions/similarity.py:
+    signlsh_near_dup_pairs_against): the 10 % of vectors arriving as a new
+    batch are cosine-near-dup-checked against the standing 90 % corpus via
+    the corpus's banded sign-LSH index — corpus self-pairs never form, so
+    per-batch cost is O(batch × collision rate). The embedding twin of
+    minhash_incremental_batch_documents."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.signlsh_near_dup_pairs_against(
+        corpus, batch, "vec_id", "embedding", threshold=0.4
+    )
