@@ -170,12 +170,78 @@ class PipelineRunner:
                 f"{stream.tap_stream_id}: LOG_BASED streams run via "
                 "streaming.cdc.run_cdc_stream with a change-event source"
             )
+        self._post_load_hooks(stream, out)
         return StreamResult(
             tap_stream_id=stream.tap_stream_id,
             method=stream.replication_method.value,
             rows_loaded=out.count(),
             bookmark=self.state.get_bookmark(stream.tap_stream_id),
         )
+
+    def _opt(self, stream: StreamSpec, key: str, default=None):
+        return stream.options.get(key, self.spec.options.get(key, default))
+
+    def _post_load_hooks(self, stream: StreamSpec, out: DataFrame) -> None:
+        """The reference's post-load tail, config-driven:
+
+        - ``archive_load_files`` (target_snowflake/__init__.py:119-121,
+          178-191, 478-508): keep a copy of every load batch under an
+          archive prefix with min/max replication-key metadata — encrypted
+          client-side when ``client_side_encryption_master_key`` is set
+          (fastsync/commons/target_snowflake.py:109-152 applies the same
+          key to staged uploads).
+        - grants (db_sync.py:609-637): USAGE/SELECT for configured roles,
+          resolved with the reference's config precedence.
+        """
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        if self._opt(stream, "archive_load_files"):
+            adir = os.path.join(
+                self.spec.target_path, "_sdc_archive", stream.target_table
+            )
+            mk = self._opt(stream, "client_side_encryption_master_key")
+            if mk:
+                from pipelinewise_spark.operators.encryption import (
+                    write_encrypted_staged,
+                )
+
+                key = bytes.fromhex(mk) if isinstance(mk, str) else mk
+                write_encrypted_staged(out, adir, key, mode="overwrite")
+            else:
+                out.write.mode("overwrite").parquet(adir)
+            meta: dict = {"stream": stream.tap_stream_id}
+            if stream.replication_key:
+                row = out.agg(
+                    F.min(stream.replication_key).cast("string"),
+                    F.max(stream.replication_key).cast("string"),
+                ).head()
+                meta["min_replication_key"] = row[0]
+                meta["max_replication_key"] = row[1]
+            from pipelinewise_spark.operators.fsio import MetaFS
+
+            MetaFS(adir).write_text(
+                _json.dumps(meta, indent=1), "_archive_metadata.json",
+                atomic=True,
+            )
+        if self._opt(stream, "default_target_schema_select_permissions") or (
+            self._opt(stream, "schema_mapping")
+        ):
+            from pipelinewise_spark.operators.grants import apply_grants
+
+            apply_grants(
+                os.path.join(self.spec.target_path, stream.target_table),
+                self._opt(stream, "target_schema", self.spec.pipeline_id),
+                stream.target_table,
+                {
+                    "default_target_schema_select_permissions": self._opt(
+                        stream, "default_target_schema_select_permissions"
+                    ),
+                    "schema_mapping": self._opt(stream, "schema_mapping"),
+                },
+                stream_schema_name=self._opt(stream, "stream_schema_name"),
+            )
 
     def run(
         self,

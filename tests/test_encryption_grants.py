@@ -139,3 +139,59 @@ def test_apply_grants_persists_acl_and_executes(tmp_path):
 def test_apply_grants_noop_without_config(tmp_path):
     assert apply_grants(str(tmp_path), "s", "t", {}) == []
     assert read_acl(str(tmp_path)) is None
+
+
+def test_runner_post_load_hooks(spark, sf_dir, tmp_path):
+    """Config-driven post-load tail: archive_load_files with client-side
+    encryption + grants, exactly the reference's target config keys."""
+    from pipelinewise_spark.operators.encryption import read_encrypted_staged
+    from pipelinewise_spark.plans.spec import PipelineSpec, StreamSpec
+    from pipelinewise_spark.runner import PipelineRunner
+    from pipelinewise_spark.sources.files import read_table
+
+    master = secrets.token_bytes(32).hex()
+    spec = PipelineSpec(
+        pipeline_id="pg_to_lake",
+        target_path=str(tmp_path),
+        streams=[
+            StreamSpec(
+                tap_stream_id="orders",
+                primary_keys=["o_orderkey"],
+                replication_method="INCREMENTAL",
+                replication_key="o_orderdate",
+            )
+        ],
+        options={
+            "archive_load_files": True,
+            "client_side_encryption_master_key": master,
+            "default_target_schema_select_permissions": ["analyst"],
+        },
+    )
+    orders = read_table(spark, sf_dir, "orders").limit(500)
+    runner = PipelineRunner(spark, spec)
+    res = runner.run_stream(
+        spec.stream("orders"), orders,
+        extracted_at="2026-01-01 00:00:00", batched_at="2026-01-01 00:00:00",
+    )
+    assert res.rows_loaded == 500
+
+    adir = os.path.join(str(tmp_path), "_sdc_archive", "orders")
+    # archive exists, is encrypted, decrypts with the master key
+    import json
+
+    meta = json.load(open(os.path.join(adir, "_encryption_metadata.json")))
+    assert meta["algorithm"] == "AES-GCM"
+    back = read_encrypted_staged(
+        spark, adir, bytes.fromhex(master),
+        orders.schema.add("_sdc_extracted_at", "timestamp")
+        .add("_sdc_batched_at", "timestamp")
+        .add("_sdc_deleted_at", "timestamp"),
+    )
+    assert back.count() == 500
+    # min/max replication-key metadata rides the archive
+    am = json.load(open(os.path.join(adir, "_archive_metadata.json")))
+    assert am["min_replication_key"] <= am["max_replication_key"]
+    # grants applied against the table root
+    acl = read_acl(os.path.join(str(tmp_path), "orders"))
+    assert acl["select"] == ["analyst"]
+    assert acl["schema"] == "pg_to_lake"
