@@ -81,7 +81,14 @@ def compile_dict(doc: dict[str, Any]) -> PipelineSpec:
                     flattening_max_level=int(
                         tbl.get("data_flattening_max_level", 0)
                     ),
-                    options=dict(tbl.get("options", {}) or {}),
+                    # grants resolve against the schema names (reference:
+                    # db_sync.py:265-284 keys the per-schema permission
+                    # override by the SOURCE schema, grants target-side)
+                    options={
+                        "target_schema": tgt,
+                        "stream_schema_name": src,
+                        **dict(tbl.get("options", {}) or {}),
+                    },
                 )
             )
     return PipelineSpec(

@@ -195,3 +195,38 @@ def test_runner_post_load_hooks(spark, sf_dir, tmp_path):
     acl = read_acl(os.path.join(str(tmp_path), "orders"))
     assert acl["select"] == ["analyst"]
     assert acl["schema"] == "pg_to_lake"
+
+
+def test_yaml_grants_schema_override(spark, sf_dir, tmp_path):
+    """YAML pipelines carry schema names into the grant hook: the
+    per-source-schema override (schema_mapping) beats the default role
+    list, and the ACL records the TARGET schema."""
+    from pipelinewise_spark.plans.yaml_config import compile_yaml
+    from pipelinewise_spark.runner import PipelineRunner
+    from pipelinewise_spark.sources.files import read_table
+
+    yaml_text = f"""
+id: pg_to_lake
+target_path: "{tmp_path}"
+options:
+  default_target_schema_select_permissions: [analyst]
+  schema_mapping:
+    public:
+      target_schema_select_permissions: [bi, etl]
+schemas:
+  - source_schema: public
+    target_schema: repl
+    tables:
+      - table_name: nation
+        replication_method: FULL_TABLE
+        primary_keys: [n_nationkey]
+"""
+    spec = compile_yaml(yaml_text)
+    runner = PipelineRunner(spark, spec)
+    runner.run(
+        {"public-nation": read_table(spark, sf_dir, "nation")},
+        extracted_at="2026-01-01 00:00:00", batched_at="2026-01-01 00:00:00",
+    )
+    acl = read_acl(os.path.join(str(tmp_path), "repl.nation"))
+    assert acl["select"] == ["bi", "etl"]  # override beats default
+    assert acl["schema"] == "repl"
