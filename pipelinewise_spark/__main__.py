@@ -111,6 +111,27 @@ def _cmd_discover(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_clone(args: argparse.Namespace) -> int:
+    """Deep-clone a manifest table (point-in-time with --version): byte
+    copy + manifest rewrite, no Spark job."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(args.table)
+    dest = t.clone_to(args.dest, version=args.version)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "dest": args.dest,
+                "version": args.version,
+                "dest_version": dest.current_manifest_name(),
+                "files": len(dest._load_manifest()["files"]),
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_optimize(args: argparse.Namespace) -> int:
     """Lakehouse table maintenance in one pass — the OPTIMIZE verb: compact
     fragmented partitions, optionally re-cluster along a Z-order, attach
@@ -331,6 +352,17 @@ def main(argv: list[str] | None = None) -> int:
     rst.add_argument("--stream", default=None,
                      help="tap_stream_id (default: all streams)")
     rst.set_defaults(fn=_cmd_reset_state)
+
+    cln = sub.add_parser(
+        "clone", help="deep-clone a manifest table (optionally a version)"
+    )
+    cln.add_argument("table", help="source ManifestTable root")
+    cln.add_argument("dest", help="destination root")
+    cln.add_argument(
+        "--version", type=int, default=None,
+        help="historical manifest version (point-in-time backup)",
+    )
+    cln.set_defaults(fn=_cmd_clone)
 
     ini = sub.add_parser("init", help="write a sample pipeline YAML")
     ini.add_argument("path", help="output YAML path")

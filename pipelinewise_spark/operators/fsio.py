@@ -74,6 +74,21 @@ class MetaFS:
     def delete(self, *rel: str) -> None:
         self.fs.delete_file(self._p(*rel))
 
+    def copy_file(self, rel: str, dest: "MetaFS", dest_rel: str) -> None:
+        """Byte-copy one file into another rooted filesystem (streamed, so
+        it works local→local, local→s3, s3→s3 — the clone/backup
+        primitive). Parent dirs are created as needed."""
+        parent = posixpath.dirname(dest_rel)
+        if parent and isinstance(dest.fs, pafs.LocalFileSystem):
+            dest.mkdirs(parent)
+        with self.fs.open_input_stream(self._p(rel)) as src:
+            with dest.fs.open_output_stream(dest._p(dest_rel)) as out:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+
     # ------------------------------------------------------------ listing
     def listdir(self) -> list[str]:
         """Basenames of entries directly under the root ('' if missing)."""

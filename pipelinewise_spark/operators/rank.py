@@ -105,3 +105,37 @@ def ntile_exact(
             r <= F.lit(big), F.floor((r - 1) / F.lit(q + 1)) + 1
         ).otherwise(F.lit(rem) + F.floor((r - F.lit(big) - 1) / F.lit(q)) + 1)
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__ntile_rank")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    quantiles: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT quantiles of ``value_col`` with no single-reducer sort: the
+    value at global rank ``ceil(q·N)`` under ``ORDER BY value, tie_cols``
+    (discrete-quantile semantics, deterministic under ties because the tie
+    columns make the ordering total).
+
+    percentile_approx is the 100 TB default (see approx_stats); this is the
+    exact twin for when the answer must be reproducible to the row — same
+    distributed-sort structure as ``distributed_row_number``, plus one
+    broadcast join against the (len(quantiles))-row target-rank table.
+    Returns (quantile, value) — one row per requested quantile.
+    """
+    import math
+
+    ranked, n = _ranked(
+        df, [value_col, *tie_cols], "__q_rank", num_partitions
+    )
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(q), max(1, math.ceil(q * n))) for q in quantiles],
+        "quantile double, __q_rank long",
+    )
+    return (
+        ranked.join(F.broadcast(targets), "__q_rank")
+        .select("quantile", F.col(value_col).alias("value"))
+    )

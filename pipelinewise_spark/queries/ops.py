@@ -959,3 +959,33 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_totalprice",
         )
     )
+
+
+@register(
+    "exact_quantiles_lineitem",
+    oracle="""
+    WITH r AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem)
+    SELECT q.quantile, r.v AS value
+    FROM (VALUES (0.5), (0.9), (0.99)) q(quantile)
+    JOIN r ON r.rn = GREATEST(1, CAST(ceil(q.quantile * r.n) AS BIGINT))
+    """,
+)
+def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice (operators/rank.py:
+    exact_quantiles): value at global rank ceil(q*N) under a total order —
+    reproducible to the row, computed with the distributed-sort rank (range
+    shuffle + per-partition windows + metadata offsets), never an
+    Exchange SinglePartition. The approximate twin is approx_stats_lineitem;
+    this one has an exact SQL oracle because its answer is exact."""
+    from pipelinewise_spark.operators.rank import exact_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"],
+        [0.5, 0.9, 0.99],
+    )

@@ -235,3 +235,41 @@ def test_composite_spec_merge_prunes_on_tuples(spark, tmp_path):
     got = t.read(spark).select("id", "v")
     diff = got.exceptAll(expected.select("id", "v"))
     assert diff.count() == 0 and got.count() == 40
+
+
+def test_clone_to_point_in_time_and_independence(spark, sf_dir, tmp_path):
+    """Deep clone: byte-copies a (possibly historical) snapshot + manifest;
+    the clone reads identically, keeps partition pruning + stats, and
+    vacuuming the source never breaks the clone."""
+    src = ManifestTable(os.path.join(str(tmp_path), "orders"))
+    orders = read_table(spark, sf_dir, "orders")
+    src.overwrite(orders, partition_by=["o_orderstatus"])
+    batch = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    src.merge(spark, batch, ["o_orderkey"])
+
+    # clone version 1 = point-in-time backup of the pre-merge state
+    backup = src.clone_to(os.path.join(str(tmp_path), "orders_v1"), version=1)
+    assert backup.read(spark).count() == orders.count()
+    s = backup.read(spark).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    o = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    ).collect()[0][0]
+    assert s == o
+    # partition spec carried: pruned read lists a strict file subset
+    pruned, m = backup.select_entries({"o_orderstatus": ["F"]})
+    assert 0 < len(pruned) < len(m["files"])
+
+    # live clone, then source evolves + vacuums — clone is unaffected
+    live = src.clone_to(os.path.join(str(tmp_path), "orders_live"))
+    before = live.read(spark).count()
+    src.merge(
+        spark,
+        orders.limit(10).withColumn("o_totalprice", F.lit(0.0)),
+        ["o_orderkey"],
+    )
+    src.vacuum(keep_manifests=1)
+    assert live.read(spark).count() == before
