@@ -42,7 +42,7 @@ _SHOWCASE_ORDER = [
     # pipeline went driver-green in r4 and rest on pytest; the five
     # never-driver-checked round-5 additions take their slots)
     "q1_pricing_summary", "q3_shipping_priority",
-    "sessionize_events", "lang_percentile_filter_documents",
+    "exact_quantiles_lineitem", "lang_percentile_filter_documents",
     "cross_doc_line_dedup_documents",
     "ntile_documents_by_length",
     # streaming

@@ -36,6 +36,12 @@ SENSITIVE = [
     "range_join_attribution",
     "monthly_revenue_moving_avg",
     "events_topk_per_user",
+    # round 5.2: streaming dedupe round-trips microsecond timestamps
+    # through JSON under the session tz; the rank machinery must be
+    # partition-count-invariant
+    "stream_dedupe_events",
+    "exact_quantiles_lineitem",
+    "lang_percentile_filter_documents",
 ]
 
 
