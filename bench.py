@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "flatten_events_props",
     "archive_load_metadata_orders",
     "csv_source_lineno_orders",
+    "cross_doc_line_dedup_documents",
+    "lang_percentile_filter_documents",
+    "curation_funnel_documents",
+    "stream_dedupe_events",
+    "embedding_incremental_batch",
+    "exact_quantiles_lineitem",
     "jsonl_source_lineno_orders",
     "orc_roundtrip_orders",
     "manifest_time_travel_orders",
