@@ -141,3 +141,67 @@ def test_streaming_dedupe_within_watermark(spark, tmp_path):
         [("a", "x"), ("a", "y"), ("b", "z")], "fp string, doc string"
     )
     assert streaming_dedupe(batch, ["fp"]).count() == 2
+
+
+def test_streaming_dedupe_state_survives_restart(spark, tmp_path):
+    """Dedup state persists in the checkpoint: a duplicate arriving in a
+    LATER RUN of the query (not merely a later micro-batch) is still
+    dropped, as long as it lands within the watermark horizon — the
+    checkpoint-resume contract that makes ingest-dedup correct across
+    pipeline restarts."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.streaming.windows import streaming_dedupe
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("fp", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("doc", T.StringType()),
+    ])
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).json(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        deduped = streaming_dedupe(
+            stream, ["fp"], ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: originals
+    with open(os.path.join(src, "b1.jsonl"), "w") as fh:
+        for r in [
+            {"fp": "a", "ts": "2026-01-01 10:00:00", "doc": "d1"},
+            {"fp": "b", "ts": "2026-01-01 10:01:00", "doc": "d2"},
+        ]:
+            fh.write(json.dumps(r) + "\n")
+    run_once()
+
+    # run 2 (fresh query, same checkpoint): a duplicate of fp=a within the
+    # horizon plus one genuinely new key
+    with open(os.path.join(src, "b2.jsonl"), "w") as fh:
+        for r in [
+            {"fp": "a", "ts": "2026-01-01 10:02:00", "doc": "d1-dup"},
+            {"fp": "c", "ts": "2026-01-01 10:03:00", "doc": "d3"},
+        ]:
+            fh.write(json.dumps(r) + "\n")
+    run_once()
+
+    got = {r.fp: r.doc for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": "d1", "b": "d2", "c": "d3"}  # cross-run dup dropped
