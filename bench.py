@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "stream_dedupe_events",
     "embedding_incremental_batch",
     "exact_quantiles_lineitem",
+    "group_quantiles_orders",
     "jsonl_source_lineno_orders",
     "orc_roundtrip_orders",
     "manifest_time_travel_orders",

@@ -139,3 +139,49 @@ def exact_quantiles(
         ranked.join(F.broadcast(targets), "__q_rank")
         .select("quantile", F.col(value_col).alias("value"))
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    quantiles: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exact quantiles with no per-group sort task: ONE global
+    range-partitioned rank over (group, value, ties) — groups are
+    contiguous in rank space — then each group's quantile is the row at
+    rank ``first_rank + ceil(q·n_group) - 1``, recovered via a broadcast
+    join of the (groups × quantiles)-row target table. A bare
+    ``PARTITION BY group ORDER BY value`` window would funnel each group
+    (terabytes, at corpus scale) through one task; this shape never does,
+    and it shares the rank's single materialization across all requested
+    quantiles. Assumes group cardinality ≪ corpus (the broadcast side is
+    groups × quantiles rows). Returns (*group_cols, quantile, value).
+    """
+    ranked, _ = _ranked(
+        df, [*group_cols, value_col, *tie_cols], "__q_rank", num_partitions
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min("__q_rank").alias("__lo"), F.count("*").alias("__n")
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("quantile")
+    targets = bounds.select(*group_cols, "__lo", "__n", qcol).withColumn(
+        "__q_rank",
+        F.col("__lo")
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("quantile") * F.col("__n")),
+        )
+        - F.lit(1),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets.select(*group_cols, "quantile", "__q_rank")),
+            [*group_cols, "__q_rank"],
+        )
+        .select(*group_cols, "quantile", F.col(value_col).alias("value"))
+    )

@@ -989,3 +989,32 @@ def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", ["l_orderkey", "l_linenumber"],
         [0.5, 0.9, 0.99],
     )
+
+
+@register(
+    "group_quantiles_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+    SELECT r.o_orderpriority, q.quantile, r.o_totalprice AS value
+    FROM (VALUES (0.5), (0.9), (0.99)) q(quantile)
+    JOIN r ON r.rn = GREATEST(1, CAST(ceil(q.quantile * r.n) AS BIGINT))
+    """,
+)
+def group_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority exact p50/p90/p99 of order totals (operators/rank.py:
+    exact_group_quantiles): one global range-partitioned rank over
+    (priority, price, key) — groups are contiguous in rank space — plus a
+    broadcast (groups x quantiles) target-rank join. Never a per-group
+    window funneling a whole priority class through one task."""
+    from pipelinewise_spark.operators.rank import exact_group_quantiles
+
+    o = read_table(spark, sf_dir, "orders")
+    return exact_group_quantiles(
+        o, ["o_orderpriority"], "o_totalprice", ["o_orderkey"],
+        [0.5, 0.9, 0.99],
+    )

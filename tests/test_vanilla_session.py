@@ -41,6 +41,7 @@ SENSITIVE = [
     # partition-count-invariant
     "stream_dedupe_events",
     "exact_quantiles_lineitem",
+    "group_quantiles_orders",
     "lang_percentile_filter_documents",
 ]
 
