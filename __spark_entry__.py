@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pipelinewise_spark.caching import release_caches  # noqa: E402
 from pipelinewise_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
@@ -29,8 +30,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable first releases the PREVIOUS query's operator-registered
+    caches (see pipelinewise_spark/caching.py): the driver runs many
+    queries in one session, and without the sweep persisted intermediates
+    (LSH shingle sets etc.) accumulate in executor storage across the run.
+    The sweep happens before plan construction, so it never unpersists the
+    frames the current query is about to register.
+    """
+
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

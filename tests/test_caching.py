@@ -1,0 +1,90 @@
+"""Cache-lifetime contract: operator persists are registered session-wide
+and releasable between units of work; the lsh_index context manager frees
+everything deterministically on exit (VERDICT r5 'What's wrong #1')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.caching import (
+    live_cache_count,
+    register_cache,
+    release_caches,
+    unregister_cache,
+)
+from pipelinewise_spark.functions.dedup import (
+    lsh_index,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_against,
+)
+from pipelinewise_spark.sources.files import read_table
+
+
+def test_minhash_registers_and_releases(spark, sf_dir):
+    release_caches(spark)
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    assert live_cache_count() == 1  # shingle sets registered at build time
+    pairs.count()  # materialize → cache populated
+    assert release_caches(spark) == 1
+    assert live_cache_count() == 0
+    # the persisted RDD is gone from the storage view
+    assert not [
+        r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ], "unpersist left cached blocks behind"
+
+
+def test_incremental_registers_both_sides(spark, sf_dir):
+    release_caches(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(100)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    handles: list = []
+    out = minhash_lsh_pairs_against(
+        corpus, batch, "doc_id", "text", caches=handles
+    )
+    assert live_cache_count() == 2 and len(handles) == 2
+    out.count()
+    # explicit-caller path: unpersist handles directly, then unregister
+    for h in handles:
+        h.unpersist()
+        unregister_cache(h)
+    assert live_cache_count() == 0
+    assert release_caches(spark) == 0  # sweep finds nothing to double-free
+
+
+def test_lsh_index_context_manager(spark, sf_dir):
+    release_caches(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).limit(150)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0).limit(80)
+    with lsh_index(corpus, "doc_id", "text") as idx:
+        n1 = idx.pairs_against(b1).count()
+        n2 = idx.pairs_against(b2).count()
+        assert n2 >= n1 >= 0
+        # corpus index + two batch caches live inside the block
+        assert live_cache_count() == 3
+    assert live_cache_count() == 0
+    assert not [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+
+
+def test_lsh_index_matches_one_shot(spark, sf_dir):
+    """The context-manager form computes the same pairs as the one-shot
+    incremental function."""
+    release_caches(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(120)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(60)
+    with lsh_index(corpus, "doc_id", "text") as idx:
+        got = sorted(
+            (r["id_a"], r["id_b"]) for r in idx.pairs_against(batch).collect()
+        )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_against(
+            corpus, batch, "doc_id", "text"
+        ).collect()
+    )
+    release_caches(spark)
+    assert got == want
