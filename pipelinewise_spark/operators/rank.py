@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 _PID = "__rank_pid"
 _RN = "__rank_rn"
+_OFF = "__rank_off"
 
 
 def _ranked(
@@ -54,16 +55,21 @@ def _ranked(
         r[_PID]: r["c"] for r in d.groupBy(_PID).agg(
             F.count("*").alias("c")).collect()
     }
-    off: Column = F.lit(0).cast("long")
+    # offsets applied via a BROADCAST join on pid, not a chained CASE WHEN:
+    # a when-chain is an O(P)-deep expression tree evaluated per row —
+    # fine at 32 partitions, codegen-hostile at the thousands of range
+    # partitions a 100 TB sort uses. The join side is one tiny in-memory
+    # frame (P rows of metadata).
     acc = 0
+    rows = []
     for pid in sorted(counts):
-        off = F.when(F.col(_PID) == pid, F.lit(acc).cast("long")).otherwise(
-            off
-        )
+        rows.append((pid, acc))
         acc += counts[pid]
+    off = spark.createDataFrame(rows or [(0, 0)], f"{_PID} int, {_OFF} long")
     ranked = (
-        d.withColumn(out_col, (F.col(_RN).cast("long") + off))
-        .drop(_PID, _RN)
+        d.join(F.broadcast(off), _PID)
+        .withColumn(out_col, F.col(_RN).cast("long") + F.col(_OFF))
+        .drop(_PID, _RN, _OFF)
     )
     return ranked, acc
 
