@@ -24,6 +24,24 @@ No Python crypto dependency: both the bulk path and the key wrap run on
 the JVM (``aes_encrypt`` / ``aes_decrypt``), so encryption throughput
 scales with executors and 100 TB of staged files encrypt in the same job
 that writes them.
+
+Key-material leak surface. ``aes_encrypt(payload, lit(key))`` embeds the
+key bytes as a binary literal in the logical/physical plan, which Spark
+renders (hex) in ``explain`` output, the UI SQL tab, and event logs — the
+reference never logs ``client_side_encryption_master_key``. Every entry
+point here therefore installs ``spark.sql.redaction.string.regex``
+matching any >=16-byte hex literal (``0x[0-9A-F]{32,}``) before building a
+plan that carries a key: Spark applies that regex to every plan string it
+externalizes (explain, SQL-tab descriptions, event-log
+``SparkListenerSQLExecutionStart``), so key literals surface as
+``*(redacted)``. The pattern is generic on purpose — a key-specific regex
+would itself republish the key through the UI environment page. Residual
+surface (documented): anything that bypasses plan *strings* (e.g. a
+heap dump, or ``df.queryExecution`` object access from the driver) can
+still reach the literal; for jobs where that matters, disable event-log
+capture (``spark.eventLog.enabled=false``) and UI (``spark.ui.enabled=
+false``), or isolate staging encryption into a separate short-lived
+session.
 """
 
 from __future__ import annotations
@@ -39,11 +57,28 @@ from pipelinewise_spark.operators.fsio import MetaFS
 
 _SIDECAR = "_encryption_metadata.json"
 _MODE = "GCM"
+# any binary literal of >=16 bytes rendered in a plan string — covers
+# AES-128/192/256 key material without the regex itself naming a key
+_KEY_LITERAL_REGEX = "0x[0-9A-Fa-f]{32,}"
+
+
+def _ensure_plan_redaction(spark: SparkSession) -> None:
+    """Idempotently extend ``spark.sql.redaction.string.regex`` so key
+    literals never render in explain/UI/event-log plan strings."""
+    try:
+        cur = spark.conf.get("spark.sql.redaction.string.regex")
+    except Exception:
+        cur = None
+    if cur and _KEY_LITERAL_REGEX in cur:
+        return
+    pattern = f"{cur}|{_KEY_LITERAL_REGEX}" if cur else _KEY_LITERAL_REGEX
+    spark.conf.set("spark.sql.redaction.string.regex", pattern)
 
 
 def _wrap_key(spark: SparkSession, data_key: bytes, master_key: bytes) -> str:
     """AES-GCM-wrap the data key with the master key (JVM-side, one row);
     hex framing (Spark's ``base64`` MIME-chunks past 76 chars)."""
+    _ensure_plan_redaction(spark)
     row = spark.range(1).select(
         F.hex(
             F.aes_encrypt(
@@ -55,6 +90,7 @@ def _wrap_key(spark: SparkSession, data_key: bytes, master_key: bytes) -> str:
 
 
 def _unwrap_key(spark: SparkSession, wrapped_hex: str, master_key: bytes) -> bytes:
+    _ensure_plan_redaction(spark)
     row = spark.range(1).select(
         F.aes_decrypt(
             F.unhex(F.lit(wrapped_hex)), F.lit(master_key), F.lit(_MODE)
@@ -81,6 +117,7 @@ def write_encrypted_staged(
     if len(master_key) not in (16, 24, 32):
         raise ValueError("master_key must be 16/24/32 bytes")
     spark = df.sparkSession
+    _ensure_plan_redaction(spark)
     data_key = secrets.token_bytes(32)
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     ciphertext = F.aes_encrypt(
@@ -111,6 +148,7 @@ def read_encrypted_staged(
     unwrap the data key from the sidecar (driver-side, one row), then
     decrypt + parse records executor-side. A wrong master key fails at the
     unwrap — before any data file is read."""
+    _ensure_plan_redaction(spark)
     meta = json.loads(MetaFS(path).read_text(_SIDECAR))
     data_key = _unwrap_key(spark, meta["wrapped_data_key"], master_key)
     plaintext = F.aes_decrypt(

@@ -35,17 +35,21 @@ _ACL_FILE = "_acl.json"
 def resolve_grantees(
     connection_config: dict[str, Any], stream_schema_name: str | None = None
 ) -> list[str]:
-    """The reference's two-level grantee precedence (db_sync.py:265-284):
-    per-schema ``target_schema_select_permissions`` wins over the global
-    ``default_target_schema_select_permissions``; either may be a single
-    role or a list."""
-    grantees = connection_config.get(
-        "default_target_schema_select_permissions"
-    )
+    """The reference's two-level grantee precedence (db_sync.py:265-284,
+    fastsync/commons/utils.py:get_grantees): when the stream's schema IS in
+    ``schema_mapping``, the mapping entry wins outright — an entry WITHOUT
+    ``target_schema_select_permissions`` grants NOTHING (least privilege;
+    never falls back to the global default). Only schemas absent from the
+    mapping use ``default_target_schema_select_permissions``. Either may be
+    a single role or a list."""
     mapping = connection_config.get("schema_mapping") or {}
     if stream_schema_name and stream_schema_name in mapping:
         grantees = mapping[stream_schema_name].get(
-            "target_schema_select_permissions", grantees
+            "target_schema_select_permissions", []
+        )
+    else:
+        grantees = connection_config.get(
+            "default_target_schema_select_permissions"
         )
     if grantees is None:
         return []

@@ -1715,7 +1715,7 @@ def cross_doc_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFram
     r AS (
         SELECT doc_id, lang, n_bpe_tokens,
                percent_rank() OVER (PARTITION BY lang
-                                    ORDER BY n_bpe_tokens, doc_id)
+                                    ORDER BY n_bpe_tokens NULLS FIRST, doc_id)
                    AS lang_pct
         FROM s)
     SELECT doc_id, lang, n_bpe_tokens, lang_pct
@@ -1750,12 +1750,20 @@ def lang_percentile_filter_documents(
     bounds = ranked.groupBy(F.col("lang").alias("__lang")).agg(
         F.min("__grank").alias("__lo"), F.count("*").alias("__n")
     )
-    pct = (F.col("__grank") - F.col("__lo")).cast("double") / (
-        F.col("__n") - F.lit(1)
-    ).cast("double")
+    # single-doc language: (rank-lo)/(n-1) is 0/0 = NaN, and NaN >= x is
+    # TRUE in Spark — guard to 0.0 to match SQL percent_rank, which
+    # defines a 1-row partition as 0 (and therefore drops it at >= 0.25)
+    pct = F.when(
+        F.col("__n") > 1,
+        (F.col("__grank") - F.col("__lo")).cast("double")
+        / (F.col("__n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
     return (
+        # eqNullSafe: NULL-lang docs form their own stratum (the SQL
+        # PARTITION BY groups NULLs), not silently dropped by the join
         ranked.join(
-            F.broadcast(bounds), F.col("lang") == F.col("__lang"), "inner"
+            F.broadcast(bounds), F.col("lang").eqNullSafe(F.col("__lang")),
+            "inner",
         )
         .withColumn("lang_pct", pct)
         .filter(F.col("lang_pct") >= 0.25)
@@ -1832,7 +1840,10 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.md5(F.col("text")).alias("__h"))
         .agg(F.min("doc_id").alias("__canon_id"))
     )
-    d = d.join(canon, F.md5(F.col("text")) == F.col("__h"), "inner")
+    # eqNullSafe: md5(NULL) = NULL never equals itself under `=`, so a
+    # plain join would drop NULL-text documents from every stage's total
+    # while the oracle counts them (its window PARTITION BY groups NULLs)
+    d = d.join(canon, F.md5(F.col("text")).eqNullSafe(F.col("__h")), "inner")
     p1 = stats["n_words"].between(50, 100_000)
     p2 = TX.gopher_keep(stats)
     p3 = p2 & (F.col("doc_id") == F.col("__canon_id"))

@@ -198,9 +198,21 @@ class PipelineRunner:
         from pyspark.sql import functions as F
 
         if self._opt(stream, "archive_load_files"):
-            adir = os.path.join(
+            root = os.path.join(
                 self.spec.target_path, "_sdc_archive", stream.target_table
             )
+            # The reference's copy_to_archive RETAINS every load file
+            # (archive/tap/table/<unique basename>) — history accumulates
+            # across batches. Each batch therefore lands under its own
+            # subdir with mode="error" (a collision is a bug, never an
+            # overwrite), with per-batch metadata alongside.
+            os.makedirs(root, exist_ok=True)
+            existing = [
+                d for d in os.listdir(root)
+                if d.startswith("batch_") and d[6:].isdigit()
+            ]
+            nxt = 1 + max((int(d[6:]) for d in existing), default=-1)
+            adir = os.path.join(root, f"batch_{nxt:06d}")
             mk = self._opt(stream, "client_side_encryption_master_key")
             if mk:
                 from pipelinewise_spark.operators.encryption import (
@@ -208,10 +220,10 @@ class PipelineRunner:
                 )
 
                 key = bytes.fromhex(mk) if isinstance(mk, str) else mk
-                write_encrypted_staged(out, adir, key, mode="overwrite")
+                write_encrypted_staged(out, adir, key, mode="error")
             else:
-                out.write.mode("overwrite").parquet(adir)
-            meta: dict = {"stream": stream.tap_stream_id}
+                out.write.mode("error").parquet(adir)
+            meta: dict = {"stream": stream.tap_stream_id, "batch": nxt}
             if stream.replication_key:
                 row = out.agg(
                     F.min(stream.replication_key).cast("string"),

@@ -175,7 +175,11 @@ def test_runner_post_load_hooks(spark, sf_dir, tmp_path):
     )
     assert res.rows_loaded == 500
 
-    adir = os.path.join(str(tmp_path), "_sdc_archive", "orders")
+    aroot = os.path.join(str(tmp_path), "_sdc_archive", "orders")
+    # each load batch archives under its own subdir (reference
+    # copy_to_archive retains every load file; overwrite would defeat the
+    # feature for incremental runs)
+    adir = os.path.join(aroot, "batch_000000")
     # archive exists, is encrypted, decrypts with the master key
     import json
 
@@ -195,6 +199,24 @@ def test_runner_post_load_hooks(spark, sf_dir, tmp_path):
     acl = read_acl(os.path.join(str(tmp_path), "orders"))
     assert acl["select"] == ["analyst"]
     assert acl["schema"] == "pg_to_lake"
+
+    # a SECOND load batch archives alongside the first, never over it
+    runner.run_stream(
+        spec.stream("orders"), orders.limit(100),
+        extracted_at="2026-01-02 00:00:00", batched_at="2026-01-02 00:00:00",
+    )
+    adir2 = os.path.join(aroot, "batch_000001")
+    assert os.path.isdir(adir2)
+    # first batch still intact and still decryptable
+    back1 = read_encrypted_staged(
+        spark, adir, bytes.fromhex(master),
+        orders.schema.add("_sdc_extracted_at", "timestamp")
+        .add("_sdc_batched_at", "timestamp")
+        .add("_sdc_deleted_at", "timestamp"),
+    )
+    assert back1.count() == 500
+    am2 = json.load(open(os.path.join(adir2, "_archive_metadata.json")))
+    assert am2["batch"] == 1
 
 
 def test_yaml_grants_schema_override(spark, sf_dir, tmp_path):
