@@ -12,6 +12,13 @@ as engine verbs:
     validate     check a pipeline YAML for spec errors (reference `validate`)
     reset-state  clear bookmarks so streams re-sync (reference `reset_state`)
     init         scaffold a sample pipeline YAML (reference `init`)
+    stop         graceful stop of a running pipeline (reference `stop_tap`;
+                 stop-token file polled between micro-batches)
+    test-connection  probe every stream's source schema (reference
+                 `test_tap_connection`)
+    encrypt-string   vault-encrypt a YAML secret (reference `encrypt_string`)
+    compile      persist the compiled spec + discovered schemas (reference
+                 `import`)
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
@@ -289,6 +296,140 @@ schemas:
 """
 
 
+def _cmd_stop(args: argparse.Namespace) -> int:
+    """Graceful stop of a running pipeline — the reference's ``stop_tap``
+    (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
+    runnable is a StreamingQuery in a driver JVM, so the handshake is a
+    stop-token FILE under the pipeline's target path: this verb drops it;
+    the running driver polls it between micro-batches
+    (streaming/bounded.py:await_with_stop) and stops the query with the
+    checkpoint consistent. Works across machines when target_path is
+    shared storage (the reference cannot stop remotely)."""
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+    from pipelinewise_spark.streaming.bounded import StopToken
+
+    target = args.target_path
+    if target is None:
+        if not args.config:
+            print("stop: pass --config or --target-path", file=sys.stderr)
+            return 2
+        target = compile_yaml_file(args.config).target_path
+    token = StopToken(target)
+    if args.clear:
+        print(json.dumps({"cleared": token.clear(), "token": token.path}))
+        return 0
+    path = token.request(reason=args.reason)
+    print(json.dumps({"requested": True, "token": path}))
+    return 0
+
+
+def _cmd_test_connection(args: argparse.Namespace) -> int:
+    """Per-stream source probe — the reference's ``test_tap_connection``
+    (cli/pipelinewise.py:781 runs the tap with --discover and checks it
+    answers). Here each stream's source parquet must exist and yield a
+    readable schema (pyarrow footer read: no Spark session, no data scan);
+    exit 1 if any stream's source is unreachable."""
+    import pyarrow.parquet as pq
+
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+
+    spec = compile_yaml_file(args.config)
+    rows, ok = [], True
+    for s in spec.streams:
+        table = s.tap_stream_id.split("-", 1)[-1]
+        path = os.path.join(args.source_dir, f"{table}.parquet")
+        row: dict = {"stream": s.tap_stream_id, "source": path}
+        try:
+            schema = pq.read_schema(path)
+            missing = [
+                c for c in (s.selected_columns or []) if c not in schema.names
+            ] + [c for c in s.primary_keys if c not in schema.names]
+            if s.replication_key and s.replication_key not in schema.names:
+                missing.append(s.replication_key)
+            if missing:
+                row.update(ok=False, error=f"missing columns: {missing}")
+                ok = False
+            else:
+                row.update(ok=True, columns=len(schema.names))
+        except Exception as exc:
+            row.update(ok=False, error=f"{type(exc).__name__}: {exc}")
+            ok = False
+        rows.append(row)
+    print(json.dumps({"ok": ok, "streams": rows}, indent=2))
+    return 0 if ok else 1
+
+
+def _cmd_encrypt_string(args: argparse.Namespace) -> int:
+    """Vault-encrypt a secret for use inside pipeline YAML — the
+    reference's ``encrypt_string`` (cli/__init__.py:42, ansible-vault).
+    Prints a one-line token; `compile_yaml` decrypts it transparently when
+    PWS_VAULT_SECRET(_FILE) is set."""
+    from pipelinewise_spark.plans.vault import resolve_secret, vault_encrypt
+
+    secret = resolve_secret(
+        open(args.secret, encoding="utf-8").read().strip()
+        if args.secret
+        else None
+    )
+    if secret is None:
+        print(
+            "no vault secret: pass --secret FILE or set PWS_VAULT_SECRET",
+            file=sys.stderr,
+        )
+        return 1
+    string = args.string
+    if string is None:
+        string = sys.stdin.read().rstrip("\n")
+    print(vault_encrypt(string, secret))
+    print("Encryption successful", file=sys.stderr)
+    return 0
+
+
+def _cmd_compile(args: argparse.Namespace) -> int:
+    """Persist the compiled pipeline — the reference's ``import`` step
+    (cli/pipelinewise.py:1618 compiles YAML into per-connector JSON +
+    catalogs under ~/.pipelinewise). Writes the resolved spec as JSON and,
+    when --source-dir is given, the discovered per-stream JSON Schemas —
+    so the compile is inspectable/diffable and a run can consume the
+    frozen artifact instead of re-parsing YAML."""
+    import dataclasses
+
+    from pipelinewise_spark.plans.yaml_config import compile_yaml_file
+
+    spec = compile_yaml_file(args.config)
+    os.makedirs(args.out, exist_ok=True)
+    d = dataclasses.asdict(spec)
+    for s in d["streams"]:
+        s["replication_method"] = str(s["replication_method"].value)
+    out_spec = os.path.join(args.out, "pipeline.json")
+    with open(out_spec, "w", encoding="utf-8") as fh:
+        json.dump(d, fh, indent=2, sort_keys=True)
+    written = [out_spec]
+    if args.source_dir:
+        import pyarrow.parquet as pq
+
+        from pipelinewise_spark.schema.jsonschema import (
+            struct_to_json_schema,
+        )
+        from pyspark.sql.types import StructType
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        for s in spec.streams:
+            table = s.tap_stream_id.split("-", 1)[-1]
+            path = os.path.join(args.source_dir, f"{table}.parquet")
+            if not os.path.exists(path):
+                continue
+            struct: StructType = from_arrow_schema(pq.read_schema(path))
+            out_schema = os.path.join(args.out, f"{s.tap_stream_id}.schema.json")
+            with open(out_schema, "w", encoding="utf-8") as fh:
+                json.dump(struct_to_json_schema(struct), fh, indent=2,
+                          sort_keys=True)
+            written.append(out_schema)
+    print(json.dumps({"compiled": written}))
+    return 0
+
+
 def _cmd_init(args: argparse.Namespace) -> int:
     """Scaffold a sample pipeline YAML (the reference's `init` writes its
     samples dir). Refuses to overwrite."""
@@ -367,6 +508,42 @@ def main(argv: list[str] | None = None) -> int:
     ini = sub.add_parser("init", help="write a sample pipeline YAML")
     ini.add_argument("path", help="output YAML path")
     ini.set_defaults(fn=_cmd_init)
+
+    stp = sub.add_parser(
+        "stop", help="gracefully stop a running pipeline (stop-token file)"
+    )
+    stp.add_argument("--config", help="pipeline YAML (to resolve target)")
+    stp.add_argument("--target-path", default=None,
+                     help="pipeline target path (overrides --config)")
+    stp.add_argument("--reason", default="cli-stop")
+    stp.add_argument("--clear", action="store_true",
+                     help="remove a pending stop token instead")
+    stp.set_defaults(fn=_cmd_stop)
+
+    tc = sub.add_parser(
+        "test-connection", help="probe every stream's source (schema read)"
+    )
+    tc.add_argument("--config", required=True, help="pipeline YAML")
+    tc.add_argument("--source-dir", required=True,
+                    help="directory of <table>.parquet sources")
+    tc.set_defaults(fn=_cmd_test_connection)
+
+    enc = sub.add_parser(
+        "encrypt-string", help="vault-encrypt a secret for pipeline YAML"
+    )
+    enc.add_argument("--string", default=None,
+                     help="plaintext (default: read stdin)")
+    enc.add_argument("--secret", default=None, help="vault secret file")
+    enc.set_defaults(fn=_cmd_encrypt_string)
+
+    cmp_ = sub.add_parser(
+        "compile", help="persist the compiled pipeline spec (+ schemas)"
+    )
+    cmp_.add_argument("--config", required=True, help="pipeline YAML")
+    cmp_.add_argument("--out", required=True, help="output directory")
+    cmp_.add_argument("--source-dir", default=None,
+                      help="discover per-stream JSON Schemas from parquet")
+    cmp_.set_defaults(fn=_cmd_compile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -39,15 +39,20 @@ from pipelinewise_spark.plans.spec import (
 )
 
 
-def compile_yaml(text: str) -> PipelineSpec:
+def compile_yaml(text: str, vault_secret: str | None = None) -> PipelineSpec:
     import yaml
 
-    return compile_dict(yaml.safe_load(text))
+    from pipelinewise_spark.plans.vault import decrypt_tree
+
+    # vault-encrypted values ($PWS_VAULT;...) decrypt transparently at
+    # compile time, like the reference's ansible-vault import path; a
+    # token with no resolvable secret is a hard error
+    return compile_dict(decrypt_tree(yaml.safe_load(text), vault_secret))
 
 
-def compile_yaml_file(path: str) -> PipelineSpec:
+def compile_yaml_file(path: str, vault_secret: str | None = None) -> PipelineSpec:
     with open(path, encoding="utf-8") as fh:
-        return compile_yaml(fh.read())
+        return compile_yaml(fh.read(), vault_secret=vault_secret)
 
 
 def compile_dict(doc: dict[str, Any]) -> PipelineSpec:

@@ -271,6 +271,11 @@ class PipelineRunner:
         recommended on a shared cluster). Defaults to the pipeline option
         ``fastsync_parallelism`` or sequential.
         """
+        # a stale stop token from a previous `stop` must not kill this run
+        # the moment it starts; a fresh run consumes (clears) it
+        from pipelinewise_spark.streaming.bounded import StopToken
+
+        StopToken(self.spec.target_path).clear()
         streams = [s for s in self.spec.streams if s.tap_stream_id in sources]
         if parallelism is None:
             parallelism = int(self.spec.options.get("fastsync_parallelism", 1))

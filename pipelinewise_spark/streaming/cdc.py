@@ -115,6 +115,7 @@ def run_cdc_stream(
     max_files_per_trigger: int | None = None,
     state=None,
     rollup=None,
+    stop_token=None,
 ) -> None:
     """Consume a JSONL change-event directory as a bounded stream.
 
@@ -154,7 +155,12 @@ def run_cdc_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    if stop_token is not None:
+        from pipelinewise_spark.streaming.bounded import await_with_stop
+
+        await_with_stop(query, stop_token=stop_token)
+    else:
+        query.awaitTermination()
     if state is not None:
         # surface the streaming bookmark into the engine's state.json twin
         # (the reference emits STATE only after data is flushed — here the
