@@ -145,3 +145,97 @@ def test_rollup_replay_is_idempotent_with_epoch(spark):
     )
     rollup.on_batch(spark, table, batch3, spec.primary_keys, epoch=3)
     assert _mv(rollup, spark) == {"a": (2, 20.0), "b": (1, 25.0)}
+
+
+def test_rollup_crash_between_publish_and_merge_end_to_end(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 #7: kill-and-replay through a REAL checkpointed stream.
+    The driver crashes in batch 1 AFTER the rollup publish but BEFORE the
+    target merge; restarting with the same checkpoint replays batch 1 —
+    the epoch guard must skip the re-fold while the merge still lands, and
+    the final rollup must equal a full recompute over the live target."""
+    import pyspark.sql.types as T
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from pipelinewise_spark.streaming import cdc as cdc_mod
+    from pipelinewise_spark.streaming.cdc import run_cdc_stream
+
+    tmp = str(tmp_path)
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["id"],
+                      hard_delete=False)
+    table = ParquetTable(os.path.join(tmp, "t"))
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(10 * i)) for i in range(1, 9)],
+        "id long, grp string, val double",
+    )
+    table.overwrite(
+        add_sdc_columns(base, extracted_at="2026-01-01",
+                        batched_at="2026-01-01")
+        .withColumn("_sdc_seq", F.lit(0).cast("long"))
+    )
+    rollup = StreamingRollup(
+        ParquetTable(os.path.join(tmp, "mv")), ["grp"], {"total": "val"}
+    )
+    rollup.initialize(table.read(spark))
+
+    # 4 event files at 2/trigger -> 2 micro-batches: updates + one delete
+    # + one insert, interleaved so both batches touch both groups
+    changes = [
+        ("u", 10, 1, "a", 11.0), ("u", 11, 2, "b", 21.0),
+        ("d", 12, 3, "a", None), ("c", 13, 9, "b", 5.0),
+    ]
+    rows = spark.createDataFrame(
+        [(op, seq, "2026-01-02", i, g, v) for op, seq, i, g, v in changes],
+        _ENV,
+    )
+    rows.repartition(4).write.mode("overwrite").json(events_dir)
+
+    payload = T._parse_datatype_string("id long, grp string, val double")
+    real_apply = cdc_mod.apply_change_batch
+    crashed = {"done": False}
+
+    def crashing_apply(table_, batch_, spec_):
+        # crash exactly once, in the SECOND micro-batch, after the rollup
+        # fold for that epoch has published
+        if not crashed["done"] and crashing_apply.calls >= 1:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between publish and merge")
+        crashing_apply.calls += 1
+        return real_apply(table_, batch_, spec_)
+
+    crashing_apply.calls = 0
+    monkeypatch.setattr(cdc_mod, "apply_change_batch", crashing_apply)
+
+    ckpt = os.path.join(tmp, "_checkpoint")
+    try:
+        run_cdc_stream(
+            spark, events_dir, payload, spec, table,
+            checkpoint_dir=ckpt, max_files_per_trigger=2, rollup=rollup,
+        )
+        raise AssertionError("injected crash did not fire")
+    except StreamingQueryException:
+        pass
+    assert crashed["done"]
+
+    # restart with the same checkpoint: the failed epoch replays; the
+    # guard must not double-fold while the merge lands this time
+    monkeypatch.setattr(cdc_mod, "apply_change_batch", real_apply)
+    run_cdc_stream(
+        spark, events_dir, payload, spec, table,
+        checkpoint_dir=ckpt, max_files_per_trigger=2, rollup=rollup,
+    )
+
+    live = table.read(spark).filter(F.col("_sdc_deleted_at").isNull())
+    expect = {
+        r["grp"]: (r["n"], float(r["s"]))
+        for r in live.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("val").cast("decimal(28,6)")).alias("s"))
+        .collect()
+    }
+    assert _mv(rollup, spark) == expect
+    # every change applied exactly once: 8 base - 1 delete + 1 insert live
+    assert live.count() == 8
