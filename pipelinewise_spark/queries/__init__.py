@@ -23,50 +23,47 @@ from pipelinewise_spark.queries import ops as _ops  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
-    # replication core
-    "full_table_sync_lineitem", "incremental_sync_orders",
-    "partial_sync_orders", "cdc_stream_apply_orders", "pk_dedupe_events",
-    "merge_soft_delete_orders",
-    # sinks / sources (r5 rotation: orc roundtrip in; csv-lineno, the mask
-    # variant trio, kafka-json, merge-hard-delete, schema-evolution,
-    # rollup, topk, minhash-incremental all driver-green in r3/r4 and rest
-    # on pytest now)
-    "validate_events", "flatten_events_props", "orc_roundtrip_orders",
-    "mongo_documents_normalize", "mongo_change_stream_apply",
-    "kafka_protobuf_events",
-    # transformations + validation routing
-    "mask_transforms_customer", "quarantine_events",
-    # relational / windows (all 22 TPC-H shapes are registered and were
-    # driver-green in r03; q1/q3 stay as the flagship representatives.
-    # r5.2 rotation: asof/range-join/windowed-counts/cosine-topk/curation-
-    # pipeline went driver-green in r4 and rest on pytest; the five
-    # never-driver-checked round-5 additions take their slots)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "exact_quantiles_lineitem", "lang_percentile_filter_documents",
-    "cross_doc_line_dedup_documents",
-    "ntile_documents_by_length",
-    # streaming
+    # --- r6 rotation, part 1: the 21 queries that have never had a driver
+    # correctness row (cumulative union 113/134 after r5) lead the prefix
+    # so the union can close. Rows-only entries (no SQL oracle) noted.
+    "group_quantiles_orders", "jsonl_source_lineno_orders",
+    "kafka_records_events", "incremental_lm_update_documents",
+    "term_frequencies_documents", "chunk_documents_token_windows",
+    "intra_doc_line_dedup_documents", "boilerplate_strip_documents",
+    "decontaminate_documents", "pii_scrub_documents",
+    "shard_documents_by_tokens", "quality_filter_documents",
+    "stratified_sample_documents", "multimodal_frame_sample",
+    "embedding_mean_pool_by_label",
+    "embedding_quantized_topk",  # rows-only (ANN recall, not SQL)
+    "embedding_ivf_topk",  # rows-only
+    "multimodal_features_stub",  # rows-only (stubbed codec seam)
+    "bpe_merges_documents",  # rows-only (pinned to py reference impl)
+    "bpe_encode_documents",  # rows-only
+    "approx_stats_lineitem",  # rows-only (sketch bounds, not equality)
+    # --- part 2: everything whose code or timed fixture changed in r6
+    # (cache-release sweep, fixture_timer wrapping, rank broadcast
+    # offsets, NaN/null-safety fixes) re-verifies under the driver
+    "exact_quantiles_lineitem", "ntile_documents_by_length",
+    "lang_percentile_filter_documents", "curation_funnel_documents",
+    "minhash_lsh_pairs_documents", "ngram_jaccard_pairs_documents",
+    "embedding_incremental_batch",
+    "cdc_stream_apply_orders", "cdc_stream_mv_orders",
     "stream_dedupe_events", "stream_stream_join_attribution",
-    "cdc_stream_mv_orders",
-    # lakehouse / scale machinery
-    "manifest_time_travel_orders",
-    "snapshot_drift_orders", "incremental_mv_orders",
-    "incremental_mv_minmax_orders", "zorder_pruned_read_orders",
-    "bloom_point_lookup_orders",
-    "salted_topk_events_per_user",
-    # LLM training-data
-    "exact_dedup_documents", "minhash_lsh_pairs_documents",
-    "simhash_documents", "ngram_jaccard_pairs_documents",
-    "edit_distance_pairs_documents", "dedup_clusters_documents",
-    "dedup_keep_best_documents", "cluster_aware_split_documents",
-    "weighted_sample_documents", "embedding_incremental_batch",
-    "embedding_near_dup_pairs", "gopher_quality_documents",
-    "curation_funnel_documents", "pack_sequences_documents",
-    "bm25_documents", "multimodal_resize_images",
-    # round-5 additions (never driver-checked; timestamp_clamp,
-    # snapshot_diff, salted_agg, frequent_tokens rotate to pytest)
-    "ngram_lm_score_documents", "bigram_lm_score_documents",
-    "hybrid_retrieval_documents", "repeated_ngram_coverage_documents",
+    "mongo_change_stream_apply", "csv_source_lineno_orders",
+    "orc_roundtrip_orders", "manifest_time_travel_orders",
+    "snapshot_drift_orders", "snapshot_diff_orders",
+    "incremental_mv_orders", "incremental_mv_minmax_orders",
+    "zorder_pruned_read_orders", "bloom_point_lookup_orders",
+    # --- part 3: family anchors (stable since r3-r5, stay visible)
+    "full_table_sync_lineitem", "incremental_sync_orders",
+    "partial_sync_orders", "q1_pricing_summary", "q3_shipping_priority",
+    "mask_transforms_customer", "validate_events", "flatten_events_props",
+    "exact_dedup_documents",
+    # (rotated to pytest-only this round, all driver-green r3-r5:
+    # pk_dedupe, merge_soft_delete, mongo_normalize, kafka_protobuf,
+    # quarantine, cross_doc_line_dedup, simhash, edit_distance, clusters,
+    # keep_best, split, weighted_sample, near_dup_pairs, gopher, pack,
+    # bm25, resize, lm-score quartet, salted_topk)
 ]
 
 
