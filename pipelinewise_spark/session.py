@@ -35,6 +35,13 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # quieter local runs
     "spark.ui.enabled": "false",
+    # the status store tracks jobs/stages/executions even with the UI off;
+    # a long single session (bench: 119 queries; a production daemon:
+    # unbounded) otherwise accumulates listener state on the driver heap
+    "spark.sql.ui.retainedExecutions": "8",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "2000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
