@@ -158,24 +158,28 @@ def shard_by_token_budget(
     d = d.withColumn(
         "__run", F.sum(F.col(tokens_col)).over(w_in)
     ).localCheckpoint(eager=False)
-    # per-partition totals -> cumulative offsets (metadata-scale collect)
+    # per-partition totals -> cumulative offsets (metadata-scale collect),
+    # applied via a broadcast (pid, offset) join — a chained CASE WHEN
+    # grows the expression tree O(P) (see operators/rank.py, same fix)
     totals = {
         r["__pid"]: r["t"]
         for r in d.groupBy("__pid").agg(F.max("__run").alias("t")).collect()
     }
-    offsets: dict[int, int] = {}
+    rows = []
     acc = 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        rows.append((pid, acc))
         acc += totals[pid]
-    off: Column = F.lit(0)
-    for pid, o in offsets.items():
-        off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
-    cum = F.col("__run") + off
-    return d.withColumn(
-        "shard",
-        F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long"),
-    ).drop("__pid", "__run")
+    off = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    cum = F.col("__run") + F.col("__off")
+    return (
+        d.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "shard",
+            F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long"),
+        )
+        .drop("__pid", "__run", "__off")
+    )
 
 
 def strip_boilerplate(
@@ -374,4 +378,96 @@ def dedupe_lines_within_doc(
         F.sum(F.when(first, 0).otherwise(1)).cast("long").alias(
             "n_lines_removed"
         ),
+    )
+
+
+def group_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP running sum with no per-group sort task.
+
+    A bare ``sum() OVER (PARTITION BY group ORDER BY ...)`` funnels each
+    group — terabytes at corpus scale — through one task. Same cure as the
+    global prefix sum (shard_by_token_budget) generalized per group:
+    range-partition on (group, order) so each group occupies a contiguous
+    partition range; per-partition running sums windowed by
+    (partition, group) run in parallel; per-(partition, group) totals
+    collect to the driver (metadata: at most partitions + groups rows,
+    because a partition only holds fragments of the groups that straddle
+    it); each fragment's offset (sum of earlier partitions' totals of the
+    SAME group) joins back via broadcast."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn(
+        "__run", F.sum(F.col(value_col)).over(w_in)
+    ).localCheckpoint(eager=False)
+    totals = (
+        d.groupBy("__pid", *group_cols)
+        .agg(F.max("__run").alias("__t"))
+        .collect()
+    )
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        key = tuple(r[c] for c in group_cols)
+        rows.append((r["__pid"], *key, acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + r["__t"]
+    schema_group = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in group_cols
+    )
+    off = spark.createDataFrame(
+        rows or [(0, *([None] * len(group_cols)), 0)],
+        f"__pid int, {schema_group}, __off long",
+    )
+    join_cond = [d["__pid"] == off["__pid"]] + [
+        d[c].eqNullSafe(off[c]) for c in group_cols
+    ]
+    return (
+        d.join(F.broadcast(off), join_cond)
+        .drop(off["__pid"])
+        .withColumn(out_col, (F.col("__run") + F.col("__off")).cast("long"))
+        .drop("__pid", "__run", "__off", *[off[c] for c in group_cols])
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    domain_col: str,
+    order_cols: Sequence[str],
+    tokens_col: str,
+    budget_col: Column,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: per domain, admit documents in
+    ``order_cols`` order until the domain's token budget is reached (the
+    document that crosses the budget line is included — 'fill until
+    full'). Budgets arrive as a per-row Column (typically a broadcast
+    join against a config table, or an expression over the domain key), so
+    a 100-TB corpus mixes down to a target composition in ONE pass: the
+    per-group distributed prefix sum above plus a filter — no per-domain
+    jobs, no driver loop over domains.
+
+    Returns the admitted rows with ``cum_tokens`` (the domain's running
+    token total through each row)."""
+    d = group_prefix_sum(
+        df, [domain_col], list(order_cols), tokens_col,
+        out_col="cum_tokens", num_partitions=num_partitions,
+    )
+    return d.filter(
+        (F.col("cum_tokens") - F.col(tokens_col)) < budget_col
     )

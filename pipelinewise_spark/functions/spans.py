@@ -1,0 +1,118 @@
+"""Exact duplicated-span detection across a corpus.
+
+The substring-level twin of document-level exact dedup (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better"): a span that
+appears verbatim in more than one document is memorization fuel even when
+the documents as a whole differ. The published implementation builds a
+suffix array over the concatenated corpus; the Spark-native shape below
+pays the same O(total tokens) cost as a stride-1 token-window explode —
+every hash/groupBy stage is map-side combinable, so nothing quadratic or
+single-task ever forms:
+
+1. explode token windows of length ``window`` (stride 1) per document —
+   |tokens| rows, the honest suffix-array-scale cost;
+2. a window hash is DUPLICATED when it occurs in >1 distinct document —
+   detected with ``min(doc) != max(doc)`` (map-side combinable; the Zipf
+   head of boilerplate spans collapses in the combiner, so a
+   million-document boilerplate span never concentrates on one reducer
+   the way a count-distinct would);
+3. duplicated window hashes join back to their positions (dup set is
+   answer-sized — AQE broadcasts it when small);
+4. per-document covered-position count via the classic interval-merge
+   sweep as a running-max window — partitioned BY DOCUMENT, so the sort
+   is bounded by document length, never corpus-sized.
+
+md5-hex hashing throughout: bit-identical in DuckDB, so the operator has
+an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.functions.text import tokens
+from pipelinewise_spark.partitioning import spread
+
+_SEP = "\x1f"
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of token
+    positions covered by at least one exact ``window``-token span that
+    also occurs in ANOTHER document. Returns
+    ``(id_col, n_tokens, dup_positions, dup_fraction)`` for every input
+    document (0.0 where nothing repeats; NULL fraction for NULL text).
+
+    Downstream use: filter ``dup_fraction >= threshold`` to drop
+    boilerplate-heavy documents, or feed the positions variant into span
+    excision."""
+    toks = tokens(F.col(text_col))
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("__toks"),
+    )
+
+    # stride-1 window hashes: (id, pos, h); pos is 0-based
+    idx = F.sequence(
+        F.lit(0), F.col("n_tokens") - F.lit(window)
+    )  # empty when n_tokens < window
+    gram = F.transform(
+        idx,
+        lambda p: F.md5(
+            F.concat_ws(_SEP, F.slice(F.col("__toks"), p + 1, window))
+        ),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(F.col(id_col), F.posexplode(gram).alias("pos", "h"))
+    )
+
+    # spans seen in more than one distinct document (min!=max: combinable)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select(F.col(id_col), F.col("pos"))
+
+    # interval-merge sweep: contribution of window at pos =
+    # (pos + W) - max(previous covered end, pos); runs per document
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(window)).over(w_doc)
+    contrib = (F.col("pos") + F.lit(window)) - F.greatest(
+        F.coalesce(prev_end, F.col("pos")), F.col("pos")
+    )
+    covered = (
+        hits.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("bigint").alias("dup_positions"))
+    )
+
+    out = (
+        base.drop("__toks")
+        .join(covered, id_col, "left")
+        .withColumn(
+            "dup_positions",
+            F.coalesce(F.col("dup_positions"), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            # plain IEEE division of two exact integers — bit-identical in
+            # any engine, so the oracle needs no rounding epsilon
+            "dup_fraction",
+            F.col("dup_positions").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    return out.select(id_col, "n_tokens", "dup_positions", "dup_fraction")

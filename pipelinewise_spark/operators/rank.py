@@ -147,6 +147,54 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_interpolated(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    quantiles: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``PERCENTILE_CONT`` semantics with no single-reducer sort: the
+    continuous rank is ``h = 1 + q·(N-1)``; the answer linearly
+    interpolates between the order statistics at ``floor(h)`` and
+    ``ceil(h)``. Same distributed-rank structure as
+    :func:`exact_quantiles` (the discrete twin) — one extra broadcast-join
+    row per quantile fetches the ceil-rank neighbor. NULL values are
+    excluded, as SQL's ordered-set aggregate does. Values are rounded to
+    6 dp so the interpolation arithmetic is engine-portable (FP summation
+    order differs across implementations in the last ulp).
+
+    Returns (quantile, value) — one row per requested quantile."""
+    import math
+
+    d = df.filter(F.col(value_col).isNotNull())
+    ranked, n = _ranked(d, [value_col, *tie_cols], "__q_rank", num_partitions)
+    spark = df.sparkSession
+    rows = []
+    for q in quantiles:
+        h = 1.0 + float(q) * (n - 1)
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        rows.append((float(q), lo, hi, h - math.floor(h)))
+    targets = spark.createDataFrame(
+        [(q, r, frac, kind)
+         for q, lo, hi, frac in rows
+         for kind, r in (("lo", lo), ("hi", hi))],
+        "quantile double, __q_rank long, __frac double, __kind string",
+    )
+    picked = ranked.join(F.broadcast(targets), "__q_rank").groupBy(
+        "quantile", "__frac"
+    ).agg(
+        F.min(F.when(F.col("__kind") == "lo", F.col(value_col))).alias("__lo"),
+        F.min(F.when(F.col("__kind") == "hi", F.col(value_col))).alias("__hi"),
+    )
+    value = F.round(
+        F.col("__lo")
+        + (F.col("__hi") - F.col("__lo")) * F.col("__frac"),
+        6,
+    ).cast("double")
+    return picked.select("quantile", value.alias("value"))
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_cols: list[str],

@@ -1911,3 +1911,118 @@ def embedding_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.signlsh_near_dup_pairs_against(
         corpus, batch, "vec_id", "embedding", threshold=0.4
     )
+
+
+# ------------------------------------------------ exact duplicated spans
+_SPAN_W = 8
+
+
+@register(
+    "duplicated_span_coverage_documents",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_TOKS} AS toks
+        FROM documents),
+    w AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SPAN_W - 1}), chr(31))) AS h
+        FROM b, unnest(range(1, CAST(n_tokens AS INTEGER) - {_SPAN_W} + 2))
+             AS t(i)
+        WHERE n_tokens >= {_SPAN_W}),
+    dup AS (
+        SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    hits AS (
+        SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+    cov AS (
+        SELECT doc_id, pos,
+               pos + {_SPAN_W} - greatest(
+                   coalesce(max(pos + {_SPAN_W}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       pos),
+                   pos) AS c
+        FROM hits),
+    agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_positions
+        FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(agg.dup_positions, 0) AS dup_positions,
+           CAST(coalesce(agg.dup_positions, 0) AS DOUBLE)
+               / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+    FROM b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def duplicated_span_coverage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact duplicated-SPAN coverage (functions/spans.py): per document,
+    the fraction of token positions covered by an exact 8-token span that
+    also occurs verbatim in another document — the substring-level dedup
+    signal of Lee et al. (2022), whose suffix-array construction this
+    re-expresses as a stride-1 window explode (same O(total tokens)
+    asymptotics) + combinable min!=max duplicate detection + per-document
+    interval-merge windows. The synthetic corpus repeats sentence
+    templates across documents, so real cross-document spans exist at
+    every SF."""
+    from pipelinewise_spark.functions.spans import duplicated_span_coverage
+
+    d = read_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(d, "doc_id", "text", window=_SPAN_W)
+
+
+# ------------------------------------------------- data-mixture sampling
+@register(
+    "token_budget_mixture_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               md5(source || '|' || CAST(doc_id AS VARCHAR)) AS pri
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM t)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens <
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               THEN 600 ELSE 300 END
+    """,
+)
+def token_budget_mixture_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic training-data MIXTURE (functions/curation.py:
+    token_budget_mixture): per source domain, admit documents in
+    hash-shuffled order until the domain's token budget fills (even
+    domains 600 tokens, odd 300 — a heterogeneous target composition).
+    The per-domain running totals come from the per-group distributed
+    prefix sum (range-partitioned on (domain, order); per-(partition,
+    group) offsets join back broadcast), so the whole mixture is ONE pass
+    with no per-domain window task — the DoReMi/Pile-style composition
+    step at corpus scale. Deterministic: same corpus + budgets → same
+    mixture, a resumability requirement for 100 TB jobs."""
+    from pipelinewise_spark.functions.curation import token_budget_mixture
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(
+            F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+        ).alias("__pri"),
+    )
+    budget = (
+        F.when(F.substring("source", 4, 8).cast("int") % 2 == 0, F.lit(600))
+        .otherwise(F.lit(300))
+    )
+    out = token_budget_mixture(
+        d, "source", ["__pri", "doc_id"], "n_tokens", budget
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")

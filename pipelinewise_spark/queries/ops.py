@@ -1031,3 +1031,49 @@ def group_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["o_orderpriority"], "o_totalprice", ["o_orderkey"],
         [0.5, 0.9, 0.99],
     )
+
+
+@register(
+    "interpolated_quantiles_lineitem",
+    oracle="""
+    SELECT 0.25 AS quantile,
+           CAST(CAST(ROUND(percentile_cont(0.25)
+               WITHIN GROUP (ORDER BY l_extendedprice), 6)
+               AS DECIMAL(18,6)) AS DOUBLE) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 0.5, CAST(CAST(ROUND(percentile_cont(0.5)
+               WITHIN GROUP (ORDER BY l_extendedprice), 6)
+               AS DECIMAL(18,6)) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 0.75, CAST(CAST(ROUND(percentile_cont(0.75)
+               WITHIN GROUP (ORDER BY l_extendedprice), 6)
+               AS DECIMAL(18,6)) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 0.9, CAST(CAST(ROUND(percentile_cont(0.9)
+               WITHIN GROUP (ORDER BY l_extendedprice), 6)
+               AS DECIMAL(18,6)) AS DOUBLE) FROM lineitem
+    """,
+)
+def interpolated_quantiles_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCENTILE_CONT (linear interpolation between order statistics at
+    the continuous rank 1 + q*(N-1)) with no single-reducer sort
+    (operators/rank.py:exact_quantiles_interpolated) — the SQL-standard
+    quantile the discrete ceil-rank twin (exact_quantiles_lineitem)
+    deliberately is not. One distributed rank materialization serves all
+    quantiles; each adds two broadcast-join target rows (floor/ceil)."""
+    from pipelinewise_spark.operators.rank import (
+        exact_quantiles_interpolated,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = exact_quantiles_interpolated(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"],
+        [0.25, 0.5, 0.75, 0.9],
+    )
+    return out.select(
+        "quantile",
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
+    )

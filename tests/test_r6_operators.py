@@ -1,0 +1,176 @@
+"""Round-6 new operators: duplicated-span coverage, interpolated
+quantiles, per-group distributed prefix sum / token-budget mixture —
+semantics vs independent references and plan shapes vs the scale contract
+(no SinglePartition exchange; offsets via broadcast join)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.functions.curation import (
+    group_prefix_sum,
+    token_budget_mixture,
+)
+from pipelinewise_spark.functions.spans import duplicated_span_coverage
+from pipelinewise_spark.operators.rank import exact_quantiles_interpolated
+
+
+def _plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ------------------------------------------------- duplicated spans
+
+
+def test_span_coverage_hand_case(spark):
+    """Hand-computable corpus: docs 1+2 share one 4-token run; doc 3 is
+    unique; doc 4 shares two OVERLAPPING runs with doc 5 (interval merge
+    must not double count)."""
+    docs = [
+        (1, "a b c d x y z w"),
+        (2, "p q a b c d r s"),
+        (3, "unique tokens only here nothing repeats at all"),
+        (4, "m n o p2 q2 r2 s2 t2 u2"),
+        (5, "zz m n o p2 q2 r2 s2 t2 u2 yy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_positions"], r["dup_fraction"])
+        for r in duplicated_span_coverage(
+            df, "doc_id", "text", window=4
+        ).collect()
+    }
+    # doc1: windows at pos 0..4; shared with doc2: "a b c d" (doc1 pos 0,
+    # doc2 pos 2) -> 4 covered positions
+    assert got[1] == (8, 4, 0.5)
+    assert got[2] == (8, 4, 0.5)
+    assert got[3] == (8, 0, 0.0)
+    # docs 4/5 share the full 9/11-token run "m n o p2 q2 r2 s2 t2 u2":
+    # doc4 windows pos 0..5 all duplicated -> covers 0..8 = 9 positions
+    assert got[4] == (9, 9, 1.0)
+    assert got[5] == (11, 9, 9 / 11)
+
+
+def test_span_coverage_plan_shape(spark, sf_dir):
+    from pipelinewise_spark.sources.files import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan_of(duplicated_span_coverage(d, "doc_id", "text"))
+    assert "SinglePartition" not in plan, plan
+    assert "Generate" in plan  # the posexplode
+    # the duplicate-detection agg is partial (map-side combinable)
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+# ------------------------------------------------- interpolated quantiles
+
+
+def test_interpolated_quantiles_match_numpy(spark):
+    import numpy as np
+
+    vals = [float((i * 37) % 101) + (i % 7) * 0.25 for i in range(501)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_interpolated(
+            df, "v", ["id"], qs, num_partitions=8
+        ).collect()
+    }
+    for q in qs:
+        want = float(np.percentile(np.array(vals), q * 100,
+                                   method="linear"))
+        assert math.isclose(got[q], want, rel_tol=0, abs_tol=5e-7), (
+            q, got[q], want,
+        )
+
+
+def test_interpolated_quantiles_plan_no_single_partition(spark):
+    df = spark.range(1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    plan = _plan_of(
+        exact_quantiles_interpolated(df, "v", ["id"], [0.5], 8)
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# ----------------------------------- group prefix sum / mixture
+
+
+def test_group_prefix_sum_matches_window(spark):
+    """Groups deliberately straddle range partitions (16 partitions, 3
+    groups): the fragment offsets must reassemble the exact per-group
+    cumulative sums."""
+    rows = [
+        (f"g{i % 3}", i, (i * 13) % 29 + 1) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = group_prefix_sum(
+        df, ["g"], ["id"], "v", out_col="cum", num_partitions=16
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_group_prefix_sum_null_group(spark):
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 5), ("a", 3, 7)],
+        "g string, id long, v long",
+    )
+    got = {
+        (r["g"], r["id"]): r["cum"]
+        for r in group_prefix_sum(df, ["g"], ["id"], "v").collect()
+    }
+    assert got[(None, 1)] == 10 and got[(None, 2)] == 15
+    assert got[("a", 3)] == 7
+
+
+def test_token_budget_mixture_crossing_doc_included(spark):
+    df = spark.createDataFrame(
+        [("d1", 1, 40), ("d1", 2, 40), ("d1", 3, 40), ("d2", 4, 200)],
+        "dom string, id long, toks long",
+    )
+    out = token_budget_mixture(
+        df, "dom", ["id"], "toks", F.lit(100)
+    ).collect()
+    ids = {r["id"] for r in out}
+    # d1: cum 40, 80, 120 — id=3 CROSSES the 100 budget (prior sum 80 <
+    # 100) and is included; d2's single huge doc crosses from 0 and stays
+    assert ids == {1, 2, 3, 4}
+    # a fourth d1 doc would start at 120 >= 100 and be excluded
+    df2 = df.unionByName(
+        spark.createDataFrame([("d1", 9, 1)], "dom string, id long, toks long")
+    )
+    ids2 = {
+        r["id"]
+        for r in token_budget_mixture(
+            df2, "dom", ["id"], "toks", F.lit(100)
+        ).collect()
+    }
+    assert 9 not in ids2
+
+
+def test_group_prefix_sum_plan_shape(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 5}", i, i % 7) for i in range(200)],
+        "g string, id long, v long",
+    )
+    plan = _plan_of(group_prefix_sum(df, ["g"], ["id"], "v", num_partitions=8))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
