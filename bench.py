@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "hybrid_retrieval_documents",
     "repeated_ngram_coverage_documents",
     "incremental_lm_update_documents",
+    # round 6
+    "duplicated_span_coverage_documents",
+    "interpolated_quantiles_lineitem",
+    "token_budget_mixture_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

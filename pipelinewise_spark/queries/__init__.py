@@ -54,16 +54,20 @@ _SHOWCASE_ORDER = [
     "snapshot_drift_orders", "snapshot_diff_orders",
     "incremental_mv_orders", "incremental_mv_minmax_orders",
     "zorder_pruned_read_orders", "bloom_point_lookup_orders",
-    # --- part 3: family anchors (stable since r3-r5, stay visible)
+    # --- part 3: new r6 operators (first driver look)
+    "duplicated_span_coverage_documents",
+    "interpolated_quantiles_lineitem",
+    "token_budget_mixture_documents",
+    # --- part 4: family anchors (stable since r3-r5, stay visible)
     "full_table_sync_lineitem", "incremental_sync_orders",
-    "partial_sync_orders", "q1_pricing_summary", "q3_shipping_priority",
-    "mask_transforms_customer", "validate_events", "flatten_events_props",
-    "exact_dedup_documents",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "mask_transforms_customer", "validate_events",
     # (rotated to pytest-only this round, all driver-green r3-r5:
-    # pk_dedupe, merge_soft_delete, mongo_normalize, kafka_protobuf,
-    # quarantine, cross_doc_line_dedup, simhash, edit_distance, clusters,
-    # keep_best, split, weighted_sample, near_dup_pairs, gopher, pack,
-    # bm25, resize, lm-score quartet, salted_topk)
+    # pk_dedupe, partial_sync, merge_soft_delete, mongo_normalize,
+    # kafka_protobuf, quarantine, flatten, exact_dedup,
+    # cross_doc_line_dedup, simhash, edit_distance, clusters, keep_best,
+    # split, weighted_sample, near_dup_pairs, gopher, pack, bm25, resize,
+    # lm-score quartet, salted_topk)
 ]
 
 
