@@ -116,3 +116,89 @@ def duplicated_span_coverage(
         )
     )
     return out.select(id_col, "n_tokens", "dup_positions", "dup_fraction")
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact substring deduplication proper (Lee et al. 2022 ExactSubstr):
+    REMOVE every token position covered by a cross-document duplicated
+    ``window``-token span and rebuild the document from the surviving
+    tokens. Output text is the normalized-token reconstruction
+    (lower/trim, single-space joined) — the operator's contract is over
+    the token stream, as the published tool's is over the byte stream.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)``: NULL text stays
+    NULL; a fully-duplicated document becomes the empty string.
+
+    Scale shape on top of :func:`duplicated_span_coverage`'s stages: the
+    covered-position explode multiplies duplicate HITS by ``window``
+    (answer-sized, not corpus-sized); the token stream explodes once
+    (|tokens| rows, the cost already paid for window hashing); the
+    kept-token anti-join and the ordered per-document reassembly both key
+    on the document id, so no stage ever exceeds per-document scale after
+    the one corpus-wide duplicate-detection groupBy."""
+    toks = tokens(F.col(text_col))
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("__toks"),
+    )
+    idx = F.sequence(F.lit(0), F.col("n_tokens") - F.lit(window))
+    gram = F.transform(
+        idx,
+        lambda p: F.md5(
+            F.concat_ws(_SEP, F.slice(F.col("__toks"), p + 1, window))
+        ),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(F.col(id_col), F.posexplode(gram).alias("pos", "h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_stream = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("tpos", "tok")
+    )
+    kept = tok_stream.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count("*").cast("bigint").alias("__n_kept"),
+    )
+    return (
+        base.drop("__toks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_tokens").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+            .alias("clean_text"),
+            F.col("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -195,6 +195,80 @@ def exact_quantiles_interpolated(
     return picked.select("quantile", value.alias("value"))
 
 
+def exact_group_quantiles_interpolated(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    quantiles: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ``PERCENTILE_CONT``: the grouped twin of
+    :func:`exact_quantiles_interpolated`, built on the SAME one global
+    range-partitioned rank as :func:`exact_group_quantiles` (groups
+    contiguous in rank space, no per-group sort task). Each group's
+    continuous rank ``h = first_rank + q·(n-1)`` resolves to its floor and
+    ceil neighbors ENTIRELY as Column arithmetic on the per-group bounds
+    frame — no driver loop over groups, so group cardinality only bounds
+    the broadcast (groups × quantiles × 2 rows). NULL values excluded as
+    SQL does. Returns (*group_cols, quantile, value), value rounded to
+    6 dp for engine portability."""
+    d = df.filter(F.col(value_col).isNotNull())
+    ranked, _ = _ranked(
+        d, [*group_cols, value_col, *tie_cols], "__q_rank", num_partitions
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min("__q_rank").alias("__lo0"), F.count("*").alias("__n")
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("quantile")
+    h = F.col("quantile") * (F.col("__n") - 1).cast("double")
+    t = (
+        bounds.select(*group_cols, "__lo0", "__n", qcol)
+        .withColumn("__floor", F.floor(h).cast("long"))
+        .withColumn("__frac", h - F.floor(h))
+        .withColumn(
+            "__ranks",
+            F.array(
+                F.struct(
+                    (F.col("__lo0") + F.col("__floor")).alias("__q_rank"),
+                    F.lit("lo").alias("__kind"),
+                ),
+                F.struct(
+                    (F.col("__lo0") + F.ceil(h).cast("long")).alias("__q_rank"),
+                    F.lit("hi").alias("__kind"),
+                ),
+            ),
+        )
+        .select(
+            *group_cols, "quantile", "__frac",
+            F.explode("__ranks").alias("__r"),
+        )
+        .select(
+            *group_cols, "quantile", "__frac",
+            F.col("__r.__q_rank").alias("__q_rank"),
+            F.col("__r.__kind").alias("__kind"),
+        )
+    )
+    picked = (
+        ranked.join(F.broadcast(t), [*group_cols, "__q_rank"])
+        .groupBy(*group_cols, "quantile", "__frac")
+        .agg(
+            F.min(
+                F.when(F.col("__kind") == "lo", F.col(value_col))
+            ).alias("__lo"),
+            F.min(
+                F.when(F.col("__kind") == "hi", F.col(value_col))
+            ).alias("__hi"),
+        )
+    )
+    value = F.round(
+        F.col("__lo") + (F.col("__hi") - F.col("__lo")) * F.col("__frac"), 6
+    ).cast("double")
+    return picked.select(*group_cols, "quantile", value.alias("value"))
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_cols: list[str],

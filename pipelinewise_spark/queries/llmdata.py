@@ -2026,3 +2026,60 @@ def token_budget_mixture_documents(
         d, "source", ["__pri", "doc_id"], "n_tokens", budget
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "excise_duplicated_spans_documents",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_TOKS} AS toks
+        FROM documents),
+    w AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SPAN_W - 1}), chr(31))) AS h
+        FROM b, unnest(range(1, CAST(n_tokens AS INTEGER) - {_SPAN_W} + 2))
+             AS t(i)
+        WHERE n_tokens >= {_SPAN_W}),
+    dup AS (
+        SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    cov AS (
+        SELECT DISTINCT w.doc_id, CAST(u AS INTEGER) AS tpos
+        FROM w JOIN dup USING (h),
+             unnest(range(pos, pos + {_SPAN_W})) AS t(u)),
+    tok AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS tpos, toks[i] AS tok
+        FROM b, unnest(range(1, CAST(n_tokens AS INTEGER) + 1)) AS t(i)),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.tok
+        FROM tok t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        WHERE c.tpos IS NULL),
+    r AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN b.n_tokens IS NULL THEN NULL
+                ELSE coalesce(r.clean, '') END AS clean_text,
+           b.n_tokens,
+           CAST(b.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM b LEFT JOIN r USING (doc_id)
+    """,
+)
+def excise_duplicated_spans_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact substring DEDUPLICATION (functions/spans.py:
+    excise_duplicated_spans): every token position covered by a
+    cross-document duplicated 8-token span is removed and the document
+    rebuilt from the surviving tokens — the Lee et al. (2022) ExactSubstr
+    transform, as one declarative plan whose only corpus-wide stage is
+    the combinable duplicate-span groupBy. The coverage twin
+    (duplicated_span_coverage_documents) is the measure; this is the
+    cure."""
+    from pipelinewise_spark.functions.spans import excise_duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return excise_duplicated_spans(d, "doc_id", "text", window=_SPAN_W)

@@ -1077,3 +1077,45 @@ def interpolated_quantiles_lineitem(
         "quantile",
         F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
     )
+
+
+@register(
+    "group_interpolated_quantiles_orders",
+    oracle="""
+    SELECT o_orderpriority, q.quantile,
+           CAST(CAST(ROUND(
+               CASE q.quantile
+                   WHEN 0.25 THEN percentile_cont(0.25)
+                       WITHIN GROUP (ORDER BY o_totalprice)
+                   WHEN 0.5 THEN percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY o_totalprice)
+                   ELSE percentile_cont(0.75)
+                       WITHIN GROUP (ORDER BY o_totalprice)
+               END, 6) AS DECIMAL(18,6)) AS DOUBLE) AS value
+    FROM orders CROSS JOIN (VALUES (0.25), (0.5), (0.75)) q(quantile)
+    GROUP BY o_orderpriority, q.quantile
+    """,
+)
+def group_interpolated_quantiles_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority PERCENTILE_CONT of order totals (operators/rank.py:
+    exact_group_quantiles_interpolated): one global range-partitioned rank
+    serves every (group, quantile) pair; floor/ceil neighbor ranks derive
+    as pure Column arithmetic on the per-group bounds (no driver loop) and
+    resolve through one broadcast join. The grouped, interpolated member
+    of the quantile family (discrete global / discrete grouped /
+    interpolated global are its siblings)."""
+    from pipelinewise_spark.operators.rank import (
+        exact_group_quantiles_interpolated,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    out = exact_group_quantiles_interpolated(
+        o, ["o_orderpriority"], "o_totalprice", ["o_orderkey"],
+        [0.25, 0.5, 0.75],
+    )
+    return out.select(
+        "o_orderpriority", "quantile",
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
+    )

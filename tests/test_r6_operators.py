@@ -174,3 +174,49 @@ def test_group_prefix_sum_plan_shape(spark):
     plan = _plan_of(group_prefix_sum(df, ["g"], ["id"], "v", num_partitions=8))
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_excise_matches_coverage_and_hand_case(spark):
+    from pipelinewise_spark.functions.spans import excise_duplicated_spans
+
+    docs = [
+        (1, "a b c d x y z w"),
+        (2, "p q a b c d r s"),
+        (3, "unique tokens only here nothing repeats at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in excise_duplicated_spans(df, "doc_id", "text", window=4)
+        .collect()
+    }
+    assert got[1] == ("x y z w", 8, 4)
+    assert got[2] == ("p q r s", 8, 4)
+    assert got[3] == ("unique tokens only here nothing repeats at all", 8, 0)
+    assert got[4] == (None, None, None)
+
+    # n_removed equals the coverage operator's dup_positions on any corpus
+    cov = {
+        r["doc_id"]: r["dup_positions"]
+        for r in duplicated_span_coverage(
+            df, "doc_id", "text", window=4
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i][2] == cov[i]
+
+
+def test_excise_fully_duplicated_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    from pipelinewise_spark.functions.spans import excise_duplicated_spans
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in excise_duplicated_spans(df, "doc_id", "text", window=4)
+        .collect()
+    }
+    assert got == {1: "", 2: ""}
