@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "duplicated_span_coverage_documents",
     "interpolated_quantiles_lineitem",
     "token_budget_mixture_documents",
+    "excise_duplicated_spans_documents",
+    "group_interpolated_quantiles_orders",
+    "binary_file_source_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

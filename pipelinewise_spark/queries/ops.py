@@ -1119,3 +1119,58 @@ def group_interpolated_quantiles_orders(
         "o_orderpriority", "quantile",
         F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
     )
+
+
+@register(
+    "binary_file_source_documents",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           md5(hex(encode(text))) AS content_md5
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def binary_file_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion end-to-end (sources/files.py:FileSource,
+    format='binary' → Spark's binaryFile reader): the multimodal ingest
+    path — every payload lands as one (path, length, content) row with
+    the bytes as an opaque binary cell, ready for the mapInPandas decode
+    seams (functions/multimodal.py). The fixture writes one .bin file per
+    document (utf-8 text bytes, the deterministic stand-in for image/
+    audio payloads); the oracle recomputes each file's name, byte length,
+    and content md5 from the source table, so the comparison proves the
+    read path byte-for-byte. At 100 TB this reader is how petabytes of
+    media files enter the engine: file listing is driver-side metadata,
+    content scan is executor-parallel, and binary cells stay columnar."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+    from pipelinewise_spark.sources.files import FileSource
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # fixture: one binary file per document, written executor-side (a
+    # driver loop over open() would serialize a 100 TB export)
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_bin_")
+        bdir = os.path.join(tmp, "media")
+        os.makedirs(bdir)
+
+        def _write(batch):
+            for row in batch:
+                name = f"{row['doc_id']:08d}.bin"
+                with open(os.path.join(bdir, name), "wb") as fh:
+                    fh.write(row["text"].encode("utf-8"))
+
+        docs.select("doc_id", "text").foreachPartition(_write)
+
+    src = FileSource(path=bdir, format="binary", pattern=r"\.bin$")
+    df = src.read(spark)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("length"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )

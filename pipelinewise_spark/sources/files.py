@@ -32,7 +32,7 @@ class FileSource:
     """One logical stream backed by files under a directory/bucket prefix."""
 
     path: str  # directory (local or s3a://bucket/prefix)
-    format: str = "parquet"  # parquet | csv | json
+    format: str = "parquet"  # parquet | csv | json | binary
     pattern: str | None = None  # regex on file name (reference: search_pattern)
     options: dict[str, str] = field(default_factory=dict)
 
@@ -69,7 +69,8 @@ class FileSource:
         files = self.list_files(modified_since)
         if not files:
             return None
-        reader = spark.read.format(self.format).options(**self.options)
+        fmt = "binaryFile" if self.format == "binary" else self.format
+        reader = spark.read.format(fmt).options(**self.options)
         if self.format == "csv":
             reader = reader.option("header", self.options.get("header", "true"))
             reader = reader.option(
