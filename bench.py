@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "excise_duplicated_spans_documents",
     "group_interpolated_quantiles_orders",
     "binary_file_source_documents",
+    "stream_curation_ingest_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

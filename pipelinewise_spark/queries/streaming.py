@@ -526,3 +526,123 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(payload).parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+_DOC_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+@register(
+    "stream_curation_ingest_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, text, {_DOC_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, lang, text, toks,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS grams
+        FROM tok),
+    s AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(toks,
+                         t -> CAST(length(t) AS DOUBLE))) / len(toks), 6)
+                   AS mean_word_len,
+               round(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+                     / len(toks), 6) AS symbol_ratio,
+               round(CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                     / len(toks), 6) AS alpha_frac,
+               round(CASE WHEN len(grams) > 0
+                          THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams)
+                          ELSE 0.0 END, 6) AS dup_3gram_frac
+        FROM g)
+    SELECT doc_id, lang, n_words
+    FROM s
+    WHERE (n_words BETWEEN 50 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND (symbol_ratio < 0.1) AND (alpha_frac > 0.8)
+      AND (dup_3gram_frac < 0.3)
+    """,
+)
+def stream_curation_ingest_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING curation at ingest: the corpus arrives as a JSONL stream
+    with every third document re-delivered in LATER micro-batches
+    (at-least-once transport); one streaming plan applies the Gopher
+    quality gate (pure Column expressions — identical code to the batch
+    path) and exact dedup under bounded watermark state
+    (``dropDuplicatesWithinWatermark``), so only quality-passing, unique
+    documents ever land. The streamed end state must equal the batch
+    Gopher filter over the unique corpus — the stream≡batch contract that
+    makes a 100 TB/day ingest auditable. Per-batch cost is batch-sized;
+    dedup state is bounded by keys-per-watermark-horizon."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.functions.text import gopher_stats, tokens
+    from pipelinewise_spark.streaming.windows import streaming_dedupe
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_scur_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang",
+            F.timestamp_add(
+                "SECOND", F.col("doc_id").cast("int"),
+                F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            ).alias("ts"),
+        )
+        n = min(32, spark.sparkContext.defaultParallelism)
+        docs.repartition(n).write.mode("append").option(
+            "timestampFormat", ts_fmt
+        ).json(src)
+        # re-deliveries land as separate files -> later micro-batches
+        docs.filter(F.col("doc_id") % 3 == 0).repartition(4).write.mode(
+            "append"
+        ).option("timestampFormat", ts_fmt).json(src)
+
+    payload = T._parse_datatype_string(
+        "doc_id long, text string, lang string, ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(payload)
+        .option("maxFilesPerTrigger", 16)
+        .option("timestampFormat", ts_fmt)
+        .json(src)
+    )
+    toks = tokens(F.col("text"))
+    stats = gopher_stats(F.col("text"), toks=F.col("__toks"))
+    filtered = (
+        stream.withColumn("__toks", toks)
+        .withColumn(
+            "__keep",
+            (stats["n_words"].between(50, 100_000))
+            & (stats["mean_word_len"].between(3.0, 10.0))
+            & (stats["symbol_ratio"] < 0.1)
+            & (stats["alpha_frac"] > 0.8)
+            & (stats["dup_3gram_frac"] < 0.3),
+        )
+        .filter(F.col("__keep"))
+        .select(
+            "doc_id", "lang", stats["n_words"].alias("n_words"), "ts"
+        )
+    )
+    deduped = streaming_dedupe(
+        filtered, ["doc_id"], ts_col="ts", watermark="3650 days"
+    )
+    out = os.path.join(tmp, "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "doc_id long, lang string, n_words long, ts timestamp"
+    ).parquet(out).select("doc_id", "lang", "n_words")

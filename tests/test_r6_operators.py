@@ -220,3 +220,16 @@ def test_excise_fully_duplicated_doc_becomes_empty(spark):
         .collect()
     }
     assert got == {1: "", 2: ""}
+
+
+def test_stream_curation_dedup_across_batches(spark, sf_dir):
+    """The streamed curation result contains each passing doc exactly
+    once even though every third doc was delivered twice across
+    micro-batches."""
+    from pipelinewise_spark.queries import QUERIES
+
+    out = QUERIES["stream_curation_ingest_documents"](spark, sf_dir)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "stream dedupe leaked a duplicate"
+    assert len(ids) > 0
