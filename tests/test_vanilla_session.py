@@ -43,6 +43,17 @@ SENSITIVE = [
     "exact_quantiles_lineitem",
     "group_quantiles_orders",
     "lang_percentile_filter_documents",
+    # round 6: stream_curation round-trips timestamps through JSON and
+    # dedupes under a watermark; interpolated quantiles + mixture ride the
+    # rank/prefix-sum machinery (partition-count-sensitive); binary source
+    # must list/read identically at any maxPartitionBytes
+    "stream_curation_ingest_documents",
+    "interpolated_quantiles_lineitem",
+    "group_interpolated_quantiles_orders",
+    "token_budget_mixture_documents",
+    "duplicated_span_coverage_documents",
+    "excise_duplicated_spans_documents",
+    "binary_file_source_documents",
 ]
 
 
