@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "group_interpolated_quantiles_orders",
     "binary_file_source_documents",
     "stream_curation_ingest_documents",
+    "incremental_join_view_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -1,0 +1,134 @@
+"""Incrementally maintained JOIN views (fact ⋈ dim under CDC).
+
+The aggregate-MV family (operators/incremental_agg.py, streaming/mv.py)
+maintains rollups from the change feed alone. This module extends
+incremental view maintenance to the other workhorse view shape: an INNER
+equi-join of a large fact table with a dimension keyed by the join column
+(orders ⋈ customer, events ⋈ user_profile) — the classic "wide table"
+that dashboards and feature stores read, too expensive to re-join at
+100 TB per refresh.
+
+Sequential two-step maintenance (the textbook delta rules, specialized to
+the fact-PK / dim-unique-key case so no multiplicity counting is needed):
+
+- FACT delta ΔF: view rows keyed by ΔF's PKs are replaced with
+  ``live(ΔF) ⋈ dim_current`` — one batch-sized join against the dim (a
+  broadcast at typical dim sizes), one PK MERGE into the view. Deletes
+  drop the view row (inner-join semantics).
+- DIM delta ΔD: every view row whose join key is touched is rebuilt from
+  ``fact ⋈ live(ΔD)`` — the fact side is *restricted first* by a
+  batch-sized semi-joinable key set (partition/stats-pruned on a
+  ManifestTable fact), so dim updates propagate at
+  O(fact rows per touched key), never a base rescan. Dim deletes remove
+  their join key's view rows; dim inserts pull previously-orphaned fact
+  rows INTO the view (inner-join semantics again).
+
+Both steps publish through the table's atomic snapshot swap, so readers
+see view versions consistent with base versions. Out-of-order protection:
+change batches are last-wins deduped on their own key before applying.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.dedupe import last_wins_dedupe
+from pipelinewise_spark.operators.merge import merge_upsert
+from pipelinewise_spark.streaming.cdc import OP_COL, SEQ_COL
+
+
+class IncrementalJoinView:
+    """An inner equi-join view ``fact ⋈_{join_key} dim`` kept current by
+    CDC deltas on either side.
+
+    ``fact_pk`` is the fact's primary key (also the view's PK);
+    ``join_key`` must be unique on the dim side (dim PK). ``fact_cols`` /
+    ``dim_cols`` name the payload columns each side contributes (join key
+    and PK included automatically)."""
+
+    def __init__(
+        self,
+        view_table,
+        fact_pk: str,
+        join_key: str,
+        fact_cols: Sequence[str],
+        dim_cols: Sequence[str],
+    ):
+        self.view_table = view_table
+        self.fact_pk = fact_pk
+        self.join_key = join_key
+        self.fact_cols = [
+            c for c in fact_cols if c not in (fact_pk, join_key)
+        ]
+        self.dim_cols = [c for c in dim_cols if c != join_key]
+
+    # ------------------------------------------------------------ helpers
+
+    def _fact_side(self, df: DataFrame) -> DataFrame:
+        return df.select(self.fact_pk, self.join_key, *self.fact_cols)
+
+    def _dim_side(self, df: DataFrame) -> DataFrame:
+        return df.select(self.join_key, *self.dim_cols)
+
+    def _join(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return self._fact_side(fact).join(
+            self._dim_side(dim), self.join_key, "inner"
+        )
+
+    # ------------------------------------------------------------- build
+
+    def initialize(self, fact: DataFrame, dim: DataFrame) -> None:
+        """T0 full build — the one full fact ⋈ dim join there is."""
+        self.view_table.overwrite(self._join(fact, dim))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.view_table.read(spark)
+
+    # ------------------------------------------------------------- deltas
+
+    def apply_fact_delta(
+        self, spark: SparkSession, batch: DataFrame, dim: DataFrame
+    ) -> None:
+        """Apply a fact change batch (``_op``/``_seq`` + fact payload).
+        Cost: |batch| ⋈ dim (broadcastable) + one PK MERGE into the view.
+        """
+        d = last_wins_dedupe(batch, [self.fact_pk], SEQ_COL)
+        live = d.filter(F.col(OP_COL) != "d")
+        dead = d.filter(F.col(OP_COL) == "d").select(self.fact_pk)
+        upserts = self._join(live, dim)
+        view = self.read(spark)
+        merged = merge_upsert(view, upserts, [self.fact_pk])
+        # inner-join semantics: a deleted fact row leaves the view; also
+        # drop rows whose updated fact no longer finds a dim partner
+        # (orphaned by a join-key change to a missing dim key)
+        updated_pks = live.select(self.fact_pk)
+        kept_pks = upserts.select(self.fact_pk)
+        orphaned = updated_pks.join(kept_pks, self.fact_pk, "left_anti")
+        gone = dead.unionByName(orphaned)
+        merged = merged.join(F.broadcast(gone), self.fact_pk, "left_anti")
+        self.view_table.overwrite(merged)
+
+    def apply_dim_delta(
+        self, spark: SparkSession, batch: DataFrame, fact: DataFrame
+    ) -> None:
+        """Apply a dim change batch (``_op``/``_seq`` + dim payload).
+        Cost: fact restricted to the touched join keys (batch-sized semi
+        join; partition/stats-pruned on a ManifestTable fact) ⋈ live dim
+        rows + one PK MERGE. Dim inserts pull previously-orphaned fact
+        rows into the view; dim deletes evict their key's view rows."""
+        d = last_wins_dedupe(batch, [self.join_key], SEQ_COL)
+        live = d.filter(F.col(OP_COL) != "d")
+        dead_keys = d.filter(F.col(OP_COL) == "d").select(self.join_key)
+        touched = self._fact_side(fact).join(
+            F.broadcast(live.select(self.join_key)), self.join_key
+        )
+        upserts = touched.join(self._dim_side(live), self.join_key, "inner")
+        view = self.read(spark)
+        merged = merge_upsert(view, upserts, [self.fact_pk])
+        merged = merged.join(
+            F.broadcast(dead_keys), self.join_key, "left_anti"
+        )
+        self.view_table.overwrite(merged)

@@ -61,9 +61,9 @@ _SHOWCASE_ORDER = [
     # --- part 4: family anchors (stable since r3-r5, stay visible)
     "full_table_sync_lineitem", "incremental_sync_orders",
     "q1_pricing_summary", "stream_curation_ingest_documents",
-    "mask_transforms_customer", "binary_file_source_documents",
+    "incremental_join_view_orders", "binary_file_source_documents",
     # (rotated to pytest-only this round, all driver-green r3-r5:
-    # q3, validate_events, pk_dedupe, partial_sync, merge_soft_delete, mongo_normalize,
+    # q3, mask_transforms, validate_events, pk_dedupe, partial_sync, merge_soft_delete, mongo_normalize,
     # kafka_protobuf, quarantine, flatten, exact_dedup,
     # cross_doc_line_dedup, simhash, edit_distance, clusters, keep_best,
     # split, weighted_sample, near_dup_pairs, gopher, pack, bm25, resize,

@@ -1177,3 +1177,89 @@ def binary_file_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("length"),
         F.md5(F.hex(F.col("content"))).alias("content_md5"),
     )
+
+
+@register(
+    "incremental_join_view_orders",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0),
+    d AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 11 <> 0)
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    """,
+)
+def incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (operators/ivm_join.py): the
+    orders ⋈ customer wide table is built once at T0, then kept current by
+    a FACT change batch (deletes %7, +1000 updates %2, re-asserts) and a
+    DIM change batch (customer deletes %11, +100 balance updates %3) — the
+    base join is never recomputed; fact deltas join the dim broadcast-
+    sized, dim deltas touch only the fact rows of changed keys. The
+    oracle recomputes the full join over the final base states: the
+    incrementally maintained view must land on it exactly."""
+    import tempfile
+
+    from pipelinewise_spark.operators.ivm_join import IncrementalJoinView
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    with fixture_timer():
+        view = IncrementalJoinView(
+            ParquetTable(tempfile.mkdtemp(prefix="pws_ivmj_") + "/v"),
+            fact_pk="o_orderkey",
+            join_key="o_custkey",
+            fact_cols=["o_totalprice"],
+            dim_cols=["c_name", "c_acctbal"],
+        )
+        view.initialize(orders, customer)
+
+    fact_delta = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("d"))
+        .when(F.col("o_orderkey") % 2 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+        .alias("_op"),
+        F.col("o_orderkey").alias("_seq"),
+        "o_orderkey", "o_custkey",
+        F.when(
+            (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 2 == 0),
+            F.col("o_totalprice") + 1000.0,
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    # dim events only for touched keys; delete wins over update on overlap
+    dim_delta = customer.filter(
+        (F.col("o_custkey") % 11 == 0) | (F.col("o_custkey") % 3 == 0)
+    ).select(
+        F.when(F.col("o_custkey") % 11 == 0, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("_op"),
+        F.col("o_custkey").alias("_seq"),
+        "o_custkey", "c_name",
+        F.when(F.col("o_custkey") % 3 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    # post-delta base states, as a CDC target would hold them
+    fact_now = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    view.apply_fact_delta(spark, fact_delta, customer)
+    view.apply_dim_delta(spark, dim_delta, fact_now)
+    return view.read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    )

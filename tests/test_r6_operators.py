@@ -233,3 +233,74 @@ def test_stream_curation_dedup_across_batches(spark, sf_dir):
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)), "stream dedupe leaked a duplicate"
     assert len(ids) > 0
+
+
+# ------------------------------------------------- incremental join view
+
+
+def _jv(spark, tmp_path):
+    from pipelinewise_spark.operators.ivm_join import IncrementalJoinView
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 20, 300.0), (4, 99, 400.0)],
+        "fk long, k long, amount double",
+    )  # fk=4 references dim key 99 which does NOT exist -> orphan at T0
+    dim = spark.createDataFrame(
+        [(10, "alice"), (20, "bob")], "k long, name string"
+    )
+    v = IncrementalJoinView(
+        ParquetTable(str(tmp_path / "v")),
+        fact_pk="fk", join_key="k",
+        fact_cols=["amount"], dim_cols=["name"],
+    )
+    v.initialize(fact, dim)
+    return v, fact, dim
+
+
+def _rows(v, spark):
+    return {
+        r["fk"]: (r["k"], r["amount"], r["name"])
+        for r in v.read(spark).collect()
+    }
+
+
+def test_ivm_join_fact_delta_update_delete_keymove(spark, tmp_path):
+    v, fact, dim = _jv(spark, tmp_path)
+    assert _rows(v, spark) == {
+        1: (10, 100.0, "alice"), 2: (10, 200.0, "alice"),
+        3: (20, 300.0, "bob"),
+    }
+    batch = spark.createDataFrame(
+        [
+            ("u", 10, 1, 10, 150.0),   # amount update
+            ("d", 11, 2, 10, None),    # delete
+            ("u", 12, 3, 10, 300.0),   # join-key MOVE 20 -> 10
+            ("u", 13, 4, 99, 450.0),   # still orphaned (no dim 99)
+            ("u", 5, 1, 10, 999.0),    # STALE (seq 5 < 10): last-wins drops
+        ],
+        "_op string, _seq long, fk long, k long, amount double",
+    )
+    v.apply_fact_delta(spark, batch, dim)
+    assert _rows(v, spark) == {
+        1: (10, 150.0, "alice"), 3: (10, 300.0, "alice"),
+    }
+
+
+def test_ivm_join_dim_delta_update_delete_insert_pulls_orphans(
+    spark, tmp_path
+):
+    v, fact, dim = _jv(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            ("u", 1, 10, "ALICE"),  # rename propagates to both fk=1,2
+            ("d", 2, 20, None),     # dim delete evicts fk=3
+            ("c", 3, 99, "zoe"),    # INSERT pulls orphaned fk=4 INTO view
+        ],
+        "_op string, _seq long, k long, name string",
+    )
+    v.apply_dim_delta(spark, batch, fact)
+    assert _rows(v, spark) == {
+        1: (10, 100.0, "ALICE"), 2: (10, 200.0, "ALICE"),
+        4: (99, 400.0, "zoe"),
+    }
