@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "binary_file_source_documents",
     "stream_curation_ingest_documents",
     "incremental_join_view_orders",
+    "hll_distinct_users_by_type",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

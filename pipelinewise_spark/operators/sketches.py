@@ -91,3 +91,46 @@ def approx_stats(
             ).alias(f"{c}__quantiles")
         )
     return df.agg(*aggs)
+
+
+def hll_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 14,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Build a MERGEABLE distinct-count sketch table: one Apache
+    DataSketches HLL sketch (Spark-native ``hll_sketch_agg``, binary
+    column) per group. This is the pre-aggregation layer a 100 TB
+    warehouse keeps per (day, source, ...) partition: sketches are a few
+    KB each, the build is one map-side-combinable groupBy over the raw
+    data, and ANY coarser rollup afterwards unions sketches instead of
+    rescanning — see :func:`hll_rollup`."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    sketch_table: DataFrame,
+    rollup_cols: list[str],
+    sketch_col: str = "hll_sketch",
+    out_col: str = "distinct_est",
+    keep_sketch: bool = False,
+) -> DataFrame:
+    """Re-aggregate a sketch table to a coarser grain: union the member
+    sketches (``hll_union_agg`` — register-wise max, associative and
+    commutative, so daily sketches roll into monthly into all-time without
+    touching raw data) and estimate. The shuffle moves only KB-sized
+    sketches, never rows. Estimates are within the standard HLL error
+    envelope (~0.8 % at lgK=14); union-of-parts may differ from a
+    direct sketch in the last fraction of a percent (mode promotion),
+    which is the documented sketch contract, not nondeterminism."""
+    merged = sketch_table.groupBy(*rollup_cols).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    )
+    out = merged.withColumn(
+        out_col, F.hll_sketch_estimate(F.col(sketch_col)).cast("bigint")
+    )
+    return out if keep_sketch else out.drop(sketch_col)

@@ -1263,3 +1263,29 @@ def incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
     )
+
+
+@register("hll_distinct_users_by_type")  # rows-only: the estimate is a
+# DataSketches HLL value DuckDB cannot reproduce; tests/test_r6_operators.py
+# bounds it against exact COUNT(DISTINCT) (<=2 %) and pins rollup
+# mergeability. The exact twin is profile_orders_columns / direct
+# countDistinct.
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch table (operators/sketches.py):
+    per-(event_type, user-bucket) HLL sketches built once from the raw
+    events, then rolled up to per-event_type distinct-user estimates by
+    sketch UNION — the pre-aggregated distinct-counting layer that answers
+    'unique users per X' at 100 TB by shuffling KB-sized sketches instead
+    of rescanning raw data. lgK=14 → ~0.8 % standard error."""
+    from pipelinewise_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 8).cast("int")
+    )
+    sketches = hll_sketch_table(
+        events, ["event_type", "bucket"], "user_id"
+    )
+    return hll_rollup(sketches, ["event_type"]).orderBy("event_type")

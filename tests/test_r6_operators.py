@@ -304,3 +304,58 @@ def test_ivm_join_dim_delta_update_delete_insert_pulls_orphans(
         1: (10, 100.0, "ALICE"), 2: (10, 200.0, "ALICE"),
         4: (99, 400.0, "zoe"),
     }
+
+
+# ------------------------------------------------------- HLL sketches
+
+
+def test_hll_rollup_within_error_and_mergeable(spark, sf_dir):
+    from pipelinewise_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+    from pipelinewise_spark.sources.files import read_table
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 8).cast("int")
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sketches = hll_sketch_table(events, ["event_type", "bucket"], "user_id")
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_rollup(sketches, ["event_type"]).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.02 * n), (t, est[t], n)
+
+    # mergeability: rolling the same sketch table all the way up equals
+    # (within the envelope) sketching the whole column directly
+    total_direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    total_merged = hll_rollup(
+        sketches.withColumn("__all", F.lit(1)), ["__all"]
+    ).collect()[0]["distinct_est"]
+    assert abs(total_merged - total_direct) <= max(2, 0.01 * total_direct)
+
+
+def test_hll_sketch_is_deterministic(spark, sf_dir):
+    from pipelinewise_spark.queries import QUERIES
+
+    a = sorted(
+        map(tuple, QUERIES["hll_distinct_users_by_type"](
+            spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["hll_distinct_users_by_type"](
+            spark, sf_dir).collect())
+    )
+    assert a == b
