@@ -296,6 +296,26 @@ schemas:
 """
 
 
+def _cmd_analyze(args: argparse.Namespace) -> int:
+    """ANALYZE TABLE: one-pass table statistics (rows, per-column nulls /
+    HLL NDV / min / max) persisted into the ManifestTable manifest —
+    planners and `status` tooling then read metadata, not data."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-analyze")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    stats = t.analyze(spark, cols)
+    print(json.dumps({"table": args.table, **stats}, indent=2, default=str))
+    return 0
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -508,6 +528,14 @@ def main(argv: list[str] | None = None) -> int:
     ini = sub.add_parser("init", help="write a sample pipeline YAML")
     ini.add_argument("path", help="output YAML path")
     ini.set_defaults(fn=_cmd_init)
+
+    ana = sub.add_parser(
+        "analyze", help="persist one-pass table statistics (rows/nulls/NDV)"
+    )
+    ana.add_argument("table", help="ManifestTable root path")
+    ana.add_argument("--columns", default=None,
+                     help="comma-separated subset (default: all)")
+    ana.set_defaults(fn=_cmd_analyze)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"

@@ -94,6 +94,14 @@ class ManifestTable:
         return f"manifest-{n:08d}.json"
 
     def _publish(self, manifest: dict[str, Any]) -> str:
+        # ANALYZE output persists across data commits (merge/compact/
+        # overwrite) until recomputed — its "version" marker names the
+        # manifest it was computed against, so readers can detect
+        # staleness (same lifecycle as warehouse ANALYZE stats)
+        if "table_stats" not in manifest and self.exists():
+            prior = self._load_manifest().get("table_stats")
+            if prior is not None:
+                manifest["table_stats"] = prior
         self.mfs.mkdirs()
         name = self._next_manifest_name()
         self.mfs.write_text(json.dumps(manifest, indent=1), name)
@@ -653,3 +661,63 @@ class ManifestTable:
         for v in versions:
             if v not in keep:
                 self.mfs.delete(f"manifest-{v:08d}.json")
+
+    # ----------------------------------------------------------- analyze
+    def analyze(
+        self, spark: SparkSession, cols: Sequence[str] | None = None
+    ) -> dict[str, Any]:
+        """ANALYZE TABLE: compute table-level statistics — row count and,
+        per column, null count (exact), NDV (DataSketches HLL estimate,
+        ~0.8 % at lgK=14), min and max — in ONE pass over the live
+        snapshot, and persist them into the manifest (``table_stats``) so
+        planners, `status` tooling, and humans read KB of metadata instead
+        of rescanning. The analog of Delta/Iceberg ANALYZE + Iceberg's
+        NDV puffin stats; per-FILE [min,max] skipping stats are collected
+        separately at write time (`_file_stats`)."""
+        df = self.read(spark)
+        cols = [c for c in (cols or df.columns) if c in df.columns]
+        dtypes = dict(df.dtypes)
+        aggs: list[Any] = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            # HLL input must be INT/BIGINT/STRING/BINARY: cast everything
+            # else (doubles, dates, decimals, bools) through string
+            v = (
+                F.col(c)
+                if dtypes[c] in ("bigint", "int", "string", "binary")
+                else F.col(c).cast("string")
+            )
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(v, F.lit(14))
+                ).alias(f"__ndv_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        stats: dict[str, Any] = {
+            "rows": row["__rows"],
+            "columns": {
+                c: {
+                    "nulls": row[f"__n_{c}"],
+                    "ndv": row[f"__ndv_{c}"],
+                    "min": row[f"__min_{c}"],
+                    "max": row[f"__max_{c}"],
+                    "type": dtypes[c],
+                }
+                for c in cols
+            },
+        }
+        mfest = self._load_manifest()
+        stats["version"] = self.current_manifest_name()
+        mfest["table_stats"] = stats
+        self._publish(mfest)
+        return stats
+
+    def table_stats(self) -> dict[str, Any] | None:
+        """Last persisted ANALYZE output (None before the first analyze).
+        ``stats["version"]`` names the manifest that was analyzed — a
+        staleness check for readers when the table has advanced since."""
+        if not self.exists():
+            return None
+        return self._load_manifest().get("table_stats")

@@ -359,3 +359,68 @@ def test_hll_sketch_is_deterministic(spark, sf_dir):
             spark, sf_dir).collect())
     )
     assert a == b
+
+
+# ------------------------------------------------------- ANALYZE stats
+
+
+def test_manifest_analyze_stats(spark, sf_dir, tmp_path, capsys):
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = ManifestTable(str(tmp_path / "orders"))
+    t.overwrite(orders)
+    assert t.table_stats() is None
+
+    stats = t.analyze(spark)
+    n = orders.count()
+    assert stats["rows"] == n
+    assert stats["columns"]["o_orderkey"]["nulls"] == 0
+    # PK: NDV estimate within the HLL envelope of the exact count
+    assert abs(stats["columns"]["o_orderkey"]["ndv"] - n) <= max(2, 0.02 * n)
+    # low-cardinality column is exact at sketch scale
+    assert stats["columns"]["o_orderstatus"]["ndv"] == 3
+    assert stats["columns"]["o_totalprice"]["min"] is not None
+    # persisted: a fresh handle reads them back, pinned to the version
+    t2 = ManifestTable(str(tmp_path / "orders"))
+    back = t2.table_stats()
+    assert back is not None and back["rows"] == n
+    assert back["version"] is not None
+
+    # CLI verb prints the same stats
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    rc = cli_main(
+        ["analyze", str(tmp_path / "orders"), "--columns", "o_orderstatus"]
+    )
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["columns"]["o_orderstatus"]["ndv"] == 3
+
+
+def test_manifest_analyze_staleness_marker(spark, sf_dir, tmp_path):
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = ManifestTable(str(tmp_path / "o2"))
+    t.overwrite(orders.limit(100))
+    t.analyze(spark)
+    v_analyzed = t.table_stats()["version"]
+    # table advances -> stats remain but their version marker is stale
+    t.merge(
+        spark,
+        orders.limit(100).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        ),
+        ["o_orderkey"],
+    )
+    st = t.table_stats()
+    assert st is not None
+    assert st["version"] == v_analyzed != t.current_manifest_name()
