@@ -19,6 +19,8 @@ as engine verbs:
     encrypt-string   vault-encrypt a YAML secret (reference `encrypt_string`)
     compile      persist the compiled spec + discovered schemas (reference
                  `import`)
+    analyze      one-pass table statistics (rows/nulls/NDV/min/max)
+                 persisted to the manifest
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
