@@ -50,20 +50,25 @@ _SHOWCASE_ORDER = [
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
     "stream_dedupe_events", "stream_stream_join_attribution",
     "mongo_change_stream_apply", "csv_source_lineno_orders",
-    "orc_roundtrip_orders", "manifest_time_travel_orders",
-    "snapshot_drift_orders", "snapshot_diff_orders",
-    "incremental_mv_orders", "incremental_mv_minmax_orders",
+    "manifest_time_travel_orders",
+    "snapshot_drift_orders", "incremental_mv_orders",
     "zorder_pruned_read_orders", "bloom_point_lookup_orders",
+    # (orc_roundtrip / snapshot_diff / incremental_mv_minmax: only the
+    # fixture timer changed and their families re-verify above — their
+    # slots go to the round-6 operators)
     # --- part 3: new r6 operators (first driver look)
     "duplicated_span_coverage_documents",
+    "excise_duplicated_spans_documents",
     "interpolated_quantiles_lineitem",
+    "group_interpolated_quantiles_orders",
     "token_budget_mixture_documents",
     # --- part 4: family anchors (stable since r3-r5, stay visible)
     "full_table_sync_lineitem", "incremental_sync_orders",
-    "q1_pricing_summary", "stream_curation_ingest_documents",
+    "hll_distinct_users_by_type",  # rows-only (sketch estimate)
+    "stream_curation_ingest_documents",
     "incremental_join_view_orders", "binary_file_source_documents",
     # (rotated to pytest-only this round, all driver-green r3-r5:
-    # q3, mask_transforms, validate_events, pk_dedupe, partial_sync, merge_soft_delete, mongo_normalize,
+    # q1, q3, mask_transforms, validate_events, pk_dedupe, partial_sync, merge_soft_delete, mongo_normalize,
     # kafka_protobuf, quarantine, flatten, exact_dedup,
     # cross_doc_line_dedup, simhash, edit_distance, clusters, keep_best,
     # split, weighted_sample, near_dup_pairs, gopher, pack, bm25, resize,

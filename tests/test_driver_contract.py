@@ -41,6 +41,9 @@ ROWS_ONLY_OK: set[str] = {
     # sketch bounds (rel-error contracts), not equality; exact twins
     # (exact_quantiles/heavy hitters) are oracle-checked
     "approx_stats_lineitem",
+    # DataSketches HLL estimate — not SQL-reproducible; bounded vs exact
+    # COUNT(DISTINCT) + mergeability + determinism in tests
+    "hll_distinct_users_by_type",
 }
 
 _BANNED = (T.ArrayType, T.MapType, T.StructType)
