@@ -424,3 +424,41 @@ def test_manifest_analyze_staleness_marker(spark, sf_dir, tmp_path):
     st = t.table_stats()
     assert st is not None
     assert st["version"] == v_analyzed != t.current_manifest_name()
+
+
+def test_ivm_join_fact_delta_plan_broadcasts_dim(spark, tmp_path):
+    """The fact-delta maintenance join must broadcast the dim side (a
+    typical dim fits; at 100 TB a huge dim falls back to sort-merge via
+    AQE) and must not carry a SinglePartition exchange."""
+    import contextlib
+    import io
+
+    from pipelinewise_spark.operators.ivm_join import IncrementalJoinView
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    fact = spark.range(1000).selectExpr(
+        "id AS fk", "id % 50 AS k", "CAST(id AS DOUBLE) AS amount"
+    )
+    dim = spark.range(50).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+    v = IncrementalJoinView(
+        ParquetTable(str(tmp_path / "vp")), "fk", "k", ["amount"], ["name"]
+    )
+    v.initialize(fact, dim)
+    batch = spark.createDataFrame(
+        [("u", 1, 7, 7, 70.0)],
+        "_op string, _seq long, fk long, k long, amount double",
+    )
+    # build the merged plan without publishing: replicate the internals
+    from pipelinewise_spark.operators.dedupe import last_wins_dedupe
+    from pipelinewise_spark.operators.merge import merge_upsert
+    from pyspark.sql import functions as F
+
+    d = last_wins_dedupe(batch, ["fk"], "_seq")
+    upserts = v._join(d.filter(F.col("_op") != "d"), dim)
+    merged = merge_upsert(v.read(spark), upserts, ["fk"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        merged.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
