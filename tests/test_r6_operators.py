@@ -462,3 +462,73 @@ def test_ivm_join_fact_delta_plan_broadcasts_dim(spark, tmp_path):
     plan = buf.getvalue()
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# ------------------------------------------- randomized brute-force
+
+
+def _brute_span_coverage(docs, window):
+    """Pure-Python reference: covered positions per doc."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)  # gram -> {doc}
+    toks = {i: (t or "").lower().strip().split() for i, t in docs}
+    for i, ts in toks.items():
+        for p in range(len(ts) - window + 1):
+            grams[tuple(ts[p:p + window])].add(i)
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - window + 1):
+            if len(grams[tuple(ts[p:p + window])]) > 1:
+                covered.update(range(p, p + window))
+        out[i] = (len(ts), len(covered))
+    return out
+
+
+def test_span_coverage_randomized_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 25)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+    # inject exact shared runs between random doc pairs
+    for _ in range(10):
+        a, b = rng.sample(range(60), 2)
+        run = [rng.choice(vocab) for _ in range(6)]
+        docs[a] = (a, docs[a][1] + " " + " ".join(run))
+        docs[b] = (b, " ".join(run) + " " + docs[b][1])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_positions"])
+        for r in duplicated_span_coverage(
+            df, "doc_id", "text", window=4
+        ).collect()
+    }
+    want = _brute_span_coverage(docs, 4)
+    assert got == want
+
+
+def test_group_prefix_sum_randomized_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (rng.choice(["a", "b", "c", None]), i, rng.randint(1, 50))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r["g"], r["id"]): r["cum"]
+        for r in group_prefix_sum(
+            df, ["g"], ["id"], "v", num_partitions=13
+        ).collect()
+    }
+    acc: dict = {}
+    for g, i, v in sorted(rows, key=lambda r: r[1]):
+        acc[g] = acc.get(g, 0) + v
+        assert got[(g, i)] == acc[g], (g, i)
