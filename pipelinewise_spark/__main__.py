@@ -21,6 +21,7 @@ as engine verbs:
                  `import`)
     analyze      one-pass table statistics (rows/nulls/NDV/min/max)
                  persisted to the manifest
+    export       FastSync-style split-gzip CSV export + manifest
 
 Example:
     python -m pipelinewise_spark run --config pipeline.yml \
@@ -298,6 +299,33 @@ schemas:
 """
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    """FastSync-style export: table → split gzip CSV chunks + manifest
+    (reference fastsync/commons/split_gzip.py), written executor-parallel.
+    Source may be a plain parquet path or a ManifestTable root."""
+    from pipelinewise_spark.operators.export import export_split_gzip_csv
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-export")
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(os.path.join(args.source, "_MANIFEST")):
+        from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+        df = ManifestTable(args.source).read(spark)
+    else:
+        df = spark.read.parquet(args.source)
+    if args.columns:
+        df = df.select(
+            *[c.strip() for c in args.columns.split(",") if c.strip()]
+        )
+    manifest = export_split_gzip_csv(
+        df, args.dest, chunk_size_mb=args.chunk_size_mb,
+        max_chunks=args.max_chunks,
+    )
+    print(json.dumps({"dest": args.dest, **manifest}))
+    return 0
+
+
 def _cmd_analyze(args: argparse.Namespace) -> int:
     """ANALYZE TABLE: one-pass table statistics (rows, per-column nulls /
     HLL NDV / min / max) persisted into the ManifestTable manifest —
@@ -530,6 +558,17 @@ def main(argv: list[str] | None = None) -> int:
     ini = sub.add_parser("init", help="write a sample pipeline YAML")
     ini.add_argument("path", help="output YAML path")
     ini.set_defaults(fn=_cmd_init)
+
+    exp = sub.add_parser(
+        "export", help="export a table as split gzip CSV chunks + manifest"
+    )
+    exp.add_argument("source", help="parquet path or ManifestTable root")
+    exp.add_argument("dest", help="output directory")
+    exp.add_argument("--chunk-size-mb", type=int, default=1000)
+    exp.add_argument("--max-chunks", type=int, default=20)
+    exp.add_argument("--columns", default=None,
+                     help="comma-separated projection (default: all)")
+    exp.set_defaults(fn=_cmd_export)
 
     ana = sub.add_parser(
         "analyze", help="persist one-pass table statistics (rows/nulls/NDV)"

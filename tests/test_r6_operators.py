@@ -532,3 +532,57 @@ def test_group_prefix_sum_randomized_vs_brute_force(spark):
     for g, i, v in sorted(rows, key=lambda r: r[1]):
         acc[g] = acc.get(g, 0) + v
         assert got[(g, i)] == acc[g], (g, i)
+
+
+# ---------------------------------------------------- split-gzip export
+
+
+def test_export_split_gzip_roundtrip(spark, sf_dir, tmp_path, capsys):
+    import gzip
+    import json as _json
+    import os
+
+    from pipelinewise_spark.operators.export import (
+        export_split_gzip_csv,
+        read_export_manifest,
+    )
+    from pipelinewise_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dest = str(tmp_path / "exp")
+    # tiny chunk target forces multi-chunk; max_chunks caps it
+    m = export_split_gzip_csv(orders, dest, chunk_size_mb=1, max_chunks=4)
+    assert m["rows"] == orders.count()
+    assert 1 <= m["chunks"] <= 4
+    gz = [f["name"] for f in m["files"]]
+    assert gz and all(n.endswith(".csv.gz") for n in gz)
+    assert read_export_manifest(dest)["rows"] == m["rows"]
+    # files are REAL gzip with a header line each
+    with gzip.open(os.path.join(dest, gz[0]), "rt") as fh:
+        assert fh.readline().strip() == "o_orderkey,o_orderstatus,o_totalprice"
+    # loader-side roundtrip: read back equals the source
+    back = (
+        spark.read.option("header", "true").csv(dest)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+        )
+    )
+    assert back.count() == m["rows"]
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+
+    # CLI verb over a parquet source dir
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    src = str(tmp_path / "src_parquet")
+    orders.write.parquet(src)
+    rc = cli_main(
+        ["export", src, str(tmp_path / "exp2"), "--chunk-size-mb", "1",
+         "--max-chunks", "2"]
+    )
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["rows"] == m["rows"] and out["chunks"] <= 2
