@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "stream_curation_ingest_documents",
     "incremental_join_view_orders",
     "hll_distinct_users_by_type",
+    "bucketed_merge_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -48,12 +48,13 @@ _SHOWCASE_ORDER = [
     "minhash_lsh_pairs_documents", "ngram_jaccard_pairs_documents",
     "embedding_incremental_batch",
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
-    "stream_dedupe_events", "stream_stream_join_attribution",
+    "bucketed_merge_orders", "stream_stream_join_attribution",
     "mongo_change_stream_apply", "csv_source_lineno_orders",
     "manifest_time_travel_orders",
     "snapshot_drift_orders", "incremental_mv_orders",
     "zorder_pruned_read_orders", "bloom_point_lookup_orders",
-    # (orc_roundtrip / snapshot_diff / incremental_mv_minmax: only the
+    # (stream_dedupe re-verifies through stream_curation's shared
+    # machinery; orc_roundtrip / snapshot_diff / incremental_mv_minmax: only the
     # fixture timer changed and their families re-verify above — their
     # slots go to the round-6 operators)
     # --- part 3: new r6 operators (first driver look)

@@ -1289,3 +1289,41 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, ["event_type", "bucket"], "user_id"
     )
     return hll_rollup(sketches, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "bucketed_merge_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def bucketed_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) MERGE (operators/bucketed.py): target and
+    batch both persist as catalog tables bucketed+sorted on the PK, so
+    the MERGE's PK equi-join runs bucket-pair-local with NO Exchange on
+    either side (tests/test_bucketed.py pins the plan) — at 100 TB this
+    converts every incremental flush from two full shuffles into zero.
+    The reference's temp-table-then-MERGE reloads and re-sorts per flush;
+    bucketing pays the sort once and reuses the layout across runs."""
+    import uuid
+
+    from pipelinewise_spark.operators.bucketed import (
+        bucketed_merge,
+        write_bucketed,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    tgt, bat = f"pws_bm_tgt_{suffix}", f"pws_bm_bat_{suffix}"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with fixture_timer():
+        write_bucketed(orders, tgt, ["o_orderkey"], num_buckets=8)
+        batch = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+        )
+        write_bucketed(batch, bat, ["o_orderkey"], num_buckets=8)
+    return bucketed_merge(spark, tgt, bat, ["o_orderkey"])
