@@ -54,6 +54,8 @@ SENSITIVE = [
     "duplicated_span_coverage_documents",
     "excise_duplicated_spans_documents",
     "binary_file_source_documents",
+    "bucketed_merge_orders",
+    "incremental_join_view_orders",
 ]
 
 
