@@ -50,11 +50,23 @@ class StreamingRollup:
         keys: Sequence[str],
         sums: Mapping[str, str],
         count_col: str = "n_rows",
+        publish_partitions: int | None = 1,
     ):
         self.mv_table = mv_table
         self.keys = list(keys)
         self.sums = dict(sums)
         self.count_col = count_col
+        # a rollup is group-cardinality-sized (a dashboard aggregate, KB):
+        # publishing it through the session's full shuffle-partition count
+        # writes dozens of near-empty files PER MICRO-BATCH. Default to one
+        # output partition; a high-cardinality rollup passes None (or a
+        # partition count) to keep the write parallel.
+        self.publish_partitions = publish_partitions
+
+    def _publishable(self, df: DataFrame) -> DataFrame:
+        if self.publish_partitions:
+            return df.coalesce(self.publish_partitions)
+        return df
 
     # ------------------------------------------------- replay idempotency
     # foreachBatch is at-least-once: a crash after the rollup publish but
@@ -120,7 +132,9 @@ class StreamingRollup:
             else base
         )
         self.mv_table.overwrite(
-            build_aggregate(live, self.keys, self.sums, self.count_col)
+            self._publishable(
+                build_aggregate(live, self.keys, self.sums, self.count_col)
+            )
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -212,6 +226,6 @@ class StreamingRollup:
         # publish eagerly: the feed references the target's pre-merge files,
         # which stay valid (snapshots are immutable) but the rollup version
         # must land before the target advances
-        self.mv_table.overwrite(new_mv)
+        self.mv_table.overwrite(self._publishable(new_mv))
         if epoch is not None:
             self._save_epoch(epoch)
