@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "incremental_join_view_orders",
     "hll_distinct_users_by_type",
     "bucketed_merge_orders",
+    "contamination_span_coverage_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -37,6 +37,48 @@ from pipelinewise_spark.partitioning import spread
 _SEP = "\x1f"
 
 
+
+def _window_grams(df: DataFrame, id_col: str, text_col: str, window: int):
+    """(base(id, n_tokens, __toks), grams(id, pos, h)) shared by the span
+    operators: stride-1 window hashes over the normalized token stream."""
+    toks = tokens(F.col(text_col))
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("__toks"),
+    )
+    idx = F.sequence(F.lit(0), F.col("n_tokens") - F.lit(window))
+    gram = F.transform(
+        idx,
+        lambda p: F.md5(
+            F.concat_ws(_SEP, F.slice(F.col("__toks"), p + 1, window))
+        ),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(F.col(id_col), F.posexplode(gram).alias("pos", "h"))
+    )
+    return base, grams
+
+
+def _interval_coverage(hits: DataFrame, id_col: str, window: int) -> DataFrame:
+    """Merged covered-position count per id from window-start hits."""
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(window)).over(w_doc)
+    contrib = (F.col("pos") + F.lit(window)) - F.greatest(
+        F.coalesce(prev_end, F.col("pos")), F.col("pos")
+    )
+    return (
+        hits.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("bigint").alias("__covered"))
+    )
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     id_col: str,
@@ -200,5 +242,61 @@ def excise_duplicated_spans(
             (
                 F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
             ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def contamination_span_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Span-level train/eval DECONTAMINATION signal: per corpus document,
+    the fraction of token positions covered by an exact ``window``-token
+    span that also appears in the BENCHMARK set — the 8-13-gram overlap
+    check production pipelines run against eval suites before training
+    (doc-level collision drop is `decontaminate`; this grades HOW MUCH of
+    each document is contaminated and flags >= ``threshold``).
+
+    Scale shape: the benchmark's distinct span-hash set is eval-suite-
+    sized (broadcast); the corpus pays one window explode (the cost the
+    self-dup operators already price in) and a semi join against that
+    set; coverage merges per document. Returns
+    (id, n_tokens, contaminated_positions, contamination_fraction,
+    is_contaminated)."""
+    base, grams = _window_grams(corpus, id_col, text_col, window)
+    _, bench_grams = _window_grams(benchmark, id_col, text_col, window)
+    bench_set = bench_grams.select("h").distinct()
+    hits = grams.join(F.broadcast(bench_set), "h").select(
+        F.col(id_col), F.col("pos")
+    )
+    covered = _interval_coverage(hits, id_col, window)
+    frac = F.col("contaminated_positions").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return (
+        base.drop("__toks")
+        .join(covered, id_col, "left")
+        .withColumn(
+            "contaminated_positions",
+            F.coalesce(F.col("__covered"), F.lit(0).cast("bigint")),
+        )
+        .drop("__covered")
+        .withColumn("contamination_fraction", frac)
+        .withColumn(
+            "is_contaminated",
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.coalesce(
+                    F.col("contamination_fraction") >= threshold, F.lit(False)
+                ),
+            ),
+        )
+        .select(
+            id_col, "n_tokens", "contaminated_positions",
+            "contamination_fraction", "is_contaminated",
         )
     )

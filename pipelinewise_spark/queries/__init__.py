@@ -50,16 +50,17 @@ _SHOWCASE_ORDER = [
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
     "bucketed_merge_orders", "stream_stream_join_attribution",
     "mongo_change_stream_apply", "csv_source_lineno_orders",
-    "manifest_time_travel_orders",
     "snapshot_drift_orders", "incremental_mv_orders",
     "zorder_pruned_read_orders", "bloom_point_lookup_orders",
-    # (stream_dedupe re-verifies through stream_curation's shared
+    # (manifest_time_travel: family re-verified by snapshot_drift /
+    # incremental_mv / zorder / bloom; stream_dedupe re-verifies through stream_curation's shared
     # machinery; orc_roundtrip / snapshot_diff / incremental_mv_minmax: only the
     # fixture timer changed and their families re-verify above — their
     # slots go to the round-6 operators)
     # --- part 3: new r6 operators (first driver look)
     "duplicated_span_coverage_documents",
     "excise_duplicated_spans_documents",
+    "contamination_span_coverage_documents",
     "interpolated_quantiles_lineitem",
     "group_interpolated_quantiles_orders",
     "token_budget_mixture_documents",

@@ -2083,3 +2083,73 @@ def excise_duplicated_spans_documents(
 
     d = read_table(spark, sf_dir, "documents")
     return excise_duplicated_spans(d, "doc_id", "text", window=_SPAN_W)
+
+
+@register(
+    "contamination_span_coverage_documents",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_TOKS} AS toks
+        FROM documents WHERE doc_id % 50 <> 0),
+    e AS (
+        SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0),
+    ew AS (
+        SELECT DISTINCT md5(array_to_string(
+                   list_slice(toks, i, i + {_SPAN_W - 1}), chr(31))) AS h
+        FROM e, unnest(range(1, len(toks) - {_SPAN_W} + 2)) AS t(i)
+        WHERE len(toks) >= {_SPAN_W}),
+    w AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SPAN_W - 1}), chr(31))) AS h
+        FROM b, unnest(range(1, CAST(n_tokens AS INTEGER) - {_SPAN_W} + 2))
+             AS t(i)
+        WHERE n_tokens >= {_SPAN_W}),
+    hits AS (SELECT w.doc_id, w.pos FROM w JOIN ew USING (h)),
+    cov AS (
+        SELECT doc_id, pos,
+               pos + {_SPAN_W} - greatest(
+                   coalesce(max(pos + {_SPAN_W}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       pos),
+                   pos) AS c
+        FROM hits),
+    agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS contaminated_positions
+        FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(agg.contaminated_positions, 0)
+               AS contaminated_positions,
+           CAST(coalesce(agg.contaminated_positions, 0) AS DOUBLE)
+               / CAST(b.n_tokens AS DOUBLE) AS contamination_fraction,
+           CASE WHEN b.n_tokens IS NULL THEN NULL
+                ELSE coalesce(CAST(coalesce(agg.contaminated_positions, 0)
+                         AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) >= 0.2,
+                     FALSE) END AS is_contaminated
+    FROM b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def contamination_span_coverage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level train/eval decontamination grading (functions/spans.py:
+    contamination_span_coverage): docs with doc_id % 50 == 0 play the eval
+    suite; every other document is graded by the fraction of its token
+    positions covered by an exact 8-token span from that suite, flagged at
+    >= 20 %. The doc-level collision DROP is decontaminate_documents; this
+    measures HOW MUCH overlaps — the difference between discarding a
+    10k-token document over one quoted sentence and knowing it is 0.1 %
+    contaminated. Benchmark span set broadcasts; the corpus pays one
+    window explode + semi join."""
+    from pipelinewise_spark.functions.spans import (
+        contamination_span_coverage,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_span_coverage(
+        corpus, bench, "doc_id", "text", window=_SPAN_W, threshold=0.2
+    )

@@ -586,3 +586,36 @@ def test_export_split_gzip_roundtrip(spark, sf_dir, tmp_path, capsys):
     )
     out = _json.loads(capsys.readouterr().out)
     assert rc == 0 and out["rows"] == m["rows"] and out["chunks"] <= 2
+
+
+def test_contamination_coverage_hand_case(spark):
+    from pipelinewise_spark.functions.spans import (
+        contamination_span_coverage,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes the full 8-token bench span -> 8/10 positions
+            (1, "prefix words the secret eval answer is forty two exactly"),
+            (2, "totally unrelated text with no overlap whatsoever here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["contaminated_positions"], r["is_contaminated"]
+        )
+        for r in contamination_span_coverage(
+            corpus, bench, "doc_id", "text", window=8, threshold=0.2
+        ).collect()
+    }
+    assert got[1] == (10, 8, True)
+    assert got[2] == (8, 0, False)
+    # NULL text: positions coalesce to 0 (same as the oracle), the
+    # fraction and flag stay NULL
+    assert got[3] == (None, 0, None)
