@@ -619,3 +619,47 @@ def test_contamination_coverage_hand_case(spark):
     # NULL text: positions coalesce to 0 (same as the oracle), the
     # fraction and flag stay NULL
     assert got[3] == (None, 0, None)
+
+
+# --------------------------------------------- persisted LSH index
+
+
+def test_persisted_lsh_index_matches_in_plan(spark, sf_dir, tmp_path):
+    """Probing the materialized index yields exactly the pairs the in-plan
+    derivation yields, and the index parameters are enforced."""
+    import pytest
+
+    from pipelinewise_spark.caching import release_caches
+    from pipelinewise_spark.functions.dedup import (
+        build_lsh_index,
+        minhash_lsh_pairs_against,
+        minhash_lsh_pairs_against_index,
+    )
+    from pipelinewise_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(80)
+
+    idx_path = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, idx_path, "doc_id", "text")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_against_index(
+            spark, idx_path, batch
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_against(
+            corpus, batch, "doc_id", "text"
+        ).collect()
+    )
+    release_caches(spark)
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="built with"):
+        minhash_lsh_pairs_against_index(
+            spark, idx_path, batch, num_bands=4
+        )
