@@ -248,3 +248,25 @@ def test_cli_compile_persists_spec_and_schemas(capsys, tmp_path, sf_dir):
     )
     assert "o_orderkey" in schema["properties"]
     assert len(out["compiled"]) == 3
+
+
+def test_vault_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipelinewise_spark.plans.vault import vault_decrypt, vault_encrypt
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        plaintext=st.text(min_size=0, max_size=300),
+        secret=st.text(min_size=1, max_size=60),
+    )
+    def check(plaintext, secret):
+        token = vault_encrypt(plaintext, secret)
+        assert vault_decrypt(token, secret) == plaintext
+        # ciphertext never contains the plaintext bytes (beyond trivially
+        # short strings whose hex could collide by chance)
+        if len(plaintext) >= 4:
+            assert plaintext.encode("utf-8").hex() not in token
+
+    check()
