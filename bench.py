@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "hll_distinct_users_by_type",
     "bucketed_merge_orders",
     "contamination_span_coverage_documents",
+    "winsorize_order_totals",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

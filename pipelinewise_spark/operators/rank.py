@@ -313,3 +313,47 @@ def exact_group_quantiles(
         )
         .select(*group_cols, "quantile", F.col(value_col).alias("value"))
     )
+
+
+def clip_to_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` into its exact
+    [PERCENTILE_CONT(lower_q), PERCENTILE_CONT(upper_q)] interval — the
+    standard outlier treatment before scaling/normalizing features. The
+    bounds come from ONE distributed-rank materialization
+    (:func:`exact_quantiles_interpolated`, no single-reducer sort) and
+    apply back as a broadcast 1-row cross join, so the whole operation is
+    corpus-linear. NULL values pass through unclipped."""
+    out_col = out_col or f"{value_col}_clipped"
+    qs = exact_quantiles_interpolated(
+        df, value_col, tie_cols, [lower_q, upper_q], num_partitions
+    )
+    bounds = qs.groupBy().agg(
+        F.min(F.when(F.col("quantile") == lower_q, F.col("value"))).alias(
+            "__lo_b"
+        ),
+        F.min(F.when(F.col("quantile") == upper_q, F.col("value"))).alias(
+            "__hi_b"
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.least(
+                    F.greatest(F.col(value_col), F.col("__lo_b")),
+                    F.col("__hi_b"),
+                ),
+            ),
+        )
+        .drop("__lo_b", "__hi_b")
+    )

@@ -1327,3 +1327,40 @@ def bucketed_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bucketed(batch, bat, ["o_orderkey"], num_buckets=8)
     return bucketed_merge(spark, tgt, bat, ["o_orderkey"])
+
+
+@register(
+    "winsorize_order_totals",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(percentile_cont(0.05)
+                   WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS lo,
+               CAST(ROUND(percentile_cont(0.95)
+                   WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS hi
+        FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           CAST(CAST(ROUND(least(greatest(o_totalprice, b.lo), b.hi), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice_clipped
+    FROM orders, b
+    """,
+)
+def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization / outlier clipping (operators/rank.py:
+    clip_to_quantiles): order totals clipped into their exact
+    [p05, p95] PERCENTILE_CONT interval — the feature-preprocessing step
+    before scaling. Bounds from one distributed rank; applied as a
+    broadcast 1-row join, corpus-linear end to end."""
+    from pipelinewise_spark.operators.rank import clip_to_quantiles
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = clip_to_quantiles(
+        o, "o_totalprice", ["o_orderkey"], lower_q=0.05, upper_q=0.95
+    )
+    return out.select(
+        "o_orderkey", "o_totalprice",
+        F.round(F.col("o_totalprice_clipped"), 6)
+        .cast("decimal(18,6)").cast("double")
+        .alias("o_totalprice_clipped"),
+    )
