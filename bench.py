@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "bucketed_merge_orders",
     "contamination_span_coverage_documents",
     "winsorize_order_totals",
+    "robust_scale_order_totals",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -193,9 +193,23 @@ def _cmd_status(args: argparse.Namespace) -> int:
         root = os.path.join(spec.target_path, s.target_table)
         version: str | None = None
         manifest_ptr = os.path.join(root, "_MANIFEST")
+        stats_info = None
         if os.path.exists(manifest_ptr):
             with open(manifest_ptr, encoding="utf-8") as fh:
                 version = fh.read().strip()
+            # surface persisted ANALYZE stats + their staleness (metadata
+            # read only — status never touches data)
+            from pipelinewise_spark.operators.manifest_table import (
+                ManifestTable,
+            )
+
+            st = ManifestTable(root).table_stats()
+            if st is not None:
+                stats_info = {
+                    "rows": st.get("rows"),
+                    "analyzed_version": st.get("version"),
+                    "stale": st.get("version") != version,
+                }
         else:
             snap = ParquetTable(root).current_snapshot()
             version = os.path.basename(snap) if snap else None
@@ -207,6 +221,7 @@ def _cmd_status(args: argparse.Namespace) -> int:
                 "exists": version is not None,
                 "version": version,
                 "bookmark": state.get_bookmark(s.tap_stream_id) or None,
+                "table_stats": stats_info,
             }
         )
     print(json.dumps({"pipeline": spec.pipeline_id, "streams": rows},

@@ -1364,3 +1364,57 @@ def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)").cast("double")
         .alias("o_totalprice_clipped"),
     )
+
+
+@register(
+    "robust_scale_order_totals",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS med,
+               CAST(ROUND(percentile_cont(0.75)
+                   WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE)
+               - CAST(ROUND(percentile_cont(0.25)
+                   WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS iqr
+        FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           CAST(CAST(ROUND((o_totalprice - b.med) / b.iqr, 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice_scaled
+    FROM orders, b
+    """,
+)
+def robust_scale_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling: (value - median) / IQR — the
+    outlier-insensitive normalization (sklearn RobustScaler semantics)
+    every numeric feature pipeline applies before modeling. Median and
+    quartiles come from ONE distributed-rank materialization
+    (operators/rank.py:exact_quantiles_interpolated, PERCENTILE_CONT
+    exact); the scale applies as a broadcast 1-row join, corpus-linear."""
+    from pipelinewise_spark.operators.rank import (
+        exact_quantiles_interpolated,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    qs = exact_quantiles_interpolated(
+        o, "o_totalprice", ["o_orderkey"], [0.25, 0.5, 0.75]
+    )
+    b = qs.groupBy().agg(
+        F.min(F.when(F.col("quantile") == 0.5, F.col("value"))).alias("med"),
+        (
+            F.min(F.when(F.col("quantile") == 0.75, F.col("value")))
+            - F.min(F.when(F.col("quantile") == 0.25, F.col("value")))
+        ).alias("iqr"),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            "o_orderkey", "o_totalprice",
+            F.round(
+                (F.col("o_totalprice") - F.col("med")) / F.col("iqr"), 6
+            )
+            .cast("decimal(18,6)").cast("double")
+            .alias("o_totalprice_scaled"),
+        )
+    )
