@@ -56,6 +56,9 @@ SENSITIVE = [
     "binary_file_source_documents",
     "bucketed_merge_orders",
     "incremental_join_view_orders",
+    "winsorize_order_totals",
+    "robust_scale_order_totals",
+    "contamination_span_coverage_documents",
 ]
 
 
