@@ -26,6 +26,18 @@ the fact-PK / dim-unique-key case so no multiplicity counting is needed):
 Both steps publish through the table's atomic snapshot swap, so readers
 see view versions consistent with base versions. Out-of-order protection:
 change batches are last-wins deduped on their own key before applying.
+
+Publish cost (the 100 TB concern): with a plain ParquetTable view, every
+batch rewrites the whole view (merge_upsert over the full view +
+overwrite) — batch-sized delta math, view-sized publish. Passing a
+``ManifestTable`` view plus ``num_buckets`` switches publishing to the
+partition-pruned MERGE: the view is hash-bucketed on the fact PK
+(``__view_bucket = pmod(xxhash64(pk), num_buckets)``), every maintenance
+step reduces to PK-keyed upserts + PK-keyed deletes (dim-key deletes are
+resolved to fact PKs through a batch-keys-restricted fact scan), and only
+the buckets containing touched PKs are rewritten — untouched files carry
+over by manifest reference. Publish cost becomes
+O(touched buckets × bucket size), independent of view width × height.
 """
 
 from __future__ import annotations
@@ -37,7 +49,11 @@ from pyspark.sql import functions as F
 
 from pipelinewise_spark.operators.dedupe import last_wins_dedupe
 from pipelinewise_spark.operators.merge import merge_upsert
+from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
 from pipelinewise_spark.streaming.cdc import OP_COL, SEQ_COL
+
+#: PK-hash partition column a ManifestTable-backed view is bucketed on.
+BUCKET_COL = "__view_bucket"
 
 
 class IncrementalJoinView:

@@ -465,14 +465,79 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.signlsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
-@register("embedding_ivf_topk")  # FP centroid means aren't SQL-reproducible
+def _ann_contract(ann: DataFrame, exact: DataFrame, recall_bound: float) -> DataFrame:
+    """Reduce an ANN result to a driver-hashable contract against its exact
+    twin: per query, the exact top-k id-sum (SQL-reproducible — the exact
+    ranking is the oracle-green ``embedding_cosine_topk`` plan) plus two
+    corpus-wide BOOLEANs — recall(ANN vs exact) >= bound and no
+    self-matches. FP centroid means / int8 rounding stay un-oracled; what
+    the driver hashes is the exact twin's values and the published recall
+    contract, which holds under any partitioning."""
+    ex_pairs = exact.select("query_id", "neighbor_id")
+    per_q = ex_pairs.groupBy("query_id").agg(
+        F.sum("neighbor_id").alias("exact_topk_id_sum")
+    )
+    joined = ann.select("query_id", "neighbor_id").join(
+        ex_pairs.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    flags = (
+        joined.agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("__hits"),
+            F.max(
+                (F.col("query_id") == F.col("neighbor_id")).cast("int")
+            ).alias("__selfs"),
+        )
+        .crossJoin(ex_pairs.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .select(
+            (
+                F.col("__hits") >= F.lit(recall_bound) * F.col("__n_exact")
+            ).alias("recall_ok"),
+            (F.col("__selfs") == 0).alias("no_self_match"),
+        )
+    )
+    return per_q.crossJoin(F.broadcast(flags))
+
+
+_ANN_CONTRACT_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * cv[i])) /
+                       (sqrt(list_sum(list_transform(range(1, 65),
+                           i -> qv[i] * qv[i]))) *
+                        sqrt(list_sum(list_transform(range(1, 65),
+                           i -> cv[i] * cv[i])))), 6) AS cos
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s)
+    SELECT query_id,
+           CAST(SUM(neighbor_id) AS BIGINT) AS exact_topk_id_sum,
+           TRUE AS recall_ok,
+           TRUE AS no_self_match
+    FROM ranked WHERE rank <= 3 GROUP BY query_id
+"""
+
+
+@register("embedding_ivf_topk", oracle=_ANN_CONTRACT_ORACLE)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic k-means inverted lists, n_probe-list search
-    (rows-only check; recall vs exact asserted in tests/test_llmdata.py)."""
+    """IVF ANN: deterministic k-means inverted lists, n_probe-list search.
+    Driver contract via _ann_contract: exact-twin top-k id-sums (DuckDB
+    reproduces the exact cosine ranking) + recall >= 0.5 and
+    no-self-match BOOLEANs pinned TRUE by the oracle. Tight recall curve
+    asserted in tests/test_llmdata.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, "vec_id", "embedding", k=3,
-                      num_centroids=8, n_probe=4)
+    ivf = S.ivf_topk(emb, queries, "vec_id", "embedding", k=3,
+                     num_centroids=8, n_probe=4)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _ann_contract(ivf, exact, recall_bound=0.5)
 
 
 @register(
@@ -484,8 +549,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding) AS x
         FROM embeddings)
     SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
-           SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
-               AS sum_micro,
+           -- outer BIGINT cast: DuckDB returns SUM(BIGINT) as HUGEINT,
+           -- which pandas renders as float64 and breaks the driver's
+           -- value hash even when every value is exactly equal (r6 red)
+           CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS sum_micro,
            COUNT(*) AS n
     FROM ex GROUP BY label, pos
     """,
@@ -513,16 +581,20 @@ def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_quantized_topk")  # round-half FP boundary differs per
+@register("embedding_quantized_topk", oracle=_ANN_CONTRACT_ORACLE)
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over int8-quantized embeddings (similarity.py:
     quantize_embeddings) — 1/4 the working set of the float path with the
-    same plan shape; cosine error and recall vs exact are bounded in
-    tests/test_quantized.py. Rows-only: engines round ties at the
-    quantization boundary differently, so the driver checks rows."""
+    same plan shape. Int8 rounding at the quantization boundary isn't
+    engine-portable, so the driver contract (_ann_contract) hashes the
+    exact twin's top-k id-sums plus recall >= 0.8 / no-self-match
+    BOOLEANs; cosine error and recall are bounded tightly in
+    tests/test_quantized.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.quantized_cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    quant = S.quantized_cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _ann_contract(quant, exact, recall_bound=0.8)
 
 
 # -------------------------------------------------------------- multimodal
@@ -544,10 +616,37 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "media_type", "content_hash", "n_bytes")
 
 
-@register("multimodal_features_stub")  # no SQL oracle: mapInPandas plumbing
+@register(
+    "multimodal_features_stub",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               strlen(text) AS n,
+               ascii(substr(text, 1, 1)) AS b0,
+               ascii(substr(text, CASE WHEN strlen(text) >= 2
+                                       THEN 2 ELSE 1 END, 1)) AS b1,
+               ascii(substr(text, LEAST(3, GREATEST(strlen(text), 1)), 1))
+                   AS b2
+        FROM documents)
+    SELECT media_id, 'image' AS media_type, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE 16 + (b0 % 64) * 16 END AS INTEGER) AS width,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE 16 + (b1 % 64) * 16 END AS INTEGER) AS height,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE 1 + (b2 % 8) END AS INTEGER) AS n_frames
+    FROM b
+    """,
+)
 def multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing with deterministic stub
-    decoder (real codecs not in this environment) — rows-only check."""
+    decoder (real codecs not in this environment). The stub derives pseudo
+    width/height/frame-count from the first three payload bytes
+    (multimodal.py:_fake_decode), which IS SQL-reproducible, so the whole
+    mapInPandas pipeline — schema, batching, byte handling — is
+    value-oracle-checked rather than rows-only. (ascii()/strlen() agree
+    with byte indexing because the documents corpus is ASCII, which the
+    oracle-green multimodal_resize_images sha256 check already pins.)"""
     d = read_table(spark, sf_dir, "documents")
     media = M.to_media_table(d, "doc_id", "text", media_type="image")
     return M.extract_features(media, decode_stub=True)

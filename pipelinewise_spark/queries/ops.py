@@ -346,26 +346,82 @@ def mask_condition_field_path_events(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select("event_id", "value")
 
 
-@register("approx_stats_lineitem")  # sketch outputs have no exact SQL oracle
+@register(
+    "approx_stats_lineitem",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+               AS l_orderkey_exact_distinct,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+               AS l_partkey_exact_distinct,
+           TRUE AS distinct_within_bound,
+           TRUE AS quantiles_within_bound
+    FROM lineitem
+    """,
+)
 def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass HLL distinct + approximate quantiles (mergeable sketches —
-    the 100 TB profiling path); error-bounded vs exact in
-    tests/test_sketches_bounded.py. Rows-only driver check."""
+    the 100 TB profiling path).
+
+    Oracle contract (sketch values are not SQL-reproducible): the query
+    computes the exact twins in Spark — count_distinct plus exact
+    interpolated percentiles at q ± 0.005 rank slack — and emits the exact
+    distinct counts plus two BOOLEANs asserting the sketch outputs sit
+    inside their published error envelopes (rsd=0.02 → 10 % distinct
+    margin; percentile_approx accuracy=10000 → 1e-4 rank error, checked
+    at 50× slack). DuckDB reproduces the exact counts and pins the
+    booleans TRUE. Both bounds hold under any partitioning (HLL union and
+    GK merge keep their guarantees regardless of merge order), so the
+    contract is vanilla-session-safe; tests/test_sketches_bounded.py
+    additionally bounds observed error tightly."""
     from pipelinewise_spark.operators.sketches import approx_stats
 
     li = read_table(spark, sf_dir, "lineitem")
-    out = approx_stats(
+    qs = (0.25, 0.5, 0.75, 0.95)
+    slack = 0.005
+    stats = approx_stats(
         li,
         numeric_cols=["l_extendedprice", "l_quantity"],
         distinct_cols=["l_orderkey", "l_partkey"],
+        quantiles=qs,
     )
-    # array<double> is unhashable in the driver's pandas canonicalizer —
-    # serialize the quantile arrays to JSON text.
-    return out.select(
-        "l_orderkey__approx_distinct",
-        "l_partkey__approx_distinct",
-        F.to_json("l_extendedprice__quantiles").alias("l_extendedprice__quantiles"),
-        F.to_json("l_quantity__quantiles").alias("l_quantity__quantiles"),
+    lo_qs = "array(" + ", ".join(str(max(q - slack, 0.0)) for q in qs) + ")"
+    hi_qs = "array(" + ", ".join(str(min(q + slack, 1.0)) for q in qs) + ")"
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("l_orderkey_exact_distinct"),
+        F.count_distinct("l_partkey").alias("l_partkey_exact_distinct"),
+        *[
+            F.expr(f"percentile({c}, {bound_qs})").alias(f"__{c}__{tag}")
+            for c in ("l_extendedprice", "l_quantity")
+            for tag, bound_qs in (("lo", lo_qs), ("hi", hi_qs))
+        ],
+    )
+
+    def _q_ok(c: str):
+        checks = [
+            (F.element_at(F.col(f"{c}__quantiles"), i + 1)
+             >= F.element_at(F.col(f"__{c}__lo"), i + 1))
+            & (F.element_at(F.col(f"{c}__quantiles"), i + 1)
+               <= F.element_at(F.col(f"__{c}__hi"), i + 1))
+            for i in range(len(qs))
+        ]
+        out = checks[0]
+        for chk in checks[1:]:
+            out = out & chk
+        return out
+
+    def _d_ok(c: str):
+        return (
+            F.abs(F.col(f"{c}__approx_distinct") - F.col(f"{c}_exact_distinct"))
+            <= F.lit(0.10) * F.col(f"{c}_exact_distinct")
+        )
+
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "l_orderkey_exact_distinct",
+        "l_partkey_exact_distinct",
+        (_d_ok("l_orderkey") & _d_ok("l_partkey")).alias("distinct_within_bound"),
+        (_q_ok("l_extendedprice") & _q_ok("l_quantity")).alias(
+            "quantiles_within_bound"
+        ),
     )
 
 
@@ -1265,18 +1321,32 @@ def incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_users_by_type")  # rows-only: the estimate is a
-# DataSketches HLL value DuckDB cannot reproduce; tests/test_r6_operators.py
-# bounds it against exact COUNT(DISTINCT) (<=2 %) and pins rollup
-# mergeability. The exact twin is profile_orders_columns / direct
-# countDistinct.
+@register(
+    "hll_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS estimate_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketch table (operators/sketches.py):
     per-(event_type, user-bucket) HLL sketches built once from the raw
     events, then rolled up to per-event_type distinct-user estimates by
     sketch UNION — the pre-aggregated distinct-counting layer that answers
     'unique users per X' at 100 TB by shuffling KB-sized sketches instead
-    of rescanning raw data. lgK=14 → ~0.8 % standard error."""
+    of rescanning raw data. lgK=14 → ~0.8 % standard error.
+
+    Oracle contract (the estimate itself is a DataSketches value DuckDB
+    cannot reproduce): the query ALSO computes the exact distinct count
+    in Spark and emits (exact value, estimate-within-bound BOOLEAN); the
+    oracle reproduces the exact values and pins the boolean TRUE, so a
+    drifting sketch flips a hash-checked value instead of hiding behind a
+    rows-only check. The HLL error bound holds under any partitioning
+    (register-wise max union is order-insensitive), so the boolean is
+    vanilla-session-safe; tests/test_r6_operators.py additionally pins
+    mergeability and determinism."""
     from pipelinewise_spark.operators.sketches import (
         hll_rollup,
         hll_sketch_table,
@@ -1288,7 +1358,18 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = hll_sketch_table(
         events, ["event_type", "bucket"], "user_id"
     )
-    return hll_rollup(sketches, ["event_type"]).orderBy("event_type")
+    est = hll_rollup(sketches, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct_users"))
+            <= F.lit(0.02) * F.col("exact_distinct_users")
+        ).alias("estimate_within_2pct"),
+    )
 
 
 @register(

@@ -14,6 +14,11 @@ from datetime import datetime
 from decimal import Decimal
 
 import duckdb
+from pyspark.sql import types as T
+
+# Spark integral types whose pandas rendering must stay integer-kind on the
+# oracle side too (driver canonicalization parity, see compare()).
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -74,3 +79,26 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
     )
     mism = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[0]}"
+
+    # Driver-canonicalization parity: the driver compares via pandas, not
+    # fetchall(). DuckDB returns SUM(BIGINT) as HUGEINT, which pandas renders
+    # as float64 while Spark's side stays int64 — the value hash then
+    # diverges even when every value is exactly equal (r6
+    # `embedding_mean_pool_by_label` red row). fetchall() hides this
+    # (HUGEINT -> Python int), so re-run the oracle through the .df() path
+    # and require integer-kind dtypes wherever Spark returns an integral
+    # column. Columns with NULLs are exempt: nulls force float64 on BOTH
+    # sides, so the driver stays consistent there.
+    odf_pd = duckdb_connection(sf_dir).execute(oracle).df()
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, _INT_TYPES):
+            col = odf_pd[f.name]
+            if col.isna().any():
+                continue
+            assert col.dtype.kind in "iu", (
+                f"{name}: oracle column {f.name!r} reaches pandas as "
+                f"{col.dtype} while Spark returns {f.dataType.simpleString()}"
+                f" — the driver's pandas canonicalizer will hash-mismatch "
+                f"even on equal values (DuckDB HUGEINT class; CAST the "
+                f"aggregate to BIGINT in the oracle SQL)"
+            )

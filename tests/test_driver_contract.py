@@ -28,22 +28,12 @@ DRIVER_PREFIX = list(QUERIES)[:50]
 # entry documents why; r6 rotates these into the prefix so every registered
 # query has at least a driver rows check on record.
 ROWS_ONLY_OK: set[str] = {
-    # ANN recall contracts (subset-of-exact / recall >= bound), not value
-    # equality — the exactness twin embedding_cosine_topk IS oracle-checked
-    "embedding_ivf_topk",
-    "embedding_quantized_topk",
-    # stubbed real-codec seam: output is the documented deterministic fake
-    "multimodal_features_stub",
     # iterative greedy merge loop — no single-SQL oracle; pinned against a
     # pure-Python BPE reference implementation in tests/test_llmdata.py
+    # (r7 converted every other former rows-only entry — ANN recall,
+    # sketches, the multimodal stub — to hash-checked contract oracles)
     "bpe_merges_documents",
     "bpe_encode_documents",
-    # sketch bounds (rel-error contracts), not equality; exact twins
-    # (exact_quantiles/heavy hitters) are oracle-checked
-    "approx_stats_lineitem",
-    # DataSketches HLL estimate — not SQL-reproducible; bounded vs exact
-    # COUNT(DISTINCT) + mergeability + determinism in tests
-    "hll_distinct_users_by_type",
 }
 
 _BANNED = (T.ArrayType, T.MapType, T.StructType)
