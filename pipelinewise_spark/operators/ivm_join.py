@@ -72,6 +72,7 @@ class IncrementalJoinView:
         join_key: str,
         fact_cols: Sequence[str],
         dim_cols: Sequence[str],
+        num_buckets: int | None = None,
     ):
         self.view_table = view_table
         self.fact_pk = fact_pk
@@ -80,6 +81,27 @@ class IncrementalJoinView:
             c for c in fact_cols if c not in (fact_pk, join_key)
         ]
         self.dim_cols = [c for c in dim_cols if c != join_key]
+        self.num_buckets = num_buckets
+        if num_buckets is not None:
+            from pipelinewise_spark.operators.manifest_table import (
+                ManifestTable,
+            )
+
+            if not isinstance(view_table, ManifestTable):
+                raise ValueError(
+                    "num_buckets requires a ManifestTable view (the "
+                    "partition-pruned publish path)"
+                )
+
+    @property
+    def _pruned_publish(self) -> bool:
+        return self.num_buckets is not None
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(self.fact_pk)), F.lit(self.num_buckets)),
+        )
 
     # ------------------------------------------------------------ helpers
 
@@ -98,10 +120,55 @@ class IncrementalJoinView:
 
     def initialize(self, fact: DataFrame, dim: DataFrame) -> None:
         """T0 full build — the one full fact ⋈ dim join there is."""
-        self.view_table.overwrite(self._join(fact, dim))
+        joined = self._join(fact, dim)
+        if self._pruned_publish:
+            self.view_table.overwrite(self._bucket(joined), [BUCKET_COL])
+        else:
+            self.view_table.overwrite(joined)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.view_table.read(spark)
+        df = self.view_table.read(spark)
+        # internal publish columns (PK-hash bucket, tombstone marker) are
+        # not part of the view contract
+        return df.drop(BUCKET_COL, SDC_DELETED_AT)
+
+    # ---------------------------------------------------------- publishing
+
+    def _publish_step(
+        self, spark: SparkSession, upserts: DataFrame, delete_pks: DataFrame
+    ) -> None:
+        """Apply one maintenance step: PK-keyed upserts + PK-keyed deletes.
+
+        ManifestTable + num_buckets: ONE partition-pruned MERGE — upsert
+        rows and tombstoned delete rows share a batch bucketed on the fact
+        PK, so only touched buckets are rewritten and untouched files carry
+        over by manifest reference (ManifestTable.merge). Fallback (plain
+        ParquetTable): full-view merge + anti-join + overwrite — correct,
+        but O(view) per batch; fine for small views and tests.
+        """
+        if self._pruned_publish:
+            live = upserts.withColumn(
+                SDC_DELETED_AT, F.lit(None).cast("timestamp")
+            )
+            dead = delete_pks.select(self.fact_pk).withColumn(
+                SDC_DELETED_AT,
+                F.to_timestamp(F.lit("2000-01-01 00:00:00")),
+            )
+            batch = self._bucket(
+                live.unionByName(dead, allowMissingColumns=True)
+            )
+            self.view_table.merge(
+                spark, batch, [self.fact_pk], hard_delete=True
+            )
+            return
+        view = self.view_table.read(spark)
+        merged = merge_upsert(view, upserts, [self.fact_pk])
+        merged = merged.join(
+            F.broadcast(delete_pks.select(self.fact_pk)),
+            self.fact_pk,
+            "left_anti",
+        )
+        self.view_table.overwrite(merged)
 
     # ------------------------------------------------------------- deltas
 
@@ -115,8 +182,6 @@ class IncrementalJoinView:
         live = d.filter(F.col(OP_COL) != "d")
         dead = d.filter(F.col(OP_COL) == "d").select(self.fact_pk)
         upserts = self._join(live, dim)
-        view = self.read(spark)
-        merged = merge_upsert(view, upserts, [self.fact_pk])
         # inner-join semantics: a deleted fact row leaves the view; also
         # drop rows whose updated fact no longer finds a dim partner
         # (orphaned by a join-key change to a missing dim key)
@@ -124,8 +189,7 @@ class IncrementalJoinView:
         kept_pks = upserts.select(self.fact_pk)
         orphaned = updated_pks.join(kept_pks, self.fact_pk, "left_anti")
         gone = dead.unionByName(orphaned)
-        merged = merged.join(F.broadcast(gone), self.fact_pk, "left_anti")
-        self.view_table.overwrite(merged)
+        self._publish_step(spark, upserts, gone)
 
     def apply_dim_delta(
         self, spark: SparkSession, batch: DataFrame, fact: DataFrame
@@ -142,9 +206,13 @@ class IncrementalJoinView:
             F.broadcast(live.select(self.join_key)), self.join_key
         )
         upserts = touched.join(self._dim_side(live), self.join_key, "inner")
-        view = self.read(spark)
-        merged = merge_upsert(view, upserts, [self.fact_pk])
-        merged = merged.join(
-            F.broadcast(dead_keys), self.join_key, "left_anti"
+        # resolve dim-key deletes to the view's PK grain: every surviving
+        # view row's fact row is present in the fact base by construction,
+        # so a batch-keys-restricted fact scan (stats/partition-pruned on a
+        # ManifestTable fact) yields exactly the PKs to evict
+        del_pks = (
+            self._fact_side(fact)
+            .join(F.broadcast(dead_keys), self.join_key)
+            .select(self.fact_pk)
         )
-        self.view_table.overwrite(merged)
+        self._publish_step(spark, upserts, del_pks)

@@ -1265,7 +1265,7 @@ def incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pipelinewise_spark.operators.ivm_join import IncrementalJoinView
-    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
 
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -1274,12 +1274,17 @@ def incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
     )
     with fixture_timer():
+        # ManifestTable + num_buckets = the scale publish path: deltas land
+        # through the partition-pruned MERGE, untouched PK-hash buckets
+        # carry over by manifest reference (tests/test_ivm_manifest.py
+        # pins the file-level carry-over)
         view = IncrementalJoinView(
-            ParquetTable(tempfile.mkdtemp(prefix="pws_ivmj_") + "/v"),
+            ManifestTable(tempfile.mkdtemp(prefix="pws_ivmj_") + "/v"),
             fact_pk="o_orderkey",
             join_key="o_custkey",
             fact_cols=["o_totalprice"],
             dim_cols=["c_name", "c_acctbal"],
+            num_buckets=16,
         )
         view.initialize(orders, customer)
 
