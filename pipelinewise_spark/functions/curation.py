@@ -161,15 +161,19 @@ def shard_by_token_budget(
     # per-partition totals -> cumulative offsets (metadata-scale collect),
     # applied via a broadcast (pid, offset) join — a chained CASE WHEN
     # grows the expression tree O(P) (see operators/rank.py, same fix)
+    # fragment total = SUM of the fragment's values (NOT max of the running
+    # sum, which only coincides for nonnegative values)
     totals = {
         r["__pid"]: r["t"]
-        for r in d.groupBy("__pid").agg(F.max("__run").alias("t")).collect()
+        for r in d.groupBy("__pid")
+        .agg(F.sum(F.col(tokens_col)).alias("t"))
+        .collect()
     }
     rows = []
     acc = 0
     for pid in sorted(totals):
         rows.append((pid, acc))
-        acc += totals[pid]
+        acc += totals[pid] or 0
     off = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
     cum = F.col("__run") + F.col("__off")
     return (
@@ -388,6 +392,7 @@ def group_prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    max_offset_rows: int = 4_000_000,
 ) -> DataFrame:
     """Per-GROUP running sum with no per-group sort task.
 
@@ -397,10 +402,18 @@ def group_prefix_sum(
     range-partition on (group, order) so each group occupies a contiguous
     partition range; per-partition running sums windowed by
     (partition, group) run in parallel; per-(partition, group) totals
-    collect to the driver (metadata: at most partitions + groups rows,
-    because a partition only holds fragments of the groups that straddle
-    it); each fragment's offset (sum of earlier partitions' totals of the
-    SAME group) joins back via broadcast."""
+    collect to the driver (metadata: at most groups + partitions rows,
+    because range partitioning keeps each group contiguous, so a partition
+    only holds fragments of the groups that straddle it); each fragment's
+    offset (sum of earlier partitions' totals of the SAME group) joins
+    back via broadcast.
+
+    The driver-side offset table is therefore O(|groups| + |partitions|) —
+    fine for the shard/language/domain-grade group cardinality this
+    operator targets, NOT for high-cardinality keys (user_id). The
+    ``max_offset_rows`` guard (counted distributed, before any collect)
+    fails fast with guidance instead of silently materializing a
+    driver-sized table."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     gcols = [F.col(c) for c in group_cols]
@@ -416,17 +429,29 @@ def group_prefix_sum(
     d = d.withColumn(
         "__run", F.sum(F.col(value_col)).over(w_in)
     ).localCheckpoint(eager=False)
-    totals = (
-        d.groupBy("__pid", *group_cols)
-        .agg(F.max("__run").alias("__t"))
-        .collect()
+    # fragment total = SUM of the fragment's values (NOT max of the running
+    # sum — max only equals the fragment sum when every value is
+    # nonnegative, and the documented contract is a general running sum)
+    totals_df = d.groupBy("__pid", *group_cols).agg(
+        F.sum(F.col(value_col)).alias("__t")
     )
+    n_offsets = totals_df.count()
+    if n_offsets > max_offset_rows:
+        raise ValueError(
+            f"group_prefix_sum offset table has {n_offsets} (partition, "
+            f"group) rows (> max_offset_rows={max_offset_rows}): the group "
+            f"cardinality is too high for the driver-side offset pass — "
+            f"reduce group cardinality, raise max_offset_rows explicitly, "
+            f"or fall back to a per-group window "
+            f"(sum() OVER (PARTITION BY group ORDER BY ...))"
+        )
+    totals = totals_df.collect()
     acc: dict[tuple, int] = {}
     rows = []
     for r in sorted(totals, key=lambda r: r["__pid"]):
         key = tuple(r[c] for c in group_cols)
         rows.append((r["__pid"], *key, acc.get(key, 0)))
-        acc[key] = acc.get(key, 0) + r["__t"]
+        acc[key] = acc.get(key, 0) + (r["__t"] or 0)
     schema_group = ", ".join(
         f"{c} {dict(df.dtypes)[c]}" for c in group_cols
     )

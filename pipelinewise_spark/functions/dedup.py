@@ -299,10 +299,30 @@ def lsh_index(
     )
 
     class _Index:
+        def __init__(self) -> None:
+            self._batch_cache: DataFrame | None = None
+
+        def release_batch(self) -> None:
+            """Free the previous batch's shingle cache. Called implicitly
+            at the start of the next ``pairs_against`` (by then the prior
+            batch's pairs have been consumed), so a daemon looping inside
+            one ``with`` block holds at most ONE batch cache at a time —
+            unpersisting is always safe (a still-referenced plan silently
+            recomputes instead of reading cache)."""
+            if self._batch_cache is not None:
+                with contextlib.suppress(Exception):
+                    self._batch_cache.unpersist()
+                unregister_cache(self._batch_cache)
+                if self._batch_cache in handles:
+                    handles.remove(self._batch_cache)
+                self._batch_cache = None
+
         def pairs_against(self, batch: DataFrame) -> DataFrame:
+            self.release_batch()
             sh_b = register_cache(
                 shingle_sets(batch, id_col, text_col).persist()
             )
+            self._batch_cache = sh_b
             handles.append(sh_b)
             bands_b = _band_keys(
                 minhash_signatures(sh_b, id_col, num_hashes),
@@ -484,12 +504,17 @@ def build_lsh_index(
     ones is a hard error (band keys are parameter-specific).
     """
     import json as _json
-    import os as _os
 
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    # sidecar metadata goes through the MetaFS seam (pyarrow.fs), data
+    # through Spark — same split as ManifestTable, so the index lives on
+    # s3://…/hdfs://… exactly like a local directory
+    mfs = MetaFS(path)
     sh = shingle_sets(corpus, id_col, text_col)
-    sh.write.mode("overwrite").parquet(_os.path.join(path, "shingles"))
+    sh.write.mode("overwrite").parquet(mfs.uri("shingles"))
     spark = corpus.sparkSession
-    sh_back = spark.read.parquet(_os.path.join(path, "shingles"))
+    sh_back = spark.read.parquet(mfs.uri("shingles"))
     bands = _band_keys(
         minhash_signatures(sh_back, id_col, num_hashes),
         id_col, num_hashes, num_bands,
@@ -497,16 +522,13 @@ def build_lsh_index(
     (
         bands.repartition(F.col("band_key"))
         .write.mode("overwrite")
-        .parquet(_os.path.join(path, "bands"))
+        .parquet(mfs.uri("bands"))
     )
     meta = {
         "id_col": id_col, "text_col": text_col,
         "num_hashes": num_hashes, "num_bands": num_bands,
     }
-    tmp = _os.path.join(path, "_lsh_index.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        _json.dump(meta, fh)
-    _os.replace(tmp, _os.path.join(path, "_lsh_index.json"))
+    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
 
 
 def minhash_lsh_pairs_against_index(
@@ -523,10 +545,11 @@ def minhash_lsh_pairs_against_index(
     parquet read — shingling/banding ran once at index-build time. The
     batch side still shingles/bands in-plan (it is batch-sized)."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, "_lsh_index.json"), encoding="utf-8") as fh:
-        meta = _json.load(fh)
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = _json.loads(mfs.read_text("_lsh_index.json"))
     if (meta["num_hashes"], meta["num_bands"]) != (num_hashes, num_bands):
         raise ValueError(
             f"index at {path} was built with (hashes, bands)="
@@ -534,8 +557,8 @@ def minhash_lsh_pairs_against_index(
             f"requested ({num_hashes}, {num_bands})"
         )
     id_col = meta["id_col"]
-    sh_c = spark.read.parquet(_os.path.join(path, "shingles"))
-    bands_c = spark.read.parquet(_os.path.join(path, "bands"))
+    sh_c = spark.read.parquet(mfs.uri("shingles"))
+    bands_c = spark.read.parquet(mfs.uri("bands"))
     sh_b = register_cache(
         shingle_sets(batch, id_col, meta["text_col"]).persist()
     )

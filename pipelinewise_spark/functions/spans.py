@@ -61,6 +61,19 @@ def _window_grams(df: DataFrame, id_col: str, text_col: str, window: int):
     return base, grams
 
 
+def _cross_doc_dup_hashes(grams: DataFrame, id_col: str) -> DataFrame:
+    """Window hashes occurring in >1 DISTINCT document. min(doc)!=max(doc)
+    is map-side combinable, so the Zipf head of boilerplate spans collapses
+    in the combiner instead of concentrating on one reducer the way a
+    count-distinct would."""
+    return (
+        grams.groupBy("h")
+        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select("h")
+    )
+
+
 def _interval_coverage(hits: DataFrame, id_col: str, window: int) -> DataFrame:
     """Merged covered-position count per id from window-start hits."""
     w_doc = (
@@ -94,61 +107,19 @@ def duplicated_span_coverage(
     Downstream use: filter ``dup_fraction >= threshold`` to drop
     boilerplate-heavy documents, or feed the positions variant into span
     excision."""
-    toks = tokens(F.col(text_col))
-    base = spread(df).select(
-        F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        toks.alias("__toks"),
-    )
-
-    # stride-1 window hashes: (id, pos, h); pos is 0-based
-    idx = F.sequence(
-        F.lit(0), F.col("n_tokens") - F.lit(window)
-    )  # empty when n_tokens < window
-    gram = F.transform(
-        idx,
-        lambda p: F.md5(
-            F.concat_ws(_SEP, F.slice(F.col("__toks"), p + 1, window))
-        ),
-    )
-    grams = (
-        base.filter(F.col("n_tokens") >= window)
-        .select(F.col(id_col), F.posexplode(gram).alias("pos", "h"))
-    )
-
-    # spans seen in more than one distinct document (min!=max: combinable)
-    dup = (
-        grams.groupBy("h")
-        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
-        .filter(F.col("__a") != F.col("__b"))
-        .select("h")
-    )
+    base, grams = _window_grams(df, id_col, text_col, window)
+    dup = _cross_doc_dup_hashes(grams, id_col)
     hits = grams.join(dup, "h").select(F.col(id_col), F.col("pos"))
-
-    # interval-merge sweep: contribution of window at pos =
-    # (pos + W) - max(previous covered end, pos); runs per document
-    w_doc = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_end = F.max(F.col("pos") + F.lit(window)).over(w_doc)
-    contrib = (F.col("pos") + F.lit(window)) - F.greatest(
-        F.coalesce(prev_end, F.col("pos")), F.col("pos")
-    )
-    covered = (
-        hits.withColumn("__c", contrib)
-        .groupBy(id_col)
-        .agg(F.sum("__c").cast("bigint").alias("dup_positions"))
-    )
+    covered = _interval_coverage(hits, id_col, window)
 
     out = (
         base.drop("__toks")
         .join(covered, id_col, "left")
         .withColumn(
             "dup_positions",
-            F.coalesce(F.col("dup_positions"), F.lit(0).cast("bigint")),
+            F.coalesce(F.col("__covered"), F.lit(0).cast("bigint")),
         )
+        .drop("__covered")
         .withColumn(
             # plain IEEE division of two exact integers — bit-identical in
             # any engine, so the oracle needs no rounding epsilon
@@ -183,29 +154,8 @@ def excise_duplicated_spans(
     kept-token anti-join and the ordered per-document reassembly both key
     on the document id, so no stage ever exceeds per-document scale after
     the one corpus-wide duplicate-detection groupBy."""
-    toks = tokens(F.col(text_col))
-    base = spread(df).select(
-        F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        toks.alias("__toks"),
-    )
-    idx = F.sequence(F.lit(0), F.col("n_tokens") - F.lit(window))
-    gram = F.transform(
-        idx,
-        lambda p: F.md5(
-            F.concat_ws(_SEP, F.slice(F.col("__toks"), p + 1, window))
-        ),
-    )
-    grams = (
-        base.filter(F.col("n_tokens") >= window)
-        .select(F.col(id_col), F.posexplode(gram).alias("pos", "h"))
-    )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
-        .filter(F.col("__a") != F.col("__b"))
-        .select("h")
-    )
+    base, grams = _window_grams(df, id_col, text_col, window)
+    dup = _cross_doc_dup_hashes(grams, id_col)
     covered = (
         grams.join(dup, "h")
         .select(

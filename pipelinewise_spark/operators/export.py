@@ -19,10 +19,11 @@ from __future__ import annotations
 
 import json
 import math
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.fsio import MetaFS
 
 # the reference's estimate for text→gzip (split_gzip.EST_COMPR_RATE)
 EST_COMPR_RATE = 0.12
@@ -63,9 +64,13 @@ def export_split_gzip_csv(
         .option("emptyValue", "")
         .csv(path)
     )
-    files = sorted(
-        n for n in os.listdir(path) if n.endswith(".csv.gz")
-    )
+    # manifest listing/stat/write through the MetaFS seam (pyarrow.fs) so
+    # an s3://… or hdfs://… destination — the reference's actual FastSync
+    # target, fastsync/commons/target_snowflake.py:109-152 — works exactly
+    # like a local one; the atomic pointer-write contract matches
+    # ManifestTable's (tmp+rename locally, atomic PUT on object stores)
+    mfs = MetaFS(path)
+    files = sorted(n for n in mfs.listdir() if n.endswith(".csv.gz"))
     manifest = {
         "format": "csv+gzip",
         "header": header,
@@ -73,21 +78,14 @@ def export_split_gzip_csv(
         "rows": rows,
         "chunks": chunks,
         "chunk_size_mb": chunk_size_mb,
-        "files": [
-            {"name": n, "bytes": os.path.getsize(os.path.join(path, n))}
-            for n in files
-        ],
+        "files": [{"name": n, "bytes": mfs.file_size(n)} for n in files],
     }
-    tmp = os.path.join(path, _MANIFEST + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(tmp, os.path.join(path, _MANIFEST))
+    mfs.write_text(json.dumps(manifest, indent=1), _MANIFEST, atomic=True)
     return manifest
 
 
 def read_export_manifest(path: str) -> dict | None:
-    p = os.path.join(path, _MANIFEST)
-    if not os.path.exists(p):
+    mfs = MetaFS(path)
+    if not mfs.exists(_MANIFEST):
         return None
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+    return json.loads(mfs.read_text(_MANIFEST))

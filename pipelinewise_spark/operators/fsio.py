@@ -89,6 +89,10 @@ class MetaFS:
                         break
                     out.write(chunk)
 
+    def file_size(self, *rel: str) -> int:
+        """Size in bytes of one file (portable stat)."""
+        return self.fs.get_file_info(self._p(*rel)).size
+
     # ------------------------------------------------------------ listing
     def listdir(self) -> list[str]:
         """Basenames of entries directly under the root ('' if missing)."""

@@ -709,7 +709,12 @@ class ManifestTable:
             },
         }
         mfest = self._load_manifest()
-        stats["version"] = self.current_manifest_name()
+        # stamp with the manifest name THIS publish will create: the stats
+        # describe the same data files that manifest references (a
+        # stats-only publish advances the pointer without changing data),
+        # so they are fresh for it — stamping the pre-publish name made a
+        # brand-new ANALYZE read as stale in `status` (r6 ADVICE)
+        stats["version"] = self._next_manifest_name()
         mfest["table_stats"] = stats
         self._publish(mfest)
         return stats

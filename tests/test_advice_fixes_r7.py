@@ -1,0 +1,152 @@
+"""Regression tests for the round-6 ADVICE items fixed in round 7."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- ADVICE #1
+def test_group_prefix_sum_negative_values_match_window(spark):
+    """Fragment totals were max('__run') — correct only for nonnegative
+    values. The documented contract is a general per-group running sum, so
+    mixed-sign inputs must match the window reference exactly."""
+    from pipelinewise_spark.functions.curation import group_prefix_sum
+
+    df = spark.range(400).selectExpr(
+        "id % 4 AS g",
+        "id AS ord",
+        # mixed signs, including runs that dip negative then recover
+        "CAST(CASE WHEN id % 3 = 0 THEN -(id % 17) ELSE id % 11 END AS LONG) AS v",
+    )
+    got = {
+        (r["g"], r["ord"]): r["cum"]
+        for r in group_prefix_sum(
+            df, ["g"], ["ord"], "v", num_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["g"], r["ord"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_group_prefix_sum_cardinality_guard(spark):
+    from pipelinewise_spark.functions.curation import group_prefix_sum
+
+    df = spark.range(200).selectExpr("id AS g", "id AS ord", "id AS v")
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        group_prefix_sum(
+            df, ["g"], ["ord"], "v", num_partitions=4, max_offset_rows=10
+        ).collect()
+
+
+def test_shard_by_token_budget_unchanged_for_token_counts(spark):
+    """The fragment-total change (sum of values instead of max of running
+    sum) must be invisible for the operator's normal nonnegative inputs."""
+    from pipelinewise_spark.functions.curation import shard_by_token_budget
+
+    df = spark.range(500).selectExpr("id AS k", "(id % 7 + 1) AS n_tok")
+    out = shard_by_token_budget(df, "k", "n_tok", budget=100,
+                                num_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    run = 0
+    for r in rows:
+        assert r["shard"] == run // 100
+        run += r["n_tok"]
+
+
+# ---------------------------------------------------------------- ADVICE #2
+def test_analyze_stats_fresh_immediately_after_publish(spark, tmp_path):
+    """analyze() publishes a new manifest; the stats version stamp must
+    name THAT manifest, or a fresh ANALYZE reads as stale in `status`."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id", "id % 3 AS k"))
+    t.analyze(spark)
+    st = t.table_stats()
+    assert st is not None
+    assert st["version"] == t.current_manifest_name(), (
+        "freshly analyzed stats must not read as stale"
+    )
+    # stats survive a data commit and DO read stale afterwards
+    t.overwrite(spark.range(20).selectExpr("id", "id % 3 AS k"))
+    st2 = t.table_stats()
+    assert st2 is not None and st2["version"] != t.current_manifest_name()
+
+
+# ---------------------------------------------------------------- ADVICE #3
+def test_export_manifest_through_metafs_wrapped_uri(spark, tmp_path):
+    """Manifest IO must go through the pyarrow.fs seam: exercise the
+    listing/stat/write path and the roundtrip reader."""
+    from pipelinewise_spark.operators.export import (
+        export_split_gzip_csv,
+        read_export_manifest,
+    )
+
+    dest = str(tmp_path / "exp")
+    df = spark.range(1000).selectExpr("id", "concat('row', id) AS s")
+    manifest = export_split_gzip_csv(df, dest, chunk_size_mb=1)
+    back = read_export_manifest(dest)
+    assert back == manifest
+    assert back["rows"] == 1000
+    assert back["files"] and all(f["bytes"] > 0 for f in back["files"])
+
+
+def test_lsh_persisted_index_sidecar_via_metafs(spark, tmp_path):
+    from pipelinewise_spark.functions.dedup import (
+        build_lsh_index,
+        minhash_lsh_pairs_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "an entirely different document about spark engines")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus, path, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_against_index(spark, path, batch)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 10) in got
+
+
+# ---------------------------------------------------------------- ADVICE #4
+def test_lsh_index_releases_previous_batch_cache(spark):
+    """A daemon looping inside one `with lsh_index(...)` block must hold at
+    most ONE batch shingle cache at a time."""
+    from pipelinewise_spark.caching import live_cache_count as registered_count
+    from pipelinewise_spark.functions.dedup import lsh_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} with shared words here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with lsh_index(corpus, "doc_id", "text") as idx:
+        baseline = None
+        for b in range(4):
+            batch = spark.createDataFrame(
+                [(100 + b, f"batch {b} doc with shared words here")],
+                "doc_id long, text string",
+            )
+            idx.pairs_against(batch).count()
+            n = registered_count()
+            if baseline is None:
+                baseline = n  # corpus + first batch
+            else:
+                assert n <= baseline, (
+                    f"batch caches accumulate: {n} registered after "
+                    f"batch {b}, baseline {baseline}"
+                )
