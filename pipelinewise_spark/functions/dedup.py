@@ -527,8 +527,91 @@ def build_lsh_index(
     meta = {
         "id_col": id_col, "text_col": text_col,
         "num_hashes": num_hashes, "num_bands": num_bands,
+        # ManifestTable-style pointer: maintenance verbs (extend/compact)
+        # repoint these; readers always resolve through the meta file
+        "shingles_dir": "shingles", "bands_dir": "bands",
+        "extensions": 0, "compactions": 0,
     }
     mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
+
+
+def _load_index_meta(path: str):
+    import json as _json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = _json.loads(mfs.read_text("_lsh_index.json"))
+    # pre-maintenance indexes predate the dir pointers
+    meta.setdefault("shingles_dir", "shingles")
+    meta.setdefault("bands_dir", "bands")
+    return mfs, meta
+
+
+def extend_lsh_index(batch: DataFrame, path: str) -> None:
+    """Admit a processed ingest batch into the standing index: append its
+    shingle sets and band keys as new parquet fragments under the current
+    index dirs (the post-dedup step of an ingest loop — probe first with
+    :func:`minhash_lsh_pairs_against_index`, then extend so LATER batches
+    dedup against this one too). Batch-sized work only; a months-long
+    loop accumulates small fragment files, which
+    :func:`compact_lsh_index` consolidates."""
+    import json as _json
+
+    mfs, meta = _load_index_meta(path)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    sh = shingle_sets(batch, id_col, text_col)
+    sh.write.mode("append").parquet(mfs.uri(meta["shingles_dir"]))
+    bands = _band_keys(
+        minhash_signatures(sh, id_col, meta["num_hashes"]),
+        id_col, meta["num_hashes"], meta["num_bands"],
+    )
+    bands.write.mode("append").parquet(mfs.uri(meta["bands_dir"]))
+    meta["extensions"] = meta.get("extensions", 0) + 1
+    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
+
+
+def compact_lsh_index(spark, path: str) -> dict:
+    """Consolidate index fragments (ManifestTable.compact analog): rewrite
+    the shingle and band tables into fresh versioned dirs — bands
+    re-clustered by band_key so probes stay co-located — and atomically
+    repoint the meta file. Candidate sets are unchanged by construction
+    (same rows, new files). Old dirs stay on disk for in-flight readers
+    until :func:`vacuum_lsh_index`. Returns the updated meta."""
+    import json as _json
+
+    mfs, meta = _load_index_meta(path)
+    n = meta.get("compactions", 0) + 1
+    new_sh, new_bands = f"shingles-{n:04d}", f"bands-{n:04d}"
+    sh = spark.read.parquet(mfs.uri(meta["shingles_dir"]))
+    sh.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(mfs.uri(new_sh))
+    bands = spark.read.parquet(mfs.uri(meta["bands_dir"]))
+    bands.repartition(F.col("band_key")).write.mode("overwrite").parquet(
+        mfs.uri(new_bands)
+    )
+    meta["shingles_dir"], meta["bands_dir"] = new_sh, new_bands
+    meta["compactions"] = n
+    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
+    return meta
+
+
+def vacuum_lsh_index(path: str) -> list[str]:
+    """Delete index data dirs no longer referenced by the meta pointer
+    (ManifestTable.vacuum analog). Returns the removed dir names."""
+    mfs, meta = _load_index_meta(path)
+    live = {meta["shingles_dir"], meta["bands_dir"]}
+    removed = []
+    for d in mfs.listdir():
+        if (
+            d.startswith(("shingles", "bands"))
+            and d not in live
+            and not d.endswith(".json")
+        ):
+            mfs.delete_dir(d)
+            removed.append(d)
+    return removed
 
 
 def minhash_lsh_pairs_against_index(
@@ -544,12 +627,7 @@ def minhash_lsh_pairs_against_index(
     :func:`minhash_lsh_pairs_against`, but the corpus side costs a
     parquet read — shingling/banding ran once at index-build time. The
     batch side still shingles/bands in-plan (it is batch-sized)."""
-    import json as _json
-
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = _json.loads(mfs.read_text("_lsh_index.json"))
+    mfs, meta = _load_index_meta(path)
     if (meta["num_hashes"], meta["num_bands"]) != (num_hashes, num_bands):
         raise ValueError(
             f"index at {path} was built with (hashes, bands)="
@@ -557,8 +635,8 @@ def minhash_lsh_pairs_against_index(
             f"requested ({num_hashes}, {num_bands})"
         )
     id_col = meta["id_col"]
-    sh_c = spark.read.parquet(mfs.uri("shingles"))
-    bands_c = spark.read.parquet(mfs.uri("bands"))
+    sh_c = spark.read.parquet(mfs.uri(meta["shingles_dir"]))
+    bands_c = spark.read.parquet(mfs.uri(meta["bands_dir"]))
     sh_b = register_cache(
         shingle_sets(batch, id_col, meta["text_col"]).persist()
     )

@@ -74,6 +74,11 @@ class MetaFS:
     def delete(self, *rel: str) -> None:
         self.fs.delete_file(self._p(*rel))
 
+    def delete_dir(self, *rel: str) -> None:
+        """Recursively remove a subdirectory (no-op if absent)."""
+        if self.exists(*rel):
+            self.fs.delete_dir(self._p(*rel))
+
     def copy_file(self, rel: str, dest: "MetaFS", dest_rel: str) -> None:
         """Byte-copy one file into another rooted filesystem (streamed, so
         it works local→local, local→s3, s3→s3 — the clone/backup

@@ -236,6 +236,43 @@ def minhash_incremental_batch_documents(
     )
 
 
+@register(
+    "lsh_index_lifecycle_documents",
+    oracle=_minhash_against_oracle(),
+)
+def lsh_index_lifecycle_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-LSH-index LIFECYCLE (functions/dedup.py): build the
+    standing index on 80 % of the corpus, EXTEND it with a 10 % ingest
+    batch, COMPACT the accumulated fragments into re-clustered files and
+    VACUUM the superseded dirs — then probe with the final 10 % batch.
+    The whole maintenance cycle must be candidate-set-preserving: the
+    probe's pairs are checked against the SAME oracle as the one-shot
+    incremental contract (minhash_incremental_batch_documents), i.e. index
+    side = doc_id %% 10 <> 0, batch side = doc_id %% 10 = 0. At 100 TB
+    this is the months-long ingest-daemon story: per-batch appends stay
+    batch-sized, compaction bounds fragment counts, vacuum bounds storage
+    — same verbs, same pointer semantics as ManifestTable."""
+    import tempfile
+
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    d = read_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    path = tempfile.mkdtemp(prefix="pws_lshidx_") + "/idx"
+    with fixture_timer():
+        D.build_lsh_index(
+            d.filter((mod != 0) & (mod != 5)), path, "doc_id", "text"
+        )
+        D.extend_lsh_index(d.filter(mod == 5), path)
+        D.compact_lsh_index(spark, path)
+        D.vacuum_lsh_index(path)
+    return D.minhash_lsh_pairs_against_index(
+        spark, path, d.filter(mod == 0), threshold=0.3
+    )
+
+
 def _simhash_oracle() -> str:
     bits = D.SIMHASH_BITS
     sums = ",\n             ".join(

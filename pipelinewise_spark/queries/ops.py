@@ -1504,3 +1504,114 @@ def robust_scale_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("o_totalprice_scaled"),
         )
     )
+
+
+@register(
+    "export_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def export_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSync split-gzip CSV export end-to-end (operators/export.py,
+    reference fastsync/commons/split_gzip.py): export the orders table as
+    chunked gzip CSVs + completeness manifest, then read the export BACK
+    through Spark's CSV reader — the oracle compares the roundtrip against
+    the source table, so the export is proven value-faithful (doubles
+    round-trip via shortest-repr text), not just well-formed. The manifest
+    itself (file list + sizes + row count, written through the MetaFS seam
+    so s3:// destinations work) is verified in-plan: the query asserts the
+    manifest row count before returning."""
+    import tempfile
+
+    from pipelinewise_spark.operators.export import (
+        export_split_gzip_csv,
+        read_export_manifest,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dest = tempfile.mkdtemp(prefix="pws_exp_") + "/orders"
+    manifest = export_split_gzip_csv(orders, dest, chunk_size_mb=1)
+    back = read_export_manifest(dest)
+    if back is None or back["rows"] != manifest["rows"]:
+        raise AssertionError("export manifest mismatch")
+    return (
+        spark.read.option("header", "true")
+        .schema(orders.schema)
+        .csv(dest)
+    )
+
+
+@register(
+    "analyze_stats_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS okey_nulls,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS okey_min,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS okey_max,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS okey_exact_ndv,
+           TRUE AS okey_ndv_within_2pct,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_nulls,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS status_min,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS status_max,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+               AS status_exact_ndv,
+           TRUE AS status_ndv_within_2pct
+    FROM orders
+    """,
+)
+def analyze_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics as a driver-checked contract
+    (operators/manifest_table.py:analyze — the Delta/Iceberg ANALYZE +
+    NDV-puffin analog): write orders into a ManifestTable, ANALYZE it,
+    and emit the persisted stats — row count, per-column null count and
+    min/max (exact values the oracle reproduces) plus NDV-within-2%%
+    booleans against Spark-computed exact distinct counts (the NDV itself
+    is a DataSketches HLL estimate DuckDB cannot reproduce; the bound is
+    partitioning-invariant). Also asserts the freshness contract in-plan:
+    a just-published ANALYZE must stamp the manifest version it publishes
+    (r6 ADVICE #2)."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_an_") + "/t")
+        t.overwrite(orders.select("o_orderkey", "o_orderstatus"))
+    stats = t.analyze(spark, ["o_orderkey", "o_orderstatus"])
+    if stats["version"] != t.current_manifest_name():
+        raise AssertionError("fresh ANALYZE reads as stale")
+    ok, st = stats["columns"]["o_orderkey"], stats["columns"]["o_orderstatus"]
+    meta = spark.createDataFrame(
+        [(
+            int(stats["rows"]),
+            int(ok["nulls"]), str(ok["min"]), str(ok["max"]), int(ok["ndv"]),
+            int(st["nulls"]), str(st["min"]), str(st["max"]), int(st["ndv"]),
+        )],
+        "n_rows long, okey_nulls long, okey_min string, okey_max string, "
+        "okey_ndv long, status_nulls long, status_min string, "
+        "status_max string, status_ndv long",
+    )
+    exact = orders.agg(
+        F.count_distinct("o_orderkey").alias("okey_exact_ndv"),
+        F.count_distinct("o_orderstatus").alias("status_exact_ndv"),
+    )
+    return meta.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "okey_nulls", "okey_min", "okey_max", "okey_exact_ndv",
+        (
+            F.abs(F.col("okey_ndv") - F.col("okey_exact_ndv"))
+            <= F.lit(0.02) * F.col("okey_exact_ndv")
+        ).alias("okey_ndv_within_2pct"),
+        "status_nulls", "status_min", "status_max", "status_exact_ndv",
+        (
+            F.abs(F.col("status_ndv") - F.col("status_exact_ndv"))
+            <= F.lit(0.02) * F.col("status_exact_ndv")
+        ).alias("status_ndv_within_2pct"),
+    )

@@ -150,3 +150,67 @@ def test_lsh_index_releases_previous_batch_cache(spark):
                     f"batch caches accumulate: {n} registered after "
                     f"batch {b}, baseline {baseline}"
                 )
+
+
+# ------------------------------------------------- r7 task #8: index verbs
+def test_lsh_index_extend_compact_vacuum_preserves_pairs(spark, tmp_path):
+    """extend/compact/vacuum must be candidate-set-preserving, reduce
+    fragment counts, and remove superseded dirs."""
+    import os
+
+    from pipelinewise_spark.functions.dedup import (
+        build_lsh_index,
+        compact_lsh_index,
+        extend_lsh_index,
+        minhash_lsh_pairs_against,
+        minhash_lsh_pairs_against_index,
+        vacuum_lsh_index,
+    )
+
+    docs = [
+        (i, f"shared boilerplate words number {i % 3} appear here often")
+        for i in range(12)
+    ]
+    corpus0 = spark.createDataFrame(docs[:8], "doc_id long, text string")
+    ext = spark.createDataFrame(docs[8:], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(100, "shared boilerplate words number 1 appear here often")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(corpus0, path, "doc_id", "text")
+    extend_lsh_index(ext, path)
+
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_against(
+            full, probe, "doc_id", "text"
+        ).collect()
+    }
+    got_pre = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_against_index(spark, path, probe).collect()
+    }
+    assert got_pre == want and want, "extended index must cover both loads"
+
+    def _n_fragments(sub):
+        d = os.path.join(path, sub)
+        return sum(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    frags_before = _n_fragments("bands")
+    meta = compact_lsh_index(spark, path)
+    removed = vacuum_lsh_index(path)
+    assert {"shingles", "bands"} <= set(removed)
+    assert not os.path.exists(os.path.join(path, "bands"))
+    assert _n_fragments(meta["bands_dir"]) <= frags_before
+
+    got_post = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_against_index(spark, path, probe).collect()
+    }
+    assert got_post == want, "compaction/vacuum changed the candidate set"

@@ -59,6 +59,12 @@ SENSITIVE = [
     "winsorize_order_totals",
     "robust_scale_order_totals",
     "contamination_span_coverage_documents",
+    # round 7: the archetypal NTZ-sensitive timestamp-instant queries —
+    # their last driver rows were r3 REDS (fixed since by read_table
+    # normalization); re-proven here under hostile confs before the r7
+    # prefix re-shows them to the driver
+    "funnel_click_purchase",
+    "session_window_events",
 ]
 
 
