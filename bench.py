@@ -158,6 +158,15 @@ BENCH_QUERIES = [
     "contamination_span_coverage_documents",
     "winsorize_order_totals",
     "robust_scale_order_totals",
+    # round 7
+    "export_roundtrip_orders",
+    "analyze_stats_orders",
+    "lsh_index_lifecycle_documents",
+    "ivf_index_lifecycle_embeddings",
+    "embedding_ivf_topk",
+    "approx_stats_lineitem",
+    "multimodal_features_stub",
+    "multimodal_frame_sample",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

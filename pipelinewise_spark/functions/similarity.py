@@ -576,3 +576,138 @@ def mean_pool_vectors(
             F.transform(F.col("__pairs"), lambda s: s["__m"]).alias(out_col),
         )
     )
+
+
+# ------------------------------------------------------ persisted IVF index
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    iterations: int = 3,
+) -> None:
+    """Persist the IVF index as a serving artifact: the centroid table as
+    a small parquet sidecar plus the corpus written PARTITIONED BY
+    ``centroid_id`` — each hive partition dir IS an inverted list, so a
+    probe reads only its ``n_probe`` lists via ordinary partition pruning.
+    At 100 TB this is the ANN serving story: the index builds once as one
+    assignment pass against broadcast centroids, and each query batch
+    touches `n_probe/num_centroids` of the data. Metadata goes through
+    the MetaFS seam (s3://-capable), mirroring build_lsh_index."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    assignments, centroids = ivf_assign(
+        corpus, id_col, vec_col, num_centroids, iterations
+    )
+    lists = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    ).join(assignments, id_col)
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        mfs.uri("lists")
+    )
+    centroids.write.mode("overwrite").parquet(mfs.uri("centroids"))
+    meta = {"id_col": id_col, "num_centroids": num_centroids}
+    mfs.write_text(json.dumps(meta), "_ivf_index.json", atomic=True)
+
+
+def extend_ivf_index(batch: DataFrame, path: str, vec_col: str) -> None:
+    """Admit new vectors into the persisted index: assign each to its
+    nearest EXISTING centroid (broadcast) and append to that inverted
+    list — batch-sized work, centroids unchanged (the standard serving
+    policy; rebuild when the corpus distribution drifts)."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = json.loads(mfs.read_text("_ivf_index.json"))
+    id_col = meta["id_col"]
+    spark = batch.sparkSession
+    centroids = spark.read.parquet(mfs.uri("centroids"))
+    v = batch.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    assigned = _assign_to_centroids(v, centroids)
+    lists = v.select(F.col(id_col), F.col("__v").alias("vec")).join(
+        assigned, id_col
+    )
+    lists.write.mode("append").partitionBy("centroid_id").parquet(
+        mfs.uri("lists")
+    )
+
+
+def ivf_topk_against_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    k: int = 3,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe the persisted IVF index: rank centroids per query against the
+    broadcast sidecar, then scan ONLY the probed inverted-list partitions
+    (``centroid_id IN (...)`` prunes at the parquet partition-dir level —
+    the probe-id set is at most ``num_centroids`` driver-side ints) and
+    exact-cosine within. Same (query_id, neighbor_id, cos, rank) contract
+    as :func:`ivf_topk`."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = json.loads(mfs.read_text("_ivf_index.json"))
+    id_col = meta["id_col"]
+    centroids = spark.read.parquet(mfs.uri("centroids"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    # the union of probed lists is metadata-scale (<= num_centroids ids):
+    # collecting it lets the scan prune whole partition dirs
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(mfs.uri("lists"))
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"), "vec", "centroid_id"
+        )
+    )
+    scored = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("__qv"), F.col("vec")), round_to)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -618,6 +618,39 @@ def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_index_lifecycle_embeddings", oracle=_ANN_CONTRACT_ORACLE)
+def ivf_index_lifecycle_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-IVF-index lifecycle (similarity.py:build_ivf_index /
+    extend_ivf_index / ivf_topk_against_index): build the inverted lists
+    on 2/3 of the corpus (lists = parquet partition dirs), EXTEND with the
+    remaining third (assign-to-nearest-centroid append), then probe — the
+    scan reads only the probed lists via partition pruning. Same driver
+    contract as the in-plan IVF (_ann_contract): exact-twin top-k id-sums
+    + recall >= 0.5 / no-self-match booleans. The embedding twin of
+    lsh_index_lifecycle_documents."""
+    import tempfile
+
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pws_ivfidx_") + "/idx"
+    with fixture_timer():
+        S.build_ivf_index(
+            emb.filter(F.col("vec_id") % 3 != 0), path, "vec_id",
+            "embedding", num_centroids=8,
+        )
+        S.extend_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path,
+                           "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = S.ivf_topk_against_index(
+        spark, path, queries, "embedding", k=3, n_probe=4
+    )
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _ann_contract(ann, exact, recall_bound=0.5)
+
+
 @register("embedding_quantized_topk", oracle=_ANN_CONTRACT_ORACLE)
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over int8-quantized embeddings (similarity.py:

@@ -214,3 +214,72 @@ def test_lsh_index_extend_compact_vacuum_preserves_pairs(spark, tmp_path):
         for r in minhash_lsh_pairs_against_index(spark, path, probe).collect()
     }
     assert got_post == want, "compaction/vacuum changed the candidate set"
+
+
+# -------------------------------------------------- persisted IVF index
+def test_ivf_index_probe_prunes_partitions_and_matches_inplan(
+    spark, tmp_path
+):
+    """The persisted-index probe must (a) scan only the probed inverted
+    lists (parquet PartitionFilters prune the rest) and (b) return the
+    same neighbors as the in-plan ivf_topk under identical centroids."""
+    import pipelinewise_spark.functions.similarity as S
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id",
+        # deterministic 64-dim vectors (id+1 so no all-zero vector forms:
+        # cosine of a zero vector is undefined and ANSI mode would throw)
+        "transform(sequence(1, 64), j -> CAST(sin((id + 1) * j) AS FLOAT)) "
+        "AS embedding",
+    )
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, path, "vec_id", "embedding", num_centroids=8)
+    queries = emb.filter("vec_id < 5")
+    got = S.ivf_topk_against_index(
+        spark, path, queries, "embedding", k=3, n_probe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the probed-list filter must reach the scan as a partition filter
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    inplan = S.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, num_centroids=8, n_probe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+
+def test_ivf_index_extend_assigns_to_existing_lists(spark, tmp_path):
+    import os
+
+    import pipelinewise_spark.functions.similarity as S
+
+    emb = spark.range(120).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> CAST(cos(id + j) AS FLOAT)) "
+        "AS embedding",
+    )
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(
+        emb.filter("vec_id < 100"), path, "vec_id", "embedding",
+        num_centroids=4,
+    )
+    dirs_before = {
+        d for d in os.listdir(os.path.join(path, "lists"))
+        if d.startswith("centroid_id=")
+    }
+    S.extend_ivf_index(emb.filter("vec_id >= 100"), path, "embedding")
+    dirs_after = {
+        d for d in os.listdir(os.path.join(path, "lists"))
+        if d.startswith("centroid_id=")
+    }
+    assert dirs_after <= dirs_before | dirs_after
+    assert dirs_after == dirs_before or dirs_after.issuperset(dirs_before)
+    # every vector, old and new, is findable
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet(os.path.join(path, "lists"))
+    assert back.count() == 120
+    assert back.select("vec_id").distinct().count() == 120

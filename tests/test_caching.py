@@ -76,10 +76,13 @@ def test_lsh_index_context_manager(spark, sf_dir):
     b2 = docs.filter(F.col("doc_id") % 3 == 0).limit(80)
     with lsh_index(corpus, "doc_id", "text") as idx:
         n1 = idx.pairs_against(b1).count()
+        # corpus index + the CURRENT batch cache only (r7: pairs_against
+        # releases the previous batch's cache on entry, so a daemon loop
+        # holds at most one batch cache at a time)
+        assert live_cache_count() == 2
         n2 = idx.pairs_against(b2).count()
         assert n2 >= n1 >= 0
-        # corpus index + two batch caches live inside the block
-        assert live_cache_count() == 3
+        assert live_cache_count() == 2
     assert live_cache_count() == 0
 
 
