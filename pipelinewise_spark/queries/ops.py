@@ -373,6 +373,9 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     GK merge keep their guarantees regardless of merge order), so the
     contract is vanilla-session-safe; tests/test_sketches_bounded.py
     additionally bounds observed error tightly."""
+    from pipelinewise_spark.operators.rank import (
+        exact_quantiles_interpolated,
+    )
     from pipelinewise_spark.operators.sketches import approx_stats
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -384,24 +387,35 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_cols=["l_orderkey", "l_partkey"],
         quantiles=qs,
     )
-    lo_qs = "array(" + ", ".join(str(max(q - slack, 0.0)) for q in qs) + ")"
-    hi_qs = "array(" + ", ".join(str(min(q + slack, 1.0)) for q in qs) + ")"
     exact = li.agg(
         F.count_distinct("l_orderkey").alias("l_orderkey_exact_distinct"),
         F.count_distinct("l_partkey").alias("l_partkey_exact_distinct"),
-        *[
-            F.expr(f"percentile({c}, {bound_qs})").alias(f"__{c}__{tag}")
-            for c in ("l_extendedprice", "l_quantity")
-            for tag, bound_qs in (("lo", lo_qs), ("hi", hi_qs))
-        ],
     )
+    # exact rank-slack bounds via the DISTRIBUTED interpolated quantiles
+    # (operators/rank.py) — a bare percentile() aggregate funnels every
+    # value through one final reducer, the exact single-task shape the
+    # rank machinery exists to avoid. One ranked materialization per
+    # column answers all 2×|qs| bound points; sorted-by-quantile
+    # positions: even index = q-slack (lo), odd = q+slack (hi).
+    bound_qs = sorted(
+        [max(q - slack, 0.0) for q in qs] + [min(q + slack, 1.0) for q in qs]
+    )
+    for c in ("l_extendedprice", "l_quantity"):
+        b = exact_quantiles_interpolated(li, c, [], bound_qs)
+        packed = b.agg(
+            F.array_sort(
+                F.collect_list(F.struct("quantile", "value"))
+            ).alias(f"__{c}__bounds")
+        )
+        exact = exact.crossJoin(F.broadcast(packed))
 
     def _q_ok(c: str):
+        arr = F.col(f"__{c}__bounds")
         checks = [
             (F.element_at(F.col(f"{c}__quantiles"), i + 1)
-             >= F.element_at(F.col(f"__{c}__lo"), i + 1))
+             >= F.element_at(arr, 2 * i + 1)["value"])
             & (F.element_at(F.col(f"{c}__quantiles"), i + 1)
-               <= F.element_at(F.col(f"__{c}__hi"), i + 1))
+               <= F.element_at(arr, 2 * i + 2)["value"])
             for i in range(len(qs))
         ]
         out = checks[0]
