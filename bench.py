@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "analyze_stats_orders",
     "lsh_index_lifecycle_documents",
     "ivf_index_lifecycle_embeddings",
+    "stream_ingest_dedup_index_documents",
     "embedding_ivf_topk",
     "approx_stats_lineitem",
     "multimodal_features_stub",

@@ -30,6 +30,7 @@ _SHOWCASE_ORDER = [
     "winsorize_order_totals", "robust_scale_order_totals",
     "export_roundtrip_orders", "analyze_stats_orders",
     "lsh_index_lifecycle_documents", "ivf_index_lifecycle_embeddings",
+    "stream_ingest_dedup_index_documents",
     # last driver rows are r3 REDS (the NTZ class, fixed since by
     # read_table normalization; hostile-conf-proven in
     # tests/test_vanilla_session.py) — re-shown so no red-latest remains
@@ -68,13 +69,13 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_excess_suppliers", "q22_global_sales_opportunity",
+    "q20_excess_suppliers",
     "profile_orders_columns", "anti_join_inactive_customers",
     "semi_join_parts_shipped",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # remaining r3-green rows — histogram, set ops, pivot/cube/median,
-    # retention, moving_avg — rotate in next round)
+    # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
+    # median, retention, moving_avg — rotate in next round)
 ]
 
 

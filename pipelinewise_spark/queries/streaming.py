@@ -646,3 +646,93 @@ def stream_curation_ingest_documents(
     return spark.read.schema(
         "doc_id long, lang string, n_words long, ts timestamp"
     ).parquet(out).select("doc_id", "lang", "n_words")
+
+
+def _stream_index_dedup_oracle() -> str:
+    """Banded-LSH pairs under the STREAMED ingest order: micro-batch 1
+    (doc_id % 10 = 5) probes the T0 index (% 10 NOT IN (0, 5)); the index
+    then absorbs batch 1, so micro-batch 2 (% 10 = 0) probes % 10 <> 0."""
+    from pipelinewise_spark.queries.llmdata import _minhash_oracle
+
+    base = _minhash_oracle(0.3)
+    return base.replace(
+        """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+        WHERE (b.doc_id % 10 = 5 AND a.doc_id % 10 NOT IN (0, 5))
+           OR (b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0)""",
+    )
+
+
+@register(
+    "stream_ingest_dedup_index_documents",
+    oracle=_stream_index_dedup_oracle(),
+)
+def stream_ingest_dedup_index_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingest dedup against the PERSISTED standing index — the
+    daemon loop every curation pipeline runs at ingest, as one structured
+    stream: each micro-batch (a) probes the standing MinHash-LSH index
+    for near-dups (functions/dedup.py:minhash_lsh_pairs_against_index —
+    batch × collision-rate cost, the corpus never self-pairs), emits the
+    flagged pairs, then (b) is ADMITTED into the index
+    (extend_lsh_index), so every later batch dedups against it. Two
+    checkpointed availableNow runs deliver two ordered micro-batches
+    (%10==5, then %10==0); the accumulated pairs must equal the DuckDB
+    banding oracle evaluated under exactly that ingest order — the
+    stream ≡ batch contract for a stateful-index daemon. (Index appends
+    are not retry-idempotent here; a production daemon stamps batchId
+    into fragment paths the way the CDC sink stamps epochs.)"""
+    import pipelinewise_spark.functions.dedup as D
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_sidx_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        idx = os.path.join(tmp, "idx")
+        D.build_lsh_index(
+            docs.filter((F.col("doc_id") % 10 != 0)
+                        & (F.col("doc_id") % 10 != 5)),
+            idx, "doc_id", "text",
+        )
+    out = os.path.join(tmp, "pairs")
+
+    def _probe_then_extend(batch: DataFrame, batch_id: int) -> None:
+        pairs = D.minhash_lsh_pairs_against_index(
+            batch.sparkSession, idx, batch, threshold=0.3
+        )
+        pairs.write.mode("append").parquet(out)
+        D.extend_lsh_index(batch, idx)
+
+    def _run(filter_expr) -> None:
+        # one delivery wave per run: write the wave's files, then drain
+        # with availableNow against the SAME checkpoint (file-source
+        # bookmark) so each run sees only its new files
+        docs.filter(filter_expr).repartition(4).write.mode("append").json(
+            src
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            src
+        )
+        q = (
+            stream.writeStream.foreachBatch(_probe_then_extend)
+            .option(
+                "checkpointLocation", os.path.join(tmp, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run(F.col("doc_id") % 10 == 5)
+    _run(F.col("doc_id") % 10 == 0)
+    return spark.read.schema(
+        "id_a long, id_b long, jaccard double"
+    ).parquet(out)
