@@ -341,6 +341,42 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_index(args: argparse.Namespace) -> int:
+    """Standing-LSH-index maintenance (functions/dedup.py): the ingest
+    daemon's operational verbs — build once, extend per admitted batch,
+    compact fragments, vacuum superseded dirs — exposed like
+    optimize/analyze so an operator can run index upkeep from cron."""
+    import pipelinewise_spark.functions.dedup as D
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.action in ("build", "extend"):
+        if not args.source:
+            print("index build/extend requires --source", file=sys.stderr)
+            return 2
+        df = spark.read.parquet(args.source)
+        if args.action == "build":
+            D.build_lsh_index(df, args.index, args.id_col, args.text_col)
+            out = {"action": "build", "index": args.index,
+                   "rows": df.count()}
+        else:
+            D.extend_lsh_index(df, args.index)
+            out = {"action": "extend", "index": args.index,
+                   "rows": df.count()}
+    elif args.action == "compact":
+        meta = D.compact_lsh_index(spark, args.index)
+        out = {"action": "compact", "index": args.index,
+               "compactions": meta["compactions"],
+               "shingles_dir": meta["shingles_dir"],
+               "bands_dir": meta["bands_dir"]}
+    else:  # vacuum
+        removed = D.vacuum_lsh_index(args.index)
+        out = {"action": "vacuum", "index": args.index, "removed": removed}
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_analyze(args: argparse.Namespace) -> int:
     """ANALYZE TABLE: one-pass table statistics (rows, per-column nulls /
     HLL NDV / min / max) persisted into the ManifestTable manifest —
@@ -584,6 +620,19 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--columns", default=None,
                      help="comma-separated projection (default: all)")
     exp.set_defaults(fn=_cmd_export)
+
+    idx = sub.add_parser(
+        "index",
+        help="standing-LSH-index maintenance (build/extend/compact/vacuum)",
+    )
+    idx.add_argument("action",
+                     choices=["build", "extend", "compact", "vacuum"])
+    idx.add_argument("index", help="index root path")
+    idx.add_argument("--source", default=None,
+                     help="parquet path of the corpus/batch (build/extend)")
+    idx.add_argument("--id-col", default="doc_id")
+    idx.add_argument("--text-col", default="text")
+    idx.set_defaults(fn=_cmd_index)
 
     ana = sub.add_parser(
         "analyze", help="persist one-pass table statistics (rows/nulls/NDV)"

@@ -283,3 +283,50 @@ def test_ivf_index_extend_assigns_to_existing_lists(spark, tmp_path):
     back = spark.read.parquet(os.path.join(path, "lists"))
     assert back.count() == 120
     assert back.select("vec_id").distinct().count() == 120
+
+
+def test_cli_index_verbs_roundtrip(spark, tmp_path, capsys):
+    """`index build/extend/compact/vacuum` drive the standing-index verbs
+    end-to-end from the CLI."""
+    import json
+
+    from pipelinewise_spark.__main__ import main as cli_main
+    from pipelinewise_spark.functions.dedup import (
+        minhash_lsh_pairs_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"common phrase repeated across documents {i % 2}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    src0, src1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    corpus.filter("doc_id < 4").write.parquet(src0)
+    corpus.filter("doc_id >= 4").write.parquet(src1)
+    idx = str(tmp_path / "idx")
+
+    assert cli_main(["index", "build", idx, "--source", src0]) == 0
+    assert cli_main(["index", "extend", idx, "--source", src1]) == 0
+    assert cli_main(["index", "compact", idx]) == 0
+    assert cli_main(["index", "vacuum", idx]) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert [o["action"] for o in lines] == [
+        "build", "extend", "compact", "vacuum"
+    ]
+    assert lines[2]["compactions"] == 1
+    assert set(lines[3]["removed"]) == {"shingles", "bands"}
+
+    probe = spark.createDataFrame(
+        [(99, "common phrase repeated across documents 0")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_against_index(spark, idx, probe).collect()
+    }
+    assert got, "compacted+vacuumed index must still answer probes"
+    assert cli_main(["index", "build", idx]) == 2  # --source required
