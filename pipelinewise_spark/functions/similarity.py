@@ -344,6 +344,12 @@ def ivf_assign(
                 ).alias("centroid")
             )
         )
+    # materialize the trained centroids once: they are num_centroids rows
+    # of driver-scale metadata, but their LAZY plan nests every Lloyd
+    # iteration — left unmaterialized, each consumer (assignment pass,
+    # query-probe ranking) re-executes the whole k-means
+    rows = centroids.collect()
+    centroids = df.sparkSession.createDataFrame(rows, centroids.schema)
     return _assign_to_centroids(v, centroids), centroids
 
 
@@ -356,13 +362,19 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy(v.columns[0]).orderBy(
-        F.col("__d").asc(), F.col("centroid_id").asc()
-    )
+    # nearest centroid via min(struct(d, id)) — lexicographic struct order
+    # gives the same (distance asc, centroid_id asc) tie-break as a ranked
+    # window, but as a partial-aggregatable groupBy: the per-vector
+    # candidate set collapses map-side instead of sort-shuffling
+    # num_centroids rows per vector every Lloyd iteration
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(v.columns[0], "centroid_id")
+        scored.groupBy(v.columns[0])
+        .agg(
+            F.min(
+                F.struct(F.col("__d"), F.col("centroid_id"))
+            ).alias("__best")
+        )
+        .select(v.columns[0], F.col("__best.centroid_id").alias("centroid_id"))
     )
 
 

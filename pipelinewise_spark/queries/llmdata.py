@@ -510,7 +510,14 @@ def _ann_contract(ann: DataFrame, exact: DataFrame, recall_bound: float) -> Data
     self-matches. FP centroid means / int8 rounding stay un-oracled; what
     the driver hashes is the exact twin's values and the published recall
     contract, which holds under any partitioning."""
-    ex_pairs = exact.select("query_id", "neighbor_id")
+    from pipelinewise_spark.caching import register_cache
+
+    # the exact twin feeds three branches (per-query sums, the hit join,
+    # the denominator) — persist it once; the session-wide release sweep
+    # frees it between driver queries
+    ex_pairs = register_cache(
+        exact.select("query_id", "neighbor_id").persist()
+    )
     per_q = ex_pairs.groupBy("query_id").agg(
         F.sum("neighbor_id").alias("exact_topk_id_sum")
     )
