@@ -43,6 +43,64 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    budget_frac_pct: int = 50,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5): instead of fixed
+    per-class rates (:func:`stratified_sample`), derive each stratum's
+    keep-rate from the data so the sampled mix follows
+    w_l ∝ count_l^α — the standard up-weighting of tail languages /
+    domains when assembling a training mixture (cf. multilingual LM
+    sampling). The overall budget is ``budget_frac_pct``% of the corpus;
+    stratum l receives budget·√c_l/Σ√c rows in expectation, i.e. keep
+    probability budget·√c_l/(Σ√c·c_l), capped at 1.
+
+    Determinism contract: the keep decision is the md5 hash (basis
+    points) compared via an EXACT cross-multiplication —
+    ``hash_bp·Σs·c_l < 10⁴·B·s_l`` with s_l = round(√c_l·10⁶) held as
+    integers and the products in DECIMAL(38,0)/int128 — so no floating
+    division or near-integer floor can flip a row between engines.
+
+    Scale shape: stratum counts are a Zipf-small aggregate broadcast
+    back onto one corpus scan; the filter itself is a pure projection —
+    no shuffle of the corpus, trivially resumable (same rows selected on
+    every run)."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__c"))
+    scaled = counts.withColumn(
+        "__s", F.round(F.sqrt(F.col("__c").cast("double")) * 1e6, 0)
+        .cast("long")
+    )
+    # budget = floor(N·pct/100): N·pct is an exact integer in double
+    # (< 2⁵³) and /100 is correctly rounded, so the floor argument is the
+    # identical double in every engine — FLOOR (not a double→int CAST,
+    # which truncates in Spark but rounds in DuckDB) keeps it portable
+    totals = scaled.agg(
+        F.sum("__s").alias("__ssum"),
+        F.floor(F.sum("__c") * F.lit(int(budget_frac_pct)) / F.lit(100.0))
+        .cast("long").alias("__budget"),
+    )
+    dec = "decimal(38,0)"
+    lhs = (
+        uniform_hash_bucket(F.col(key_col), 10000).cast(dec)
+        * F.col("__ssum").cast(dec)
+        * F.col("__c").cast(dec)
+    )
+    rhs = (
+        F.lit(10000).cast(dec)
+        * F.col("__budget").cast(dec)
+        * F.col("__s").cast(dec)
+    )
+    return (
+        df.join(F.broadcast(scaled), stratum_col)
+        .crossJoin(F.broadcast(totals))
+        .filter(lhs < rhs)
+        .select(*df.columns)
+    )
+
+
 def top_fraction_by(
     df: DataFrame,
     stratum_col: str,

@@ -302,6 +302,63 @@ def signlsh_near_dup_pairs_against(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the embedding space into buckets (here the deterministic sign-LSH
+    coarse clustering; the paper uses k-means), then flag a vector as a
+    semantic duplicate iff some SMALLER-id vector in the same bucket has
+    cosine ≥ ``threshold`` — keep-first greedy, so exactly one survivor
+    per duplicate group ordered by id, with no iterative connected
+    components. Returns (id, bucket, is_semantic_dup).
+
+    Scale shape: candidate pairs form ONLY within a bucket (the whole
+    point of SemDeDup — the clustering bounds the quadratic term to
+    Σ|bucket|², never corpus²); the pair join shuffles on the bucket key
+    and the flag folds back as one aggregated semi-join. Cosine is 6-dp
+    rounded so the ≥ comparison cannot flip between engines.
+    """
+    e = with_lsh_bucket(spread(df), vec_col, num_planes=num_planes)
+    a = e.select(
+        F.col(id_col), F.col(vec_col).alias("__av"), "bucket"
+    )
+    b = e.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col("bucket").alias("__b2"),
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("__b2"))
+            & (F.col("__bid") < F.col(id_col)),
+        )
+        .filter(
+            F.round(cosine(F.col("__av"), F.col("__bv")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col(id_col))
+        .distinct()
+        .withColumn("__isdup", F.lit(True))
+    )
+    return (
+        e.select(id_col, "bucket")
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            F.coalesce(F.col("__isdup"), F.lit(False)).alias(
+                "is_semantic_dup"
+            ),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,

@@ -2329,3 +2329,181 @@ def contamination_span_coverage_documents(
     return contamination_span_coverage(
         corpus, bench, "doc_id", "text", window=_SPAN_W, threshold=0.2
     )
+
+
+# ---------------------------------------------------- r7: curation additions
+_CE_SQL = f"""
+    t AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    v AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY token),
+    s AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS vs FROM v),
+    p AS (SELECT token, ln((c + 1.0) / (n + vs)) AS log_p FROM v, s),
+    h AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(ROUND(-avg(log_p), 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS cross_entropy
+        FROM t JOIN p USING (token) GROUP BY doc_id)
+"""
+
+_CUT_LO = 1.0 / 3.0
+_CUT_HI = 2.0 / 3.0
+
+
+@register(
+    "ccnet_perplexity_buckets_documents",
+    oracle=f"""
+    WITH {_CE_SQL},
+    j AS (
+        SELECT d.doc_id, d.lang, h.n_tokens, h.cross_entropy
+        FROM documents d JOIN h USING (doc_id)),
+    b AS (
+        SELECT lang,
+               CAST(CAST(ROUND(percentile_cont({_CUT_LO!r})
+                   WITHIN GROUP (ORDER BY cross_entropy), 6)
+                   AS DECIMAL(18,6)) AS DOUBLE) AS b_head,
+               CAST(CAST(ROUND(percentile_cont({_CUT_HI!r})
+                   WITHIN GROUP (ORDER BY cross_entropy), 6)
+                   AS DECIMAL(18,6)) AS DOUBLE) AS b_mid
+        FROM j GROUP BY lang)
+    SELECT j.doc_id, j.lang, j.n_tokens, j.cross_entropy,
+           CASE WHEN j.cross_entropy <= b.b_head THEN 'head'
+                WHEN j.cross_entropy <= b.b_mid THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM j JOIN b USING (lang)
+    """,
+)
+def ccnet_perplexity_buckets_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet perplexity banding (functions/lm.py:ccnet_perplexity_buckets):
+    per-language head/middle/tail split of the corpus at the 33rd/67th
+    cross-entropy percentiles — the band selection CCNet applies after
+    KenLM scoring (here the repo's unigram LM; the banding machinery is
+    order-agnostic). Bounds come from ONE distributed rank shared by all
+    languages and broadcast back; no per-language sort, no collect."""
+    from pipelinewise_spark.functions.lm import ccnet_perplexity_buckets
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return ccnet_perplexity_buckets(
+        d, "doc_id", "text", "lang", cuts=(_CUT_LO, _CUT_HI)
+    )
+
+
+@register(
+    "dsir_weights_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents),
+    f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS fb
+        FROM t),
+    sc AS (SELECT fb, CAST(count(*) AS DOUBLE) AS cs FROM f GROUP BY fb),
+    tc AS (SELECT fb, CAST(count(*) AS DOUBLE) AS ct
+           FROM f WHERE lang = 'en' GROUP BY fb),
+    m AS (
+        SELECT sc.fb, sc.cs, coalesce(tc.ct, 0.0) AS ct
+        FROM sc LEFT JOIN tc USING (fb)),
+    tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM m),
+    r AS (
+        SELECT fb,
+               ln((ct + 1.0) / (nt + 64.0)) - ln((cs + 1.0) / (ns + 64.0))
+                   AS lr
+        FROM m, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(sum(lr), 6) AS DECIMAL(18,6)) AS DOUBLE)
+               AS log_weight
+    FROM f JOIN r USING (fb)
+    GROUP BY doc_id
+    """,
+)
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/lm.py:dsir_log_weights): hashed
+    unigram bucket distributions for target (lang='en') vs the raw corpus;
+    per-document log importance weight Σ ln(p_t/p_s) — the importance-
+    resampling signal for steering a 100 TB crawl toward a target domain.
+    The 64-row feature table broadcasts; corpus pays token explodes only."""
+    from pipelinewise_spark.functions.lm import dsir_log_weights
+    from pipelinewise_spark.partitioning import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return dsir_log_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text", num_buckets=64
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    planes = S.hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dotp = f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dotp} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    bucket = "\n           + ".join(terms)
+    cos = (
+        f"round({_DOT.format(a='a.ev', b='b.ev')} / "
+        f"(sqrt({_DOT.format(a='a.ev', b='a.ev')}) * "
+        f"sqrt({_DOT.format(a='b.ev', b='b.ev')})), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      CAST({bucket} AS BIGINT) AS bucket
+               FROM embeddings),
+    dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        WHERE {cos} >= {threshold})
+    SELECT e.vec_id, e.bucket,
+           dup.vec_id IS NOT NULL AS is_semantic_dup
+    FROM e LEFT JOIN dup USING (vec_id)
+    """
+
+
+@register("semantic_dedup_embeddings", oracle=_semantic_dedup_oracle())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (functions/similarity.py:
+    semantic_dedup): coarse-cluster the embedding space (sign-LSH), flag
+    any vector with a smaller-id same-bucket neighbor at cosine >= 0.4 —
+    keep-first greedy, one survivor per duplicate group, no iteration.
+    Candidates form only within buckets (never corpus x corpus)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "temperature_sample_documents",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    s AS (
+        SELECT lang, cnt,
+               CAST(round(sqrt(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS sm
+        FROM c),
+    t AS (
+        SELECT CAST(sum(sm) AS HUGEINT) AS ssum,
+               CAST(floor(CAST(sum(cnt) AS DOUBLE) * 50 / 100.0) AS HUGEINT)
+                   AS budget
+        FROM s)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN s USING (lang) CROSS JOIN t
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000)::HUGEINT * t.ssum * CAST(s.cnt AS HUGEINT)
+          < 10000::HUGEINT * t.budget * CAST(s.sm AS HUGEINT)
+    """,
+)
+def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (functions/curation.py:
+    temperature_sample, alpha=0.5, 50% budget): per-language keep-rates
+    derived from corpus counts as budget*sqrt(c_l)/(Sum sqrt(c)*c_l) — the
+    tail-language up-weighting used when assembling multilingual training
+    mixes, decided by exact integer cross-multiplication on the md5 hash
+    so the identical row set is selected on every run and every engine."""
+    from pipelinewise_spark.functions.curation import temperature_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    out = temperature_sample(d, key_col="doc_id", stratum_col="lang")
+    return out.select("doc_id", "lang")
