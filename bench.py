@@ -168,6 +168,12 @@ BENCH_QUERIES = [
     "approx_stats_lineitem",
     "multimodal_features_stub",
     "multimodal_frame_sample",
+    "ccnet_perplexity_buckets_documents",
+    "dsir_weights_documents",
+    "semantic_dedup_embeddings",
+    "temperature_sample_documents",
+    "mv_rewrite_orders",
+    "dv_delete_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -306,7 +306,11 @@ class ManifestTable:
         return self._read_entries(spark, entries, m)
 
     def _read_entries(
-        self, spark: SparkSession, entries: list[dict[str, Any]], m: dict[str, Any]
+        self,
+        spark: SparkSession,
+        entries: list[dict[str, Any]],
+        m: dict[str, Any],
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Read a set of manifest entries with schema fidelity.
 
@@ -315,7 +319,14 @@ class ManifestTable:
         schema fidelity. Read them as strings and cast back to the types
         recorded at write time. Discovery happens eagerly inside
         reader.parquet(), so the conf toggle is scoped to this call.
+
+        Entries carrying deletion vectors (``delete_where``) get their
+        dead positions anti-joined out; ``keep_pos`` keeps the
+        (``__dv_path``, ``__dv_pos``) row-identity columns on the result
+        (the delete path needs them to mint new vectors).
         """
+        dv_files = sorted({p for e in entries for p in e.get("dv", [])})
+        with_pos = keep_pos or bool(dv_files)
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         try:
             old_infer = spark.conf.get(conf_key)
@@ -335,6 +346,13 @@ class ManifestTable:
                     "basePath", self.mfs.uri(e["base"])
                 ).parquet(self.mfs.uri(e["path"]))
                 out = one.limit(0)
+                if keep_pos:
+                    out = out.withColumns(
+                        {
+                            "__dv_path": F.lit(None).cast("string"),
+                            "__dv_pos": F.lit(None).cast("long"),
+                        }
+                    )
             else:
                 # group by write dir so hive partition cols reconstruct per base
                 by_base: dict[str, list[str]] = {}
@@ -347,7 +365,26 @@ class ManifestTable:
                     reader = spark.read.option(
                         "basePath", self.mfs.uri(base)
                     )
-                    dfs.append(reader.parquet(*sorted(files)))
+                    d = reader.parquet(*sorted(files))
+                    if with_pos:
+                        # row identity = (file, position-in-file): stable
+                        # across reads because parquet row order is fixed —
+                        # the same identity Delta DVs / Iceberg position
+                        # deletes use. Must be projected at the SCAN (the
+                        # hidden _metadata struct doesn't survive a union).
+                        # The path is stored ROOT-RELATIVE (the manifest's
+                        # own entry form) so vectors survive clone_to and
+                        # any respelling of the root URI.
+                        d = d.withColumns(
+                            {
+                                "__dv_path": F.regexp_extract(
+                                    F.col("_metadata.file_path"),
+                                    r"^.*/(data/.*)$", 1,
+                                ),
+                                "__dv_pos": F.col("_metadata.row_index"),
+                            }
+                        )
+                    dfs.append(d)
                 out = dfs[0]
                 for d in dfs[1:]:
                     out = out.unionByName(d, allowMissingColumns=True)
@@ -356,6 +393,22 @@ class ManifestTable:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, old_infer)
+        if dv_files:
+            dv = spark.read.parquet(*[self.mfs.uri(p) for p in dv_files])
+            # deletes are tiny relative to the table (the whole point of
+            # DVs); broadcast turns the anti-join into a map-side filter —
+            # the corpus never shuffles. Past the hint threshold Spark
+            # falls back to a shuffled anti-join on its own.
+            if sum(e.get("dv_rows", 0) for e in entries) <= 5_000_000:
+                dv = F.broadcast(dv)
+            out = out.join(
+                dv,
+                (F.col("__dv_path") == dv["file_path"])
+                & (F.col("__dv_pos") == dv["row_index"]),
+                "left_anti",
+            )
+        if with_pos and not keep_pos:
+            out = out.drop("__dv_path", "__dv_pos")
         for c, dt in m.get("partition_types", {}).items():
             if c in out.columns and dt != "string":
                 out = out.withColumn(c, F.col(c).cast(dt))
@@ -430,6 +483,70 @@ class ManifestTable:
                 "files": kept + new_entries,
             }
         )
+
+    # --------------------------------------------------- deletion vectors
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Row-level DELETE WHERE without rewriting ANY data file — the
+        Delta deletion-vector / Iceberg position-delete mechanism: matching
+        rows' (file, position) identities are written as a parquet sidecar
+        under ``dv/``, affected manifest entries reference it, and every
+        read anti-joins the dead positions out (broadcast ⇒ a map-side
+        filter). At 100 TB this turns a GDPR-grade delete of 0.001 % of
+        rows from a full-table rewrite into an answer-sized sidecar write.
+
+        Deletes COMPOSE: a second ``delete_where`` only lists rows still
+        live (the position scan reads through existing vectors), so
+        vectors never double-count. ``compact`` and ``merge`` materialize
+        vectors for every partition they rewrite (their reads apply DVs,
+        their outputs are fresh files); ``vacuum`` drops vectors no
+        retained manifest references. Returns the number of rows deleted.
+
+        Reference behavior modeled: hard-delete semantics
+        (target_snowflake/db_sync.py DELETE path) at fact-table scale.
+        """
+        m = self._load_manifest()
+        if not m["files"]:
+            return 0
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        live = self._read_entries(spark, m["files"], m, keep_pos=True)
+        dels = live.filter(condition).select(
+            F.col("__dv_path").alias("file_path"),
+            F.col("__dv_pos").alias("row_index"),
+        )
+        dv_rel = posixpath.join("dv", uuid.uuid4().hex[:12])
+        dels.write.mode("overwrite").parquet(self.mfs.uri(dv_rel))
+        counts = {
+            r["file_path"]: r["cnt"]
+            for r in dels.groupBy("file_path")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        if not counts:
+            # nothing matched: no publish, orphan dv dir is vacuum's to take
+            return 0
+        dv_files = [
+            f for f in self.mfs.walk_files(dv_rel) if f.endswith(".parquet")
+        ]
+        # vector paths are root-relative — exactly the manifest entry form
+        new_files = []
+        for e in m["files"]:
+            cnt = counts.get(e["path"], 0)
+            if cnt:
+                e = dict(
+                    e,
+                    dv=list(e.get("dv", [])) + dv_files,
+                    dv_rows=e.get("dv_rows", 0) + cnt,
+                )
+            new_files.append(e)
+        self._publish(
+            {
+                "partition_by": m["partition_by"],
+                "partition_types": m.get("partition_types", {}),
+                "files": new_files,
+            }
+        )
+        return int(sum(counts.values()))
 
     # -------------------------------------------------- partition evolution
     def set_partition_spec(
@@ -637,6 +754,10 @@ class ManifestTable:
         dest.mfs.mkdirs()
         for e in m["files"]:
             self.mfs.copy_file(e["path"], dest.mfs, e["path"])
+        # deletion-vector sidecars travel with the snapshot (shared across
+        # entries — copy each once)
+        for dv in sorted({p for e in m["files"] for p in e.get("dv", [])}):
+            self.mfs.copy_file(dv, dest.mfs, dv)
         dest._publish(
             {k: v for k, v in m.items()}
         )
@@ -652,12 +773,23 @@ class ManifestTable:
         if live_name:
             keep.add(int(live_name.split("-")[1].split(".")[0]))
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in keep:
             for e in self._load_manifest(v)["files"]:
                 referenced.add(posixpath.normpath(e["path"]))
+                referenced_dv.update(
+                    posixpath.normpath(p) for p in e.get("dv", [])
+                )
         for rel in self.mfs.walk_files("data"):
             if rel.endswith(".parquet") and posixpath.normpath(rel) not in referenced:
                 self.mfs.delete(rel)
+        if self.mfs.exists("dv"):
+            for rel in self.mfs.walk_files("dv"):
+                if (
+                    rel.endswith(".parquet")
+                    and posixpath.normpath(rel) not in referenced_dv
+                ):
+                    self.mfs.delete(rel)
         for v in versions:
             if v not in keep:
                 self.mfs.delete(f"manifest-{v:08d}.json")

@@ -1629,3 +1629,109 @@ def analyze_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.02) * F.col("status_exact_ndv")
         ).alias("status_ndv_within_2pct"),
     )
+
+
+@register(
+    "mv_rewrite_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CAST(ROUND(SUM(o_totalprice), 6) AS DECIMAL(18,6))
+               AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS orders,
+           CAST(CAST(ROUND(SUM(o_totalprice), 6) AS DECIMAL(18,6))
+               AS DOUBLE) / count(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def mv_rewrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation (operators/mv_router.py:RollupCatalog): two
+    rollups of orders are materialized — (priority, status) fine grain
+    and (priority) coarse — and a revenue-by-priority query is ROUTED to
+    the coarse one (fewest dims ⇒ smallest scan); the result must equal
+    aggregating the 100x-larger base, which is exactly what the oracle
+    computes. The assert pins the routing decision itself; the plan-shape
+    test (tests/test_mv_router.py) pins that the chosen rollup's files —
+    not the base table — are what the plan scans."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.operators.mv_router import Measure, RollupCatalog
+
+    cat = RollupCatalog(lambda s: read_table(s, sf_dir, "orders"))
+    cat.add_measure(Measure("revenue", "sum", "o_totalprice"))
+    cat.add_measure(Measure("orders", "count"))
+    cat.add_measure(
+        Measure("avg_price", "avg",
+                sum_measure="revenue", count_measure="orders")
+    )
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_mvr_")
+
+        def writer(name):
+            def w(frame):
+                path = os.path.join(tmp, name)
+                frame.write.mode("overwrite").parquet(path)
+                return lambda s: s.read.parquet(path)
+            return w
+
+        cat.materialize_rollup(
+            spark, "by_pri_status",
+            ("o_orderpriority", "o_orderstatus"),
+            ["revenue", "orders"], writer("ps"),
+        )
+        cat.materialize_rollup(
+            spark, "by_pri", ("o_orderpriority",),
+            ["revenue", "orders"], writer("p"),
+        )
+
+    chosen = cat.route(["o_orderpriority"], ["revenue", "orders"])
+    assert chosen is not None and chosen.name == "by_pri", chosen
+    out = cat.query(spark, ["o_orderpriority"], ["revenue", "orders"])
+    rev = F.round(F.col("revenue"), 6).cast("decimal(18,6)").cast("double")
+    return out.select(
+        "o_orderpriority",
+        rev.alias("revenue"),
+        F.col("orders").cast("bigint").alias("orders"),
+        (rev / F.col("orders")).alias("avg_price"),
+    )
+
+
+@register(
+    "dv_delete_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE NOT coalesce(o_orderstatus = 'F' AND o_orderkey % 5 = 0, FALSE)
+    """,
+)
+def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (operators/manifest_table.py:delete_where):
+    a row-level delete against a partitioned fact table that rewrites ZERO
+    data files — dead (file, position) pairs go to a parquet sidecar and
+    reads anti-join them out map-side (vector broadcasts). The in-query
+    assert pins the no-rewrite contract: the manifest's data-file set is
+    byte-identical before and after the delete. Lifecycle (composition,
+    merge/compact materialization, vacuum, clone) in
+    tests/test_deletion_vectors.py."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_dv_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+    before = sorted(e["path"] for e in t._load_manifest()["files"])
+    n = t.delete_where(
+        spark, "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    )
+    after = sorted(e["path"] for e in t._load_manifest()["files"])
+    assert after == before, "DV delete must not rewrite data files"
+    assert n > 0
+    return t.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

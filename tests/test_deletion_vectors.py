@@ -1,0 +1,120 @@
+"""Deletion vectors (ManifestTable.delete_where): row-level DELETE with
+ZERO data-file rewrites — position sidecars + read-side anti-join — and
+their lifecycle: composition, time travel, merge/compact
+materialization, vacuum retention, clone portability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+
+def _mk(spark, tmp_path, partitioned=True):
+    rows = [(i, i % 4, "s%d" % (i % 3), float(i)) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "id long, pt int, status string, value double"
+    )
+    t = ManifestTable(str(tmp_path / "t"), ["pt"] if partitioned else [])
+    t.overwrite(df)
+    return t, {r[0]: r for r in rows}
+
+
+def _paths(t):
+    return sorted(e["path"] for e in t._load_manifest()["files"])
+
+
+def test_delete_where_rewrites_nothing(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    before = _paths(t)
+    n = t.delete_where(spark, "status = 's0' AND id % 2 = 0")
+    expect_dead = {i for i in rows if i % 3 == 0 and i % 2 == 0}
+    assert n == len(expect_dead) > 0
+    assert _paths(t) == before  # no data file added, dropped, or rewritten
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(rows) - expect_dead
+
+
+def test_deletes_compose_without_double_count(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    n1 = t.delete_where(spark, "id < 100")
+    # overlapping predicate: rows already dead must not be re-listed
+    n2 = t.delete_where(spark, "id < 200")
+    assert n1 == 100 and n2 == 100
+    assert {r.id for r in t.read(spark).collect()} == set(range(200, 400))
+    m = t._load_manifest()
+    assert sum(e.get("dv_rows", 0) for e in m["files"]) == 200
+
+
+def test_time_travel_predates_delete(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    v0 = t.versions()[-1]
+    t.delete_where(spark, "id >= 300")
+    assert t.read(spark).count() == 300
+    assert t.read(spark, version=v0).count() == 400
+
+
+def test_merge_materializes_touched_partition_dvs(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    t.delete_where(spark, "id % 10 = 0")  # hits every partition
+    batch = spark.createDataFrame(
+        [(1, 1, "sX", -1.0)], "id long, pt int, status string, value double"
+    )
+    t.merge(spark, batch, ["id"])
+    m = t._load_manifest()
+    touched = [e for e in m["files"] if e["partition"].get("pt") == "1"]
+    untouched = [e for e in m["files"] if e["partition"].get("pt") != "1"]
+    assert touched and all("dv" not in e for e in touched)
+    assert any("dv" in e for e in untouched)
+    out = {r.id: r for r in t.read(spark).collect()}
+    assert set(out) == {i for i in rows if i % 10 != 0} | {1}
+    assert out[1].status == "sX"
+    # dead rows of the rewritten partition stayed dead through the rewrite
+    assert {i for i in out if i % 4 == 1} == {
+        i for i in rows if i % 4 == 1 and i % 10 != 0
+    } | {1}
+
+
+def test_compact_materializes_and_read_survives(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    t.delete_where(spark, "id < 40")
+    assert t.compact(spark, min_files=1) > 0
+    m = t._load_manifest()
+    assert all("dv" not in e for e in m["files"])
+    assert {r.id for r in t.read(spark).collect()} == set(range(40, 400))
+
+
+def test_vacuum_keeps_referenced_dv_drops_orphans(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    t.delete_where(spark, "id = 7")
+    # an all-miss delete leaves an orphan dv dir and publishes nothing
+    assert t.delete_where(spark, "id = -1") == 0
+    t.vacuum(keep_manifests=1)
+    live_dv = {
+        p for e in t._load_manifest()["files"] for p in e.get("dv", [])
+    }
+    on_disk = {
+        p for p in t.mfs.walk_files("dv") if p.endswith(".parquet")
+    }
+    assert live_dv  # the real delete's vector survived
+    assert on_disk == live_dv  # the orphan's files are gone
+    assert t.read(spark).count() == 399
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    t.delete_where(spark, "id % 7 = 0")
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert {r.id for r in c.read(spark).collect()} == {
+        i for i in rows if i % 7 != 0
+    }
+    # fully independent: vacuuming the source never breaks the clone
+    t.vacuum(keep_manifests=1)
+    assert c.read(spark).count() == sum(1 for i in rows if i % 7 != 0)
+
+
+def test_unpartitioned_table_delete(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path, partitioned=False)
+    n = t.delete_where(spark, F.col("value") >= 350.0)
+    assert n == 50
+    assert t.read(spark).count() == 350
