@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "temperature_sample_documents",
     "mv_rewrite_orders",
     "dv_delete_orders",
+    "merge_on_read_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -510,7 +510,25 @@ class ManifestTable:
         if isinstance(condition, str):
             condition = F.expr(condition)
         live = self._read_entries(spark, m["files"], m, keep_pos=True)
-        dels = live.filter(condition).select(
+        dv_files, counts = self._write_dv(live.filter(condition))
+        if not counts:
+            # nothing matched: no publish, orphan dv dir is vacuum's to take
+            return 0
+        self._publish(
+            {
+                "partition_by": m["partition_by"],
+                "partition_types": m.get("partition_types", {}),
+                "files": self._attach_dv(m["files"], dv_files, counts),
+            }
+        )
+        return int(sum(counts.values()))
+
+    def _write_dv(self, dead: DataFrame) -> tuple[list[str], dict[str, int]]:
+        """Persist a position-delete sidecar for rows carrying the
+        (``__dv_path``, ``__dv_pos``) identity columns; returns the
+        sidecar's parquet files + per-data-file dead-row counts
+        (files-scale metadata)."""
+        dels = dead.select(
             F.col("__dv_path").alias("file_path"),
             F.col("__dv_pos").alias("row_index"),
         )
@@ -522,15 +540,21 @@ class ManifestTable:
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
-        if not counts:
-            # nothing matched: no publish, orphan dv dir is vacuum's to take
-            return 0
         dv_files = [
             f for f in self.mfs.walk_files(dv_rel) if f.endswith(".parquet")
         ]
-        # vector paths are root-relative — exactly the manifest entry form
-        new_files = []
-        for e in m["files"]:
+        return dv_files, counts
+
+    @staticmethod
+    def _attach_dv(
+        entries: list[dict[str, Any]],
+        dv_files: list[str],
+        counts: dict[str, int],
+    ) -> list[dict[str, Any]]:
+        """Entries with the new vector referenced by every file it hits —
+        vector paths are root-relative, exactly the manifest entry form."""
+        out = []
+        for e in entries:
             cnt = counts.get(e["path"], 0)
             if cnt:
                 e = dict(
@@ -538,15 +562,78 @@ class ManifestTable:
                     dv=list(e.get("dv", [])) + dv_files,
                     dv_rows=e.get("dv_rows", 0) + cnt,
                 )
-            new_files.append(e)
+            out.append(e)
+        return out
+
+    def merge_on_read(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        primary_keys: Sequence[str],
+        deletes: DataFrame | None = None,
+    ) -> dict[str, int]:
+        """Iceberg-v2-style MERGE-ON-READ upsert: rows the batch
+        supersedes (and any explicit ``deletes`` PK rows) are deletion-
+        vectored in place; the batch itself lands as NEW data files.
+        Write cost is O(batch) + an answer-sized sidecar — no partition
+        is rewritten, which beats the copy-on-write ``merge`` whenever a
+        batch's keys spread across many partitions (the usual shape of a
+        CDC trickle into a 100 TB fact table). The read-side price is the
+        DV anti-join + more, smaller files — ``compact`` is the lever
+        that converts read debt back into clean files.
+
+        Candidate files for the superseded-row scan are pruned by PK
+        footer stats (one tiny batch aggregate) before any data is read.
+        In-batch PK duplicates are the caller's contract, same as
+        ``merge`` (operators/dedupe.py is the in-batch last-wins step).
+        """
+        m = self._load_manifest()
+        pk = list(primary_keys)
+        key_frames = [batch.select(*pk)]
+        if deletes is not None:
+            key_frames.append(deletes.select(*pk))
+        keys = key_frames[0]
+        for extra in key_frames[1:]:
+            keys = keys.unionByName(extra)
+        keys = keys.distinct()
+
+        entries = m["files"]
+        if entries and len(pk) == 1:
+            # stats-prune the scan to files whose [min,max] can hold a
+            # batch key — answer-sized agg, manifest-side file skipping
+            b = keys.agg(
+                F.min(pk[0]).alias("lo"), F.max(pk[0]).alias("hi")
+            ).first()
+            if isinstance(b["lo"], (int, float, str)):
+                entries, _ = self.select_entries(
+                    ranges={pk[0]: (b["lo"], b["hi"])}
+                )
+        superseded = 0
+        dv_files: list[str] = []
+        counts: dict[str, int] = {}
+        if entries:
+            live = self._read_entries(spark, entries, m, keep_pos=True)
+            hits = live.join(F.broadcast(keys), pk, "left_semi")
+            dv_files, counts = self._write_dv(hits)
+            superseded = int(sum(counts.values()))
+
+        partition_by = m["partition_by"]
+        batch_str = batch
+        for c in partition_by:
+            batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
+        new_entries = self._write_files(batch_str, partition_by)
         self._publish(
             {
-                "partition_by": m["partition_by"],
+                "partition_by": partition_by,
                 "partition_types": m.get("partition_types", {}),
-                "files": new_files,
+                "files": self._attach_dv(m["files"], dv_files, counts)
+                + new_entries,
             }
         )
-        return int(sum(counts.values()))
+        return {
+            "superseded_rows": superseded,
+            "appended_files": len(new_entries),
+        }
 
     # -------------------------------------------------- partition evolution
     def set_partition_spec(

@@ -1735,3 +1735,49 @@ def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+@register(
+    "merge_on_read_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE NOT coalesce(o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0, FALSE)
+    """,
+)
+def merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 MERGE-ON-READ (operators/manifest_table.py:
+    merge_on_read): an update batch (every 7th order, repriced) and a
+    delete set (every 11th, unless updated) land as an appended batch
+    file + a position-delete sidecar — the in-query assert pins that NO
+    pre-existing data file was rewritten or dropped, the exact opposite
+    cost model of the copy-on-write merge (bucketed_merge_orders /
+    incremental_sync_orders family). The oracle is plain MERGE semantics
+    over the base table."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_mor_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+    before = sorted(e["path"] for e in t._load_manifest()["files"])
+    batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    dels = orders.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+    )
+    stats = t.merge_on_read(spark, batch, ["o_orderkey"], deletes=dels)
+    assert stats["superseded_rows"] > 0 and stats["appended_files"] > 0
+    after = set(e["path"] for e in t._load_manifest()["files"])
+    assert set(before) <= after, "MOR must not rewrite pre-existing files"
+    return t.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

@@ -118,3 +118,47 @@ def test_unpartitioned_table_delete(spark, tmp_path):
     n = t.delete_where(spark, F.col("value") >= 350.0)
     assert n == 50
     assert t.read(spark).count() == 350
+
+
+# ------------------------------------------------- merge-on-read
+
+
+def test_merge_on_read_upsert_no_partition_rewrite(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    before = _paths(t)
+    batch = spark.createDataFrame(
+        [(8, 0, "up", 888.0), (9001, 1, "new", 1.0)],
+        "id long, pt int, status string, value double",
+    )
+    stats = t.merge_on_read(spark, batch, ["id"])
+    assert stats["superseded_rows"] == 1  # id=8 existed; 9001 is new
+    assert stats["appended_files"] >= 1
+    after = _paths(t)
+    # every pre-existing data file is still referenced untouched
+    assert set(before) <= set(after)
+    out = {r.id: r for r in t.read(spark).collect()}
+    assert len(out) == 401
+    assert out[8].status == "up" and out[8].value == 888.0
+    assert out[9001].status == "new"
+
+
+def test_merge_on_read_with_deletes_and_chaining(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    schema = "id long, pt int, status string, value double"
+    b1 = spark.createDataFrame([(10, 2, "v1", 0.0)], schema)
+    t.merge_on_read(spark, b1, ["id"])
+    # second MOR supersedes the FIRST batch's row (DV on a batch file)
+    b2 = spark.createDataFrame([(10, 2, "v2", 0.0)], schema)
+    dels = spark.createDataFrame([(11, 3, "x", 0.0)], schema)
+    stats = t.merge_on_read(spark, b2, ["id"], deletes=dels)
+    assert stats["superseded_rows"] == 2  # b1's id=10 + the deleted id=11
+    out = {r.id: r for r in t.read(spark).collect()}
+    assert out[10].status == "v2"
+    assert 11 not in out
+    assert len(out) == 399
+    # compaction converts read debt back into clean files
+    t.compact(spark, min_files=1)
+    m = t._load_manifest()
+    assert all("dv" not in e for e in m["files"])
+    out2 = {r.id: r.status for r in t.read(spark).collect()}
+    assert out2[10] == "v2" and 11 not in out2 and len(out2) == 399

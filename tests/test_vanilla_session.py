@@ -65,6 +65,19 @@ SENSITIVE = [
     # prefix re-shows them to the driver
     "funnel_click_purchase",
     "session_window_events",
+    # round 7 new operators: DV/MOR round-trip o_orderdate timestamps
+    # through parquet partitions + anti-join under a hostile tz and a
+    # 10 MB broadcast threshold; ccnet rides the rank machinery
+    # (partition-count-sensitive); temperature's cross-multiplied
+    # decimals and dsir/semantic joins must survive 200 shuffle
+    # partitions + broadcast-threshold changes
+    "dv_delete_orders",
+    "merge_on_read_orders",
+    "mv_rewrite_orders",
+    "ccnet_perplexity_buckets_documents",
+    "dsir_weights_documents",
+    "semantic_dedup_embeddings",
+    "temperature_sample_documents",
 ]
 
 
