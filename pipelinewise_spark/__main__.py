@@ -397,6 +397,25 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_delete(args: argparse.Namespace) -> int:
+    """DELETE WHERE via deletion vectors: no data file is rewritten —
+    dead positions land in a sidecar, reads anti-join them out. Pair
+    with `optimize` (compact) to materialize vectors periodically."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-delete")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    n = t.delete_where(spark, args.where)
+    print(json.dumps({
+        "table": args.table,
+        "deleted_rows": n,
+        "version": t.current_manifest_name(),
+    }))
+    return 0
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -641,6 +660,15 @@ def main(argv: list[str] | None = None) -> int:
     ana.add_argument("--columns", default=None,
                      help="comma-separated subset (default: all)")
     ana.set_defaults(fn=_cmd_analyze)
+
+    dele = sub.add_parser(
+        "delete",
+        help="row-level DELETE WHERE via deletion vectors (no rewrites)",
+    )
+    dele.add_argument("table", help="ManifestTable root path")
+    dele.add_argument("--where", required=True,
+                      help="SQL predicate selecting rows to delete")
+    dele.set_defaults(fn=_cmd_delete)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"
