@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "mv_rewrite_orders",
     "dv_delete_orders",
     "merge_on_read_orders",
+    "cdc_stream_mor_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -571,6 +571,8 @@ class ManifestTable:
         batch: DataFrame,
         primary_keys: Sequence[str],
         deletes: DataFrame | None = None,
+        guard_col: str | None = None,
+        hard_delete: bool = False,
     ) -> dict[str, int]:
         """Iceberg-v2-style MERGE-ON-READ upsert: rows the batch
         supersedes (and any explicit ``deletes`` PK rows) are deletion-
@@ -586,7 +588,21 @@ class ManifestTable:
         footer stats (one tiny batch aggregate) before any data is read.
         In-batch PK duplicates are the caller's contract, same as
         ``merge`` (operators/dedupe.py is the in-batch last-wins step).
+
+        ``guard_col`` applies the same cross-batch staleness rule as
+        ``merge_upsert``: a matched batch row wins only when its version
+        is >= the live row's (live version NULL always loses); losing
+        batch rows are neither appended nor do they supersede anything —
+        replay/reorder across micro-batches is idempotent. ``hard_delete``
+        drops tombstoned batch rows (``_sdc_deleted_at`` set) from the
+        append, so a winning tombstone deletes by pure position-vector.
+
+        MOR appends batch rows VERBATIM — it requires full-row upserts
+        (the CDC payload shape). A batch that SETs only a column subset
+        needs the copy-on-write ``merge`` (which keeps target values for
+        unset columns).
         """
+        from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
         m = self._load_manifest()
         pk = list(primary_keys)
         key_frames = [batch.select(*pk)]
@@ -611,14 +627,43 @@ class ManifestTable:
         superseded = 0
         dv_files: list[str] = []
         counts: dict[str, int] = {}
+        appended = batch
         if entries:
             live = self._read_entries(spark, entries, m, keep_pos=True)
-            hits = live.join(F.broadcast(keys), pk, "left_semi")
-            dv_files, counts = self._write_dv(hits)
+            if guard_col is not None and guard_col in batch.columns \
+                    and guard_col in live.columns:
+                bk = batch.select(
+                    *pk, F.col(guard_col).alias("__b_guard")
+                ).distinct()
+                matched = live.join(F.broadcast(bk), pk, "inner")
+                win = F.coalesce(
+                    F.col(guard_col).isNull()
+                    | (F.col("__b_guard") >= F.col(guard_col)),
+                    F.lit(False),
+                )
+                dead = matched.filter(win)
+                losers = matched.filter(~win).select(*pk).distinct()
+                appended = batch.join(F.broadcast(losers), pk, "left_anti")
+            else:
+                dead = live.join(
+                    F.broadcast(batch.select(*pk).distinct()), pk,
+                    "left_semi",
+                )
+            dead = dead.select("__dv_path", "__dv_pos")
+            if deletes is not None:
+                dead = dead.unionByName(
+                    live.join(
+                        F.broadcast(deletes.select(*pk).distinct()), pk,
+                        "left_semi",
+                    ).select("__dv_path", "__dv_pos")
+                ).distinct()
+            dv_files, counts = self._write_dv(dead)
             superseded = int(sum(counts.values()))
+        if hard_delete and SDC_DELETED_AT in appended.columns:
+            appended = appended.filter(F.col(SDC_DELETED_AT).isNull())
 
         partition_by = m["partition_by"]
-        batch_str = batch
+        batch_str = appended
         for c in partition_by:
             batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
         new_entries = self._write_files(batch_str, partition_by)

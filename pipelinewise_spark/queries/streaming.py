@@ -736,3 +736,68 @@ def stream_ingest_dedup_index_documents(
     return spark.read.schema(
         "id_a long, id_b long, jaccard double"
     ).parquet(out)
+
+
+@register(
+    "cdc_stream_mor_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN o_totalprice + 1000.0 ELSE o_totalprice END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority,
+           TIMESTAMP '{T1}' AS _sdc_extracted_at,
+           TIMESTAMP '{T1}' AS _sdc_batched_at
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def cdc_stream_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG_BASED replication with the MERGE-ON-READ apply strategy
+    (streaming/cdc.py merge_strategy option -> manifest_table.py:
+    merge_on_read): the same change stream as cdc_stream_apply_orders
+    consumed over MULTIPLE micro-batches against a partitioned
+    ManifestTable — each batch appends its rows as new files and
+    deletion-vectors what it supersedes (T0 files are never rewritten;
+    the in-query assert pins that), with hard deletes landing as pure
+    position-vectors. The oracle is plain MERGE + hard-delete semantics
+    over the base table."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_mor_cdc_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+
+        spec = StreamSpec(
+            tap_stream_id="orders", primary_keys=["o_orderkey"],
+            hard_delete=True,
+            options={"merge_strategy": "merge_on_read"},
+        )
+        table = ManifestTable(
+            os.path.join(tmp, "orders"), ["o_orderpriority"]
+        )
+        orders = read_table(spark, sf_dir, "orders")
+        table.overwrite(
+            add_sdc_columns(orders, extracted_at=T0, batched_at=T0)
+        )
+        n = min(32, spark.sparkContext.defaultParallelism)
+        _orders_cdc_events(spark, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).json(events_dir)
+
+    t0_files = set(e["path"] for e in table._load_manifest()["files"])
+    payload = T._parse_datatype_string(_ORDERS_PAYLOAD)
+    run_cdc_stream(
+        spark, events_dir, payload, spec, table,
+        checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+        max_files_per_trigger=8,
+    )
+    live = set(e["path"] for e in table._load_manifest()["files"])
+    assert t0_files <= live, "MOR apply must never rewrite T0 files"
+    return table.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        "_sdc_extracted_at", "_sdc_batched_at",
+    )

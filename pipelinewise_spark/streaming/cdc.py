@@ -87,6 +87,19 @@ def apply_change_batch(
             else prepared
         )
         table.overwrite(merged)
+    elif (
+        spec.options.get("merge_strategy") == "merge_on_read"
+        and hasattr(table, "merge_on_read")
+    ):
+        # Iceberg-v2 path: the micro-batch appends as new files and
+        # supersedes old rows by position-delete sidecar — O(batch) write
+        # cost even when the batch's keys touch every partition (the
+        # usual CDC trickle shape); the same SDC seq guard keeps replays
+        # idempotent. Pair with periodic compact() to bound read debt.
+        table.merge_on_read(
+            spark, prepared, spec.primary_keys,
+            guard_col=SDC_SEQ_COL, hard_delete=spec.hard_delete,
+        )
     elif hasattr(table, "merge"):
         # Scale path (ManifestTable): merge only the partitions this
         # micro-batch touches; untouched files carry over by reference.

@@ -162,3 +162,54 @@ def test_merge_on_read_with_deletes_and_chaining(spark, tmp_path):
     assert all("dv" not in e for e in m["files"])
     out2 = {r.id: r.status for r in t.read(spark).collect()}
     assert out2[10] == "v2" and 11 not in out2 and len(out2) == 399
+
+
+def test_merge_on_read_guard_blocks_stale_replay(spark, tmp_path):
+    schema = "id long, pt int, v string, _sdc_seq long"
+    t = ManifestTable(str(tmp_path / "t"), ["pt"])
+    t.overwrite(
+        spark.createDataFrame([(1, 0, "orig", 5), (2, 0, "keep", 9)], schema)
+    )
+    # fresh row wins, stale replay must not roll back or duplicate
+    s1 = t.merge_on_read(
+        spark,
+        spark.createDataFrame([(1, 0, "newer", 7)], schema),
+        ["id"], guard_col="_sdc_seq",
+    )
+    assert s1["superseded_rows"] == 1
+    s2 = t.merge_on_read(
+        spark,
+        spark.createDataFrame([(1, 0, "stale", 6)], schema),
+        ["id"], guard_col="_sdc_seq",
+    )
+    assert s2["superseded_rows"] == 0  # 6 < 7: loses
+    out = {r.id: r.v for r in t.read(spark).collect()}
+    assert out == {1: "newer", 2: "keep"}
+    # equal seq wins (>= rule, same as merge_upsert)
+    t.merge_on_read(
+        spark,
+        spark.createDataFrame([(1, 0, "equal", 7)], schema),
+        ["id"], guard_col="_sdc_seq",
+    )
+    assert {r.v for r in t.read(spark).filter("id=1").collect()} == {"equal"}
+
+
+def test_merge_on_read_hard_delete_tombstone(spark, tmp_path):
+    schema = (
+        "id long, pt int, v string, _sdc_seq long, _sdc_deleted_at timestamp"
+    )
+    t = ManifestTable(str(tmp_path / "t"), ["pt"])
+    base = spark.createDataFrame(
+        [(1, 0, "a", 1, None), (2, 0, "b", 1, None)], schema
+    )
+    t.overwrite(base)
+    import datetime
+
+    tomb = spark.createDataFrame(
+        [(1, 0, "a", 2, datetime.datetime(2026, 1, 1))], schema
+    )
+    s = t.merge_on_read(
+        spark, tomb, ["id"], guard_col="_sdc_seq", hard_delete=True
+    )
+    assert s["superseded_rows"] == 1
+    assert {r.id for r in t.read(spark).collect()} == {2}

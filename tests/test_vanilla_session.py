@@ -73,6 +73,7 @@ SENSITIVE = [
     # partitions + broadcast-threshold changes
     "dv_delete_orders",
     "merge_on_read_orders",
+    "cdc_stream_mor_orders",
     "mv_rewrite_orders",
     "ccnet_perplexity_buckets_documents",
     "dsir_weights_documents",
