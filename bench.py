@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "dv_delete_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
+    "star_rollup_revenue_by_nation",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

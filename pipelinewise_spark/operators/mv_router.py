@@ -69,6 +69,67 @@ _REAGG = {
 }
 
 
+@dataclass(frozen=True)
+class Dimension:
+    """One arm of a star/snowflake: joined to the fact (or to an earlier
+    dimension's attribute — snowflake chains) on fk = pk, contributing
+    ``attributes`` as groupable columns."""
+
+    name: str
+    reader: Callable[[SparkSession], DataFrame]
+    fact_fk: str  # column on the fact side (or an earlier dim's attribute)
+    dim_pk: str
+    attributes: tuple[str, ...]
+
+
+class StarSchema:
+    """A fact table + dimension arms, with JOIN PRUNING: building the
+    base frame for a query joins ONLY the dimensions whose attributes
+    the query references (an inner join Catalyst cannot prune itself —
+    it changes cardinality — so the router prunes at build time; FK
+    integrity is the star contract, as in every OLAP cube). Dimensions
+    broadcast — they are the small side by definition.
+
+    Declare snowflake chains in join order: a later dimension may key on
+    an earlier one's attribute (customer → nation below). A needed late
+    dimension automatically pulls in the earlier one that produces its
+    foreign key."""
+
+    def __init__(self, fact_reader: Callable[[SparkSession], DataFrame]):
+        self._fact = fact_reader
+        self._dims: list[Dimension] = []
+
+    def add_dimension(self, dim: Dimension) -> None:
+        self._dims.append(dim)
+
+    def _needed_dims(self, cols: set[str]) -> list[Dimension]:
+        """Dimensions to join, in declaration order, including chain
+        prerequisites (resolved right-to-left so a needed snowflake arm
+        marks the arm that produces its foreign key as needed too)."""
+        needed = [
+            any(a in cols for a in d.attributes) for d in self._dims
+        ]
+        for i in range(len(self._dims) - 1, -1, -1):
+            if not needed[i]:
+                continue
+            fk = self._dims[i].fact_fk
+            for j in range(i):
+                if fk in self._dims[j].attributes:
+                    needed[j] = True
+        return [d for d, n in zip(self._dims, needed) if n]
+
+    def frame(self, spark: SparkSession, cols: set[str]) -> DataFrame:
+        df = self._fact(spark)
+        for d in self._needed_dims(cols):
+            side = d.reader(spark).select(
+                F.col(d.dim_pk).alias("__sk"), *d.attributes
+            )
+            df = df.join(
+                F.broadcast(side), df[d.fact_fk] == side["__sk"]
+            ).drop("__sk")
+        return df
+
+
 class RollupCatalog:
     """Registry of rollup tables over one logical fact table + the router.
 
@@ -77,8 +138,12 @@ class RollupCatalog:
     declare which measures they store at which grain."""
 
     def __init__(
-        self, base_reader: Callable[[SparkSession], DataFrame]
+        self,
+        base_reader: "Callable[[SparkSession], DataFrame] | StarSchema",
     ) -> None:
+        """``base_reader`` is a plain reader for a single-table base, or
+        a :class:`StarSchema` — then unroutable queries fall back to the
+        join-pruned star frame and rollups materialize denormalized."""
         self._base = base_reader
         self._measures: dict[str, Measure] = {}
         self._rollups: list[Rollup] = []
@@ -170,7 +235,15 @@ class RollupCatalog:
     def _from_base(
         self, spark: SparkSession, dims: list[str], measures: list[str]
     ) -> DataFrame:
-        base = self._base(spark)
+        if isinstance(self._base, StarSchema):
+            cols = set(dims)
+            for name in self._required_stored(measures):
+                m = self._measures[name]
+                if m.source_col:
+                    cols.add(m.source_col)
+            base = self._base.frame(spark, cols)
+        else:
+            base = self._base(spark)
 
         def col_of(m: Measure) -> F.Column:
             if m.kind == "count":

@@ -57,7 +57,7 @@ _SHOWCASE_ORDER = [
     "ccnet_perplexity_buckets_documents", "dsir_weights_documents",
     "semantic_dedup_embeddings", "temperature_sample_documents",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
-    "cdc_stream_mor_orders",
+    "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon
@@ -74,8 +74,8 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q16-q20 + profile/anti_join/semi_join displaced from the 50-slot
-    # prefix by the eight NEW r7 operators (part 3b) — r3-green on
+    # q15-q20 + profile/anti_join/semi_join displaced past the 50-slot
+    # prefix by the nine NEW r7 operators (part 3b) — r3-green on
     # record, pytest-verified;
     # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
     # median, retention, moving_avg — rotate in next round)

@@ -1781,3 +1781,75 @@ def merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+@register(
+    "star_rollup_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(ROUND(SUM(o_totalprice), 6) AS DECIMAL(18,6))
+               AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def star_rollup_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aware aggregate navigation (operators/mv_router.py:StarSchema):
+    orders ⋈ customer ⋈ nation declared as a snowflake chain; a
+    denormalized rollup at (n_name, o_orderpriority) grain is
+    materialized, and a revenue-by-nation query ROUTES to it — answering
+    a three-table join query from a 125-row pre-aggregate with no fact
+    scan and no joins at serve time (the in-query asserts pin both the
+    routing decision and the base fallback for an uncovered grain). The
+    oracle computes the same result from the raw star."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.operators.mv_router import (
+        Dimension,
+        Measure,
+        RollupCatalog,
+        StarSchema,
+    )
+
+    star = StarSchema(lambda s: read_table(s, sf_dir, "orders"))
+    star.add_dimension(Dimension(
+        "customer", lambda s: read_table(s, sf_dir, "customer"),
+        fact_fk="o_custkey", dim_pk="c_custkey",
+        attributes=("c_mktsegment", "c_nationkey"),
+    ))
+    star.add_dimension(Dimension(
+        "nation", lambda s: read_table(s, sf_dir, "nation"),
+        fact_fk="c_nationkey", dim_pk="n_nationkey",
+        attributes=("n_name",),
+    ))
+    cat = RollupCatalog(star)
+    cat.add_measure(Measure("revenue", "sum", "o_totalprice"))
+    cat.add_measure(Measure("orders", "count"))
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_star_")
+
+        def writer(frame):
+            path = os.path.join(tmp, "np")
+            frame.write.mode("overwrite").parquet(path)
+            return lambda s: s.read.parquet(path)
+
+        cat.materialize_rollup(
+            spark, "by_nation_priority", ("n_name", "o_orderpriority"),
+            ["revenue", "orders"], writer,
+        )
+
+    assert cat.route(["n_name"], ["revenue", "orders"]).name \
+        == "by_nation_priority"
+    assert cat.route(["c_mktsegment"], ["revenue"]) is None  # base fallback
+    out = cat.query(spark, ["n_name"], ["revenue", "orders"])
+    return out.select(
+        "n_name",
+        F.round(F.col("revenue"), 6).cast("decimal(18,6)").cast("double")
+        .alias("revenue"),
+        F.col("orders").cast("bigint").alias("orders"),
+    )

@@ -115,3 +115,82 @@ def test_measure_validation():
         cat.add_rollup(
             Rollup("r", ("d",), lambda s: None, {"mystery": "c"})
         )
+
+
+# ------------------------------------------------- star schema
+
+
+@pytest.fixture()
+def star_catalog(spark, sf_dir):
+    from pipelinewise_spark.operators.mv_router import Dimension, StarSchema
+
+    star = StarSchema(lambda s: read_table(s, sf_dir, "orders"))
+    star.add_dimension(Dimension(
+        "customer", lambda s: read_table(s, sf_dir, "customer"),
+        fact_fk="o_custkey", dim_pk="c_custkey",
+        attributes=("c_mktsegment", "c_nationkey"),
+    ))
+    star.add_dimension(Dimension(
+        "nation", lambda s: read_table(s, sf_dir, "nation"),
+        fact_fk="c_nationkey", dim_pk="n_nationkey",
+        attributes=("n_name",),
+    ))
+    cat = RollupCatalog(star)
+    cat.add_measure(Measure("revenue", "sum", "o_totalprice"))
+    cat.add_measure(Measure("orders", "count"))
+    return cat, star
+
+
+def test_star_join_pruning(spark, star_catalog):
+    cat, star = star_catalog
+    # fact-only grain: NO dimension joined
+    plan = _plan_of(cat.query(spark, ["o_orderpriority"], ["revenue"]))
+    assert "customer.parquet" not in plan and "nation.parquet" not in plan
+    # customer attr: customer joined, nation not
+    plan = _plan_of(cat.query(spark, ["c_mktsegment"], ["revenue"]))
+    assert "customer.parquet" in plan and "nation.parquet" not in plan
+    # snowflake attr pulls BOTH arms in (nation keys off customer)
+    plan = _plan_of(cat.query(spark, ["n_name"], ["revenue"]))
+    assert "customer.parquet" in plan and "nation.parquet" in plan
+
+
+def test_star_base_matches_manual_join(spark, star_catalog, sf_dir):
+    cat, _ = star_catalog
+    got = {
+        r.n_name: (round(float(r.revenue), 4), r.orders)
+        for r in cat.query(spark, ["n_name"], ["revenue", "orders"]).collect()
+    }
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    want = {
+        r.n_name: (round(float(r.rev), 4), r.cnt)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_star_rollup_routing_and_parity(spark, star_catalog, tmp_path):
+    cat, _ = star_catalog
+
+    def writer(frame):
+        path = str(tmp_path / "np")
+        frame.write.mode("overwrite").parquet(path)
+        return lambda s: s.read.parquet(path)
+
+    cat.materialize_rollup(
+        spark, "by_nation", ("n_name",), ["revenue", "orders"], writer,
+    )
+    routed = cat.query(spark, ["n_name"], ["revenue", "orders"])
+    plan = _plan_of(routed)
+    assert "orders.parquet" not in plan  # no fact scan at serve time
+    base = cat._from_base(spark, ["n_name"], ["revenue", "orders"])
+    got = {r.n_name: (round(float(r.revenue), 4), r.orders)
+           for r in routed.collect()}
+    want = {r.n_name: (round(float(r.revenue), 4), r.orders)
+            for r in base.collect()}
+    assert got == want

@@ -74,6 +74,7 @@ SENSITIVE = [
     "dv_delete_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
+    "star_rollup_revenue_by_nation",
     "mv_rewrite_orders",
     "ccnet_perplexity_buckets_documents",
     "dsir_weights_documents",
