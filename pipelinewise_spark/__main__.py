@@ -163,7 +163,9 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         t.overwrite(df, t.partition_by or None)
         report["zorder"] = cols
     else:
-        report["compacted_partitions"] = t.compact(spark)
+        report["compacted_partitions"] = t.compact(
+            spark, max_dead_ratio=args.max_dead_ratio
+        )
     if args.bloom:
         cols = [c.strip() for c in args.bloom.split(",") if c.strip()]
         t.add_bloom_filters(spark, cols)
@@ -598,6 +600,9 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--vacuum", action="store_true")
     opt.add_argument("--keep-manifests", type=int, default=2)
     opt.add_argument("--target-files", type=int, default=None)
+    opt.add_argument("--max-dead-ratio", type=float, default=None,
+                     help="also rewrite partitions whose deletion-vector "
+                          "dead rows exceed this fraction")
     opt.set_defaults(fn=_cmd_optimize)
 
     stat = sub.add_parser("status", help="per-stream replication status")

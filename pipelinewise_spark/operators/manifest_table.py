@@ -111,7 +111,7 @@ class ManifestTable:
         return name
 
     # -------------------------------------------------------------- write
-    def _file_stats(self, rel: str) -> dict[str, list[Any]]:
+    def _file_stats(self, rel: str) -> tuple[dict[str, list[Any]], int]:
         """File-level [min, max] per top-level column, straight from the
         parquet footer (metadata-only read — no data pages touched). Values
         are stored JSON-safe in an order-preserving encoding: numbers as-is,
@@ -150,7 +150,10 @@ class ManifestTable:
                     continue
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+        return (
+            {c: [mins[c], maxs[c]] for c in mins if c in maxs},
+            int(md.num_rows),
+        )
 
     def _write_files(
         self, df: DataFrame, partition_by: Sequence[str]
@@ -172,12 +175,14 @@ class ManifestTable:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     partition[k] = _decode_hive_value(v)
+            stats, num_rows = self._file_stats(rel)
             entries.append(
                 {
                     "path": rel,
                     "base": base_rel,
                     "partition": partition,
-                    "stats": self._file_stats(rel),
+                    "stats": stats,
+                    "rows": num_rows,
                 }
             )
         return entries
@@ -825,7 +830,12 @@ class ManifestTable:
         return True
 
     # -------------------------------------------------------------- compact
-    def compact(self, spark: SparkSession, min_files: int = 2) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        max_dead_ratio: float | None = None,
+    ) -> int:
         """Rewrite partitions fragmented across >= ``min_files`` files into
         one file each and republish; healthy partitions carry over by
         reference. Returns the number of partitions compacted.
@@ -835,7 +845,14 @@ class ManifestTable:
         compaction — the Iceberg/Delta OPTIMIZE analogue. One Spark job:
         all fragmented partitions read together, hash-repartitioned on the
         partition columns so each hive dir is written by exactly one task.
-        """
+
+        ``max_dead_ratio`` adds the deletion-vector debt trigger: a
+        partition whose vectored-dead rows exceed that fraction of its
+        footer row count rewrites even when its file count is healthy —
+        a single-file partition half-emptied by delete_where/merge_on_read
+        is read debt (dead rows decoded + anti-joined on every scan) that
+        only a rewrite pays down. Pure manifest arithmetic; no data read
+        to decide."""
         m = self._load_manifest()
         partition_by = m["partition_by"]
         groups: dict[tuple, list[dict[str, Any]]] = {}
@@ -843,6 +860,12 @@ class ManifestTable:
             key = tuple(sorted(e["partition"].items()))
             groups.setdefault(key, []).append(e)
         frag = {k for k, es in groups.items() if len(es) >= min_files}
+        if max_dead_ratio is not None:
+            for k, es in groups.items():
+                rows = sum(e.get("rows", 0) for e in es)
+                dead = sum(e.get("dv_rows", 0) for e in es)
+                if rows and dead / rows >= max_dead_ratio:
+                    frag.add(k)
         if not frag:
             return 0
         frag_entries = [e for k in frag for e in groups[k]]

@@ -213,3 +213,46 @@ def test_merge_on_read_hard_delete_tombstone(spark, tmp_path):
     )
     assert s["superseded_rows"] == 1
     assert {r.id for r in t.read(spark).collect()} == {2}
+
+
+def test_compact_dead_ratio_trigger(spark, tmp_path):
+    """A single-file partition half-emptied by deletes is read debt: the
+    dead-ratio trigger rewrites it with NO data read to decide, while a
+    lightly-deleted partition carries over untouched."""
+    rows = [(i, i % 2, float(i)) for i in range(200)]
+    t = ManifestTable(str(tmp_path / "t"), ["pt"])
+    t.overwrite(spark.createDataFrame(rows, "id long, pt int, value double"))
+    t.compact(spark, min_files=1)  # one file per partition
+    # partition 0: 60% dead; partition 1: 1 row dead
+    t.delete_where(spark, "pt = 0 AND id < 120")
+    t.delete_where(spark, "id = 1")
+    paths_before = {
+        e["partition"]["pt"]: e["path"] for e in t._load_manifest()["files"]
+    }
+    # min_files high enough that ONLY the dead-ratio trigger can fire
+    n = t.compact(spark, min_files=99, max_dead_ratio=0.5)
+    assert n == 1
+    m = t._load_manifest()
+    by_pt = {e["partition"]["pt"]: e for e in m["files"]}
+    assert by_pt["0"]["path"] != paths_before["0"]  # rewritten
+    assert "dv" not in by_pt["0"]
+    assert by_pt["1"]["path"] == paths_before["1"]  # carried, dv intact
+    assert by_pt["1"].get("dv_rows") == 1
+    assert t.read(spark).count() == 200 - 60 - 1
+
+
+def test_merge_on_read_schema_evolution(spark, tmp_path):
+    """A MOR batch carrying a NEW column appends verbatim; reads union
+    with allowMissingColumns so pre-existing rows surface NULL — the
+    add-column evolution path with zero rewrites."""
+    t = ManifestTable(str(tmp_path / "t"), ["pt"])
+    t.overwrite(
+        spark.createDataFrame([(1, 0, "a"), (2, 0, "b")],
+                              "id long, pt int, v string")
+    )
+    batch = spark.createDataFrame(
+        [(2, 0, "b2", "extra")], "id long, pt int, v string, note string"
+    )
+    t.merge_on_read(spark, batch, ["id"])
+    out = {r.id: (r.v, r.note) for r in t.read(spark).collect()}
+    assert out == {1: ("a", None), 2: ("b2", "extra")}
