@@ -36,6 +36,10 @@ _VERSION_FILE = "_VERSION"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConstraintViolation(ValueError):
+    """A write violated a table CHECK constraint (Delta-style)."""
+
+
 def _decode_hive_value(v: str) -> str | None:
     """Hive partition dirs URL-escape special chars (':' -> '%3A') and write
     NULL as __HIVE_DEFAULT_PARTITION__; manifests store the *logical* value
@@ -98,10 +102,18 @@ class ManifestTable:
         # overwrite) until recomputed — its "version" marker names the
         # manifest it was computed against, so readers can detect
         # staleness (same lifecycle as warehouse ANALYZE stats)
-        if "table_stats" not in manifest and self.exists():
-            prior = self._load_manifest().get("table_stats")
-            if prior is not None:
-                manifest["table_stats"] = prior
+        if self.exists():
+            prior_m = self._load_manifest()
+            if "table_stats" not in manifest:
+                prior = prior_m.get("table_stats")
+                if prior is not None:
+                    manifest["table_stats"] = prior
+            # CHECK constraints are table metadata: they ride every
+            # publish until explicitly dropped
+            if "constraints" not in manifest:
+                prior_c = prior_m.get("constraints")
+                if prior_c:
+                    manifest["constraints"] = prior_c
         self.mfs.mkdirs()
         name = self._next_manifest_name()
         self.mfs.write_text(json.dumps(manifest, indent=1), name)
@@ -190,6 +202,7 @@ class ManifestTable:
     def overwrite(
         self, df: DataFrame, partition_by: Sequence[str] | None = None
     ) -> str:
+        self._enforce(df)
         if partition_by is None:
             # a fresh handle defaults to the LIVE spec (so partition
             # evolution sticks across table objects); constructor arg and
@@ -437,6 +450,7 @@ class ManifestTable:
         from pipelinewise_spark.operators.merge import merge_upsert
 
         m = self._load_manifest()
+        self._enforce(batch, m.get("constraints", {}))
         partition_by = m["partition_by"]
         if not partition_by:
             merged = merge_upsert(
@@ -488,6 +502,60 @@ class ManifestTable:
                 "files": kept + new_entries,
             }
         )
+
+    # -------------------------------------------------- CHECK constraints
+    def constraints(self) -> dict[str, str]:
+        if not self.exists():
+            return {}
+        return dict(self._load_manifest().get("constraints", {}))
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, predicate: str
+    ) -> str:
+        """ALTER TABLE ADD CONSTRAINT CHECK (Delta semantics): existing
+        data is validated FIRST (one early-exit scan — the constraint is
+        rejected, not published, if any live row violates it), then the
+        predicate rides the manifest and every subsequent write gate
+        (overwrite / merge / merge_on_read) validates incoming rows
+        against it, raising :class:`ConstraintViolation` with an example
+        row before anything is published."""
+        m = self._load_manifest()
+        self._enforce(self.read(spark), {name: predicate})
+        cons = dict(m.get("constraints", {}))
+        cons[name] = predicate
+        return self._publish({**m, "constraints": cons})
+
+    def drop_constraint(self, name: str) -> str:
+        m = self._load_manifest()
+        cons = dict(m.get("constraints", {}))
+        cons.pop(name, None)
+        return self._publish({**m, "constraints": cons})
+
+    def _enforce(
+        self, df: DataFrame, cons: dict[str, str] | None = None
+    ) -> None:
+        """Raise on the first row violating any CHECK constraint. An
+        early-exit scan per constraint (limit 1) over the frame about to
+        be written — the same validation pass Delta runs, with the same
+        SQL CHECK NULL rule: a row violates only when the predicate is
+        FALSE; NULL passes (a CDC tombstone's NULLed columns must not
+        trip a value constraint — record-level strictness belongs to
+        operators/validation.py's quarantine routing)."""
+        if cons is None:
+            cons = (
+                self._load_manifest().get("constraints", {})
+                if self.exists()
+                else {}
+            )
+        for name, pred in cons.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(pred), F.lit(True))
+            ).limit(1).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"CHECK constraint '{name}' ({pred}) violated, "
+                    f"example row: {bad[0].asDict()}"
+                )
 
     # --------------------------------------------------- deletion vectors
     def delete_where(self, spark: SparkSession, condition) -> int:
@@ -609,6 +677,7 @@ class ManifestTable:
         """
         from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
         m = self._load_manifest()
+        self._enforce(batch, m.get("constraints", {}))
         pk = list(primary_keys)
         key_frames = [batch.select(*pk)]
         if deletes is not None:

@@ -273,3 +273,67 @@ def test_clone_to_point_in_time_and_independence(spark, sf_dir, tmp_path):
     )
     src.vacuum(keep_manifests=1)
     assert live.read(spark).count() == before
+
+
+# ------------------------------------------------- CHECK constraints
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipelinewise_spark.operators.manifest_table import (
+        ConstraintViolation,
+        ManifestTable,
+    )
+
+    schema = "id long, pt int, value double"
+    t = ManifestTable(str(tmp_path / "t"), ["pt"])
+    t.overwrite(spark.createDataFrame([(1, 0, 5.0), (2, 1, 7.0)], schema))
+    t.add_constraint(spark, "positive_value", "value > 0")
+    assert t.constraints() == {"positive_value": "value > 0"}
+
+    bad = spark.createDataFrame([(3, 0, -1.0)], schema)
+    with _pytest.raises(ConstraintViolation, match="positive_value"):
+        t.merge(spark, bad, ["id"])
+    with _pytest.raises(ConstraintViolation, match="positive_value"):
+        t.merge_on_read(spark, bad, ["id"])
+    with _pytest.raises(ConstraintViolation, match="positive_value"):
+        t.overwrite(bad)
+    # nothing was published by the failed writes
+    assert t.read(spark).count() == 2
+
+    # clean writes pass; the constraint survives the publish
+    t.merge(spark, spark.createDataFrame([(3, 0, 1.0)], schema), ["id"])
+    assert t.constraints() == {"positive_value": "value > 0"}
+    assert t.read(spark).count() == 3
+
+    # SQL CHECK NULL rule: a NULL predicate passes (CDC tombstones)
+    t.merge(
+        spark,
+        spark.createDataFrame([(4, 1, None)], schema),
+        ["id"],
+    )
+    assert t.read(spark).count() == 4
+
+    t.drop_constraint("positive_value")
+    t.overwrite(bad)  # gate gone
+    assert t.read(spark).count() == 1
+
+
+def test_add_constraint_rejects_violating_existing_data(spark, tmp_path):
+    import pytest as _pytest
+
+    from pipelinewise_spark.operators.manifest_table import (
+        ConstraintViolation,
+        ManifestTable,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"), [])
+    t.overwrite(
+        spark.createDataFrame([(1, -5.0)], "id long, value double")
+    )
+    v = t.current_manifest_name()
+    with _pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "positive_value", "value > 0")
+    assert t.current_manifest_name() == v  # not published
+    assert t.constraints() == {}
