@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",
+    "epoch_upsample_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -101,6 +101,47 @@ def temperature_sample(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Repeat each stratum's documents to a FRACTIONAL epoch target —
+    the training-mix upsampler (see 1.5 epochs of high-quality sources in
+    LLM data recipes): every row appears floor(e) times, plus once more
+    for the deterministic md5 slice of size frac(e) — so exactly the
+    same rows gain the extra copy on every run, and the realized epoch
+    count converges to e. Output adds an ``epoch`` copy index (1-based)
+    so downstream shuffling/packing can decorrelate copies.
+
+    Epoch targets are taken to 4 decimal places (basis-point exactness —
+    the comparison is integer-vs-integer, no float boundary). Pure
+    projection + explode: no shuffle, corpus-linear, resumable."""
+    base: Column = F.lit(int(default_epochs))
+    bps: Column = F.lit(int(round((default_epochs % 1) * 10000)))
+    for value, e in sorted(epochs.items()):
+        whole, frac_bps = int(e), int(round((e % 1) * 10000))
+        base = F.when(
+            F.col(stratum_col) == value, F.lit(whole)
+        ).otherwise(base)
+        bps = F.when(
+            F.col(stratum_col) == value, F.lit(frac_bps)
+        ).otherwise(bps)
+    copies = base + (
+        uniform_hash_bucket(F.col(key_col), 10000) < bps
+    ).cast("int")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .drop("__copies")
+    )
+
+
 def top_fraction_by(
     df: DataFrame,
     stratum_col: str,

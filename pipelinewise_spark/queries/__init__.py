@@ -58,6 +58,7 @@ _SHOWCASE_ORDER = [
     "semantic_dedup_embeddings", "temperature_sample_documents",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
+    "epoch_upsample_documents",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon

@@ -2507,3 +2507,35 @@ def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     out = temperature_sample(d, key_col="doc_id", stratum_col="lang")
     return out.select("doc_id", "lang")
+
+
+@register(
+    "epoch_upsample_documents",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 2 END)
+               + (CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT % 10000)
+                        < (CASE WHEN lang = 'en' THEN 5000 ELSE 0 END)
+                  THEN 1 ELSE 0 END) AS copies
+        FROM documents)
+    SELECT doc_id, lang, CAST(r.epoch AS INTEGER) AS epoch
+    FROM c CROSS JOIN LATERAL (
+        SELECT unnest(range(1, copies + 1)) AS epoch) r
+    """,
+)
+def epoch_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (functions/curation.py:epoch_upsample):
+    English documents target 1.5 epochs (all once + a deterministic md5
+    half once more), every other language 2 epochs — the repeat-the-good-
+    data mix step of LLM training recipes, reproducing the identical copy
+    set on every run. Pure projection + explode, no shuffle."""
+    from pipelinewise_spark.functions.curation import epoch_upsample
+
+    d = read_table(spark, sf_dir, "documents")
+    out = epoch_upsample(
+        d, key_col="doc_id", stratum_col="lang",
+        epochs={"en": 1.5}, default_epochs=2.0,
+    )
+    return out.select("doc_id", "lang", F.col("epoch").cast("int"))

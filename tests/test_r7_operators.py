@@ -244,3 +244,46 @@ def test_temperature_sample_no_corpus_shuffle(spark):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     for cols in shuffles:
         assert "lang" in cols, f"unexpected corpus shuffle on ({cols})"
+
+
+# ------------------------------------------------- epoch upsampling
+
+
+def test_epoch_upsample_fractional_targets(spark):
+    from pipelinewise_spark.functions.curation import epoch_upsample
+
+    rows = [(i, "en" if i < 1000 else "fr") for i in range(1200)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_upsample(
+        d, "doc_id", "lang", epochs={"en": 1.25, "fr": 3.0}
+    ).collect()
+    en = [r for r in out if r.lang == "en"]
+    fr = [r for r in out if r.lang == "fr"]
+    # fr: exactly 3 copies each, epoch index 1..3
+    assert len(fr) == 200 * 3
+    assert {r.epoch for r in fr} == {1, 2, 3}
+    # en: every doc >= 1 copy; realized epochs ~1.25 (md5 quarter-slice)
+    per_doc: dict = {}
+    for r in en:
+        per_doc[r.doc_id] = max(per_doc.get(r.doc_id, 0), r.epoch)
+    assert set(per_doc) == set(range(1000))
+    assert set(per_doc.values()) == {1, 2}
+    ratio = len(en) / 1000
+    assert 1.15 < ratio < 1.35
+    # deterministic: same copy set on rerun
+    again = epoch_upsample(
+        d, "doc_id", "lang", epochs={"en": 1.25, "fr": 3.0}
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+
+
+def test_epoch_upsample_zero_epochs_drops_stratum(spark):
+    from pipelinewise_spark.functions.curation import epoch_upsample
+
+    d = spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "doc_id long, lang string"
+    )
+    out = epoch_upsample(d, "doc_id", "lang", epochs={"drop": 0.0}).collect()
+    assert {r.doc_id for r in out} == {1}
