@@ -75,8 +75,8 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q15-q20 + profile/anti_join/semi_join displaced past the 50-slot
-    # prefix by the nine NEW r7 operators (part 3b) — r3-green on
+    # q14-q20 + profile/anti_join/semi_join displaced past the 50-slot
+    # prefix by the ten NEW r7 operators (part 3b) — r3-green on
     # record, pytest-verified;
     # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
     # median, retention, moving_avg — rotate in next round)
