@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",
     "epoch_upsample_documents",
+    "gap_fill_daily_revenue",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

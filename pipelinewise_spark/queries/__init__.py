@@ -58,7 +58,7 @@ _SHOWCASE_ORDER = [
     "semantic_dedup_embeddings", "temperature_sample_documents",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
-    "epoch_upsample_documents",
+    "epoch_upsample_documents", "gap_fill_daily_revenue",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon
@@ -75,8 +75,8 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q14-q20 + profile/anti_join/semi_join displaced past the 50-slot
-    # prefix by the ten NEW r7 operators (part 3b) — r3-green on
+    # q13-q20 + profile/anti_join/semi_join displaced past the 50-slot
+    # prefix by the eleven NEW r7 operators (part 3b) — r3-green on
     # record, pytest-verified;
     # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
     # median, retention, moving_avg — rotate in next round)

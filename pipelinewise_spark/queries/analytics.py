@@ -1675,3 +1675,65 @@ def monthly_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.row_number().over(rn).cast("long"), F.lit(3))
         ).alias("moving_avg_3m"),
     )
+
+
+@register(
+    "gap_fill_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 6)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS rev
+        FROM orders WHERE o_orderkey % 13 = 0 GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM b),
+    j AS (SELECT s.day, d.rev FROM spine s LEFT JOIN daily d USING (day))
+    SELECT day,
+           coalesce(rev, 0.0) AS revenue,
+           last_value(rev IGNORE NULLS) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS revenue_locf,
+           rev IS NULL AS was_gap
+    FROM j
+    """,
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a sparse daily revenue series (orders
+    sampled 1-in-13 so gaps are guaranteed) is completed onto a full
+    day spine — zero-fill AND last-observation-carried-forward columns,
+    plus the gap marker. The spine generates from a broadcast 1-row
+    bounds aggregate; the LOCF window runs over the AGGREGATED series
+    (days between min and max — answer-scale, thousands of rows for
+    decades — never the corpus), the standard shape for resampling a
+    100 TB event table: aggregate first, window the series."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 6)
+        .cast("decimal(18,6)").cast("double").alias("rev")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        F.last("rev", ignorenulls=True).over(w).alias("revenue_locf"),
+        F.col("rev").isNull().alias("was_gap"),
+    )

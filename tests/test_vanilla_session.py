@@ -75,6 +75,8 @@ SENSITIVE = [
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",
+    "gap_fill_daily_revenue",
+    "epoch_upsample_documents",
     "mv_rewrite_orders",
     "ccnet_perplexity_buckets_documents",
     "dsir_weights_documents",
