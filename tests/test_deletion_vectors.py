@@ -256,3 +256,20 @@ def test_merge_on_read_schema_evolution(spark, tmp_path):
     t.merge_on_read(spark, batch, ["id"])
     out = {r.id: (r.v, r.note) for r in t.read(spark).collect()}
     assert out == {1: ("a", None), 2: ("b2", "extra")}
+
+
+def test_snapshot_diff_surfaces_dv_deletes(spark, tmp_path):
+    """The CDF pattern (full-outer PK join of two versions) must see
+    deletion-vectored rows as deletes — version reads apply vectors, so
+    downstream change feeds need no special DV handling."""
+    t, rows = _mk(spark, tmp_path)
+    v0 = t.versions()[-1]
+    t.delete_where(spark, "id IN (5, 6)")
+    v1 = t.versions()[-1]
+    old = t.read(spark, version=v0).select(F.col("id").alias("k"))
+    new = t.read(spark, version=v1).select(F.col("id").alias("k2"))
+    j = old.join(new, old.k == new.k2, "full_outer")
+    deleted = {
+        r.k for r in j.filter(F.col("k2").isNull()).select("k").collect()
+    }
+    assert deleted == {5, 6}
