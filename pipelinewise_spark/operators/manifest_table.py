@@ -605,11 +605,23 @@ class ManifestTable:
             F.col("__dv_path").alias("file_path"),
             F.col("__dv_pos").alias("row_index"),
         )
+        # the sidecar is answer-sized by the DV contract; without this the
+        # write inherits the table scan's task layout (one tiny file per
+        # scan task, and every later read unions them all). repartition —
+        # not coalesce — so the scan+join above keeps its parallelism.
+        spark = dels.sparkSession
+        dels = dels.repartition(
+            max(1, spark.sparkContext.defaultParallelism // 16)
+        )
         dv_rel = posixpath.join("dv", uuid.uuid4().hex[:12])
         dels.write.mode("overwrite").parquet(self.mfs.uri(dv_rel))
+        # per-file counts from the WRITTEN sidecar (answer-sized), not the
+        # source plan — running the scan-and-join lineage a second time for
+        # metadata would double every delete/MOR batch's dominant cost
         counts = {
             r["file_path"]: r["cnt"]
-            for r in dels.groupBy("file_path")
+            for r in dels.sparkSession.read.parquet(self.mfs.uri(dv_rel))
+            .groupBy("file_path")
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
@@ -679,80 +691,115 @@ class ManifestTable:
         m = self._load_manifest()
         self._enforce(batch, m.get("constraints", {}))
         pk = list(primary_keys)
-        key_frames = [batch.select(*pk)]
-        if deletes is not None:
-            key_frames.append(deletes.select(*pk))
-        keys = key_frames[0]
-        for extra in key_frames[1:]:
-            keys = keys.unionByName(extra)
-        keys = keys.distinct()
-
-        entries = m["files"]
-        if entries and len(pk) == 1:
-            # stats-prune the scan to files whose [min,max] can hold a
-            # batch key — answer-sized agg, manifest-side file skipping
-            b = keys.agg(
-                F.min(pk[0]).alias("lo"), F.max(pk[0]).alias("hi")
-            ).first()
-            if isinstance(b["lo"], (int, float, str)):
-                entries, _ = self.select_entries(
-                    ranges={pk[0]: (b["lo"], b["hi"])}
-                )
-        superseded = 0
-        dv_files: list[str] = []
-        counts: dict[str, int] = {}
-        appended = batch
-        if entries:
-            live = self._read_entries(spark, entries, m, keep_pos=True)
-            if guard_col is not None and guard_col in batch.columns \
-                    and guard_col in live.columns:
-                bk = batch.select(
-                    *pk, F.col(guard_col).alias("__b_guard")
-                ).distinct()
-                matched = live.join(F.broadcast(bk), pk, "inner")
-                win = F.coalesce(
-                    F.col(guard_col).isNull()
-                    | (F.col("__b_guard") >= F.col(guard_col)),
-                    F.lit(False),
-                )
-                dead = matched.filter(win)
-                losers = matched.filter(~win).select(*pk).distinct()
-                appended = batch.join(F.broadcast(losers), pk, "left_anti")
-            else:
-                dead = live.join(
-                    F.broadcast(batch.select(*pk).distinct()), pk,
-                    "left_semi",
-                )
-            dead = dead.select("__dv_path", "__dv_pos")
+        # a CDC micro-batch arrives as an unmaterialized source plan (JSON
+        # parse + dedupe window) that would otherwise re-execute for every
+        # action below (key agg, broadcast build, append write); it is
+        # batch-sized by definition, so pin it for the call
+        batch = batch.persist()
+        _pinned = [batch]
+        try:
+            key_frames = [batch.select(*pk)]
             if deletes is not None:
-                dead = dead.unionByName(
-                    live.join(
-                        F.broadcast(deletes.select(*pk).distinct()), pk,
-                        "left_semi",
-                    ).select("__dv_path", "__dv_pos")
-                ).distinct()
-            dv_files, counts = self._write_dv(dead)
-            superseded = int(sum(counts.values()))
-        if hard_delete and SDC_DELETED_AT in appended.columns:
-            appended = appended.filter(F.col(SDC_DELETED_AT).isNull())
+                key_frames.append(deletes.select(*pk))
+            keys = key_frames[0]
+            for extra in key_frames[1:]:
+                keys = keys.unionByName(extra)
+            keys = keys.distinct()
 
-        partition_by = m["partition_by"]
-        batch_str = appended
-        for c in partition_by:
-            batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
-        new_entries = self._write_files(batch_str, partition_by)
-        self._publish(
-            {
-                "partition_by": partition_by,
-                "partition_types": m.get("partition_types", {}),
-                "files": self._attach_dv(m["files"], dv_files, counts)
-                + new_entries,
+            entries = m["files"]
+            if entries and len(pk) == 1:
+                # stats-prune the scan to files whose [min,max] can hold a
+                # batch key — answer-sized agg, manifest-side file skipping
+                b = keys.agg(
+                    F.min(pk[0]).alias("lo"), F.max(pk[0]).alias("hi")
+                ).first()
+                if isinstance(b["lo"], (int, float, str)):
+                    entries, _ = self.select_entries(
+                        ranges={pk[0]: (b["lo"], b["hi"])}
+                    )
+            superseded = 0
+            dv_files: list[str] = []
+            counts: dict[str, int] = {}
+            appended = batch
+            if entries:
+                live = self._read_entries(spark, entries, m, keep_pos=True)
+                if guard_col is not None and guard_col in batch.columns \
+                        and guard_col in live.columns:
+                    bk = batch.select(
+                        *pk, F.col(guard_col).alias("__b_guard")
+                    ).distinct()
+                    win = F.coalesce(
+                        F.col(guard_col).isNull()
+                        | (F.col("__b_guard") >= F.col(guard_col)),
+                        F.lit(False),
+                    )
+                    # matched is answer-sized (live rows hit by batch keys);
+                    # pin its projection so the DV write and the loser-key set
+                    # cost ONE table scan, not one each
+                    matched = (
+                        live.join(F.broadcast(bk), pk, "inner")
+                        .select(*pk, "__dv_path", "__dv_pos", win.alias("__win"))
+                        .persist()
+                    )
+                    _pinned.append(matched)
+                    dead = matched.filter(F.col("__win"))
+                    losers = matched.filter(~F.col("__win")) \
+                        .select(*pk).distinct()
+                    appended = batch.join(F.broadcast(losers), pk, "left_anti")
+                else:
+                    dead = live.join(
+                        F.broadcast(batch.select(*pk).distinct()), pk,
+                        "left_semi",
+                    )
+                dead = dead.select("__dv_path", "__dv_pos")
+                if deletes is not None:
+                    dead = dead.unionByName(
+                        live.join(
+                            F.broadcast(deletes.select(*pk).distinct()), pk,
+                            "left_semi",
+                        ).select("__dv_path", "__dv_pos")
+                    ).distinct()
+                dv_files, counts = self._write_dv(dead)
+                superseded = int(sum(counts.values()))
+            if hard_delete and SDC_DELETED_AT in appended.columns:
+                appended = appended.filter(F.col(SDC_DELETED_AT).isNull())
+
+            partition_by = m["partition_by"]
+            batch_str = appended
+            for c in partition_by:
+                batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
+            # a batch append must not inherit the source's task layout:
+            # N tasks × P hive dirs = N·P tiny files per micro-batch, and
+            # every later scan (and per-file footer stat) pays for them.
+            # Cluster by the partition key so each touched partition writes
+            # ~1 file per batch — the CDC-trickle shape MOR exists for.
+            # (A bulk backfill that would skew one partition into one task
+            # belongs on merge/overwrite, which keep full write
+            # parallelism; compact() is the repair lever either way.)
+            if partition_by:
+                batch_str = batch_str.repartition(
+                    *[F.col(c) for c in partition_by]
+                )
+            else:
+                batch_str = batch_str.repartition(
+                    max(1, spark.sparkContext.defaultParallelism // 16)
+                )
+            new_entries = self._write_files(batch_str, partition_by)
+            self._publish(
+                {
+                    "partition_by": partition_by,
+                    "partition_types": m.get("partition_types", {}),
+                    "files": self._attach_dv(m["files"], dv_files, counts)
+                    + new_entries,
+                }
+            )
+            return {
+                "superseded_rows": superseded,
+                "appended_files": len(new_entries),
             }
-        )
-        return {
-            "superseded_rows": superseded,
-            "appended_files": len(new_entries),
-        }
+        finally:
+            for df in _pinned:
+                df.unpersist()
 
     # -------------------------------------------------- partition evolution
     def set_partition_spec(
