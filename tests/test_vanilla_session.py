@@ -82,6 +82,12 @@ SENSITIVE = [
     "dsir_weights_documents",
     "semantic_dedup_embeddings",
     "temperature_sample_documents",
+    # round 7 continuation: SCD2 compares fact timestamps against
+    # validity-interval literals — the exact boundary class a hostile tz
+    # shifts; the history fold's struct checksum must also be
+    # broadcast/shuffle-conf-invariant
+    "scd2_customer_history",
+    "scd2_pit_revenue_by_segment",
 ]
 
 
