@@ -1,0 +1,178 @@
+"""Declarative table-quality expectations, evaluated in ONE aggregate pass.
+
+The reference validates row-by-row against JSON-Schema at load time
+(this repo's :mod:`pipelinewise_spark.operators.validation`); what it has
+no analog for is TABLE-level acceptance — "this batch may load only if
+o_orderkey is unique, o_custkey is never null, and the row count didn't
+collapse" — the dbt-tests / Great-Expectations layer every production
+pipeline bolts on. This module is that layer, Spark-first:
+
+- every rule compiles to aggregate expressions over the SAME single
+  ``df.agg(...)`` — one scan, one (1-row) reduce, no per-rule jobs, no
+  shuffle beyond the aggregate's partial/final combine;
+- the report is a DataFrame (rule, column, metric, threshold, passed)
+  unpivoted from that one row via ``stack`` — answer-sized, never a
+  driver-side loop over data;
+- :func:`enforce` raises with the failing rules; together with
+  ``ManifestTable`` branches this gives write-audit-publish (stage the
+  batch on a branch, run the report against the STAGED snapshot, fast-
+  forward only when green — see :func:`write_audit_publish`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation: ``metric(df) >= threshold`` (metrics are oriented
+    so bigger is always better; ratios live in [0,1])."""
+
+    name: str
+    column: str
+    metric: Callable[[], F.Column]
+    threshold: float
+
+
+def _ratio(cond: F.Column) -> F.Column:
+    # avg over an exact 0/1 indicator: identical IEEE division of exact
+    # ints in any engine; empty input -> NULL, handled as failure
+    return F.avg(cond.cast("double"))
+
+
+def not_null(col: str, min_ratio: float = 1.0) -> Rule:
+    return Rule(
+        "not_null", col,
+        lambda: _ratio(F.col(col).isNotNull()), min_ratio,
+    )
+
+
+def unique(*cols: str, min_ratio: float = 1.0) -> Rule:
+    """Distinct-key ratio: 1.0 ⇔ the column set is a key."""
+    return Rule(
+        "unique", ",".join(cols),
+        lambda: F.count_distinct(F.struct(*cols)).cast("double")
+        / F.count(F.lit(1)).cast("double"),
+        min_ratio,
+    )
+
+
+def accepted_values(
+    col: str, values: Sequence, min_ratio: float = 1.0
+) -> Rule:
+    vals = list(values)
+    return Rule(
+        "accepted_values", col,
+        lambda: _ratio(F.col(col).isin(vals)), min_ratio,
+    )
+
+
+def in_range(col: str, lo, hi, min_ratio: float = 1.0) -> Rule:
+    return Rule(
+        "in_range", col,
+        lambda: _ratio(F.col(col).between(F.lit(lo), F.lit(hi))),
+        min_ratio,
+    )
+
+
+def row_count_at_least(n: int) -> Rule:
+    return Rule(
+        "row_count_at_least", "*",
+        lambda: F.count(F.lit(1)).cast("double"), float(n),
+    )
+
+
+def satisfies(name: str, predicate: F.Column, min_ratio: float = 1.0) -> Rule:
+    """Escape hatch: fraction of rows satisfying an arbitrary Column
+    predicate (NULL predicate counts as not satisfied)."""
+    return Rule(
+        name, "*",
+        lambda: _ratio(F.coalesce(predicate, F.lit(False))), min_ratio,
+    )
+
+
+def expectations_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """(rule, column, metric, threshold, passed) — one row per rule, all
+    metrics from a single aggregate pass over ``df``. A NULL metric
+    (empty input) fails closed."""
+    if not rules:
+        raise ValueError("no expectations given")
+    aggs = [r.metric().alias(f"__m_{i}") for i, r in enumerate(rules)]
+    one = df.agg(*aggs)
+    stack_args: list[F.Column] = []
+    for i, r in enumerate(rules):
+        stack_args += [
+            F.lit(r.name),
+            F.lit(r.column),
+            F.col(f"__m_{i}"),
+            F.lit(float(r.threshold)),
+        ]
+    return one.select(
+        F.stack(
+            F.lit(len(rules)), *stack_args
+        ).alias("rule", "column", "metric", "threshold")
+    ).select(
+        "rule", "column", "metric", "threshold",
+        F.coalesce(
+            F.col("metric") >= F.col("threshold"), F.lit(False)
+        ).alias("passed"),
+    )
+
+
+class ExpectationError(RuntimeError):
+    def __init__(self, failures: list[dict]):
+        self.failures = failures
+        super().__init__(
+            "expectations failed: "
+            + "; ".join(
+                f"{f['rule']}({f['column']}) metric={f['metric']} "
+                f"< {f['threshold']}"
+                for f in failures
+            )
+        )
+
+
+def enforce(df: DataFrame, rules: Sequence[Rule]) -> list[dict]:
+    """Evaluate and raise :class:`ExpectationError` on any failure;
+    returns the full report rows (answer-sized) when green."""
+    rows = [r.asDict() for r in expectations_report(df, rules).collect()]
+    bad = [r for r in rows if not r["passed"]]
+    if bad:
+        raise ExpectationError(bad)
+    return rows
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    table,
+    rules: Sequence[Rule],
+    write: Callable[[object], None],
+    branch: str = "wap-audit",
+) -> tuple[bool, list[dict]]:
+    """Iceberg-style WAP: stage ``write(branch_handle)`` on a branch of
+    ``table`` (a :class:`ManifestTable`), audit the STAGED snapshot with
+    ``rules``, and fast-forward main only when every rule passes. On
+    failure the ref is dropped — main's readers never observe the staged
+    bytes, and vacuum collects them later. Returns (published, report).
+
+    The audit reads through the branch handle, so it sees exactly the
+    post-write state main would adopt — deletion vectors, constraints
+    and stats included. Cost: the write itself + one aggregate pass."""
+    br = table.create_branch(branch)
+    try:
+        write(br)
+        report = [
+            r.asDict()
+            for r in expectations_report(br.read(spark), rules).collect()
+        ]
+        ok = all(r["passed"] for r in report)
+        if ok:
+            table.fast_forward(branch)
+        return ok, report
+    finally:
+        table.drop_branch(branch)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import uuid
 from collections.abc import Sequence
 from typing import Any
@@ -61,12 +62,15 @@ class ManifestTable:
         self.root = root
         self.mfs = MetaFS(root)
         self.partition_by = list(partition_by or [])
+        # which pointer this handle reads/advances: main (_VERSION) or a
+        # named branch ref — see branch()/create_branch()/fast_forward()
+        self._ref_file = _VERSION_FILE
 
     # ---------------------------------------------------------- manifests
     def current_manifest_name(self) -> str | None:
-        if not self.mfs.exists(_VERSION_FILE):
+        if not self.mfs.exists(self._ref_file):
             return None
-        return self.mfs.read_text(_VERSION_FILE).strip() or None
+        return self.mfs.read_text(self._ref_file).strip() or None
 
     def _load_manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is not None:
@@ -93,6 +97,86 @@ class ManifestTable:
         """ParquetTable-interface alias: the live manifest is the snapshot."""
         return self.current_manifest_name()
 
+    # ---------------------------------------------- branches (WAP pattern)
+    @staticmethod
+    def _ref_name(branch: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", branch):
+            raise ValueError(f"invalid branch name: {branch!r}")
+        return f"_ref-{branch}"
+
+    def branch(self, name: str) -> "ManifestTable":
+        """Handle onto a named branch: same table root and data files,
+        its own commit pointer. Every write verb (overwrite / merge /
+        merge_on_read / delete_where / compact) publishes to the branch
+        ref; main's pointer — and every main reader — is untouched until
+        :meth:`fast_forward`. This is Iceberg's write-audit-publish
+        shape: stage on a branch, audit the staged snapshot, publish by
+        pointer swap."""
+        b = ManifestTable(self.root, self.partition_by)
+        b._ref_file = self._ref_name(name)
+        return b
+
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> "ManifestTable":
+        """Create ``name`` at the current snapshot (or a pinned historical
+        ``from_version``) and return its handle. Metadata-only: no data is
+        copied (contrast :meth:`clone_to`)."""
+        ref = self._ref_name(name)
+        if self.mfs.exists(ref):
+            raise ValueError(f"branch already exists: {name}")
+        if from_version is not None:
+            base = f"manifest-{from_version:08d}.json"
+            self._load_manifest(from_version)  # existence check
+        else:
+            base = self.current_manifest_name()
+            if base is None:
+                raise FileNotFoundError("cannot branch an empty table")
+        self.mfs.write_text(base, ref, atomic=True)
+        return self.branch(name)
+
+    def branches(self) -> list[str]:
+        return sorted(
+            f[len("_ref-"):]
+            for f in self.mfs.listdir()
+            if f.startswith("_ref-")
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the ref; the branch's manifests and any files only it
+        references become vacuum's to collect (the audit-failed path of
+        WAP — nothing it staged ever reaches a main reader)."""
+        self.mfs.delete(self._ref_name(name))
+
+    def _ancestry(self, head: str) -> list[str]:
+        chain, seen = [], set()
+        cur: str | None = head
+        while cur is not None and cur not in seen:
+            seen.add(cur)
+            chain.append(cur)
+            cur = json.loads(self.mfs.read_text(cur)).get("parent")
+        return chain
+
+    def fast_forward(self, name: str) -> str:
+        """Publish a branch: atomically swap main's pointer to the branch
+        head. Requires main's current manifest to be an ANCESTOR of the
+        branch head (the branch carries every main commit) — if main
+        moved since the branch was cut, this raises instead of silently
+        dropping those commits; rebase by re-staging onto a fresh branch.
+        The swap is the WAP commit point: audits ran against exactly the
+        bytes main's readers now see."""
+        head = self.branch(name).current_manifest_name()
+        if head is None:
+            raise FileNotFoundError(f"no such branch: {name}")
+        main = self.current_manifest_name()
+        if main is not None and main not in self._ancestry(head):
+            raise RuntimeError(
+                f"main moved since branch {name!r} was cut "
+                f"({main} not in branch ancestry); re-stage and re-audit"
+            )
+        self.mfs.write_text(head, self._ref_file, atomic=True)
+        return head
+
     def _next_manifest_name(self) -> str:
         n = 1 + max(self.versions(), default=0)
         return f"manifest-{n:08d}.json"
@@ -115,11 +199,16 @@ class ManifestTable:
                 if prior_c:
                     manifest["constraints"] = prior_c
         self.mfs.mkdirs()
+        # parent pointer: snapshot lineage for provenance and the
+        # fast-forward ancestry check (branch heads must descend from
+        # main's current manifest to publish)
+        if "parent" not in manifest:
+            manifest["parent"] = self.current_manifest_name()
         name = self._next_manifest_name()
         self.mfs.write_text(json.dumps(manifest, indent=1), name)
         # the pointer write is the commit point — atomic rename locally,
         # atomic PUT on object stores
-        self.mfs.write_text(name, _VERSION_FILE, atomic=True)
+        self.mfs.write_text(name, self._ref_file, atomic=True)
         return name
 
     # -------------------------------------------------------------- write
@@ -1043,6 +1132,12 @@ class ManifestTable:
         live_name = self.current_manifest_name()
         if live_name:
             keep.add(int(live_name.split("-")[1].split(".")[0]))
+        # every branch head stays referenced until its ref is dropped —
+        # vacuum must never collect a snapshot someone can still publish
+        for b in self.branches():
+            head = self.branch(b).current_manifest_name()
+            if head:
+                keep.add(int(head.split("-")[1].split(".")[0]))
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         for v in keep:

@@ -16,6 +16,7 @@ from pipelinewise_spark.queries import llmdata as _llmdata  # noqa: F401,E402
 from pipelinewise_spark.queries import streaming as _streaming  # noqa: F401,E402
 from pipelinewise_spark.queries import ops as _ops  # noqa: F401,E402
 from pipelinewise_spark.queries import scd as _scd  # noqa: F401,E402
+from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 
 # Registry iteration order is the order external harnesses see (and a
 # bounded harness may only sample a PREFIX of it). Lead with a
@@ -61,6 +62,7 @@ _SHOWCASE_ORDER = [
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     "epoch_upsample_documents", "gap_fill_daily_revenue",
     "scd2_customer_history", "scd2_pit_revenue_by_segment",
+    "expectations_report_orders", "wap_publish_orders",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon

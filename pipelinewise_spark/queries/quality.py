@@ -1,0 +1,152 @@
+"""Table-quality queries: the one-pass expectations report and the
+write-audit-publish (branch-staged, audit-gated) load."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.expectations import (
+    accepted_values,
+    expectations_report,
+    in_range,
+    not_null,
+    row_count_at_least,
+    satisfies,
+    unique,
+    write_audit_publish,
+)
+from pipelinewise_spark.operators.manifest_table import ManifestTable
+from pipelinewise_spark.queries.fixturetime import fixture_timer
+from pipelinewise_spark.queries.registry import register
+from pipelinewise_spark.sources.files import read_table
+
+_ORD_RULES_SQL = """
+    WITH m AS (
+        SELECT
+            AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                AS m_notnull,
+            CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS m_unique,
+            AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0
+                     ELSE 0.0 END) AS m_accepted,
+            AVG(CASE WHEN o_totalprice BETWEEN 1000.0 AND 300000.0
+                     THEN 1.0 ELSE 0.0 END) AS m_range,
+            CAST(COUNT(*) AS DOUBLE) AS m_rows,
+            AVG(CASE WHEN o_orderpriority LIKE '1-%' THEN 1.0
+                     ELSE 0.0 END) AS m_urgent
+        FROM orders)
+    SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+           m_notnull AS metric, 1.0 AS threshold,
+           m_notnull >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', m_unique, 1.0, m_unique >= 1.0 FROM m
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus', m_accepted, 1.0,
+           m_accepted >= 1.0 FROM m
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice', m_range, 0.5, m_range >= 0.5 FROM m
+    UNION ALL
+    SELECT 'row_count_at_least', '*', m_rows, 1.0, m_rows >= 1.0 FROM m
+    UNION ALL
+    SELECT 'urgent_share', '*', m_urgent, 0.5, m_urgent >= 0.5 FROM m
+"""
+
+
+def _orders_rules():
+    return [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        in_range("o_totalprice", 1000.0, 300000.0, min_ratio=0.5),
+        row_count_at_least(1),
+        # an intentionally failing rule: ~20% of priorities are urgent,
+        # the report must carry passed=false rows, not hide them
+        satisfies(
+            "urgent_share", F.col("o_orderpriority").startswith("1-"), 0.5
+        ),
+    ]
+
+
+@register("expectations_report_orders", oracle=_ORD_RULES_SQL)
+def expectations_report_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt-tests/Great-Expectations-style table acceptance
+    (operators/expectations.py): six rules — null ratio, key uniqueness,
+    accepted values, range share, row count, an arbitrary predicate —
+    ALL evaluated in one aggregate pass (single scan, 1-row reduce),
+    unpivoted to a (rule, col_name, metric, threshold, passed) report.
+    One rule intentionally fails to prove failures surface."""
+    orders = read_table(spark, sf_dir, "orders")
+    return expectations_report(orders, _orders_rules()).select(
+        "rule",
+        F.col("column").alias("col_name"),
+        "metric",
+        "threshold",
+        "passed",
+    )
+
+
+@register(
+    "wap_publish_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: batches stage on a ManifestTable BRANCH
+    (metadata-only ref, same data files), the expectations audit runs
+    against the staged snapshot, and main's pointer fast-forwards only
+    when green (operators/manifest_table.py:branch/fast_forward,
+    operators/expectations.py:write_audit_publish — Iceberg's WAP
+    pattern). A clean batch publishes; a corrupt batch (NULL custkeys)
+    is rejected with main untouched — so the final table is exactly
+    base + the clean batch."""
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_wap_")
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        k = F.col("o_orderkey")
+        table = ManifestTable(
+            os.path.join(tmp, "orders"), ["o_orderpriority"]
+        )
+        table.overwrite(orders.filter(k % 4 != 3))
+
+    rules = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        row_count_at_least(1),
+    ]
+    good = orders.filter(k % 4 == 3)
+    ok1, _ = write_audit_publish(
+        spark, table, rules,
+        lambda br: br.merge(spark, good, ["o_orderkey"]),
+    )
+    assert ok1, "clean batch must publish"
+    # corrupt batch: brand-new keys with NULL o_custkey — if it ever
+    # published, the final row count and null profile would both change
+    bad = (
+        orders.filter(k % 4 == 1)
+        .withColumn("o_orderkey", k + 100_000_000)
+        .withColumn("o_custkey", F.lit(None).cast("long"))
+    )
+    ok2, report2 = write_audit_publish(
+        spark, table, rules,
+        lambda br: br.merge(spark, bad, ["o_orderkey"]),
+    )
+    assert not ok2, "corrupt batch must be rejected"
+    assert any(
+        r["rule"] == "not_null" and not r["passed"] for r in report2
+    )
+    return table.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )

@@ -88,6 +88,10 @@ SENSITIVE = [
     # broadcast/shuffle-conf-invariant
     "scd2_customer_history",
     "scd2_pit_revenue_by_segment",
+    # WAP round-trips a partitioned ManifestTable merge + the one-pass
+    # expectations aggregate under hostile shuffle/broadcast confs
+    "wap_publish_orders",
+    "expectations_report_orders",
 ]
 
 

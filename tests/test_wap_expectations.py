@@ -1,0 +1,141 @@
+"""Branch/WAP + expectations operator tests (manifest_table branches,
+operators/expectations.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pipelinewise_spark.operators.expectations import (
+    ExpectationError,
+    enforce,
+    expectations_report,
+    in_range,
+    not_null,
+    row_count_at_least,
+    unique,
+    write_audit_publish,
+)
+from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+
+def _df(spark, n=10, null_every=0):
+    c = F.col("id")
+    df = spark.range(n).select(
+        c.alias("k"),
+        (c % 3).cast("string").alias("p"),
+        (c * 2).alias("v"),
+    )
+    if null_every:
+        df = df.withColumn(
+            "v", F.when(F.col("k") % null_every != 0, F.col("v"))
+        )
+    return df
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["p"])
+    t.overwrite(_df(spark))
+    return t
+
+
+def test_branch_isolation_and_fast_forward(spark, table):
+    main_before = table.current_manifest_name()
+    br = table.create_branch("stage")
+    br.merge(spark, _df(spark, 20).filter(F.col("k") >= 10), ["k"])
+    # staged rows visible through the branch, invisible on main
+    assert br.read(spark).count() == 20
+    assert table.read(spark).count() == 10
+    assert table.current_manifest_name() == main_before
+    table.fast_forward("stage")
+    assert table.read(spark).count() == 20
+    table.drop_branch("stage")
+    assert table.branches() == []
+
+
+def test_fast_forward_refuses_when_main_moved(spark, table):
+    table.create_branch("stage").merge(
+        spark, _df(spark, 12).filter(F.col("k") >= 10), ["k"]
+    )
+    # concurrent commit on main after the branch was cut
+    table.merge(
+        spark,
+        _df(spark, 10).withColumn("v", F.col("v") + 1), ["k"],
+    )
+    with pytest.raises(RuntimeError, match="main moved"):
+        table.fast_forward("stage")
+    table.drop_branch("stage")
+
+
+def test_vacuum_spares_branch_heads_until_dropped(spark, table):
+    br = table.create_branch("stage")
+    br.overwrite(_df(spark, 5))
+    staged = {e["path"] for e in br._load_manifest()["files"]}
+    # churn main so old manifests rotate out of the retention window
+    for i in range(3):
+        table.merge(
+            spark, _df(spark, 10).withColumn("v", F.col("v") + i), ["k"]
+        )
+    table.vacuum(keep_manifests=1)
+    for p in staged:
+        assert table.mfs.exists(p), "branch-referenced file vacuumed"
+    table.drop_branch("stage")
+    table.vacuum(keep_manifests=1)
+    assert not any(table.mfs.exists(p) for p in staged)
+
+
+def test_expectations_metrics_and_enforce(spark):
+    df = _df(spark, 10, null_every=5)  # v NULL at k=0,5 -> ratio 0.8
+    report = {
+        (r["rule"], r["column"]): r
+        for r in expectations_report(
+            df,
+            [
+                not_null("v", 0.8),
+                not_null("v", 0.9),
+                unique("k"),
+                in_range("k", 0, 4, min_ratio=0.5),
+                row_count_at_least(11),
+            ],
+        ).collect()
+    }
+    assert report[("not_null", "v")]["metric"] == pytest.approx(0.8)
+    passed = {k: r["passed"] for k, r in report.items()}
+    del passed[("not_null", "v")]  # two thresholds share the key
+    assert passed == {
+        ("unique", "k"): True,
+        ("in_range", "k"): True,
+        ("row_count_at_least", "*"): False,
+    }
+    with pytest.raises(ExpectationError, match="row_count_at_least"):
+        enforce(df, [row_count_at_least(11)])
+    # empty input fails closed (NULL ratio -> passed false)
+    empty = expectations_report(df.limit(0), [not_null("v")]).collect()
+    assert not empty[0]["passed"]
+
+
+def test_wap_rejected_batch_leaves_main_bitwise_unchanged(spark, table):
+    before = table.current_manifest_name()
+    ok, report = write_audit_publish(
+        spark, table, [not_null("v")],
+        lambda br: br.merge(
+            spark,
+            _df(spark, 30)
+            .filter(F.col("k") >= 20)
+            .withColumn("v", F.lit(None).cast("long")),
+            ["k"],
+        ),
+    )
+    assert not ok
+    assert table.current_manifest_name() == before
+    assert table.branches() == []  # ref dropped on failure
+    ok2, _ = write_audit_publish(
+        spark, table, [not_null("v"), unique("k")],
+        lambda br: br.merge(
+            spark, _df(spark, 30).filter(F.col("k") >= 20), ["k"]
+        ),
+    )
+    assert ok2 and table.read(spark).count() == 20
