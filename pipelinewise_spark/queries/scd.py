@@ -110,6 +110,117 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIT_T0 = "1990-01-01 00:00:00"
 _PIT_CUT = "1998-06-01 00:00:00"
+_T2 = "2026-03-01 00:00:00"
+
+
+@register(
+    "cdc_stream_scd2_customer",
+    oracle=f"""
+    WITH c AS (SELECT * FROM customer)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '{T0}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM c WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '{T0}', TIMESTAMP '{T1}', FALSE
+    FROM c WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0, 'W1',
+           TIMESTAMP '{T1}',
+           CASE WHEN c_custkey % 6 = 0 OR c_custkey % 9 = 0
+                THEN TIMESTAMP '{_T2}' END,
+           NOT (c_custkey % 6 = 0 OR c_custkey % 9 = 0)
+    FROM c WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 30.0, 'W2',
+           TIMESTAMP '{_T2}', CAST(NULL AS TIMESTAMP), TRUE
+    FROM c WHERE c_custkey % 9 = 0 AND c_custkey % 6 <> 0
+    """,
+)
+def cdc_stream_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG_BASED replication folded into SCD2 HISTORY as a structured
+    stream (streaming/scd.py:run_scd2_stream): three change waves —
+    initial load, an update wave, a mixed update/delete wave — each
+    drained as multiple checkpointed micro-batches into a (current,
+    append-only closed log) pair; the closed increment is epoch-stamped
+    so replays can't duplicate history. The oracle is the full version
+    chain those waves imply."""
+    import os
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+    from pipelinewise_spark.streaming.scd import (
+        read_closed_log,
+        run_scd2_stream,
+    )
+    from pipelinewise_spark.plans.spec import StreamSpec
+
+    payload = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_scd_cdc_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        cust = read_table(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+
+        def _wave(df: DataFrame, op, seq_base: int, ts: str) -> DataFrame:
+            return df.select(
+                op.alias("_op"),
+                (k + seq_base).alias("_seq"),
+                F.lit(ts).alias("_event_ts"),
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment",
+            )
+
+        waves = [
+            _wave(cust, F.lit("c"), 0, T0),
+            _wave(
+                cust.filter(k % 3 == 0)
+                .withColumn("c_mktsegment", F.lit("W1"))
+                .withColumn("c_acctbal", F.col("c_acctbal") + 10.0),
+                F.lit("u"), 1_000_000_000, T1,
+            ),
+            _wave(
+                cust.filter((k % 6 == 0) | (k % 9 == 0))
+                .withColumn("c_mktsegment", F.lit("W2"))
+                .withColumn("c_acctbal", F.col("c_acctbal") + 30.0),
+                F.when(k % 6 == 0, F.lit("d")).otherwise(F.lit("u")),
+                2_000_000_000, _T2,
+            ),
+        ]
+    spec = StreamSpec(
+        tap_stream_id="customer", primary_keys=["c_custkey"],
+        hard_delete=True,
+    )
+    current = ParquetTable(os.path.join(tmp, "current"))
+    closed_dir = os.path.join(tmp, "closed")
+    for w in waves:
+        # one delivery wave per bounded run against the SAME checkpoint
+        # (file-source bookmark); maxFilesPerTrigger splits each wave
+        # into several micro-batches
+        w.repartition(8).write.mode("append").json(events_dir)
+        run_scd2_stream(
+            spark, events_dir,
+            T._parse_datatype_string(payload), spec, current, closed_dir,
+            checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+            max_files_per_trigger=3,
+        )
+    hist = current.read(spark).unionByName(
+        read_closed_log(spark, closed_dir), allowMissingColumns=True
+    )
+    return hist.select(
+        *_HIST_COLS,
+        F.col("_valid_from").alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_is_current").alias("is_current"),
+    )
 
 
 @register(

@@ -57,18 +57,15 @@ def envelope_schema(payload: T.StructType) -> T.StructType:
     )
 
 
-def apply_change_batch(
-    table: ParquetTable,
-    batch: DataFrame,
-    spec: StreamSpec,
-) -> None:
-    """Merge one micro-batch of change events into the target table."""
+def prepare_change_batch(batch: DataFrame, spec: StreamSpec) -> DataFrame:
+    """Envelope → load-ready rows: last-wins dedupe by PK on the event
+    sequence, ``_sdc_*`` columns from the event time, tombstones as
+    ``_sdc_deleted_at``, and the persisted sequence guard."""
     if not spec.primary_keys:
         raise ValueError("CDC requires primary keys")
-    spark = batch.sparkSession
     deduped = last_wins_dedupe(batch, spec.primary_keys, SEQ_COL)
     ts = F.col(EVENT_TS_COL).cast("timestamp")
-    prepared = (
+    return (
         deduped.withColumn(SDC_EXTRACTED_AT, ts)
         .withColumn(SDC_BATCHED_AT, ts)
         .withColumn(
@@ -80,6 +77,16 @@ def apply_change_batch(
         .withColumn(SDC_SEQ_COL, F.col(SEQ_COL).cast("long"))
         .drop(OP_COL, SEQ_COL, EVENT_TS_COL)
     )
+
+
+def apply_change_batch(
+    table: ParquetTable,
+    batch: DataFrame,
+    spec: StreamSpec,
+) -> None:
+    """Merge one micro-batch of change events into the target table."""
+    spark = batch.sparkSession
+    prepared = prepare_change_batch(batch, spec)
     if not table.exists():
         merged = (
             prepared.filter(F.col(SDC_DELETED_AT).isNull())

@@ -175,3 +175,51 @@ def test_pit_join_plan_broadcasts_dim_no_nested_loop(spark, sf_dir):
     # the validity interval as a post-filter — never a nested-loop join
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_streaming_scd2_epoch_replay_does_not_duplicate(spark, tmp_path):
+    """A foreachBatch epoch replayed after a crash rewrites the SAME
+    closed-log epoch directory and re-folds the same batch — history
+    must be byte-identical, not doubled."""
+    import os
+
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.plans.spec import StreamSpec
+    from pipelinewise_spark.streaming.cdc import envelope_schema
+    from pipelinewise_spark.streaming.scd import (
+        apply_scd2_batch,
+        read_closed_log,
+    )
+    import pyspark.sql.types as T
+
+    payload = T._parse_datatype_string("k long, attr string")
+    spec = StreamSpec(
+        tap_stream_id="t", primary_keys=["k"], hard_delete=True
+    )
+    current = ParquetTable(os.path.join(str(tmp_path), "cur"))
+    closed = os.path.join(str(tmp_path), "closed")
+
+    def ev(rows, ts):
+        return spark.createDataFrame(
+            [(op, k, ts, k, a) for op, k, a in rows],
+            envelope_schema(payload),
+        )
+
+    apply_scd2_batch(
+        current, closed, ev([("c", 1, "a"), ("c", 2, "b")], TS0), spec, 0
+    )
+    b1 = ev([("u", 1, "a2"), ("d", 2, "b")], TS1)
+    apply_scd2_batch(current, closed, b1, spec, 1)
+    snap1 = sorted(
+        (r["k"], r["attr"]) for r in read_closed_log(spark, closed).collect()
+    )
+    cur1 = sorted((r["k"], r["attr"]) for r in current.read(spark).collect())
+    # crash-replay of epoch 1: same batch, same epoch id
+    apply_scd2_batch(current, closed, b1, spec, 1)
+    assert sorted(
+        (r["k"], r["attr"]) for r in read_closed_log(spark, closed).collect()
+    ) == snap1
+    assert sorted(
+        (r["k"], r["attr"]) for r in current.read(spark).collect()
+    ) == cur1
+    assert snap1 == [(1, "a"), (2, "b")] and cur1 == [(1, "a2")]

@@ -92,6 +92,9 @@ SENSITIVE = [
     # expectations aggregate under hostile shuffle/broadcast confs
     "wap_publish_orders",
     "expectations_report_orders",
+    # streaming SCD2 round-trips event timestamps through JSON and folds
+    # under the checkpointed file-source bookmark — the NTZ/tz class
+    "cdc_stream_scd2_customer",
 ]
 
 
