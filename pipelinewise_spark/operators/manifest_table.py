@@ -52,6 +52,92 @@ def _decode_hive_value(v: str) -> str | None:
     return unquote(v)
 
 
+_TRANSFORM_RE = re.compile(
+    r"^(days|months|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?([A-Za-z0-9_]+)\s*\)$"
+)
+
+
+class PartitionField:
+    """One entry of a partition spec: a raw column, or an Iceberg-style
+    HIDDEN transform of one — ``days(ts)``, ``months(ts)``,
+    ``bucket(n, col)``, ``truncate(w, col)``. Transforms partition by a
+    DERIVED value (its own hive dir key) while queries keep filtering on
+    the raw column: `select_entries` maps raw-column ranges/points
+    through the transform to prune files, and reads never surface the
+    derived column."""
+
+    def __init__(self, spec: str):
+        self.spec = spec
+        m = _TRANSFORM_RE.match(spec.strip())
+        if m:
+            self.transform, arg, self.source = m.groups()
+            self.arg = int(arg) if arg is not None else None
+            if self.transform in ("bucket", "truncate"):
+                if not self.arg or self.arg <= 0:
+                    raise ValueError(f"{spec}: needs a positive width/count")
+            elif arg is not None:
+                raise ValueError(f"{spec}: unexpected numeric argument")
+            self.key = f"__p_{self.transform}_{self.source}"
+        else:
+            if not re.fullmatch(r"[A-Za-z0-9_]+", spec.strip()):
+                raise ValueError(f"unparseable partition spec: {spec!r}")
+            self.transform, self.arg = None, None
+            self.source = self.key = spec.strip()
+
+    @property
+    def hidden(self) -> bool:
+        return self.transform is not None
+
+    def expr(self) -> F.Column:
+        """Derived partition value as a STRING column (hive dir form)."""
+        c = F.col(self.source)
+        if self.transform == "days":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.transform == "months":
+            return F.date_format(c, "yyyy-MM")
+        if self.transform == "bucket":
+            # crc32 over the utf8 string form: deterministic across
+            # sessions/engines (zlib.crc32 twin below prunes driver-side)
+            return F.pmod(
+                F.crc32(F.encode(c.cast("string"), "utf-8")), F.lit(self.arg)
+            ).cast("string")
+        if self.transform == "truncate":
+            return F.substring(c.cast("string"), 1, self.arg)
+        return c.cast("string")
+
+    def value_of(self, v: Any) -> str | None:
+        """Driver-side twin of :meth:`expr` for pruning on literals."""
+        import zlib
+
+        if v is None:
+            return None
+        if self.transform in ("days", "months"):
+            s = str(v)
+            n = 10 if self.transform == "days" else 7
+            return s[:n]
+        if self.transform == "bucket":
+            return str(zlib.crc32(str(v).encode("utf-8")) % self.arg)
+        if self.transform == "truncate":
+            return str(v)[: self.arg]
+        return str(v)
+
+    #: transforms that preserve source ordering in the dir-string form
+    @property
+    def order_preserving(self) -> bool:
+        # truncate is order-preserving for strings (prefix) but not for
+        # negative numbers' string forms — restrict range pruning to the
+        # date transforms, whose yyyy-MM[-dd] form sorts correctly
+        return self.transform in ("days", "months")
+
+
+def parse_partition_spec(partition_by: Sequence[str]) -> list[PartitionField]:
+    fields = [PartitionField(s) for s in partition_by]
+    keys = [f.key for f in fields]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate partition keys in {list(partition_by)}")
+    return fields
+
+
 class ManifestTable:
     def __init__(self, root: str, partition_by: Sequence[str] | None = None):
         """``partition_by`` is the default partition spec for writes made
@@ -259,12 +345,19 @@ class ManifestTable:
     def _write_files(
         self, df: DataFrame, partition_by: Sequence[str]
     ) -> list[dict[str, Any]]:
-        """Write a data dir and return manifest entries for its files."""
+        """Write a data dir and return manifest entries for its files.
+        Hidden-transform fields materialize their derived dir column here
+        (and ONLY here — partitionBy strips it from the data files; the
+        raw source column stays in the data)."""
         write_id = uuid.uuid4().hex[:12]
         base_rel = posixpath.join("data", write_id)
+        fields = parse_partition_spec(partition_by)
+        for f_ in fields:
+            if f_.hidden:
+                df = df.withColumn(f_.key, f_.expr())
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if fields:
+            writer = writer.partitionBy(*[f_.key for f_ in fields])
         writer.parquet(self.mfs.uri(base_rel))
 
         entries: list[dict[str, Any]] = []
@@ -304,7 +397,9 @@ class ManifestTable:
                 partition_by = []
         partition_by = list(partition_by)
         ptypes = {
-            c: df.schema[c].dataType.simpleString() for c in partition_by
+            f_.key: df.schema[f_.source].dataType.simpleString()
+            for f_ in parse_partition_spec(partition_by)
+            if not f_.hidden  # derived cols never surface on read
         }
         entries = self._write_files(df, partition_by)
         return self._publish(
@@ -361,6 +456,43 @@ class ManifestTable:
                     for k, v in partitions.items()
                 )
             ]
+        # hidden-transform partition pruning: predicates arrive on the RAW
+        # column (the user never sees the derived dir value); map them
+        # through the transform and prune on the manifest's partition
+        # values. Conservative everywhere: absent keys / non-order-
+        # preserving transforms under range predicates keep the file.
+        for f_ in parse_partition_spec(m.get("partition_by", [])):
+            if not f_.hidden:
+                continue
+            if ranges and f_.source in ranges and f_.order_preserving:
+                lo, hi = ranges[f_.source]
+                dlo = f_.value_of(lo) if lo is not None else None
+                dhi = f_.value_of(hi) if hi is not None else None
+
+                def day_keep(e, k=f_.key, dlo=dlo, dhi=dhi):
+                    v = e["partition"].get(k)
+                    if k not in e["partition"] or v is None:
+                        return True
+                    return (dlo is None or v >= dlo) and (
+                        dhi is None or v <= dhi
+                    )
+
+                entries = [e for e in entries if day_keep(e)]
+            if points and f_.source in points:
+                vals = points[f_.source]
+                vlist = (
+                    vals
+                    if isinstance(vals, (list, tuple, set))
+                    else [vals]
+                )
+                allowed_d = {f_.value_of(v) for v in vlist}
+
+                def pt_keep(e, k=f_.key, allowed_d=allowed_d):
+                    if k not in e["partition"]:
+                        return True
+                    return e["partition"][k] in allowed_d
+
+                entries = [e for e in entries if pt_keep(e)]
         if ranges:
             def matches(e: dict[str, Any]) -> bool:
                 stats = e.get("stats", {})
@@ -516,6 +648,15 @@ class ManifestTable:
             )
         if with_pos and not keep_pos:
             out = out.drop("__dv_path", "__dv_pos")
+        hidden = [
+            f_.key
+            for f_ in parse_partition_spec(m.get("partition_by", []))
+            if f_.hidden and f_.key in out.columns
+        ]
+        if hidden:
+            # derived dir values are reconstructible from the raw column
+            # (still in the data files) — hidden partitioning never leaks
+            out = out.drop(*hidden)
         for c, dt in m.get("partition_types", {}).items():
             if c in out.columns and dt != "string":
                 out = out.withColumn(c, F.col(c).cast(dt))
@@ -549,27 +690,40 @@ class ManifestTable:
             self.overwrite(merged, [])
             return
 
-        # hive partition dirs stringify values; match on the string form
+        # hive partition dirs stringify values; match on the string form.
+        # Hidden-transform fields compute their derived dir value for the
+        # touched-partition list, then drop it again — the merge itself
+        # runs on raw columns and _write_files re-derives at write time.
+        fields = parse_partition_spec(partition_by)
+        keys = [f_.key for f_ in fields]
         batch_str = batch
-        for c in partition_by:
-            batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
-        batch_parts = batch_str.select(*partition_by).distinct().collect()
+        for f_ in fields:
+            batch_str = batch_str.withColumn(
+                f_.key,
+                f_.expr() if f_.hidden else F.col(f_.key).cast("string"),
+            )
+        batch_parts = batch_str.select(*keys).distinct().collect()
         # exact value-TUPLE pruning: with a composite spec, per-column sets
         # would also read every cross-combination of the batch's values
         # (correct but over-wide); manifest values are decoded so logical
         # equality holds for escaped chars and NULLs alike
-        affected_rows = [{c: r[c] for c in partition_by} for r in batch_parts]
+        affected_rows = [{k: r[k] for k in keys} for r in batch_parts]
         target_slice = self.read(spark, partition_rows=affected_rows)
-        for c in partition_by:
-            target_slice = target_slice.withColumn(c, F.col(c).cast("string"))
+        for f_ in fields:
+            if not f_.hidden:
+                target_slice = target_slice.withColumn(
+                    f_.key, F.col(f_.key).cast("string")
+                )
         merged = merge_upsert(
-            target_slice, batch_str, primary_keys,
+            target_slice,
+            batch_str.drop(*[f_.key for f_ in fields if f_.hidden]),
+            primary_keys,
             hard_delete=hard_delete, guard_col=guard_col,
         )
         new_entries = self._write_files(merged, partition_by)
 
         affected_tuples = {
-            tuple(r[c] for c in partition_by) for r in affected_rows
+            tuple(r[k] for k in keys) for r in affected_rows
         }
         # entries from an older partition spec (key absent) are always
         # possibly-affected: they are read into the merge above (the pruned
@@ -578,8 +732,8 @@ class ManifestTable:
         # migrates them to the new layout.
         kept = [
             e for e in m["files"]
-            if all(k in e["partition"] for k in partition_by)
-            and tuple(e["partition"][k] for k in partition_by)
+            if all(k in e["partition"] for k in keys)
+            and tuple(e["partition"][k] for k in keys)
             not in affected_tuples
         ]
         self._publish(
@@ -854,20 +1008,28 @@ class ManifestTable:
                 appended = appended.filter(F.col(SDC_DELETED_AT).isNull())
 
             partition_by = m["partition_by"]
+            fields = parse_partition_spec(partition_by)
             batch_str = appended
-            for c in partition_by:
-                batch_str = batch_str.withColumn(c, F.col(c).cast("string"))
+            for f_ in fields:
+                if not f_.hidden:
+                    batch_str = batch_str.withColumn(
+                        f_.key, F.col(f_.key).cast("string")
+                    )
             # a batch append must not inherit the source's task layout:
             # N tasks × P hive dirs = N·P tiny files per micro-batch, and
             # every later scan (and per-file footer stat) pays for them.
-            # Cluster by the partition key so each touched partition writes
-            # ~1 file per batch — the CDC-trickle shape MOR exists for.
-            # (A bulk backfill that would skew one partition into one task
-            # belongs on merge/overwrite, which keep full write
-            # parallelism; compact() is the repair lever either way.)
-            if partition_by:
+            # Cluster by the partition key (hidden fields by their derived
+            # expr) so each touched partition writes ~1 file per batch —
+            # the CDC-trickle shape MOR exists for. (A bulk backfill that
+            # would skew one partition into one task belongs on
+            # merge/overwrite, which keep full write parallelism;
+            # compact() is the repair lever either way.)
+            if fields:
                 batch_str = batch_str.repartition(
-                    *[F.col(c) for c in partition_by]
+                    *[
+                        f_.expr() if f_.hidden else F.col(f_.key)
+                        for f_ in fields
+                    ]
                 )
             else:
                 batch_str = batch_str.repartition(
@@ -904,11 +1066,14 @@ class ManifestTable:
         m = self._load_manifest()
         partition_by = list(partition_by)
         df = self.read(spark).limit(0)
-        missing = [c for c in partition_by if c not in df.columns]
+        fields = parse_partition_spec(partition_by)
+        missing = [f_.source for f_ in fields if f_.source not in df.columns]
         if missing:
             raise ValueError(f"partition columns not in table: {missing}")
         ptypes = {
-            c: df.schema[c].dataType.simpleString() for c in partition_by
+            f_.key: df.schema[f_.source].dataType.simpleString()
+            for f_ in fields
+            if not f_.hidden
         }
         self.partition_by = partition_by
         return self._publish(
@@ -1075,8 +1240,11 @@ class ManifestTable:
             return 0
         frag_entries = [e for k in frag for e in groups[k]]
         df = self._read_entries(spark, frag_entries, m)
-        if partition_by:
-            df = df.repartition(*[F.col(c) for c in partition_by])
+        fields = parse_partition_spec(partition_by)
+        if fields:
+            df = df.repartition(
+                *[f_.expr() if f_.hidden else F.col(f_.key) for f_ in fields]
+            )
         else:
             df = df.coalesce(1)
         new_entries = self._write_files(df, partition_by)

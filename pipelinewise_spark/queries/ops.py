@@ -704,6 +704,70 @@ def zorder_pruned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hidden_partition_prune_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND o_custkey IN (7, 11)
+    """,
+)
+def hidden_partition_prune_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg-style HIDDEN partitioning
+    (operators/manifest_table.py:PartitionField): the table is laid out
+    by ``months(o_orderdate)`` × ``bucket(4, o_custkey)`` — derived dir
+    values the user never sees — while the query filters on the RAW
+    columns; select_entries maps the date range through the month
+    transform and the key points through the bucket hash, so only
+    matching partitions are ever listed to Spark (asserted in-query).
+    The oracle is the plain filter over the unpartitioned table: pruning
+    must never change the answer. At 100 TB this is the difference
+    between scanning a year's slice of a fact table and scanning the
+    table."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import (
+        ManifestTable,
+        parse_partition_spec,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    spec = ["months(o_orderdate)", "bucket(4, o_custkey)"]
+    with fixture_timer():
+        t = ManifestTable(
+            tempfile.mkdtemp(prefix="pws_hp_") + "/orders_hp", spec
+        )
+        # cluster by the derived partition exprs so each hive dir is
+        # written by one task (overwrite keeps caller layout control)
+        fields = parse_partition_spec(spec)
+        t.overwrite(
+            orders.repartition(64, *[f.expr() for f in fields])
+        )
+    lo, hi = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    keys = [7, 11]
+    entries, m = t.select_entries(
+        ranges={"o_orderdate": (lo, hi)}, points={"o_custkey": keys}
+    )
+    assert len(entries) < len(m["files"]) / 4, (
+        f"hidden pruning ineffective: {len(entries)}/{len(m['files'])}"
+    )
+    pruned = t.read(
+        spark, ranges={"o_orderdate": (lo, hi)}, points={"o_custkey": keys}
+    )
+    assert not any(c.startswith("__p_") for c in pruned.columns)
+    return pruned.filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("o_custkey").isin(keys)
+    )
+
+
+@register(
     "salted_topk_events_per_user",
     oracle="""
     SELECT user_id, event_id, value,

@@ -1,0 +1,140 @@
+"""Hidden-transform partitioning (manifest_table.py:PartitionField):
+derived dir values, raw-column pruning, merge/MOR/compact interop."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pipelinewise_spark.operators.manifest_table import (
+    ManifestTable,
+    PartitionField,
+    parse_partition_spec,
+)
+
+
+def _df(spark, n=200):
+    c = F.col("id")
+    return spark.range(n).select(
+        c.alias("k"),
+        F.expr(
+            "timestamp_micros(cast(id % 120 as long) * 86400000000 "
+            "+ 820454400000000)"  # 1996-01-01 + (id%120) days
+        ).alias("ts"),
+        (c * 10).alias("v"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManifestTable(
+        os.path.join(str(tmp_path), "t"),
+        ["months(ts)", "bucket(4, k)"],
+    )
+    fields = parse_partition_spec(t.partition_by)
+    t.overwrite(_df(spark).repartition(8, *[f.expr() for f in fields]))
+    return t
+
+
+def test_spec_parsing_and_twins():
+    f = PartitionField("days(ts)")
+    assert f.hidden and f.key == "__p_days_ts"
+    assert f.value_of("1996-03-07 13:00:00") == "1996-03-07"
+    assert PartitionField("months(ts)").value_of(
+        "1996-03-07 13:00:00"
+    ) == "1996-03"
+    b = PartitionField("bucket(8, k)")
+    import zlib
+
+    assert b.value_of(42) == str(zlib.crc32(b"42") % 8)
+    assert PartitionField("truncate(3, s)").value_of("abcdef") == "abc"
+    assert not PartitionField("plain_col").hidden
+    with pytest.raises(ValueError):
+        PartitionField("bucket(k)")
+    with pytest.raises(ValueError):
+        PartitionField("days(ts); drop table")
+
+
+def test_dirs_derived_and_read_roundtrip(spark, table):
+    m = table._load_manifest()
+    keys = {k for e in m["files"] for k in e["partition"]}
+    assert keys == {"__p_months_ts", "__p_bucket_k"}
+    months = {e["partition"]["__p_months_ts"] for e in m["files"]}
+    # 1996-01-01 + 119 days lands on 1996-04-29 (leap year)
+    assert months == {"1996-01", "1996-02", "1996-03", "1996-04"}
+    out = table.read(spark)
+    assert set(out.columns) == {"k", "ts", "v"}  # nothing hidden leaks
+    assert out.count() == 200
+    # raw column type survives (it lives in the data files, not the dirs)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_raw_predicate_prunes_transformed_partitions(spark, table):
+    m = table._load_manifest()
+    total = len(m["files"])
+    ent, _ = table.select_entries(
+        ranges={"ts": ("1996-02-01 00:00:00", "1996-02-28 23:59:59")}
+    )
+    assert 0 < len(ent) <= total / 3  # one month of four, both buckets
+    assert all(
+        e["partition"]["__p_months_ts"] == "1996-02" for e in ent
+    )
+    ent2, _ = table.select_entries(points={"k": 42})
+    b42 = PartitionField("bucket(4, k)").value_of(42)
+    assert all(e["partition"]["__p_bucket_k"] == b42 for e in ent2)
+    # combined prune + exact read: answer unchanged vs full scan
+    got = (
+        table.read(
+            spark,
+            ranges={"ts": ("1996-02-01 00:00:00", "1996-02-28 23:59:59")},
+            points={"k": 42},
+        )
+        .filter(F.col("k") == 42)
+        .collect()
+    )
+    want = table.read(spark).filter(F.col("k") == 42).collect()
+    assert len(got) == 1 and got == want  # k=42 -> 1996-02-12: kept
+
+
+def test_merge_rewrites_only_touched_hidden_partitions(spark, table):
+    before = {e["path"] for e in table._load_manifest()["files"]}
+    # batch touches only 1996-01 (k%120 < 31 => january)
+    batch = _df(spark).filter(F.col("k") < 5).withColumn(
+        "v", F.col("v") + 1
+    )
+    table.merge(spark, batch, ["k"])
+    after = table._load_manifest()["files"]
+    touched_months = {
+        e["partition"]["__p_months_ts"]
+        for e in after
+        if e["path"] not in before
+    }
+    assert touched_months == {"1996-01"}
+    carried = [e for e in after if e["path"] in before]
+    assert all(
+        e["partition"]["__p_months_ts"] != "1996-01"
+        or e["partition"]["__p_bucket_k"]
+        not in {PartitionField("bucket(4, k)").value_of(k) for k in range(5)}
+        for e in carried
+    )
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got[0] == 1 and got[4] == 41 and got[5] == 50
+
+
+def test_mor_append_clusters_by_derived_value(spark, table):
+    batch = (
+        _df(spark, 300)
+        .filter(F.col("k") >= 200)
+        .withColumn("_sdc_seq", F.lit(1).cast("long"))
+    )
+    table.merge_on_read(spark, batch, ["k"], guard_col="_sdc_seq")
+    m = table._load_manifest()
+    assert table.read(spark).count() == 300
+    # ~1 file per touched (month, bucket) in the appended write
+    new_bases = {e["base"] for e in m["files"]}
+    assert len(new_bases) == 2  # T0 write + one MOR append
+    compacted = table.compact(spark, min_files=1)
+    assert compacted >= 1
+    assert table.read(spark).count() == 300

@@ -95,6 +95,9 @@ SENSITIVE = [
     # streaming SCD2 round-trips event timestamps through JSON and folds
     # under the checkpointed file-source bookmark — the NTZ/tz class
     "cdc_stream_scd2_customer",
+    # hidden partitioning derives month dirs via date_format (session-tz
+    # dependent) and compares raw timestamps against range literals
+    "hidden_partition_prune_orders",
 ]
 
 
