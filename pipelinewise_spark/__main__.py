@@ -418,6 +418,88 @@ def _cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_branch(args: argparse.Namespace) -> int:
+    """Branch lifecycle for write-audit-publish: `create` cuts a
+    metadata-only ref at the current snapshot, `publish` fast-forwards
+    main to an audited branch head (refusing if main moved), `drop`
+    deletes the ref, `list` prints refs with their heads. Pair with
+    `audit` to gate the publish on expectations."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(args.table)
+    out: dict = {"table": args.table, "action": args.action}
+    if args.action == "create":
+        t.create_branch(args.name)
+        out["branch"] = args.name
+        out["head"] = t.branch(args.name).current_manifest_name()
+    elif args.action == "publish":
+        out["branch"] = args.name
+        out["head"] = t.fast_forward(args.name)
+        t.drop_branch(args.name)
+    elif args.action == "drop":
+        t.drop_branch(args.name)
+        out["branch"] = args.name
+    else:  # list
+        out["branches"] = {
+            b: t.branch(b).current_manifest_name() for b in t.branches()
+        }
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_audit(args: argparse.Namespace) -> int:
+    """Run a JSON expectations file against a table (or one of its
+    branches) and print the report; exit 1 on any failing rule. Rules
+    file: [{"rule": "not_null", "column": "c", "min_ratio": 1.0},
+    {"rule": "unique", "columns": ["pk"]}, {"rule": "accepted_values",
+    "column": "c", "values": [...]}, {"rule": "in_range", "column":
+    "c", "lo": .., "hi": ..}, {"rule": "row_count_at_least", "n": 1}].
+    The WAP loop from the CLI: branch create → load → audit --branch →
+    branch publish."""
+    from pipelinewise_spark.operators import expectations as X
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    with open(args.rules) as fh:
+        spec = json.load(fh)
+    rules = []
+    for r in spec:
+        kind = r["rule"]
+        if kind == "not_null":
+            rules.append(X.not_null(r["column"], r.get("min_ratio", 1.0)))
+        elif kind == "unique":
+            rules.append(
+                X.unique(*r["columns"], min_ratio=r.get("min_ratio", 1.0))
+            )
+        elif kind == "accepted_values":
+            rules.append(
+                X.accepted_values(
+                    r["column"], r["values"], r.get("min_ratio", 1.0)
+                )
+            )
+        elif kind == "in_range":
+            rules.append(
+                X.in_range(
+                    r["column"], r["lo"], r["hi"], r.get("min_ratio", 1.0)
+                )
+            )
+        elif kind == "row_count_at_least":
+            rules.append(X.row_count_at_least(r["n"]))
+        else:
+            raise SystemExit(f"unknown rule kind: {kind}")
+    spark = get_spark("pipelinewise-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    handle = t.branch(args.branch) if args.branch else t
+    report = [
+        row.asDict()
+        for row in X.expectations_report(handle.read(spark), rules).collect()
+    ]
+    ok = all(r["passed"] for r in report)
+    print(json.dumps({"table": args.table, "passed": ok, "report": report}))
+    return 0 if ok else 1
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -674,6 +756,22 @@ def main(argv: list[str] | None = None) -> int:
     dele.add_argument("--where", required=True,
                       help="SQL predicate selecting rows to delete")
     dele.set_defaults(fn=_cmd_delete)
+
+    br = sub.add_parser(
+        "branch", help="table branch refs (write-audit-publish)"
+    )
+    br.add_argument("action", choices=["create", "publish", "drop", "list"])
+    br.add_argument("table", help="ManifestTable root")
+    br.add_argument("name", nargs="?", help="branch name")
+    br.set_defaults(fn=_cmd_branch)
+
+    aud = sub.add_parser(
+        "audit", help="run an expectations rules file against a table"
+    )
+    aud.add_argument("table", help="ManifestTable root")
+    aud.add_argument("rules", help="JSON rules file")
+    aud.add_argument("--branch", help="audit a staged branch instead of main")
+    aud.set_defaults(fn=_cmd_audit)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"

@@ -28,3 +28,43 @@ def test_cli_delete_verb(capsys, spark, tmp_path):
         e["path"] for e in t2._load_manifest()["files"]
     ) == files_before
     assert t2.read(spark).count() == 60
+
+
+def test_cli_branch_and_audit_wap_loop(capsys, spark, tmp_path):
+    """CLI write-audit-publish: create a branch, stage a write through
+    the API, audit it from the CLI, publish, and confirm main advanced."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, ["p"])
+    t.overwrite(df)
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"rule": "not_null", "column": "v"},
+        {"rule": "unique", "columns": ["k"]},
+        {"rule": "row_count_at_least", "n": 15},
+    ]))
+
+    assert cli_main(["branch", "create", root, "stage"]) == 0
+    capsys.readouterr()
+    t.branch("stage").merge(
+        spark, df.withColumn("k", F.col("k") + 10), ["k"]
+    )
+    # 20 rows staged -> row_count_at_least(15) passes on the branch...
+    assert cli_main(["audit", root, str(rules), "--branch", "stage"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["passed"] and len(rep["report"]) == 3
+    # ...but main still has 10: the same audit fails there (exit 1)
+    assert cli_main(["audit", root, str(rules)]) == 1
+    capsys.readouterr()
+    assert cli_main(["branch", "publish", root, "stage"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["head"].startswith("manifest-")
+    assert ManifestTable(root).read(spark).count() == 20
+    assert cli_main(["branch", "list", root]) == 0
+    assert json.loads(capsys.readouterr().out)["branches"] == {}
