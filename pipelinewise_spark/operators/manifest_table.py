@@ -290,6 +290,14 @@ class ManifestTable:
         # main's current manifest to publish)
         if "parent" not in manifest:
             manifest["parent"] = self.current_manifest_name()
+        if "committed_at" not in manifest:
+            import datetime
+
+            manifest["committed_at"] = (
+                datetime.datetime.now(datetime.timezone.utc)
+                .replace(tzinfo=None)
+                .isoformat(sep=" ", timespec="seconds")
+            )
         name = self._next_manifest_name()
         self.mfs.write_text(json.dumps(manifest, indent=1), name)
         # the pointer write is the commit point — atomic rename locally,
@@ -1290,6 +1298,95 @@ class ManifestTable:
             {k: v for k, v in m.items()}
         )
         return dest
+
+    def expire_snapshots(
+        self, older_than: str, keep_last: int = 1
+    ) -> list[int]:
+        """Iceberg ``expireSnapshots`` / Delta retention: delete manifests
+        committed before ``older_than`` ('YYYY-MM-DD HH:MM:SS' UTC) —
+        always keeping the live manifest, every branch head, and the
+        newest ``keep_last`` — then vacuum unreferenced data/DV files.
+        Manifests with no ``committed_at`` (pre-upgrade) are kept.
+        Returns the expired version numbers. Time-travel readers pinned
+        below the horizon lose their snapshot — the same contract every
+        lakehouse retention verb carries."""
+        versions = self.versions()
+        protected: set[int] = set(versions[-keep_last:]) if keep_last else set()
+        for name in [self.current_manifest_name()] + [
+            self.branch(b).current_manifest_name() for b in self.branches()
+        ]:
+            if name:
+                protected.add(int(name.split("-")[1].split(".")[0]))
+        expired = []
+        for v in versions:
+            if v in protected:
+                continue
+            committed = self._load_manifest(v).get("committed_at")
+            if committed is not None and committed < older_than:
+                expired.append(v)
+        for v in expired:
+            self.mfs.delete(f"manifest-{v:08d}.json")
+        if expired:
+            # drop data/DV files now referenced by no retained manifest
+            self.vacuum(keep_manifests=len(self.versions()))
+        return expired
+
+    def meta(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Queryable metadata tables (Iceberg's ``table.snapshots`` /
+        ``table.files`` / ``table.partitions``): answer KB-scale ops
+        questions — snapshot history, file layout and DV debt, partition
+        row counts — from manifests alone, zero data scanned."""
+        if kind == "snapshots":
+            rows = []
+            for v in self.versions():
+                m = self._load_manifest(v)
+                rows.append(
+                    (
+                        v,
+                        m.get("committed_at"),
+                        m.get("parent"),
+                        len(m["files"]),
+                        sum(e.get("rows", 0) for e in m["files"]),
+                        sum(e.get("dv_rows", 0) for e in m["files"]),
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "version int, committed_at string, parent string, "
+                "files int, total_rows long, dv_dead_rows long",
+            )
+        m = self._load_manifest()
+        if kind == "files":
+            return spark.createDataFrame(
+                [
+                    (
+                        e["path"],
+                        json.dumps(e["partition"], sort_keys=True),
+                        e.get("rows", 0),
+                        e.get("dv_rows", 0),
+                        len(e.get("dv", [])),
+                    )
+                    for e in m["files"]
+                ],
+                "path string, partition string, rows long, "
+                "dv_dead_rows long, dv_sidecars int",
+            )
+        if kind == "partitions":
+            agg: dict[str, dict[str, int]] = {}
+            for e in m["files"]:
+                k = json.dumps(e["partition"], sort_keys=True)
+                a = agg.setdefault(k, {"files": 0, "rows": 0, "dead": 0})
+                a["files"] += 1
+                a["rows"] += e.get("rows", 0)
+                a["dead"] += e.get("dv_rows", 0)
+            return spark.createDataFrame(
+                [
+                    (k, a["files"], a["rows"], a["dead"])
+                    for k, a in sorted(agg.items())
+                ],
+                "partition string, files int, rows long, dv_dead_rows long",
+            )
+        raise ValueError(f"unknown metadata table: {kind!r}")
 
     def vacuum(self, keep_manifests: int = 2) -> None:
         """Delete data files referenced by no retained manifest (old readers

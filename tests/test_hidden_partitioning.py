@@ -138,3 +138,42 @@ def test_mor_append_clusters_by_derived_value(spark, table):
     compacted = table.compact(spark, min_files=1)
     assert compacted >= 1
     assert table.read(spark).count() == 300
+
+
+def test_expire_snapshots_and_meta_tables(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "exp"), ["p"])
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    t.overwrite(df)
+    v1_files = {e["path"] for e in t._load_manifest()["files"]}
+    t.overwrite(df.withColumn("v", F.col("v") + 1))
+    t.merge(spark, df.filter(F.col("k") < 3), ["k"])
+    assert len(t.versions()) == 3
+
+    # backdate the first two commits, keep the live one fresh
+    for v in t.versions()[:2]:
+        import json as J
+
+        name = f"manifest-{v:08d}.json"
+        m = J.loads(t.mfs.read_text(name))
+        m["committed_at"] = "2000-01-01 00:00:00"
+        t.mfs.write_text(J.dumps(m), name)
+
+    expired = t.expire_snapshots("2020-01-01 00:00:00", keep_last=1)
+    assert expired == [1, 2]
+    assert t.versions() == [3]
+    # v1's files were referenced only by expired snapshots: collected
+    assert not any(t.mfs.exists(p) for p in v1_files)
+    assert t.read(spark).count() == 20  # live snapshot intact
+
+    snaps = t.meta(spark, "snapshots").collect()
+    assert [r["version"] for r in snaps] == [3]
+    files = t.meta(spark, "files")
+    assert files.count() == len(t._load_manifest()["files"])
+    parts = {r["partition"]: r["rows"] for r in t.meta(spark, "partitions").collect()}
+    assert sum(parts.values()) == 20
+    with pytest.raises(ValueError):
+        t.meta(spark, "nope")
