@@ -179,6 +179,12 @@ BENCH_QUERIES = [
     "star_rollup_revenue_by_nation",
     "epoch_upsample_documents",
     "gap_fill_daily_revenue",
+    "scd2_customer_history",
+    "scd2_pit_revenue_by_segment",
+    "cdc_stream_scd2_customer",
+    "expectations_report_orders",
+    "wap_publish_orders",
+    "hidden_partition_prune_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -80,9 +80,11 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q13-q20 + profile/anti_join/semi_join displaced past the 50-slot
-    # prefix by the eleven NEW r7 operators (part 3b) — r3-green on
-    # record, pytest-verified;
+    # q8-q20 + profile/anti_join/semi_join displaced past the 50-slot
+    # prefix by the SEVENTEEN new r7 operators (part 3b: eleven from the
+    # first r7 sessions + SCD2/expectations/WAP/streaming-SCD2/hidden-
+    # partitioning from the continuation) — all r3-green on record,
+    # pytest-verified;
     # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
     # median, retention, moving_avg — rotate in next round)
     "q16_supplier_part_counts", "q17_small_quantity_revenue",

@@ -205,12 +205,12 @@ def cdc_stream_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one delivery wave per bounded run against the SAME checkpoint
         # (file-source bookmark); maxFilesPerTrigger splits each wave
         # into several micro-batches
-        w.repartition(8).write.mode("append").json(events_dir)
+        w.repartition(4).write.mode("append").json(events_dir)
         run_scd2_stream(
             spark, events_dir,
             T._parse_datatype_string(payload), spec, current, closed_dir,
             checkpoint_dir=os.path.join(tmp, "_checkpoint"),
-            max_files_per_trigger=3,
+            max_files_per_trigger=2,
         )
     hist = current.read(spark).unionByName(
         read_closed_log(spark, closed_dir), allowMissingColumns=True
