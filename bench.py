@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "expectations_report_orders",
     "wap_publish_orders",
     "hidden_partition_prune_orders",
+    "nb_langid_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

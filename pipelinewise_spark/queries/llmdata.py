@@ -2539,3 +2539,92 @@ def epoch_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs={"en": 1.5}, default_epochs=2.0,
     )
     return out.select("doc_id", "lang", F.col("epoch").cast("int"))
+
+
+_NB_TOKENS = (
+    "unnest(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x <> ''))"
+)
+
+
+@register(
+    "nb_langid_documents",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    tfeat AS (
+        SELECT lang AS label, substring(t.tok, 1, 4) AS feat
+        FROM train, {_NB_TOKENS} AS t(tok)
+    ),
+    feats AS (SELECT label, feat, COUNT(*) AS cnt FROM tfeat GROUP BY 1, 2),
+    vocab AS (SELECT COUNT(DISTINCT feat) AS v FROM feats),
+    totals AS (SELECT label, SUM(cnt) AS tot FROM feats GROUP BY 1),
+    docs_l AS (SELECT lang AS label, COUNT(*) AS ndocs FROM train GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM train),
+    labels AS (
+        SELECT t.label,
+               CAST(ROUND(LN(CAST(d.ndocs AS DOUBLE) / (SELECT n FROM nt))
+                          * 1e6) AS BIGINT) AS prior,
+               CAST(ROUND(LN(1.0 / (t.tot + (SELECT v FROM vocab)))
+                          * 1e6) AS BIGINT) AS llr0
+        FROM totals t JOIN docs_l d USING (label)
+    ),
+    lk AS (
+        SELECT f.label, f.feat,
+               CAST(ROUND(LN((f.cnt + 1.0)
+                             / (t.tot + (SELECT v FROM vocab)))
+                          * 1e6) AS BIGINT) AS llr
+        FROM feats f JOIN totals t USING (label)
+    ),
+    efeat AS (
+        SELECT doc_id, substring(t.tok, 1, 4) AS feat, COUNT(*) AS n
+        FROM ev, {_NB_TOKENS} AS t(tok)
+        GROUP BY 1, 2
+    ),
+    elen AS (SELECT doc_id, SUM(n) AS len FROM efeat GROUP BY 1),
+    seen AS (
+        SELECT e.doc_id, l.label,
+               SUM(l.llr * e.n) AS seen_sum, SUM(e.n) AS seen_n
+        FROM efeat e JOIN lk l USING (feat) GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT el.doc_id, lb.label,
+               lb.prior + COALESCE(s.seen_sum, 0)
+               + (el.len - COALESCE(s.seen_n, 0)) * lb.llr0 AS score
+        FROM elen el CROSS JOIN labels lb
+        LEFT JOIN seen s ON s.doc_id = el.doc_id AND s.label = lb.label
+    ),
+    best AS (
+        SELECT doc_id, label AS predicted, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM scores
+    )
+    SELECT b.doc_id, e.lang AS actual, b.predicted,
+           CAST(b.score AS BIGINT) AS score,
+           b.predicted = e.lang AS correct
+    FROM best b JOIN ev e USING (doc_id) WHERE rn = 1
+    """,
+)
+def nb_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED curation: a multinomial Naive-Bayes language
+    classifier trained in-engine on an 80% split and scored on the
+    held-out 20% (functions/classifier.py — fastText/CCNet-style
+    model filtering as pure aggregates; BIGINT micro-log scores make
+    train+inference bit-identical across engines). Output: per held-out
+    doc the true lang, argmax prediction, integer score, correctness."""
+    from pipelinewise_spark.functions import classifier as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    model = C.nb_train(train, "lang", "text")
+    scores = C.nb_score(ev, model, "doc_id", "text")
+    pred = C.nb_predict(scores, "doc_id")
+    return pred.join(ev.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        "predicted",
+        "score",
+        (F.col("predicted") == F.col("lang")).alias("correct"),
+    )

@@ -98,6 +98,9 @@ SENSITIVE = [
     # hidden partitioning derives month dirs via date_format (session-tz
     # dependent) and compares raw timestamps against range literals
     "hidden_partition_prune_orders",
+    # NB classifier: micro-log integer scoring + broadcast likelihood
+    # joins must survive 200 shuffle partitions / broadcast threshold
+    "nb_langid_documents",
 ]
 
 
