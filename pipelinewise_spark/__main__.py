@@ -447,6 +447,20 @@ def _cmd_branch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_meta(args: argparse.Namespace) -> int:
+    """Print a table's metadata table (snapshots / files / partitions)
+    as JSON lines — manifest arithmetic only, no data scanned."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-meta")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    for row in t.meta(spark, args.kind).collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def _cmd_audit(args: argparse.Namespace) -> int:
     """Run a JSON expectations file against a table (or one of its
     branches) and print the report; exit 1 on any failing rule. Rules
@@ -764,6 +778,13 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("table", help="ManifestTable root")
     br.add_argument("name", nargs="?", help="branch name")
     br.set_defaults(fn=_cmd_branch)
+
+    met = sub.add_parser(
+        "meta", help="print snapshots/files/partitions metadata tables"
+    )
+    met.add_argument("table", help="ManifestTable root")
+    met.add_argument("kind", choices=["snapshots", "files", "partitions"])
+    met.set_defaults(fn=_cmd_meta)
 
     aud = sub.add_parser(
         "audit", help="run an expectations rules file against a table"

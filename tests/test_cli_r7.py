@@ -68,3 +68,31 @@ def test_cli_branch_and_audit_wap_loop(capsys, spark, tmp_path):
     assert ManifestTable(root).read(spark).count() == 20
     assert cli_main(["branch", "list", root]) == 0
     assert json.loads(capsys.readouterr().out)["branches"] == {}
+
+
+def test_cli_meta_verb(capsys, spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, ["p"])
+    t.overwrite(
+        spark.range(12).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+        )
+    )
+    t.merge(spark, spark.range(2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    ), ["k"])
+    for kind, check in (
+        ("snapshots", lambda rows: [r["version"] for r in rows] == [1, 2]),
+        ("files", lambda rows: all("path" in r for r in rows)),
+        ("partitions", lambda rows: sum(r["rows"] for r in rows) == 12),
+    ):
+        assert cli_main(["meta", root, kind]) == 0
+        rows = [
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert rows and check(rows), (kind, rows)
