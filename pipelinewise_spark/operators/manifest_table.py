@@ -385,6 +385,7 @@ class ManifestTable:
                     "partition": partition,
                     "stats": stats,
                     "rows": num_rows,
+                    "bytes": self.mfs.file_size(rel),
                 }
             )
         return entries
@@ -1213,10 +1214,14 @@ class ManifestTable:
         spark: SparkSession,
         min_files: int = 2,
         max_dead_ratio: float | None = None,
+        target_bytes: int | None = None,
     ) -> int:
         """Rewrite partitions fragmented across >= ``min_files`` files into
-        one file each and republish; healthy partitions carry over by
-        reference. Returns the number of partitions compacted.
+        one file each (or, with ``target_bytes``, into
+        ``round(partition_bytes / target_bytes)`` bin-packed files — a
+        100 TB partition must not become one 100 TB file/task) and
+        republish; healthy partitions carry over by reference. Returns
+        the number of partitions compacted.
 
         Repeated MERGEs grow file counts (every batch adds one file per
         touched partition); at scale read amortization dies without periodic
@@ -1249,10 +1254,67 @@ class ManifestTable:
         frag_entries = [e for k in frag for e in groups[k]]
         df = self._read_entries(spark, frag_entries, m)
         fields = parse_partition_spec(partition_by)
-        if fields:
-            df = df.repartition(
-                *[f_.expr() if f_.hidden else F.col(f_.key) for f_ in fields]
+        part_exprs = [
+            f_.expr() if f_.hidden else F.col(f_.key) for f_ in fields
+        ]
+        if fields and target_bytes:
+            # bin-pack: partitions bigger than the target split across
+            # round(bytes/target) writer slices; the slice key rides the
+            # shuffle and is dropped before the write. Live bytes are
+            # manifest arithmetic (older entries without byte counts
+            # degrade to one file).
+            nmap_rows = []
+            for k in frag:
+                d = dict(k)
+                if all(f_.key in d for f_ in fields):
+                    b = sum(e.get("bytes", 0) for e in groups[k])
+                    nmap_rows.append(
+                        tuple(d[f_.key] for f_ in fields)
+                        + (max(1, round(b / target_bytes)),)
+                    )
+            nmap = spark.createDataFrame(
+                nmap_rows,
+                ", ".join(f"`{f_.key}` string" for f_ in fields)
+                + ", __nslices int",
             )
+            dfk = df
+            for f_ in fields:
+                dfk = dfk.withColumn(
+                    f_.key,
+                    f_.expr() if f_.hidden else F.col(f_.key).cast("string"),
+                )
+            dfk = dfk.join(
+                F.broadcast(nmap), [f_.key for f_ in fields], "left"
+            )
+            slice_ = F.pmod(
+                F.crc32(
+                    F.encode(
+                        F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+                        "utf-8",
+                    )
+                ),
+                F.coalesce(F.col("__nslices"), F.lit(1)),
+            )
+            # explicit partition count: AQE would otherwise coalesce the
+            # countless repartition and merge slices back into one writer
+            # task per dir, defeating the bin-packing
+            nparts = max(
+                spark.sparkContext.defaultParallelism,
+                2 * sum(r[-1] for r in nmap_rows),
+            )
+            df = (
+                dfk.withColumn("__slice", slice_)
+                .repartition(
+                    nparts,
+                    *[F.col(f_.key) for f_ in fields], F.col("__slice"),
+                )
+                .drop("__nslices", "__slice")
+            )
+        elif fields:
+            df = df.repartition(*part_exprs)
+        elif target_bytes:
+            total = sum(e.get("bytes", 0) for e in frag_entries)
+            df = df.repartition(max(1, round(total / target_bytes)))
         else:
             df = df.coalesce(1)
         new_entries = self._write_files(df, partition_by)

@@ -177,3 +177,38 @@ def test_expire_snapshots_and_meta_tables(spark, tmp_path):
     assert sum(parts.values()) == 20
     with pytest.raises(ValueError):
         t.meta(spark, "nope")
+
+
+def test_compact_bin_packs_by_target_bytes(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "bp"), ["p"])
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    # fragment: 5 MOR appends -> ~6 files per partition (append-only)
+    t.overwrite(df.filter(F.col("k") < 100))
+    for i in range(1, 6):
+        t.merge_on_read(
+            spark,
+            df.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)),
+            ["k"],
+        )
+    m = t._load_manifest()
+    bytes_per_part = {}
+    for e in m["files"]:
+        assert e.get("bytes", 0) > 0  # byte counts recorded at write
+        key = e["partition"]["p"]
+        bytes_per_part[key] = bytes_per_part.get(key, 0) + e["bytes"]
+    # target ~ 1/3 of a partition's bytes -> ~3 files per partition
+    target = max(bytes_per_part.values()) // 3
+    n = t.compact(spark, min_files=2, target_bytes=target)
+    assert n == 2
+    after = {}
+    for e in t._load_manifest()["files"]:
+        after.setdefault(e["partition"]["p"], []).append(e)
+    for p, es in after.items():
+        assert 2 <= len(es) <= 5, (p, len(es))
+    assert t.read(spark).count() == 600
+    # and the slice key never leaked into the data
+    assert "__slice" not in t.read(spark).columns
