@@ -164,7 +164,11 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         report["zorder"] = cols
     else:
         report["compacted_partitions"] = t.compact(
-            spark, max_dead_ratio=args.max_dead_ratio
+            spark,
+            max_dead_ratio=args.max_dead_ratio,
+            target_bytes=(
+                args.target_mb * 1024 * 1024 if args.target_mb else None
+            ),
         )
     if args.bloom:
         cols = [c.strip() for c in args.bloom.split(",") if c.strip()]
@@ -696,6 +700,8 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--vacuum", action="store_true")
     opt.add_argument("--keep-manifests", type=int, default=2)
     opt.add_argument("--target-files", type=int, default=None)
+    opt.add_argument("--target-mb", type=int, default=None,
+                     help="bin-pack compaction output to ~this file size")
     opt.add_argument("--max-dead-ratio", type=float, default=None,
                      help="also rewrite partitions whose deletion-vector "
                           "dead rows exceed this fraction")
