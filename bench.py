@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "wap_publish_orders",
     "hidden_partition_prune_orders",
     "nb_langid_documents",
+    "ingest_volume_anomaly_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

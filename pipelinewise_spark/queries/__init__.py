@@ -64,7 +64,7 @@ _SHOWCASE_ORDER = [
     "scd2_customer_history", "scd2_pit_revenue_by_segment",
     "expectations_report_orders", "wap_publish_orders",
     "cdc_stream_scd2_customer", "hidden_partition_prune_orders",
-    "nb_langid_documents",
+    "nb_langid_documents", "ingest_volume_anomaly_orders",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon

@@ -150,3 +150,61 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority",
     )
+
+
+@register(
+    "ingest_volume_anomaly_orders",
+    oracle="""
+    WITH deltas AS (
+        SELECT CAST(o_orderkey % 10 AS INT) + 1 AS version,
+               COUNT(*) AS rows_added
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 11, COUNT(*) FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    m AS (SELECT MEDIAN(rows_added) AS med FROM deltas),
+    d2 AS (SELECT deltas.*, ABS(rows_added - med) AS dev FROM deltas, m),
+    mad AS (SELECT MEDIAN(dev) AS mad FROM d2)
+    SELECT version, rows_added,
+           dev > 3.0 * mad + 0.01 * med AS is_anomaly
+    FROM d2, m, mad
+    """,
+)
+def ingest_volume_anomaly_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data observability over the table's own commit history
+    (operators/anomaly.py + manifest metadata tables): ten normal
+    mod-sharded loads then a double-volume bad batch land as snapshots;
+    per-commit loaded-row deltas come from ``meta("snapshots")`` (pure
+    manifest arithmetic, zero data scanned) and the median/MAD rule
+    flags exactly the bad commit. The oracle recomputes the same deltas
+    straight from the source rows."""
+    from pipelinewise_spark.operators.anomaly import (
+        snapshot_row_deltas,
+        volume_anomalies,
+    )
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_anom_")
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        k = F.col("o_orderkey")
+        t = ManifestTable(os.path.join(tmp, "orders"), ["o_orderpriority"])
+        t.overwrite(orders.filter(k % 10 == 0))
+        for i in range(1, 10):
+            t.merge_on_read(spark, orders.filter(k % 10 == i), ["o_orderkey"])
+        # the bad commit: a half-table load under fresh keys — its
+        # snapshot row delta is its full append size
+        t.merge_on_read(
+            spark,
+            orders.filter(k % 2 == 0).withColumn(
+                "o_orderkey", k + 200_000_000
+            ),
+            ["o_orderkey"],
+        )
+    deltas = snapshot_row_deltas(t.meta(spark, "snapshots"))
+    return volume_anomalies(deltas, "rows_added").select(
+        "version", "rows_added", "is_anomaly"
+    )

@@ -139,3 +139,18 @@ def test_wap_rejected_batch_leaves_main_bitwise_unchanged(spark, table):
         ),
     )
     assert ok2 and table.read(spark).count() == 20
+
+
+def test_volume_anomaly_rule(spark):
+    from pipelinewise_spark.operators.anomaly import volume_anomalies
+
+    hist = spark.createDataFrame(
+        [(i, 100 + (i % 3)) for i in range(10)] + [(10, 600), (11, 2)],
+        "version int, rows_added long",
+    )
+    got = {
+        r["version"]: r["is_anomaly"]
+        for r in volume_anomalies(hist, "rows_added").collect()
+    }
+    assert got[10] and got[11]          # both directions flag
+    assert not any(got[i] for i in range(10))  # regular commits pass
