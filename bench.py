@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "hidden_partition_prune_orders",
     "nb_langid_documents",
     "ingest_volume_anomaly_orders",
+    "semantic_decontaminate_embeddings",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

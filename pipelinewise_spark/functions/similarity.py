@@ -359,6 +359,53 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination: flag a training vector iff
+    some EVAL vector in the same sign-LSH bucket has cosine ≥
+    ``threshold`` — the embedding-space analogue of the n-gram
+    decontaminate operator (paraphrased benchmark leakage that exact
+    n-grams can't catch). Returns (id, bucket, is_contaminated) over the
+    training side.
+
+    Scale shape: the eval side is benchmark-sized (thousands of rows
+    against a 100 TB corpus) — its bucketed form BROADCASTS, so the
+    check is a map-side join over the training corpus: one scan, no
+    corpus shuffle, candidates bounded per bucket. Cosine is 6-dp
+    rounded so the ≥ comparison cannot flip between engines."""
+    t = with_lsh_bucket(spread(train), vec_col, num_planes=num_planes)
+    ev = with_lsh_bucket(evalset, vec_col, num_planes=num_planes).select(
+        F.col(vec_col).alias("__ev"), F.col("bucket").alias("__eb")
+    )
+    hits = (
+        t.join(F.broadcast(ev), F.col("bucket") == F.col("__eb"))
+        .filter(
+            F.round(cosine(F.col(vec_col), F.col("__ev")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        t.select(id_col, "bucket")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,

@@ -65,6 +65,7 @@ _SHOWCASE_ORDER = [
     "expectations_report_orders", "wap_publish_orders",
     "cdc_stream_scd2_customer", "hidden_partition_prune_orders",
     "nb_langid_documents", "ingest_volume_anomaly_orders",
+    "semantic_decontaminate_embeddings",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon
@@ -81,11 +82,11 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q8-q20 + profile/anti_join/semi_join displaced past the 50-slot
-    # prefix by the SEVENTEEN new r7 operators (part 3b: eleven from the
+    # q4-q20 + profile/anti_join/semi_join displaced past the 50-slot
+    # prefix by the TWENTY new r7 operators (part 3b: eleven from the
     # first r7 sessions + SCD2/expectations/WAP/streaming-SCD2/hidden-
-    # partitioning from the continuation) — all r3-green on record,
-    # pytest-verified;
+    # partitioning/NB-classifier/anomaly/semantic-decontamination from
+    # the continuation) — all r3-green on record, pytest-verified;
     # remaining r3-green rows — histogram, q22, set ops, pivot/cube/
     # median, retention, moving_avg — rotate in next round)
     "q16_supplier_part_counts", "q17_small_quantity_revenue",

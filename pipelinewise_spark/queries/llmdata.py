@@ -2628,3 +2628,57 @@ def nb_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("predicted") == F.col("lang")).alias("correct"),
     )
+
+
+def _semantic_decontam_oracle(threshold: float = 0.4) -> str:
+    planes = S.hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dotp = (
+            f"list_sum(list_transform(range(1, 65), i -> ev[i] * ({lit})[i]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dotp} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        )
+    bucket = "\n           + ".join(terms)
+    cos = (
+        f"round({_DOT.format(a='t.ev', b='q.ev')} / "
+        f"(sqrt({_DOT.format(a='t.ev', b='t.ev')}) * "
+        f"sqrt({_DOT.format(a='q.ev', b='q.ev')})), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      CAST({bucket} AS BIGINT) AS bucket
+               FROM embeddings),
+    tr AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    ev_set AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+    hit AS (
+        SELECT DISTINCT t.vec_id
+        FROM tr t JOIN ev_set q ON t.bucket = q.bucket
+        WHERE {cos} >= {threshold})
+    SELECT tr.vec_id, tr.bucket,
+           hit.vec_id IS NOT NULL AS is_contaminated
+    FROM tr LEFT JOIN hit USING (vec_id)
+    """
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    oracle=_semantic_decontam_oracle(0.2),
+)
+def semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination
+    (functions/similarity.py:semantic_decontaminate): a held-out eval
+    slice (vec_id % 10 = 7) is bucketed and BROADCAST against the
+    training slice — paraphrase-level benchmark leakage the exact
+    n-gram decontaminate operator can't see, flagged at cosine >= 0.2,
+    one corpus scan, no corpus shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 7)
+    evalset = emb.filter(F.col("vec_id") % 10 == 7)
+    return S.semantic_decontaminate(
+        train, evalset, "vec_id", "embedding", threshold=0.2
+    )

@@ -65,3 +65,11 @@ def test_argmax_tie_breaks_to_smallest_label(spark):
         "doc_id",
     ).first()
     assert pred["predicted"] == "a"
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    from pipelinewise_spark.queries import QUERIES
+
+    df = QUERIES["semantic_decontaminate_embeddings"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side is benchmark-sized
