@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "nb_langid_documents",
     "ingest_volume_anomaly_orders",
     "semantic_decontaminate_embeddings",
+    "text_index_search_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

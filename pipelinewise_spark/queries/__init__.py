@@ -65,7 +65,7 @@ _SHOWCASE_ORDER = [
     "expectations_report_orders", "wap_publish_orders",
     "cdc_stream_scd2_customer", "hidden_partition_prune_orders",
     "nb_langid_documents", "ingest_volume_anomaly_orders",
-    "semantic_decontaminate_embeddings",
+    "semantic_decontaminate_embeddings", "text_index_search_documents",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon
@@ -82,8 +82,8 @@ _SHOWCASE_ORDER = [
     "q14_promo_revenue", "q15_top_supplier",
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
-    # q4-q20 + profile/anti_join/semi_join displaced past the 50-slot
-    # prefix by the TWENTY new r7 operators (part 3b: eleven from the
+    # q2-q20 + profile/anti_join/semi_join/archive_load displaced past
+    # the 50-slot prefix by the 21 new r7 operators (part 3b: eleven from the
     # first r7 sessions + SCD2/expectations/WAP/streaming-SCD2/hidden-
     # partitioning/NB-classifier/anomaly/semantic-decontamination from
     # the continuation) — all r3-green on record, pytest-verified;

@@ -2682,3 +2682,61 @@ def semantic_decontaminate_embeddings(
     return S.semantic_decontaminate(
         train, evalset, "vec_id", "embedding", threshold=0.2
     )
+
+
+@register(
+    "text_index_search_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, dlen, unnest(toks) AS term FROM dl),
+    tfq AS (
+        SELECT doc_id, dlen, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ('data', 'pipeline', 'spark')
+        GROUP BY 1, 2, 3),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tfq GROUP BY 1)
+    SELECT t.doc_id,
+           round(sum(
+               ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dlen / s.avgdl))
+           ), 6) AS score
+    FROM tfq t JOIN dfreq f USING (term) CROSS JOIN stats s
+    GROUP BY 1
+    """,
+)
+def text_index_search_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serving-grade retrieval from the PERSISTED inverted index
+    (functions/textindex.py): the corpus is indexed once (term-bucketed
+    postings with denormalized doc lengths, exact integer corpus stats);
+    the probe reads ONLY the query terms' bucket dirs — never the corpus
+    — and must reproduce the direct one-scan BM25 computation
+    bit-for-bit. Half the corpus is indexed at build, the rest arrives
+    via extend (the ingest-loop growth path)."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.functions.textindex import (
+        build_text_index,
+        extend_text_index,
+        search_text_index,
+    )
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    with fixture_timer():
+        d = read_table(spark, sf_dir, "documents")
+        idx = os.path.join(tempfile.mkdtemp(prefix="pws_tidx_"), "idx")
+        build_text_index(
+            d.filter(F.col("doc_id") % 2 == 0), idx, "doc_id", "text"
+        )
+        extend_text_index(d.filter(F.col("doc_id") % 2 == 1), idx)
+    return search_text_index(
+        spark, idx, ["data", "pipeline", "spark"]
+    )

@@ -101,6 +101,10 @@ SENSITIVE = [
     # NB classifier: micro-log integer scoring + broadcast likelihood
     # joins must survive 200 shuffle partitions / broadcast threshold
     "nb_langid_documents",
+    # decontamination rounds cross-engine cosines; the text index derives
+    # avgdl by IEEE division and prunes by crc32 bucket dirs
+    "semantic_decontaminate_embeddings",
+    "text_index_search_documents",
 ]
 
 
