@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "ingest_volume_anomaly_orders",
     "semantic_decontaminate_embeddings",
     "text_index_search_documents",
+    "fk_integrity_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

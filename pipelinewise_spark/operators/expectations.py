@@ -31,12 +31,17 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Rule:
     """One expectation: ``metric(df) >= threshold`` (metrics are oriented
-    so bigger is always better; ratios live in [0,1])."""
+    so bigger is always better; ratios live in [0,1]). ``prepare``, when
+    set, decorates the frame with indicator columns the metric needs
+    (e.g. a broadcast dim-membership marker for FK rules) — all
+    prepares chain BEFORE the single aggregate, so the evaluation stays
+    one scan + K broadcast joins, never K scans."""
 
     name: str
     column: str
     metric: Callable[[], F.Column]
     threshold: float
+    prepare: Callable[[DataFrame], DataFrame] | None = None
 
 
 def _ratio(cond: F.Column) -> F.Column:
@@ -96,12 +101,47 @@ def satisfies(name: str, predicate: F.Column, min_ratio: float = 1.0) -> Rule:
     )
 
 
+def references(
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+    min_ratio: float = 1.0,
+) -> Rule:
+    """dbt's ``relationships`` test: fraction of NON-NULL ``col`` values
+    that resolve in ``dim.dim_col`` (orphan FKs fail). The dim key set
+    broadcasts — dimension keys are answer-sized next to a fact batch."""
+    marker = f"__ref_{col}"
+
+    def prep(df: DataFrame) -> DataFrame:
+        keys = (
+            dim.select(F.col(dim_col).alias(col))
+            .distinct()
+            .withColumn(marker, F.lit(True))
+        )
+        return df.join(F.broadcast(keys), col, "left")
+
+    return Rule(
+        "references", col,
+        lambda: F.avg(
+            F.when(
+                F.col(col).isNotNull(),
+                F.col(marker).isNotNull().cast("double"),
+            )
+        ),
+        min_ratio,
+        prepare=prep,
+    )
+
+
 def expectations_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """(rule, column, metric, threshold, passed) — one row per rule, all
     metrics from a single aggregate pass over ``df``. A NULL metric
     (empty input) fails closed."""
     if not rules:
         raise ValueError("no expectations given")
+    for r in rules:
+        if r.prepare is not None:
+            df = r.prepare(df)
     aggs = [r.metric().alias(f"__m_{i}") for i, r in enumerate(rules)]
     one = df.agg(*aggs)
     stack_args: list[F.Column] = []

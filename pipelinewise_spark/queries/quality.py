@@ -208,3 +208,57 @@ def ingest_volume_anomaly_orders(
     return volume_anomalies(deltas, "rows_added").select(
         "version", "rows_added", "is_anomaly"
     )
+
+
+@register(
+    "fk_integrity_orders",
+    oracle="""
+    WITH batch AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 0
+                    THEN o_custkey + 1000000000 ELSE o_custkey END
+                   AS o_custkey
+        FROM orders
+    ),
+    m AS (
+        SELECT AVG(CASE WHEN b.o_custkey IN
+                        (SELECT c_custkey FROM customer)
+                   THEN 1.0 ELSE 0.0 END) AS m_ref,
+               AVG(CASE WHEN b.o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                   AS m_notnull
+        FROM batch b)
+    SELECT 'references' AS rule, 'o_custkey' AS col_name,
+           m_ref AS metric, 1.0 AS threshold, m_ref >= 1.0 AS passed
+    FROM m
+    UNION ALL
+    SELECT 'not_null', 'o_custkey', m_notnull, 1.0, m_notnull >= 1.0 FROM m
+    """,
+)
+def fk_integrity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's `relationships` test as an expectations rule
+    (operators/expectations.py:references): 1% of the batch's customer
+    FKs are corrupted to orphans; the rule joins the broadcast dim key
+    set as an indicator column BEFORE the single aggregate pass, so FK
+    integrity + null profiling still cost one scan. The report must
+    surface the orphan ratio and fail the rule."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    batch = orders.select(
+        "o_orderkey",
+        F.when(k % 100 == 0, F.col("o_custkey") + 1_000_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    from pipelinewise_spark.operators.expectations import references
+
+    return expectations_report(
+        batch,
+        [references("o_custkey", cust, "c_custkey"), not_null("o_custkey")],
+    ).select(
+        "rule",
+        F.col("column").alias("col_name"),
+        "metric",
+        "threshold",
+        "passed",
+    )

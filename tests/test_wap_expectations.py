@@ -154,3 +154,21 @@ def test_volume_anomaly_rule(spark):
     }
     assert got[10] and got[11]          # both directions flag
     assert not any(got[i] for i in range(10))  # regular commits pass
+
+
+def test_references_rule_single_scan_with_nulls(spark):
+    from pipelinewise_spark.operators.expectations import references
+
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    facts = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, None)], "id long, fk long"
+    )
+    rep = expectations_report(
+        facts,
+        [references("fk", dim, "k", min_ratio=0.9), not_null("fk", 0.5)],
+    ).collect()
+    by = {r["rule"]: r for r in rep}
+    # 3 non-null FKs, 2 resolve -> 2/3; NULL fk excluded from the ratio
+    assert by["references"]["metric"] == pytest.approx(2 / 3)
+    assert not by["references"]["passed"]
+    assert by["not_null"]["metric"] == pytest.approx(0.75)
