@@ -24,27 +24,35 @@ def _storage_blocks(spark) -> int:
     return len(list(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
 
 
+def _storage_ids(spark) -> set[int]:
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
 def test_minhash_registers_and_releases(spark, sf_dir):
     release_caches(spark)
-    # snapshot BEFORE: earlier tests' lazily-referenced localCheckpoint
-    # blocks free at the JVM's leisure, so assert no NET leak, not an
-    # absolutely empty storage view (order-dependent flake otherwise)
-    before = _storage_blocks(spark)
+    # track RDD-id SETS, not counts: earlier tests' lazily-referenced
+    # localCheckpoint blocks free at the JVM's leisure, and one of them
+    # vanishing between snapshots would cancel out our +1 in a count
+    # (order-dependent flake otherwise)
+    before = _storage_ids(spark)
     docs = read_table(spark, sf_dir, "documents").limit(200)
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     assert live_cache_count() == 1  # shingle sets registered at build time
     pairs.count()  # materialize → cache populated
-    assert _storage_blocks(spark) >= before + 1  # actually cached
+    ours = _storage_ids(spark) - before
+    assert ours  # actually cached
     assert release_caches(spark) == 1
     assert live_cache_count() == 0
     # unpersist is async (blocking=False): poll briefly for the drop
     import time
 
-    for _ in range(20):
-        if _storage_blocks(spark) <= before:
+    for _ in range(40):
+        if not (_storage_ids(spark) & ours):
             break
         time.sleep(0.25)
-    assert _storage_blocks(spark) <= before, (
+    assert not (_storage_ids(spark) & ours), (
         "unpersist left our cached blocks behind"
     )
 
