@@ -212,3 +212,36 @@ def test_compact_bin_packs_by_target_bytes(spark, tmp_path):
     assert t.read(spark).count() == 600
     # and the slice key never leaked into the data
     assert "__slice" not in t.read(spark).columns
+
+
+def test_partition_evolution_onto_hidden_spec(spark, tmp_path):
+    # start raw-partitioned, evolve to months(ts): old files keep their
+    # layout (read conservatively), the first merge migrates touched data
+    t = ManifestTable(os.path.join(str(tmp_path), "evo"), ["p"])
+    df = _df(spark, 100).withColumn(
+        "p", (F.col("k") % 2).cast("string")
+    )
+    t.overwrite(df)
+    t.set_partition_spec(spark, ["months(ts)"])
+    assert t.read(spark).count() == 100
+    # merge a small batch: its month partitions migrate to the new spec
+    batch = df.filter(F.col("k") < 5).withColumn("v", F.col("v") + 1)
+    t.merge(spark, batch, ["k"])
+    m = t._load_manifest()
+    assert m["partition_by"] == ["months(ts)"]
+    new_keys = {
+        k for e in m["files"] for k in e["partition"]
+    }
+    assert "__p_months_ts" in new_keys
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 100 and got[0] == 1 and got[4] == 41 and got[99] == 990
+    # pruning works through the evolved spec (old-spec files kept
+    # conservatively, migrated files pruned)
+    ent, _ = t.select_entries(
+        ranges={"ts": ("1996-01-01 00:00:00", "1996-01-31 23:59:59")}
+    )
+    assert all(
+        "__p_months_ts" not in e["partition"]
+        or e["partition"]["__p_months_ts"] == "1996-01"
+        for e in ent
+    )
