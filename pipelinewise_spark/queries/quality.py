@@ -156,11 +156,11 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_volume_anomaly_orders",
     oracle="""
     WITH deltas AS (
-        SELECT CAST(o_orderkey % 10 AS INT) + 1 AS version,
+        SELECT CAST(o_orderkey % 5 AS INT) + 1 AS version,
                COUNT(*) AS rows_added
         FROM orders GROUP BY 1
         UNION ALL
-        SELECT 11, COUNT(*) FROM orders WHERE o_orderkey % 2 = 0
+        SELECT 6, COUNT(*) FROM orders WHERE o_orderkey % 2 = 0
     ),
     m AS (SELECT MEDIAN(rows_added) AS med FROM deltas),
     d2 AS (SELECT deltas.*, ABS(rows_added - med) AS dev FROM deltas, m),
@@ -174,7 +174,7 @@ def ingest_volume_anomaly_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Data observability over the table's own commit history
-    (operators/anomaly.py + manifest metadata tables): ten normal
+    (operators/anomaly.py + manifest metadata tables): five normal
     mod-sharded loads then a double-volume bad batch land as snapshots;
     per-commit loaded-row deltas come from ``meta("snapshots")`` (pure
     manifest arithmetic, zero data scanned) and the median/MAD rule
@@ -192,9 +192,9 @@ def ingest_volume_anomaly_orders(
         )
         k = F.col("o_orderkey")
         t = ManifestTable(os.path.join(tmp, "orders"), ["o_orderpriority"])
-        t.overwrite(orders.filter(k % 10 == 0))
-        for i in range(1, 10):
-            t.merge_on_read(spark, orders.filter(k % 10 == i), ["o_orderkey"])
+        t.overwrite(orders.filter(k % 5 == 0))
+        for i in range(1, 5):
+            t.merge_on_read(spark, orders.filter(k % 5 == i), ["o_orderkey"])
         # the bad commit: a half-table load under fresh keys — its
         # snapshot row delta is its full append size
         t.merge_on_read(
