@@ -792,7 +792,7 @@ def cdc_stream_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_cdc_stream(
         spark, events_dir, payload, spec, table,
         checkpoint_dir=os.path.join(tmp, "_checkpoint"),
-        max_files_per_trigger=8,
+        max_files_per_trigger=16,
     )
     live = set(e["path"] for e in table._load_manifest()["files"])
     assert t0_files <= live, "MOR apply must never rewrite T0 files"
