@@ -959,9 +959,12 @@ class ManifestTable:
             keys = keys.distinct()
 
             entries = m["files"]
-            if entries and len(pk) == 1:
+            if entries and pk:
                 # stats-prune the scan to files whose [min,max] can hold a
-                # batch key — answer-sized agg, manifest-side file skipping
+                # batch key — answer-sized agg, manifest-side file skipping.
+                # Composite PKs prune on the LEADING key column: a file
+                # whose pk[0] range misses every batch pk[0] cannot hold a
+                # full-key match, so the prune stays sound (just coarser).
                 b = keys.agg(
                     F.min(pk[0]).alias("lo"), F.max(pk[0]).alias("hi")
                 ).first()

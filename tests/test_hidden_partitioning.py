@@ -245,3 +245,23 @@ def test_partition_evolution_onto_hidden_spec(spark, tmp_path):
         or e["partition"]["__p_months_ts"] == "1996-01"
         for e in ent
     )
+
+
+def test_mor_composite_pk_prunes_on_leading_key(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "cpk"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k1"),
+        (F.col("id") % 7).alias("k2"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t.overwrite(df.repartition(4))
+    batch = (
+        df.filter(F.col("k1") < 10)
+        .withColumn("v", F.col("v") + 1)
+        .withColumn("_sdc_seq", F.lit(1).cast("long"))
+    )
+    out = t.merge_on_read(spark, batch, ["k1", "k2"], guard_col="_sdc_seq")
+    assert out["superseded_rows"] == 10
+    got = {(r["k1"], r["k2"]): r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 1000
+    assert got[(0, 0)] == 1 and got[(9, 2)] == 28 and got[(10, 3)] == 30
