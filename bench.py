@@ -266,7 +266,12 @@ def main() -> None:
                 # caches so the retry starts from the same storage state
                 df = None
                 release_caches(spark)
-                if dt > 8.0:
+                # 12 s cutoff: every structurally-heavy query in this suite
+                # sits under ~8 s on a clean pass, so an 8-12 s first pass
+                # is almost always a GC/scheduler hiccup — exactly the case
+                # min-of-2 exists for (an 11 s transient on a 2 s query
+                # landed in a round record under the old 8 s cutoff)
+                if dt > 12.0:
                     break
         except Exception as exc:  # one bad query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
