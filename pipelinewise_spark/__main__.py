@@ -451,6 +451,22 @@ def _cmd_branch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_forget(args: argparse.Namespace) -> int:
+    """Right-to-be-forgotten: physically erase matching rows from the
+    live table AND its snapshot history (delete -> dead-partition
+    rewrite -> snapshot expiry -> vacuum). Irreversible by design."""
+    from pipelinewise_spark.operators.compliance import forget
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-forget")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = forget(spark, ManifestTable(args.table), args.where)
+    out["table"] = args.table
+    print(json.dumps(out))
+    return 0 if not out["pinning_branches"] else 1
+
+
 def _cmd_meta(args: argparse.Namespace) -> int:
     """Print a table's metadata table (snapshots / files / partitions)
     as JSON lines — manifest arithmetic only, no data scanned."""
@@ -784,6 +800,15 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("table", help="ManifestTable root")
     br.add_argument("name", nargs="?", help="branch name")
     br.set_defaults(fn=_cmd_branch)
+
+    fgt = sub.add_parser(
+        "forget",
+        help="GDPR erasure: delete rows from live data AND history",
+    )
+    fgt.add_argument("table", help="ManifestTable root")
+    fgt.add_argument("--where", required=True,
+                     help="SQL predicate selecting the rows to erase")
+    fgt.set_defaults(fn=_cmd_forget)
 
     met = sub.add_parser(
         "meta", help="print snapshots/files/partitions metadata tables"
