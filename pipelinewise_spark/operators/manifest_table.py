@@ -267,7 +267,7 @@ class ManifestTable:
         n = 1 + max(self.versions(), default=0)
         return f"manifest-{n:08d}.json"
 
-    def _publish(self, manifest: dict[str, Any]) -> str:
+    def _publish(self, manifest: dict[str, Any], op: str = "commit") -> str:
         # ANALYZE output persists across data commits (merge/compact/
         # overwrite) until recomputed — its "version" marker names the
         # manifest it was computed against, so readers can detect
@@ -290,6 +290,9 @@ class ManifestTable:
         # main's current manifest to publish)
         if "parent" not in manifest:
             manifest["parent"] = self.current_manifest_name()
+        # operation provenance: surfaced by meta("snapshots") — which verb
+        # produced each snapshot (audit/lineage at manifest scale)
+        manifest.setdefault("operation", op)
         if "committed_at" not in manifest:
             import datetime
 
@@ -416,7 +419,8 @@ class ManifestTable:
                 "partition_by": partition_by,
                 "partition_types": ptypes,
                 "files": entries,
-            }
+            },
+            op="overwrite",
         )
 
     # --------------------------------------------------------------- read
@@ -752,7 +756,8 @@ class ManifestTable:
                 # dir encodings are identical — keep the original logical types
                 "partition_types": m.get("partition_types", {}),
                 "files": kept + new_entries,
-            }
+            },
+            op="merge",
         )
 
     # -------------------------------------------------- CHECK constraints
@@ -775,7 +780,7 @@ class ManifestTable:
         self._enforce(self.read(spark), {name: predicate})
         cons = dict(m.get("constraints", {}))
         cons[name] = predicate
-        return self._publish({**m, "constraints": cons})
+        return self._publish({**m, "constraints": cons}, op="constraint")
 
     def drop_constraint(self, name: str) -> str:
         m = self._load_manifest()
@@ -844,7 +849,8 @@ class ManifestTable:
                 "partition_by": m["partition_by"],
                 "partition_types": m.get("partition_types", {}),
                 "files": self._attach_dv(m["files"], dv_files, counts),
-            }
+            },
+            op="delete",
         )
         return int(sum(counts.values()))
 
@@ -1054,7 +1060,8 @@ class ManifestTable:
                     "partition_types": m.get("partition_types", {}),
                     "files": self._attach_dv(m["files"], dv_files, counts)
                     + new_entries,
-                }
+                },
+                op="merge-on-read",
             )
             return {
                 "superseded_rows": superseded,
@@ -1093,7 +1100,8 @@ class ManifestTable:
                 "partition_by": partition_by,
                 "partition_types": ptypes,
                 "files": m["files"],
-            }
+            },
+            op="set-partition-spec",
         )
 
     # -------------------------------------------------------------- bloom
@@ -1327,7 +1335,8 @@ class ManifestTable:
                 "partition_by": partition_by,
                 "partition_types": m.get("partition_types", {}),
                 "files": kept + new_entries,
-            }
+            },
+            op="compact",
         )
         return len(frag)
 
@@ -1409,6 +1418,7 @@ class ManifestTable:
                     (
                         v,
                         m.get("committed_at"),
+                        m.get("operation"),
                         m.get("parent"),
                         len(m["files"]),
                         sum(e.get("rows", 0) for e in m["files"]),
@@ -1417,8 +1427,9 @@ class ManifestTable:
                 )
             return spark.createDataFrame(
                 rows,
-                "version int, committed_at string, parent string, "
-                "files int, total_rows long, dv_dead_rows long",
+                "version int, committed_at string, operation string, "
+                "parent string, files int, total_rows long, "
+                "dv_dead_rows long",
             )
         m = self._load_manifest()
         if kind == "files":
