@@ -487,7 +487,9 @@ def _cmd_audit(args: argparse.Namespace) -> int:
     file: [{"rule": "not_null", "column": "c", "min_ratio": 1.0},
     {"rule": "unique", "columns": ["pk"]}, {"rule": "accepted_values",
     "column": "c", "values": [...]}, {"rule": "in_range", "column":
-    "c", "lo": .., "hi": ..}, {"rule": "row_count_at_least", "n": 1}].
+    "c", "lo": .., "hi": ..}, {"rule": "row_count_at_least", "n": 1},
+    {"rule": "references", "column": "fk", "dim": "<parquet path or
+    ManifestTable root>", "dim_column": "pk"}].
     The WAP loop from the CLI: branch create → load → audit --branch →
     branch publish."""
     from pipelinewise_spark.operators import expectations as X
@@ -519,10 +521,25 @@ def _cmd_audit(args: argparse.Namespace) -> int:
             )
         elif kind == "row_count_at_least":
             rules.append(X.row_count_at_least(r["n"]))
+        elif kind == "references":
+            rules.append(("__references__", r))  # resolved once spark is up
         else:
             raise SystemExit(f"unknown rule kind: {kind}")
     spark = get_spark("pipelinewise-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    for i, entry in enumerate(rules):
+        if isinstance(entry, tuple) and entry[0] == "__references__":
+            r = entry[1]
+            # dim side: a parquet path or another ManifestTable root
+            dim_src = r["dim"]
+            dim_t = ManifestTable(dim_src)
+            if dim_t.exists():
+                dim = dim_t.read(spark)
+            else:
+                dim = spark.read.parquet(dim_src)
+            rules[i] = X.references(
+                r["column"], dim, r["dim_column"], r.get("min_ratio", 1.0)
+            )
     t = ManifestTable(args.table)
     handle = t.branch(args.branch) if args.branch else t
     report = [

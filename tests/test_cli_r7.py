@@ -96,3 +96,28 @@ def test_cli_meta_verb(capsys, spark, tmp_path):
             for line in capsys.readouterr().out.strip().splitlines()
         ]
         assert rows and check(rows), (kind, rows)
+
+
+def test_cli_audit_references_rule(capsys, spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    dim_path = str(tmp_path / "dim.parquet")
+    spark.range(5).select(F.col("id").alias("pk")).write.parquet(dim_path)
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, [])
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("fk")
+        )
+    )
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"rule": "references", "column": "fk", "dim": dim_path,
+         "dim_column": "pk", "min_ratio": 0.9},
+    ]))
+    # fks 5,6 are orphans -> ratio 0.7ish < 0.9 -> exit 1, metric surfaced
+    assert cli_main(["audit", root, str(rules)]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["passed"]
+    assert rep["report"][0]["rule"] == "references"
+    assert rep["report"][0]["metric"] < 0.9
