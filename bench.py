@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "semantic_decontaminate_embeddings",
     "text_index_search_documents",
     "fk_integrity_orders",
+    "source_reputation_filter_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

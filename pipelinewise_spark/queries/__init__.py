@@ -66,7 +66,7 @@ _SHOWCASE_ORDER = [
     "cdc_stream_scd2_customer", "hidden_partition_prune_orders",
     "nb_langid_documents", "ingest_volume_anomaly_orders",
     "semantic_decontaminate_embeddings", "text_index_search_documents",
-    "fk_integrity_orders",
+    "fk_integrity_orders", "source_reputation_filter_documents",
     # --- part 4: staleness rotation — every query below has its last
     # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
     # whole registry stays within a two-round driver-freshness horizon
@@ -84,7 +84,7 @@ _SHOWCASE_ORDER = [
     # (q1/q3/q9/q21 stay pytest-only this round: q1/q3 were driver-green
     # r5, q9/q21 r3 but they anchor bench.py headline timing every round;
     # q2-q20 + profile/anti_join/semi_join/archive_load displaced past
-    # the 50-slot prefix by the 22 new r7 operators (part 3b: eleven from the
+    # the 50-slot prefix by the 23 new r7 operators (part 3b: eleven from the
     # first r7 sessions + SCD2/expectations/WAP/streaming-SCD2/hidden-
     # partitioning/NB-classifier/anomaly/semantic-decontamination from
     # the continuation) — all r3-green on record, pytest-verified;

@@ -2740,3 +2740,45 @@ def text_index_search_documents(
     return search_text_index(
         spark, idx, ["data", "pipeline", "spark"]
     )
+
+
+@register(
+    "source_reputation_filter_documents",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               AVG(CASE WHEN n_chars BETWEEN 100 AND 2000
+                        THEN 1.0 ELSE 0.0 END) AS pass_rate
+        FROM documents GROUP BY source),
+    kept AS (
+        SELECT source FROM stats
+        WHERE pass_rate >= 0.9 AND source NOT IN ('src13', 'src17'))
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN kept USING (source)
+    WHERE d.n_chars BETWEEN 100 AND 2000
+    """,
+)
+def source_reputation_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source/domain-level curation gate (the RefinedWeb/C4-style FIRST
+    filter: judge the domain before the document): per-source quality
+    pass rates reduce to an answer-sized stats frame that BROADCASTS
+    back onto the corpus — sources below a 0.9 pass rate or on an
+    explicit blocklist drop wholesale, then the surviving documents
+    still face the per-document gate. Two corpus scans total (one
+    aggregated), no corpus shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    ok = F.col("n_chars").between(100, 2000)
+    stats = d.groupBy("source").agg(
+        F.avg(ok.cast("double")).alias("pass_rate")
+    )
+    kept = stats.filter(
+        (F.col("pass_rate") >= 0.9)
+        & ~F.col("source").isin("src13", "src17")
+    ).select("source")
+    return (
+        d.join(F.broadcast(kept), "source")
+        .filter(ok)
+        .select("doc_id", "source", "n_chars")
+    )
