@@ -105,6 +105,10 @@ SENSITIVE = [
     # avgdl by IEEE division and prunes by crc32 bucket dirs
     "semantic_decontaminate_embeddings",
     "text_index_search_documents",
+    # FK/source gates ride broadcast joins + exact-ratio compares that
+    # must survive a 10 MB broadcast threshold and 200 shuffle partitions
+    "fk_integrity_orders",
+    "source_reputation_filter_documents",
 ]
 
 
