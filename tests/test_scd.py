@@ -223,3 +223,68 @@ def test_streaming_scd2_epoch_replay_does_not_duplicate(spark, tmp_path):
         (r["k"], r["attr"]) for r in current.read(spark).collect()
     ) == cur1
     assert snap1 == [(1, "a"), (2, "b")] and cur1 == [(1, "a2")]
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# one wave = {key: value or None(tombstone)}; keys from a small pool so
+# chains actually form; waves apply at strictly increasing timestamps
+_WAVE = st.dictionaries(
+    st.integers(min_value=1, max_value=5),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=4,
+)
+_TS = ["2026-01-01 00:00:00", "2026-02-01 00:00:00",
+       "2026-03-01 00:00:00", "2026-04-01 00:00:00"]
+
+
+@given(st.lists(_WAVE, min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None)
+def test_scd2_apply_matches_reference_fold(spark, waves):
+    cur = None
+    closed_rows = []
+    for ts, wave in zip(_TS, waves):
+        b = _batch(
+            spark,
+            [
+                (k, v if v is not None else "x",
+                 ts if v is None else None)
+                for k, v in sorted(wave.items())
+            ],
+            ts,
+        )
+        if cur is None:
+            cur = scd2_init(b, "_eff").drop("_eff").localCheckpoint()
+            continue
+        folded = _apply(cur, b).localCheckpoint()
+        closed_rows += [
+            (r["k"], r["attr"],
+             r[VALID_FROM].isoformat(sep=" "),
+             r[VALID_TO].isoformat(sep=" "))
+            for r in folded.filter(~F.col(IS_CURRENT)).collect()
+        ]
+        cur = folded.filter(F.col(IS_CURRENT)).localCheckpoint()
+    # reference: wave 0 is the init load (tombstones dropped, rest open)
+    init = {
+        k: (v, _TS[0]) for k, v in sorted(waves[0].items()) if v is not None
+    }
+    ref_cur, ref_closed = init, []
+    for ts, wave in zip(_TS[1:], waves[1:]):
+        for k, v in sorted(wave.items()):
+            live = ref_cur.get(k)
+            if v is None:
+                if live is not None:
+                    ref_closed.append((k, live[0], live[1], ts))
+                    del ref_cur[k]
+            elif live is None:
+                ref_cur[k] = (v, ts)
+            elif live[0] != v and ts > live[1]:
+                ref_closed.append((k, live[0], live[1], ts))
+                ref_cur[k] = (v, ts)
+    got_cur = {
+        r["k"]: (r["attr"], r[VALID_FROM].isoformat(sep=" "))
+        for r in cur.collect()
+    }
+    assert got_cur == ref_cur
+    assert sorted(closed_rows) == sorted(ref_closed)
