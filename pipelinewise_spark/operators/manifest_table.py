@@ -53,13 +53,13 @@ def _decode_hive_value(v: str) -> str | None:
 
 
 _TRANSFORM_RE = re.compile(
-    r"^(days|months|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?([A-Za-z0-9_]+)\s*\)$"
+    r"^(years|months|days|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?([A-Za-z0-9_]+)\s*\)$"
 )
 
 
 class PartitionField:
     """One entry of a partition spec: a raw column, or an Iceberg-style
-    HIDDEN transform of one — ``days(ts)``, ``months(ts)``,
+    HIDDEN transform of one — ``years/months/days(ts)``,
     ``bucket(n, col)``, ``truncate(w, col)``. Transforms partition by a
     DERIVED value (its own hive dir key) while queries keep filtering on
     the raw column: `select_entries` maps raw-column ranges/points
@@ -95,6 +95,8 @@ class PartitionField:
             return F.date_format(c, "yyyy-MM-dd")
         if self.transform == "months":
             return F.date_format(c, "yyyy-MM")
+        if self.transform == "years":
+            return F.date_format(c, "yyyy")
         if self.transform == "bucket":
             # crc32 over the utf8 string form: deterministic across
             # sessions/engines (zlib.crc32 twin below prunes driver-side)
@@ -111,9 +113,9 @@ class PartitionField:
 
         if v is None:
             return None
-        if self.transform in ("days", "months"):
+        if self.transform in ("years", "months", "days"):
             s = str(v)
-            n = 10 if self.transform == "days" else 7
+            n = {"years": 4, "months": 7, "days": 10}[self.transform]
             return s[:n]
         if self.transform == "bucket":
             return str(zlib.crc32(str(v).encode("utf-8")) % self.arg)
@@ -126,8 +128,8 @@ class PartitionField:
     def order_preserving(self) -> bool:
         # truncate is order-preserving for strings (prefix) but not for
         # negative numbers' string forms — restrict range pruning to the
-        # date transforms, whose yyyy-MM[-dd] form sorts correctly
-        return self.transform in ("days", "months")
+        # date transforms, whose yyyy[-MM[-dd]] form sorts correctly
+        return self.transform in ("years", "months", "days")
 
 
 def parse_partition_spec(partition_by: Sequence[str]) -> list[PartitionField]:

@@ -265,3 +265,45 @@ def test_mor_composite_pk_prunes_on_leading_key(spark, tmp_path):
     got = {(r["k1"], r["k2"]): r["v"] for r in t.read(spark).collect()}
     assert len(got) == 1000
     assert got[(0, 0)] == 1 and got[(9, 2)] == 28 and got[(10, 3)] == 30
+
+
+def test_years_transform_and_cdc_stream_into_hidden_table(spark, tmp_path):
+    """The full streaming CDC path (run_cdc_stream -> merge) against a
+    years(ts)-partitioned ManifestTable: events route through derived
+    partitions and the final state matches plain merge semantics."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.plans.spec import StreamSpec
+    from pipelinewise_spark.streaming.cdc import run_cdc_stream
+
+    t = ManifestTable(os.path.join(str(tmp_path), "cdc"), ["years(ts)"])
+    base = _df(spark, 100)
+    t.overwrite(base)
+    events_dir = os.path.join(str(tmp_path), "events")
+    os.makedirs(events_dir)
+    ev = base.filter(F.col("k") < 20).select(
+        F.when(F.col("k") % 4 == 0, F.lit("d")).otherwise(F.lit("u"))
+        .alias("_op"),
+        F.col("k").alias("_seq"),
+        F.lit("2026-02-01 00:00:00").alias("_event_ts"),
+        "k", "ts", (F.col("v") + 5).alias("v"),
+    )
+    ev.repartition(4).write.mode("overwrite").json(events_dir)
+    spec = StreamSpec(
+        tap_stream_id="t", primary_keys=["k"], hard_delete=True
+    )
+    run_cdc_stream(
+        spark, events_dir,
+        T._parse_datatype_string("k long, ts timestamp, v long"),
+        spec, t,
+        checkpoint_dir=os.path.join(str(tmp_path), "_cp"),
+        max_files_per_trigger=2,
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 95  # 5 of the first 20 keys deleted (0,4,8,12,16)
+    assert got[1] == 15 and got[19] == 195 and got[50] == 500
+    assert 0 not in got and 16 not in got
+    keys = {k for e in t._load_manifest()["files"] for k in e["partition"]}
+    assert keys == {"__p_years_ts"}
