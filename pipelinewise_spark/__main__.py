@@ -451,6 +451,26 @@ def _cmd_branch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over ManifestTables: each --table ROOT[:NAME] registers
+    a temp view served through the MANIFEST (snapshot-consistent,
+    deletion-vector-aware — not a raw directory read), then the query
+    runs and rows print as JSON lines (--limit caps output)."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    for spec in args.table:
+        root, _, name = spec.partition(":")
+        name = name or os.path.basename(root.rstrip("/"))
+        ManifestTable(root).read(spark).createOrReplaceTempView(name)
+    out = spark.sql(args.query)
+    for row in out.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def _cmd_forget(args: argparse.Namespace) -> int:
     """Right-to-be-forgotten: physically erase matching rows from the
     live table AND its snapshot history (delete -> dead-partition
@@ -817,6 +837,15 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("table", help="ManifestTable root")
     br.add_argument("name", nargs="?", help="branch name")
     br.set_defaults(fn=_cmd_branch)
+
+    sq = sub.add_parser(
+        "sql", help="run SQL over ManifestTable temp views"
+    )
+    sq.add_argument("query", help="SQL text")
+    sq.add_argument("--table", action="append", default=[],
+                    help="ROOT[:VIEW_NAME] — repeatable")
+    sq.add_argument("--limit", type=int, default=100)
+    sq.set_defaults(fn=_cmd_sql)
 
     fgt = sub.add_parser(
         "forget",

@@ -121,3 +121,30 @@ def test_cli_audit_references_rule(capsys, spark, tmp_path):
     assert not rep["passed"]
     assert rep["report"][0]["rule"] == "references"
     assert rep["report"][0]["metric"] < 0.9
+
+
+def test_cli_sql_verb_serves_manifest_views(capsys, spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "orders_t")
+    t = ManifestTable(root, ["p"])
+    t.overwrite(
+        spark.range(30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+    )
+    t.delete_where(spark, "k >= 20")  # DV rows must not be served
+    rc = cli_main([
+        "sql",
+        "SELECT p, COUNT(*) AS n, SUM(v) AS sv FROM o GROUP BY p ORDER BY p",
+        "--table", f"{root}:o",
+    ])
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["n"] for r in rows] == [7, 7, 6]
+    assert sum(r["sv"] for r in rows) == sum(2 * k for k in range(20))
