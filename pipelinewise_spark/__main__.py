@@ -174,6 +174,8 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         cols = [c.strip() for c in args.bloom.split(",") if c.strip()]
         t.add_bloom_filters(spark, cols)
         report["bloom"] = cols
+    if args.retention:
+        report["retention_deleted_rows"] = t.apply_retention(spark)
     if args.vacuum:
         t.vacuum(keep_manifests=args.keep_manifests)
         report["vacuumed"] = True
@@ -755,6 +757,8 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--target-files", type=int, default=None)
     opt.add_argument("--target-mb", type=int, default=None,
                      help="bin-pack compaction output to ~this file size")
+    opt.add_argument("--retention", action="store_true",
+                     help="apply the table's declared row-TTL policy")
     opt.add_argument("--max-dead-ratio", type=float, default=None,
                      help="also rewrite partitions whose deletion-vector "
                           "dead rows exceed this fraction")

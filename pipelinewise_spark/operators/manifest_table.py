@@ -280,12 +280,16 @@ class ManifestTable:
                 prior = prior_m.get("table_stats")
                 if prior is not None:
                     manifest["table_stats"] = prior
-            # CHECK constraints are table metadata: they ride every
-            # publish until explicitly dropped
+            # CHECK constraints and the retention policy are table
+            # metadata: they ride every publish until explicitly changed
             if "constraints" not in manifest:
                 prior_c = prior_m.get("constraints")
                 if prior_c:
                     manifest["constraints"] = prior_c
+            if "retention" not in manifest:
+                prior_r = prior_m.get("retention")
+                if prior_r:
+                    manifest["retention"] = prior_r
         self.mfs.mkdirs()
         # parent pointer: snapshot lineage for provenance and the
         # fast-forward ancestry check (branch heads must descend from
@@ -1072,6 +1076,46 @@ class ManifestTable:
         finally:
             for df in _pinned:
                 df.unpersist()
+
+    # ---------------------------------------------------------- retention
+    def set_retention(self, column: str, keep_days: int) -> str:
+        """Declare a row-TTL policy: rows whose ``column`` is older than
+        ``keep_days`` at maintenance time are deleted by
+        :meth:`apply_retention` (the `optimize --retention` pass). The
+        policy is table metadata — it rides every publish like
+        constraints do; deletes use deletion vectors, so the purge is
+        answer-sized until compaction materializes it."""
+        m = self._load_manifest()
+        m["retention"] = {"column": column, "keep_days": int(keep_days)}
+        return self._publish(m, op="set-retention")
+
+    def retention(self) -> dict[str, Any] | None:
+        if not self.exists():
+            return None
+        return self._load_manifest().get("retention")
+
+    def apply_retention(
+        self, spark: SparkSession, as_of: str | None = None
+    ) -> int:
+        """Enforce the declared TTL: delete rows older than the horizon
+        (``as_of`` defaults to now UTC; pass it explicitly for
+        deterministic tests/backfills). No-op without a policy. Returns
+        rows deleted."""
+        pol = self.retention()
+        if not pol:
+            return 0
+        import datetime
+
+        if as_of is None:
+            as_of = (
+                datetime.datetime.now(datetime.timezone.utc)
+                .replace(tzinfo=None)
+                .isoformat(sep=" ", timespec="seconds")
+            )
+        cutoff = F.lit(as_of).cast("timestamp") - F.expr(
+            f"INTERVAL {pol['keep_days']} DAYS"
+        )
+        return self.delete_where(spark, F.col(pol["column"]) < cutoff)
 
     # -------------------------------------------------- partition evolution
     def set_partition_spec(

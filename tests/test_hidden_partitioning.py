@@ -307,3 +307,22 @@ def test_years_transform_and_cdc_stream_into_hidden_table(spark, tmp_path):
     assert 0 not in got and 16 not in got
     keys = {k for e in t._load_manifest()["files"] for k in e["partition"]}
     assert keys == {"__p_years_ts"}
+
+
+def test_retention_policy_rides_publishes_and_purges(spark, tmp_path):
+    t = ManifestTable(os.path.join(str(tmp_path), "ttl"), [])
+    t.overwrite(_df(spark, 100))
+    t.set_retention("ts", keep_days=60)
+    # the policy survives later data commits (like constraints do)
+    t.merge(spark, _df(spark, 100).filter(F.col("k") < 3), ["k"])
+    assert t.retention() == {"column": "ts", "keep_days": 60}
+    # horizon 1996-03-31 - 60d = 1996-01-31: January rows (k%120 < 30) go
+    n = t.apply_retention(spark, as_of="1996-03-31 00:00:00")
+    assert n == 100 - t.read(spark).count() + 0  # deleted == removed
+    got = t.read(spark)
+    assert got.count() == 100 - n
+    assert got.agg(F.min("ts")).first()[0].isoformat(sep=" ") >= "1996-01-31"
+    # no policy -> no-op
+    t2 = ManifestTable(os.path.join(str(tmp_path), "nopol"), [])
+    t2.overwrite(_df(spark, 10))
+    assert t2.apply_retention(spark, as_of="2999-01-01 00:00:00") == 0
