@@ -41,6 +41,14 @@ class ConstraintViolation(ValueError):
     """A write violated a table CHECK constraint (Delta-style)."""
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed between this operation's snapshot read
+    and its publish (optimistic concurrency, Iceberg/Delta-style):
+    retry the operation against the new snapshot. Detection is
+    read-back-before-swap; a true conditional PUT needs the object
+    store's CAS, which the MetaFS seam can carry."""
+
+
 def _decode_hive_value(v: str) -> str | None:
     """Hive partition dirs URL-escape special chars (':' -> '%3A') and write
     NULL as __HIVE_DEFAULT_PARTITION__; manifests store the *logical* value
@@ -269,7 +277,12 @@ class ManifestTable:
         n = 1 + max(self.versions(), default=0)
         return f"manifest-{n:08d}.json"
 
-    def _publish(self, manifest: dict[str, Any], op: str = "commit") -> str:
+    def _publish(
+        self,
+        manifest: dict[str, Any],
+        op: str = "commit",
+        expected_parent: str | None = None,
+    ) -> str:
         # ANALYZE output persists across data commits (merge/compact/
         # overwrite) until recomputed — its "version" marker names the
         # manifest it was computed against, so readers can detect
@@ -294,6 +307,14 @@ class ManifestTable:
         # parent pointer: snapshot lineage for provenance and the
         # fast-forward ancestry check (branch heads must descend from
         # main's current manifest to publish)
+        if expected_parent is not None:
+            live = self.current_manifest_name()
+            if live != expected_parent:
+                raise CommitConflict(
+                    f"snapshot moved {expected_parent} -> {live} during the "
+                    f"{op}; reload and retry"
+                )
+            manifest["parent"] = expected_parent
         if "parent" not in manifest:
             manifest["parent"] = self.current_manifest_name()
         # operation provenance: surfaced by meta("snapshots") — which verb
@@ -698,6 +719,7 @@ class ManifestTable:
         """
         from pipelinewise_spark.operators.merge import merge_upsert
 
+        base = self.current_manifest_name()
         m = self._load_manifest()
         self._enforce(batch, m.get("constraints", {}))
         partition_by = m["partition_by"]
@@ -764,6 +786,7 @@ class ManifestTable:
                 "files": kept + new_entries,
             },
             op="merge",
+            expected_parent=base,
         )
 
     # -------------------------------------------------- CHECK constraints
@@ -840,6 +863,7 @@ class ManifestTable:
         Reference behavior modeled: hard-delete semantics
         (target_snowflake/db_sync.py DELETE path) at fact-table scale.
         """
+        base = self.current_manifest_name()
         m = self._load_manifest()
         if not m["files"]:
             return 0
@@ -857,6 +881,7 @@ class ManifestTable:
                 "files": self._attach_dv(m["files"], dv_files, counts),
             },
             op="delete",
+            expected_parent=base,
         )
         return int(sum(counts.values()))
 
@@ -952,6 +977,7 @@ class ManifestTable:
         unset columns).
         """
         from pipelinewise_spark.operators.sdc import SDC_DELETED_AT
+        base = self.current_manifest_name()
         m = self._load_manifest()
         self._enforce(batch, m.get("constraints", {}))
         pk = list(primary_keys)
@@ -1068,6 +1094,7 @@ class ManifestTable:
                     + new_entries,
                 },
                 op="merge-on-read",
+                expected_parent=base,
             )
             return {
                 "superseded_rows": superseded,
@@ -1293,6 +1320,7 @@ class ManifestTable:
         is read debt (dead rows decoded + anti-joined on every scan) that
         only a rewrite pays down. Pure manifest arithmetic; no data read
         to decide."""
+        base = self.current_manifest_name()
         m = self._load_manifest()
         partition_by = m["partition_by"]
         groups: dict[tuple, list[dict[str, Any]]] = {}
@@ -1383,6 +1411,7 @@ class ManifestTable:
                 "files": kept + new_entries,
             },
             op="compact",
+            expected_parent=base,
         )
         return len(frag)
 

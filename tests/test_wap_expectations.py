@@ -172,3 +172,44 @@ def test_references_rule_single_scan_with_nulls(spark):
     assert by["references"]["metric"] == pytest.approx(2 / 3)
     assert not by["references"]["passed"]
     assert by["not_null"]["metric"] == pytest.approx(0.75)
+
+
+def test_concurrent_commit_detected_not_lost(spark, table, monkeypatch):
+    """A writer that raced another commit must raise CommitConflict, not
+    silently drop the other writer's rows (optimistic concurrency)."""
+    from pipelinewise_spark.operators.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    # interleave: when writer A is about to publish its merge, writer B
+    # (a second handle) has already advanced the pointer
+    orig_publish = ManifestTable._publish
+
+    state = {"raced": False}
+
+    def racing_publish(self, manifest, op="commit", expected_parent=None):
+        if op == "merge" and not state["raced"]:
+            state["raced"] = True
+            b = ManifestTable(self.root)
+            orig_merge(
+                b, spark,
+                _df(spark, 12).filter(F.col("k") >= 10), ["k"],
+            )
+        return orig_publish(
+            self, manifest, op=op, expected_parent=expected_parent
+        )
+
+    orig_merge = ManifestTable.merge
+    monkeypatch.setattr(ManifestTable, "_publish", racing_publish)
+    with pytest.raises(CommitConflict, match="snapshot moved"):
+        table.merge(
+            spark, _df(spark, 10).withColumn("v", F.col("v") + 1), ["k"]
+        )
+    monkeypatch.undo()
+    # writer B's commit survived; writer A simply retries
+    assert table.read(spark).count() == 12
+    table.merge(
+        spark, _df(spark, 10).withColumn("v", F.col("v") + 1), ["k"]
+    )
+    assert table.read(spark).count() == 12
