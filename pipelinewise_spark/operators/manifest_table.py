@@ -49,6 +49,24 @@ class CommitConflict(RuntimeError):
     store's CAS, which the MetaFS seam can carry."""
 
 
+def commit_with_retries(fn, attempts: int = 5):
+    """Run a table verb under optimistic concurrency, retrying on
+    :class:`CommitConflict` (the Iceberg commit loop: each retry re-reads
+    the NEW head inside ``fn`` — verbs load the manifest at call time, so
+    simply calling again recomputes against the advanced snapshot).
+    ``fn`` must be idempotent-until-published: every ManifestTable verb
+    is, because the pointer swap is the single commit point — a conflicted
+    attempt leaves only unreferenced data files for ``vacuum``. Raises the
+    final CommitConflict after ``attempts`` exhausted."""
+    last: CommitConflict | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return fn()
+        except CommitConflict as e:  # noqa: PERF203 — retry loop is the point
+            last = e
+    raise last
+
+
 def _decode_hive_value(v: str) -> str | None:
     """Hive partition dirs URL-escape special chars (':' -> '%3A') and write
     NULL as __HIVE_DEFAULT_PARTITION__; manifests store the *logical* value
@@ -885,6 +903,77 @@ class ManifestTable:
         )
         return int(sum(counts.values()))
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict[str, Any],
+    ) -> int:
+        """Copy-on-write ``UPDATE ... SET ... WHERE``: rewrite ONLY the
+        data files that contain at least one matching row; every other
+        file carries over by manifest reference. Pass 1 is answer-sized
+        (one scan filtered by ``condition``, aggregated to per-file match
+        counts — the predicate pushes down to the parquet scan); pass 2
+        reads and rewrites just the touched files with each assignment
+        applied as ``CASE WHEN condition THEN expr ELSE old END``, cast
+        back to the column's existing type so schema fidelity holds.
+        Assignments see PRE-update values (standard SQL UPDATE), may
+        reference any column, and may target a partition column — rows
+        then migrate directories via the normal partitioned write.
+        Deletion vectors on rewritten files materialize (their reads
+        apply DVs; outputs are fresh files), exactly like merge/compact.
+        Returns the number of rows updated; zero matches publishes
+        nothing. At 100 TB this is Delta's UPDATE cost model: scan all
+        candidate files once, rewrite the matched subset only.
+
+        Reference behavior modeled: transformation-on-load UPDATE
+        semantics (transform_field family) applied in place to an
+        already-loaded target table.
+        """
+        base = self.current_manifest_name()
+        m = self._load_manifest()
+        if not m["files"]:
+            return 0
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        live = self._read_entries(spark, m["files"], m, keep_pos=True)
+        touched = {
+            r["f"]: r["n"]
+            for r in live.filter(condition)
+            .groupBy(F.col("__dv_path").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not touched:
+            return 0
+        kept = [e for e in m["files"] if e["path"] not in touched]
+        rewrite = [e for e in m["files"] if e["path"] in touched]
+        rows = self._read_entries(spark, rewrite, m)
+        updated = rows.withColumns(
+            {
+                c: F.when(
+                    condition, x.cast(rows.schema[c].dataType)
+                ).otherwise(F.col(c))
+                for c, x in sets.items()
+            }
+        )
+        self._enforce(updated, m.get("constraints", {}))
+        new_entries = self._write_files(updated, m["partition_by"])
+        self._publish(
+            {
+                "partition_by": m["partition_by"],
+                "partition_types": m.get("partition_types", {}),
+                "files": kept + new_entries,
+            },
+            op="update",
+            expected_parent=base,
+        )
+        return int(sum(touched.values()))
+
     def _write_dv(self, dead: DataFrame) -> tuple[list[str], dict[str, int]]:
         """Persist a position-delete sidecar for rows carrying the
         (``__dv_path``, ``__dv_pos``) identity columns; returns the
@@ -1447,6 +1536,166 @@ class ManifestTable:
             {k: v for k, v in m.items()}
         )
         return dest
+
+    def rollback_to(self, version: int) -> str:
+        """Instant metadata-only rollback (Iceberg ``rollback_to_snapshot``
+        / Delta ``RESTORE``): publish a NEW manifest whose file set,
+        partition spec, and deletion vectors are the target snapshot's —
+        no data moves, history is preserved (the bad commits stay
+        readable via time travel until expired, and roll-forward is just
+        another rollback). Table CONFIG (constraints, retention, ANALYZE
+        stats) stays current — config is not data, matching Delta
+        RESTORE. Raises if the target's files have already been vacuumed
+        (rollback is only valid within the vacuum/expire horizon)."""
+        base = self.current_manifest_name()
+        try:
+            m = self._load_manifest(version=version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot rollback to version {version}: its manifest has "
+                "been vacuumed/expired"
+            ) from None
+        missing = [
+            e["path"] for e in m["files"] if not self.mfs.exists(e["path"])
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot rollback to version {version}: {len(missing)} data "
+                f"file(s) already vacuumed (first: {missing[0]})"
+            )
+        return self._publish(
+            {
+                "partition_by": m["partition_by"],
+                "partition_types": m.get("partition_types", {}),
+                "files": m["files"],
+            },
+            op="rollback",
+            expected_parent=base,
+        )
+
+    # ---------------------------------------------------- change data feed
+    def changes_between(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots, derived from the
+        per-commit manifest diff (Delta CDF semantics without per-commit
+        change files): walking the parent chain one commit at a time,
+
+        - rows of files ADDED by a commit surface as ``_change_type =
+          'insert'`` (with that commit's own DVs applied, so a MOR batch's
+          superseded-in-the-same-commit rows never appear live);
+        - rows of files REMOVED by a commit surface as ``'delete'`` (read
+          AS OF the parent, its DVs applied — only rows actually visible
+          before the commit can be deleted);
+        - rows newly DELETION-VECTORED on surviving files surface as
+          ``'delete'`` (the sidecar positions semi-join the file's rows).
+
+        A copy-on-write ``merge``/``update`` therefore shows a rewritten
+        file's rows as delete+insert — the classic file-diff CDF
+        degradation, same as Delta without CDC enabled — while MOR and DV
+        deletes are exact. ``compact`` commits are skipped entirely
+        (dataChange=false: files change, rows don't). Every emitted row
+        carries ``_commit_version`` (the manifest number that produced
+        it), so downstream incremental consumers (incremental_agg,
+        streaming MV fold) can checkpoint a version bookmark and resume —
+        the table IS a stream source. Cost: per-commit plans touch only
+        that commit's added/removed files and answer-sized DV sidecars;
+        the union is commit-count wide, metadata-scale for any sane
+        ``v_from`` horizon."""
+        cur = self.current_manifest_name()
+        to_name = f"manifest-{v_to:08d}.json" if v_to is not None else cur
+        from_name = f"manifest-{v_from:08d}.json"
+        # newest-first parent walk, then reversed to oldest-first
+        chain: list[tuple[int, dict[str, Any]]] = []
+        name = to_name
+        while name and name != from_name:
+            v = int(name.split("-")[1].split(".")[0])
+            m = self._load_manifest(version=v)
+            chain.append((v, m))
+            name = m.get("parent")
+            if name is None and v_from != 0:
+                raise ValueError(
+                    f"version {v_from} is not an ancestor of "
+                    f"{to_name} (expired or on another branch)"
+                )
+        chain.reverse()
+        parent_m = self._load_manifest(version=v_from) if v_from else None
+        typ = F.lit(None).cast("string").alias("_change_type")
+        frames: list[DataFrame] = []
+        for v, m in chain:
+            if m.get("operation") == "compact":
+                parent_m = m
+                continue
+            p_entries = {e["path"]: e for e in (parent_m or {"files": []})["files"]}
+            c_entries = {e["path"]: e for e in m["files"]}
+            added = [e for p, e in c_entries.items() if p not in p_entries]
+            removed = [e for p, e in p_entries.items() if p not in c_entries]
+            if added:
+                ins = self._read_entries(spark, added, m).withColumns(
+                    {
+                        "_change_type": F.lit("insert"),
+                        "_commit_version": F.lit(v),
+                    }
+                )
+                frames.append(ins)
+            if removed and parent_m is not None:
+                del_ = self._read_entries(
+                    spark, removed, parent_m
+                ).withColumns(
+                    {
+                        "_change_type": F.lit("delete"),
+                        "_commit_version": F.lit(v),
+                    }
+                )
+                frames.append(del_)
+            # surviving files that gained vectors in THIS commit
+            for p, e in c_entries.items():
+                old = p_entries.get(p)
+                if old is None:
+                    continue
+                new_dv = [
+                    d for d in e.get("dv", []) if d not in set(old.get("dv", []))
+                ]
+                if not new_dv:
+                    continue
+                # read the file as of the PARENT (old DVs applied), keep
+                # row identity, semi-join the new sidecar positions
+                rows = self._read_entries(spark, [old], parent_m or m, keep_pos=True)
+                dv = F.broadcast(
+                    spark.read.parquet(*[self.mfs.uri(d) for d in new_dv])
+                )
+                dead = rows.join(
+                    dv,
+                    (F.col("__dv_path") == dv["file_path"])
+                    & (F.col("__dv_pos") == dv["row_index"]),
+                    "left_semi",
+                ).drop("__dv_path", "__dv_pos")
+                frames.append(
+                    dead.withColumns(
+                        {
+                            "_change_type": F.lit("delete"),
+                            "_commit_version": F.lit(v),
+                        }
+                    )
+                )
+            parent_m = m
+        if not frames:
+            empty = self._read_entries(
+                spark, [], self._load_manifest()
+            ).withColumns(
+                {
+                    "_change_type": typ,
+                    "_commit_version": F.lit(None).cast("int"),
+                }
+            )
+            return empty.limit(0)
+        out = frames[0]
+        for d in frames[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def expire_snapshots(
         self, older_than: str, keep_last: int = 1
