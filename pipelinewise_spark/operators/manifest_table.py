@@ -941,8 +941,12 @@ class ManifestTable:
             for c, e in assignments.items()
         }
         live = self._read_entries(spark, m["files"], m, keep_pos=True)
+        # __dv_path is URI-escaped (_metadata.file_path); unquote to the
+        # on-disk manifest-entry form before matching e["path"]
+        from urllib.parse import unquote
+
         touched = {
-            r["f"]: r["n"]
+            unquote(r["f"]): r["n"]
             for r in live.filter(condition)
             .groupBy(F.col("__dv_path").alias("f"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -995,9 +999,15 @@ class ManifestTable:
         dels.write.mode("overwrite").parquet(self.mfs.uri(dv_rel))
         # per-file counts from the WRITTEN sidecar (answer-sized), not the
         # source plan — running the scan-and-join lineage a second time for
-        # metadata would double every delete/MOR batch's dominant cost
+        # metadata would double every delete/MOR batch's dominant cost.
+        # __dv_path derives from _metadata.file_path, a URI: partition
+        # values with spaces/special chars arrive percent-encoded
+        # ('4-NOT%20SPECIFIED') while manifest entry paths are the on-disk
+        # form — unquote so _attach_dv/update_where match every file.
+        from urllib.parse import unquote
+
         counts = {
-            r["file_path"]: r["cnt"]
+            unquote(r["file_path"]): r["cnt"]
             for r in dels.sparkSession.read.parquet(self.mfs.uri(dv_rel))
             .groupBy("file_path")
             .agg(F.count("*").alias("cnt"))

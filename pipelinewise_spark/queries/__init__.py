@@ -58,6 +58,8 @@ _SHOWCASE_ORDER = [
     # --- part 3b: operators NEW in r7 (registered this round, graded now)
     "ccnet_perplexity_buckets_documents", "dsir_weights_documents",
     "semantic_dedup_embeddings", "temperature_sample_documents",
+    # r7 table verbs: copy-on-write UPDATE, change data feed, RESTORE
+    "update_where_orders", "table_changes_orders", "rollback_orders",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     "epoch_upsample_documents", "gap_fill_daily_revenue",

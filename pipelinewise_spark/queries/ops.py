@@ -1917,3 +1917,143 @@ def star_rollup_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("revenue"),
         F.col("orders").cast("bigint").alias("orders"),
     )
+
+
+@register(
+    "update_where_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0
+                THEN o_totalprice + 250.0 ELSE o_totalprice END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def update_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (operators/manifest_table.py:update_where):
+    ``UPDATE ... SET o_totalprice = o_totalprice + 250 WHERE`` against a
+    partitioned fact table rewrites ONLY the data files that contain a
+    matching row — the predicate names one partition value, so every
+    other partition's files carry over into the new snapshot BY
+    REFERENCE (same paths; the in-query asserts pin it). This is Delta's
+    UPDATE cost model: one answer-sized match scan, then a rewrite
+    bounded by the matched file set, never the table. Reference
+    behavior modeled: transformation-applied-in-place on a loaded
+    target (transform_field family semantics as a table verb)."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_upd_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+    before = {e["path"] for e in t._load_manifest()["files"]}
+    n = t.update_where(
+        spark,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0",
+        {"o_totalprice": F.col("o_totalprice") + 250.0},
+    )
+    after = {e["path"] for e in t._load_manifest()["files"]}
+    carried = before & after
+    assert n > 0
+    assert carried, "untouched files must carry over by reference"
+    assert before - after, "matched files must be rewritten, not patched"
+    return t.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+@register(
+    "table_changes_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           'delete' AS _change_type, CAST(2 AS INTEGER) AS _commit_version
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, 'insert', 2
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 3
+    FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (operators/manifest_table.py:changes_between —
+    Delta CDF semantics derived from the manifest diff, no per-commit
+    change files): orders lands at v1, a merge-on-read repricing batch
+    (every 7th order, +1000) commits v2, a DV delete (every 11th,
+    unless repriced) commits v3. ``changes_between(1)`` must emit the
+    v2 batch rows as inserts, the v2 deletion-vectored old rows and the
+    v3 DV'd rows as deletes — each stamped with the commit version that
+    produced it, so an incremental consumer can checkpoint a version
+    bookmark and treat the table as a stream source. Because both
+    commits are MOR/DV (no file rewrites), the feed is row-exact — the
+    oracle reproduces it as three selects over the base table. The
+    replay invariant (v1 snapshot + feed == live table) is pinned in
+    tests/test_table_verbs_r7.py."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_cdf_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+        batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        t.merge_on_read(spark, batch, ["o_orderkey"])
+        t.delete_where(
+            spark, "o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0"
+        )
+    feed = t.changes_between(spark, 1)
+    return feed.select(
+        "o_orderkey", "o_totalprice", "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@register(
+    "rollback_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def rollback_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RESTORE (operators/manifest_table.py:rollback_to —
+    Iceberg rollback_to_snapshot / Delta RESTORE): a bad in-place
+    repricing (update_where over every 'F' order) commits v2; rolling
+    back publishes v3 whose file set IS v1's — no data moves, and the
+    bad snapshot stays time-travelable until expired (asserted). The
+    read after rollback must be byte-identical to the original load,
+    which is exactly what the oracle checks."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_rb_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+        t.update_where(
+            spark, "o_orderstatus = 'F'",
+            {"o_totalprice": F.col("o_totalprice") * 2.0},
+        )
+    t.rollback_to(1)
+    assert t.versions() == [1, 2, 3]
+    m = t._load_manifest()
+    assert m.get("operation") == "rollback"
+    v1_files = {e["path"] for e in t._load_manifest(version=1)["files"]}
+    assert {e["path"] for e in m["files"]} == v1_files
+    return t.read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

@@ -223,3 +223,46 @@ def test_commit_with_retries_exhausts(monkeypatch):
     with pytest.raises(CommitConflict):
         commit_with_retries(always_conflict, attempts=3)
     assert calls["n"] == 3
+
+
+# ------------------------- URI-escaping regression (r7): partition values
+# with spaces/escapes percent-encode in _metadata.file_path while manifest
+# entry paths are on-disk form; DV association, update_where's touched-file
+# match, and the CDF's per-entry dv lists must all still line up.
+def test_dv_association_survives_special_char_partitions(spark, tmp_path):
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "NOT SPECIFIED")
+        .otherwise("a:b c")
+        .alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["p"])
+    t.overwrite(df)
+    n = t.delete_where(spark, "k % 3 = 0")
+    assert n == 4  # k in {0,3,6,9}
+    m = t._load_manifest()
+    dv_rows = sum(e.get("dv_rows", 0) for e in m["files"])
+    assert dv_rows == 4, "every DV'd file must be associated in the manifest"
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        1, 2, 4, 5, 7, 8, 10, 11,
+    ]
+    feed = t.changes_between(spark, 1)
+    dels = sorted(
+        r["k"] for r in feed.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [0, 3, 6, 9]
+
+
+def test_update_where_touches_special_char_partitions(spark, tmp_path):
+    df = spark.range(8).select(
+        F.col("id").alias("k"),
+        F.lit("NOT SPECIFIED").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["p"])
+    t.overwrite(df)
+    n = t.update_where(spark, "k >= 6", {"v": F.col("v") + 100})
+    assert n == 2
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[6] == 106.0 and rows[7] == 107.0 and rows[0] == 0.0
