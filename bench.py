@@ -174,6 +174,11 @@ BENCH_QUERIES = [
     "temperature_sample_documents",
     "mv_rewrite_orders",
     "dv_delete_orders",
+    "update_where_orders",
+    "table_changes_orders",
+    "rollback_orders",
+    "cdf_incremental_mv_orders",
+    "time_travel_as_of_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -424,6 +424,88 @@ def _cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_update(args: argparse.Namespace) -> int:
+    """Copy-on-write UPDATE WHERE: rewrites only the data files that
+    contain a matching row; everything else carries into the new
+    snapshot by manifest reference (Delta UPDATE cost model)."""
+    from pipelinewise_spark.operators.manifest_table import (
+        ManifestTable,
+        commit_with_retries,
+    )
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-update")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    sets = {}
+    for s in args.set:
+        col, _, expr = s.partition("=")
+        if not _:
+            raise SystemExit(f"--set needs col=expr, got {s!r}")
+        sets[col.strip()] = expr.strip()
+    n = commit_with_retries(
+        lambda: t.update_where(spark, args.where, sets)
+    )
+    print(json.dumps({
+        "table": args.table,
+        "updated_rows": n,
+        "version": t.current_manifest_name(),
+    }))
+    return 0
+
+
+def _cmd_rollback(args: argparse.Namespace) -> int:
+    """Metadata-only RESTORE to a version or an AS-OF timestamp: the new
+    snapshot's file set is the target's, nothing moves, bad history
+    stays time-travelable until expired."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    t = ManifestTable(args.table)
+    if (args.version is None) == (args.as_of is None):
+        raise SystemExit("pass exactly one of --version / --as-of")
+    v = args.version if args.version is not None \
+        else t.version_as_of(args.as_of)
+    name = t.rollback_to(int(v))
+    print(json.dumps({
+        "table": args.table,
+        "restored_version": int(v),
+        "version": name,
+    }))
+    return 0
+
+
+def _cmd_changes(args: argparse.Namespace) -> int:
+    """Change data feed between two snapshots (row-level insert/delete
+    events stamped with the commit version that produced them). Writes
+    the feed to --out as parquet, or prints per-commit counts."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-changes")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    feed = t.changes_between(spark, args.from_version, args.to_version)
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"table": args.table, "out": args.out}))
+        return 0
+    from pyspark.sql import functions as F
+
+    counts = [
+        {
+            "commit_version": r["_commit_version"],
+            "change_type": r["_change_type"],
+            "rows": r["n"],
+        }
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("_commit_version", "_change_type")
+        .collect()
+    ]
+    print(json.dumps({"table": args.table, "changes": counts}))
+    return 0
+
+
 def _cmd_branch(args: argparse.Namespace) -> int:
     """Branch lifecycle for write-audit-publish: `create` cuts a
     metadata-only ref at the current snapshot, `publish` fast-forwards
@@ -833,6 +915,42 @@ def main(argv: list[str] | None = None) -> int:
     dele.add_argument("--where", required=True,
                       help="SQL predicate selecting rows to delete")
     dele.set_defaults(fn=_cmd_delete)
+
+    upd = sub.add_parser(
+        "update",
+        help="copy-on-write UPDATE WHERE (rewrites only matched files)",
+    )
+    upd.add_argument("table", help="ManifestTable root path")
+    upd.add_argument("--where", required=True,
+                     help="SQL predicate selecting rows to update")
+    upd.add_argument("--set", action="append", required=True,
+                     metavar="COL=EXPR",
+                     help="assignment (repeatable); EXPR is SQL over "
+                          "pre-update values")
+    upd.set_defaults(fn=_cmd_update)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="metadata-only RESTORE to a version or AS-OF timestamp",
+    )
+    rb.add_argument("table", help="ManifestTable root path")
+    rb.add_argument("--version", type=int, help="snapshot version")
+    rb.add_argument("--as-of", dest="as_of",
+                    help="UTC 'YYYY-MM-DD HH:MM:SS' instant")
+    rb.set_defaults(fn=_cmd_rollback)
+
+    chg = sub.add_parser(
+        "changes",
+        help="change data feed between snapshots (CDF)",
+    )
+    chg.add_argument("table", help="ManifestTable root path")
+    chg.add_argument("--from", dest="from_version", type=int, required=True,
+                     help="exclusive lower snapshot version")
+    chg.add_argument("--to", dest="to_version", type=int, default=None,
+                     help="inclusive upper snapshot version (default: live)")
+    chg.add_argument("--out", help="write feed parquet here instead of "
+                                   "printing per-commit counts")
+    chg.set_defaults(fn=_cmd_changes)
 
     br = sub.add_parser(
         "branch", help="table branch refs (write-audit-publish)"

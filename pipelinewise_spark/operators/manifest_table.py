@@ -341,10 +341,13 @@ class ManifestTable:
         if "committed_at" not in manifest:
             import datetime
 
+            # microsecond precision so AS OF TIMESTAMP (version_as_of)
+            # distinguishes rapid successive commits; every consumer
+            # compares stamps lexicographically, which stays correct
             manifest["committed_at"] = (
                 datetime.datetime.now(datetime.timezone.utc)
                 .replace(tzinfo=None)
-                .isoformat(sep=" ", timespec="seconds")
+                .isoformat(sep=" ", timespec="microseconds")
             )
         name = self._next_manifest_name()
         self.mfs.write_text(json.dumps(manifest, indent=1), name)
@@ -581,6 +584,28 @@ class ManifestTable:
             entries = [e for e in entries if bloom_keeps(e)]
         return entries, m
 
+    def version_as_of(self, timestamp: str) -> int:
+        """Resolve ``AS OF TIMESTAMP`` to a snapshot version: the newest
+        commit whose ``committed_at`` stamp (UTC, written by every
+        publish) is <= the given ``'YYYY-MM-DD HH:MM:SS'`` instant —
+        Delta's timestamp time travel / Iceberg's snapshot-for-timestamp
+        resolution, done entirely on manifest metadata (one JSON read per
+        retained snapshot, no data touched). Raises if the timestamp
+        predates the first retained commit (earlier history is
+        expired/vacuumed, so the resolution would silently lie)."""
+        best: int | None = None
+        for v in self.versions():
+            stamp = self._load_manifest(version=v).get("committed_at")
+            if stamp is not None and stamp <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp!r} is "
+                "retained (history expired, or timestamp predates the "
+                "table)"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
@@ -589,14 +614,20 @@ class ManifestTable:
         ranges: dict[str, tuple[Any, Any]] | None = None,
         points: dict[str, Any] | None = None,
         partition_rows: list[dict[str, Any]] | None = None,
+        as_of: str | None = None,
     ) -> DataFrame:
         """Read the live snapshot (or a historical ``version`` — time
-        travel). ``partitions`` prunes manifest-side (``partition_rows``
-        prunes on exact value tuples instead); ``ranges`` adds
-        footer-stats file skipping; ``points`` adds Bloom point-lookup
-        skipping (Iceberg/Delta-style data skipping: only files that can
-        match are ever listed to Spark — the caller still applies the exact
-        row-level filter)."""
+        travel — or ``as_of`` a UTC timestamp string, resolved via
+        :meth:`version_as_of`). ``partitions`` prunes manifest-side
+        (``partition_rows`` prunes on exact value tuples instead);
+        ``ranges`` adds footer-stats file skipping; ``points`` adds Bloom
+        point-lookup skipping (Iceberg/Delta-style data skipping: only
+        files that can match are ever listed to Spark — the caller still
+        applies the exact row-level filter)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_as_of(as_of)
         entries, m = self.select_entries(
             partitions, ranges, version, points, partition_rows
         )

@@ -58,8 +58,10 @@ _SHOWCASE_ORDER = [
     # --- part 3b: operators NEW in r7 (registered this round, graded now)
     "ccnet_perplexity_buckets_documents", "dsir_weights_documents",
     "semantic_dedup_embeddings", "temperature_sample_documents",
-    # r7 table verbs: copy-on-write UPDATE, change data feed, RESTORE
+    # r7 table verbs: copy-on-write UPDATE, change data feed, RESTORE,
+    # CDF-driven MV maintenance, AS OF TIMESTAMP travel
     "update_where_orders", "table_changes_orders", "rollback_orders",
+    "cdf_incremental_mv_orders", "time_travel_as_of_orders",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     "epoch_upsample_documents", "gap_fill_daily_revenue",

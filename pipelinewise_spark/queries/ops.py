@@ -2057,3 +2057,126 @@ def rollback_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+@register(
+    "cdf_incremental_mv_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) + 1 FROM orders), 'O', 1.0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_price
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def cdf_incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV maintenance driven by the table's OWN change feed
+    (operators/manifest_table.py:changes_between +
+    operators/incremental_agg.py:apply_change_feed): the upsert batch
+    lands MERGE-ON-READ, so the v1→v2 feed is row-exact and
+    batch-sized — deletes are the deletion-vectored old rows, inserts
+    the appended batch file — and the rollup folds it forward without
+    re-reading EITHER snapshot (contrast incremental_mv_orders, whose
+    feed comes from a full-outer self-diff of two whole snapshots:
+    correct, but view-sized). This is the Delta/Iceberg streaming-MV
+    loop: CDF versions are the bookmark, maintenance cost follows the
+    batch. The oracle recomputes the aggregate from merged state."""
+    import tempfile
+
+    from pipelinewise_spark.operators.incremental_agg import (
+        apply_change_feed,
+        build_aggregate,
+    )
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    with fixture_timer():
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_cmv_") + "/orders")
+        t.overwrite(orders)
+        max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        batch = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+            .unionByName(
+                spark.createDataFrame(
+                    [(int(max_key) + 1, "O", 1.0)],
+                    "o_orderkey long, o_orderstatus string, "
+                    "o_totalprice double",
+                )
+            )
+        )
+        t.merge_on_read(spark, batch, ["o_orderkey"])
+    mv = build_aggregate(
+        t.read(spark, version=1),
+        ["o_orderstatus"], {"total_price": "o_totalprice"},
+    )
+    feed = t.changes_between(spark, 1)
+    is_del = F.col("_change_type") == "delete"
+    changes = feed.select(
+        F.when(is_del, F.lit("d")).otherwise(F.lit("i")).alias("op"),
+        F.when(is_del, F.col("o_orderstatus")).alias("old_o_orderstatus"),
+        F.when(is_del, F.col("o_totalprice")).alias("old_o_totalprice"),
+        F.when(~is_del, F.col("o_orderstatus")).alias("new_o_orderstatus"),
+        F.when(~is_del, F.col("o_totalprice")).alias("new_o_totalprice"),
+    )
+    out = apply_change_feed(
+        mv, changes, ["o_orderstatus"], {"total_price": "o_totalprice"}
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("total_price"), 6)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "time_travel_as_of_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def time_travel_as_of_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel (operators/manifest_table.py:
+    version_as_of): every publish stamps ``committed_at`` (UTC,
+    microseconds), and a timestamp read resolves to the newest snapshot
+    at or before that instant on manifest metadata alone — Delta's
+    ``TIMESTAMP AS OF`` / Iceberg's snapshot-for-timestamp. Orders land
+    at v1, a DV delete commits v2; reading as-of v1's own commit stamp
+    must return the FULL original table (the in-query asserts also pin
+    that v2's stamp resolves to v2 and that a pre-table timestamp
+    raises instead of silently resolving past expired history)."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_asof_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+        t.delete_where(spark, "o_orderkey % 2 = 0")
+    s1 = t._load_manifest(version=1)["committed_at"]
+    s2 = t._load_manifest(version=2)["committed_at"]
+    assert t.version_as_of(s1) == 1 and t.version_as_of(s2) == 2
+    try:
+        t.version_as_of("1970-01-01 00:00:00")
+        raise AssertionError("pre-table timestamp must raise")
+    except ValueError:
+        pass
+    return t.read(spark, as_of=s1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

@@ -148,3 +148,49 @@ def test_cli_sql_verb_serves_manifest_views(capsys, spark, tmp_path):
     ]
     assert [r["n"] for r in rows] == [7, 7, 6]
     assert sum(r["sv"] for r in rows) == sum(2 * k for k in range(20))
+
+
+def test_cli_update_rollback_changes_verbs(capsys, spark, tmp_path):
+    """update -> changes -> rollback from the command line: the UPDATE
+    rewrites only matched files, the CDF reports the commit's row
+    events, and rollback restores v1 (verified by reading back)."""
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, pt int, value double",
+    )
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, ["pt"])
+    t.overwrite(df)
+
+    rc = cli_main([
+        "update", root, "--where", "pt = 1 AND value >= 10",
+        "--set", "value = value + 1000",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["updated_rows"] == 7  # ids 10,13,...,28
+
+    rc = cli_main(["changes", root, "--from", "1"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    by = {(c["commit_version"], c["change_type"]): c["rows"]
+          for c in out["changes"]}
+    # CoW update: rewritten files' rows show as delete+insert (file
+    # diff); only files CONTAINING matches rewrite, so both sides are
+    # equal and at least the 7 matched rows (never the whole table)
+    assert by[(2, "insert")] == by[(2, "delete")]
+    assert 7 <= by[(2, "insert")] < 30
+
+    rc = cli_main(["rollback", root, "--version", "1"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["restored_version"] == 1
+    t2 = ManifestTable(root)
+    assert t2.read(spark).agg({"value": "max"}).collect()[0][0] == 29.0
+
+    # as-of rollback: stamp of v2 resolves to v2 (the updated state)
+    s2 = t2._load_manifest(version=2)["committed_at"]
+    rc = cli_main(["rollback", root, "--as-of", s2])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["restored_version"] == 2
+    assert ManifestTable(root).read(spark).filter(
+        "value > 1000"
+    ).count() == 7

@@ -73,6 +73,13 @@ SENSITIVE = [
     # partitions + broadcast-threshold changes
     "dv_delete_orders",
     "merge_on_read_orders",
+    # r7 table verbs: same DV/MOR timestamp-round-trip class, plus the
+    # CDF's per-commit plans and the commit-stamp as-of resolution
+    "update_where_orders",
+    "table_changes_orders",
+    "rollback_orders",
+    "cdf_incremental_mv_orders",
+    "time_travel_as_of_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",
     "gap_fill_daily_revenue",
