@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "rollback_orders",
     "cdf_incremental_mv_orders",
     "time_travel_as_of_orders",
+    "merge_schema_drift_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -2180,3 +2180,58 @@ def time_travel_as_of_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+@register(
+    "merge_schema_drift_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CASE WHEN o.o_orderkey % 10 = 0
+                     AND o.o_orderpriority = '1-URGENT'
+                THEN o.o_totalprice + 50.0
+                ELSE o.o_totalprice END AS o_totalprice,
+           CASE WHEN o.o_orderkey % 10 = 0
+                     AND o.o_orderpriority = '1-URGENT'
+                THEN 'reprice-2026'
+                ELSE NULL END AS o_adjust_reason
+    FROM orders o
+    """,
+)
+def merge_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with automatic schema evolution (Delta autoMerge /
+    reference add-column evolution, schema_evolution.py class, applied
+    at the TABLE layer): an upsert batch carries a brand-new
+    ``o_adjust_reason`` column; the merge widens the table schema,
+    batch rows land with values, every pre-drift row reads as NULL —
+    and untouched partitions' files carry over by reference unrewritten
+    (asserted), so evolving a 100 TB table's schema costs only the
+    touched partitions. Spark mechanics: per-file
+    ``unionByName(allowMissingColumns=True)`` at read + the manifest
+    carrying files of different physical schemas side by side."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_drift_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+    before = {e["path"] for e in t._load_manifest()["files"]}
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") % 10 == 0)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+        .withColumn("o_adjust_reason", F.lit("reprice-2026"))
+    )
+    t.merge(spark, batch, ["o_orderkey"])
+    assert before & {
+        e["path"] for e in t._load_manifest()["files"]
+    }, "schema evolution must not rewrite untouched partitions"
+    return t.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_adjust_reason"
+    )

@@ -266,3 +266,40 @@ def test_update_where_touches_special_char_partitions(spark, tmp_path):
     assert n == 2
     rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert rows[6] == 106.0 and rows[7] == 107.0 and rows[0] == 0.0
+
+
+# ------------------------------------------------- schema evolution (r7)
+def test_merge_schema_evolution_adds_column(spark, table):
+    """Delta autoMerge semantics: a batch carrying a NEW column widens
+    the table schema; rows from pre-drift files read as NULL, and
+    untouched partitions' files are NOT rewritten."""
+    before = {e["path"] for e in table._load_manifest()["files"]}
+    batch = spark.range(2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.lit(99.0).alias("v"),
+        F.lit("tagged").alias("note"),
+    )
+    table.merge(spark, batch, ["k"])
+    out = table.read(spark)
+    assert "note" in out.columns
+    rows = {r["k"]: (r["v"], r["note"]) for r in out.collect()}
+    assert rows[0] == (99.0, "tagged") and rows[1] == (99.0, "tagged")
+    assert rows[5] == (10.0, None)  # pre-drift row null-filled
+    after = {e["path"] for e in table._load_manifest()["files"]}
+    # partition p=2 had no batch rows: its file carries over by reference
+    assert before & after, "untouched partitions must not rewrite"
+
+
+def test_merge_on_read_schema_evolution(spark, table):
+    batch = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.lit("0").alias("p"),
+        F.lit(-1.0).alias("v"),
+        F.lit(7).cast("long").alias("score"),
+    )
+    table.merge_on_read(spark, batch, ["k"])
+    out = table.read(spark)
+    rows = {r["k"]: r["score"] for r in out.collect()}
+    assert rows[0] == 7 and rows[1] is None
+    assert len(rows) == 12
