@@ -1738,6 +1738,19 @@ class ManifestTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact ``SELECT count(*)`` from manifest metadata alone — zero
+        data read, no Spark job (the Iceberg/Delta metadata-count fast
+        path): every entry records its parquet footer row count at write
+        time and the deletion-vector debt it has accrued, so live rows =
+        Σ rows − Σ dv_rows. Exact for every write path (CoW rewrites
+        refresh footer counts; MOR/DV commits only ever add dv_rows)."""
+        m = self._load_manifest(version=version)
+        return int(
+            sum(e.get("rows", 0) for e in m["files"])
+            - sum(e.get("dv_rows", 0) for e in m["files"])
+        )
+
     def expire_snapshots(
         self, older_than: str, keep_last: int = 1
     ) -> list[int]:

@@ -62,7 +62,7 @@ _SHOWCASE_ORDER = [
     # CDF-driven MV maintenance, AS OF TIMESTAMP travel
     "update_where_orders", "table_changes_orders", "rollback_orders",
     "cdf_incremental_mv_orders", "time_travel_as_of_orders",
-    "merge_schema_drift_orders",
+    "merge_schema_drift_orders", "cdf_follow_mv_orders",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     "epoch_upsample_documents", "gap_fill_daily_revenue",

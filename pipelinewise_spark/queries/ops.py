@@ -2235,3 +2235,103 @@ def merge_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_adjust_reason"
     )
+
+
+@register(
+    "cdf_follow_mv_orders",
+    oracle="""
+    WITH vf AS (
+        SELECT o_orderkey, o_orderstatus,
+               (o_totalprice
+                + CASE WHEN o_orderkey % 7 = 0 THEN 100.0 ELSE 0.0 END)
+                + CASE WHEN o_orderkey % 5 = 0 THEN 200.0 ELSE 0.0 END
+                   AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0))
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_price
+    FROM vf GROUP BY o_orderstatus
+    """,
+)
+def cdf_follow_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-poll incremental consumption of the table's change feed
+    (streaming/table_feed.py:TableChangeConsumer): three commits land
+    against orders — a MOR repricing (every 7th, +100), a DV delete
+    (every 13th unless repriced), a second MOR repricing (every 5th,
+    +200 on CURRENT prices) — and a consumer with a DURABLE version
+    bookmark polls after each, folding every feed into the maintained
+    revenue-by-status rollup via apply_change_feed. The in-query
+    asserts pin the stream-source contract: each poll sees exactly the
+    new commits, the bookmark advances only on commit, and a final
+    poll returns None (no job runs). The folded MV must equal the
+    oracle's recompute from final state — across polls, not just one
+    fold (the cdf_incremental_mv_orders single-fold case
+    generalized)."""
+    import tempfile
+
+    from pipelinewise_spark.operators.incremental_agg import (
+        apply_change_feed,
+        build_aggregate,
+    )
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.streaming.table_feed import TableChangeConsumer
+
+    with fixture_timer():
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = ManifestTable(tempfile.mkdtemp(prefix="pws_follow_") + "/t")
+        t.overwrite(orders)
+    state = tempfile.mkdtemp(prefix="pws_follow_state_")
+    consumer = TableChangeConsumer(t, state)
+    assert consumer.bookmark() == 1 and consumer.poll(spark) is None
+    mv = build_aggregate(
+        t.read(spark, version=1),
+        ["o_orderstatus"], {"total_price": "o_totalprice"},
+    )
+
+    def commit_wave(i: int) -> None:
+        if i == 0:
+            b = t.read(spark).filter(F.col("o_orderkey") % 7 == 0) \
+                .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+            t.merge_on_read(spark, b, ["o_orderkey"])
+        elif i == 1:
+            t.delete_where(
+                spark, "o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0"
+            )
+        else:
+            b = t.read(spark).filter(F.col("o_orderkey") % 5 == 0) \
+                .withColumn("o_totalprice", F.col("o_totalprice") + 200.0)
+            t.merge_on_read(spark, b, ["o_orderkey"])
+
+    is_del = F.col("_change_type") == "delete"
+    for i in range(3):
+        commit_wave(i)
+        feed, head = consumer.poll(spark)
+        assert head == i + 2
+        changes = feed.select(
+            F.when(is_del, F.lit("d")).otherwise(F.lit("i")).alias("op"),
+            F.when(is_del, F.col("o_orderstatus"))
+            .alias("old_o_orderstatus"),
+            F.when(is_del, F.col("o_totalprice"))
+            .alias("old_o_totalprice"),
+            F.when(~is_del, F.col("o_orderstatus"))
+            .alias("new_o_orderstatus"),
+            F.when(~is_del, F.col("o_totalprice"))
+            .alias("new_o_totalprice"),
+        )
+        mv = apply_change_feed(
+            mv, changes, ["o_orderstatus"], {"total_price": "o_totalprice"}
+        ).localCheckpoint()
+        consumer.commit(head)
+        assert consumer.bookmark() == head
+    assert consumer.poll(spark) is None
+    return mv.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("total_price"), 6)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_price"),
+    )

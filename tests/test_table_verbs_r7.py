@@ -303,3 +303,47 @@ def test_merge_on_read_schema_evolution(spark, table):
     rows = {r["k"]: r["score"] for r in out.collect()}
     assert rows[0] == 7 and rows[1] is None
     assert len(rows) == 12
+
+
+# ---------------------------------------------------- TableChangeConsumer
+def test_table_change_consumer_resume_and_replay(spark, table, tmp_path):
+    from pipelinewise_spark.streaming.table_feed import TableChangeConsumer
+
+    state = str(tmp_path / "state")
+    c = TableChangeConsumer(table, state)
+    assert c.bookmark() == 1 and c.poll(spark) is None
+
+    table.delete_where(spark, "k = 3")
+    feed, head = c.poll(spark)
+    assert head == 2 and feed.count() == 1
+    # crash BEFORE commit: a fresh consumer on the same state replays
+    c2 = TableChangeConsumer(table, state)
+    feed2, head2 = c2.poll(spark)
+    assert head2 == 2 and feed2.count() == 1
+    c2.commit(head2)
+    assert c2.poll(spark) is None
+    # restart AFTER commit: bookmark durable, nothing redelivered
+    c3 = TableChangeConsumer(table, state)
+    assert c3.bookmark() == 2 and c3.poll(spark) is None
+    with pytest.raises(ValueError, match="backwards"):
+        c3.commit(1)
+
+
+def test_table_change_consumer_full_history_start(spark, table, tmp_path):
+    from pipelinewise_spark.streaming.table_feed import TableChangeConsumer
+
+    c = TableChangeConsumer(table, str(tmp_path / "s"), start_version=0)
+    feed, head = c.poll(spark)
+    assert head == 1 and feed.count() == 12
+    assert feed.filter("_change_type = 'insert'").count() == 12
+
+
+def test_count_rows_metadata_only(spark, table):
+    assert table.count_rows() == 12
+    table.delete_where(spark, "k % 4 = 0")  # DV path: dv_rows accounting
+    assert table.count_rows() == 9
+    table.merge_on_read(
+        spark, _df(spark, 2).withColumn("v", F.lit(0.0)), ["k"]
+    )  # supersedes k 0(dead),1 -> +2 appended, +1 newly dead
+    assert table.count_rows() == table.read(spark).count()
+    assert table.count_rows(version=1) == 12
