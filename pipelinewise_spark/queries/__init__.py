@@ -72,9 +72,12 @@ _SHOWCASE_ORDER = [
     "nb_langid_documents", "ingest_volume_anomaly_orders",
     "semantic_decontaminate_embeddings", "text_index_search_documents",
     "fk_integrity_orders", "source_reputation_filter_documents",
-    # --- part 4: staleness rotation — every query below has its last
-    # driver-green row in r1 (9) or r3 (22) and re-verifies now, so the
-    # whole registry stays within a two-round driver-freshness horizon
+    # --- part 4: staleness rotation — every query below last went
+    # driver-green in r1/r3. The seven new r7 table-verb queries above
+    # displaced this block past slot 50 except `source_reputation...`'s
+    # neighbors; the displaced remain pytest-verified (value-exact
+    # oracle at sf0.001 every run + hostile-conf replays) and rotate
+    # into the r8 prefix
     "schema_evolution_version_column", "text_quality_documents",
     "lang_id_documents", "winnowing_fingerprint_documents",
     "fingerprint_documents", "embedding_lsh_buckets",
