@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "time_travel_as_of_orders",
     "merge_schema_drift_orders",
     "cdf_follow_mv_orders",
+    "shuffle_shards_documents",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -595,3 +595,56 @@ def token_budget_mixture(
     return d.filter(
         (F.col("cum_tokens") - F.col(tokens_col)) < budget_col
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str | int = 42,
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + balanced sharding — the standard
+    pre-training "shuffle then shard" step, reproducible across engines
+    and reruns.
+
+    The permutation is ``ORDER BY md5(seed || key)`` (a seeded
+    pseudo-random total order any engine can recompute — no RNG state,
+    no partition-count dependence), realized as a distributed exact row
+    number (``operators/rank.py:distributed_row_number``: one
+    range-partition on the hash + per-partition windows + a broadcast
+    offset join — never a single-task global sort). Shards are assigned
+    round-robin over the permutation (``(pos-1) % n_shards``): sizes
+    balanced within one row, and because the order is already random,
+    round-robin also decorrelates shard contents — every shard is an
+    unbiased 1/n sample of the corpus, which is exactly what data-
+    parallel training wants. At 100 TB the cost is one hash projection
+    plus the rank's range shuffle: corpus-linear, skew-free (md5 is
+    uniform by construction).
+
+    Reference behavior modeled: deterministic batch ordering /
+    partitioned export of a loaded table (fastsync split exports),
+    upgraded to the seeded global permutation an LLM data pipeline
+    ships to trainers.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pipelinewise_spark.operators.rank import distributed_row_number
+
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), F.col(key_col).cast("string")
+        )
+    )
+    ranked = distributed_row_number(
+        df.withColumn("__h", h),
+        ["__h", key_col],  # key tie-break: total order even on collision
+        out_col=pos_col,
+        num_partitions=num_partitions,
+    )
+    return ranked.withColumn(
+        shard_col,
+        ((F.col(pos_col) - 1) % n_shards).cast("int"),
+    ).drop("__h")

@@ -2782,3 +2782,33 @@ def source_reputation_filter_documents(
         .filter(ok)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "shuffle_shards_documents",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pos
+        FROM documents)
+    SELECT doc_id, lang, pos,
+           CAST((pos - 1) % 8 AS INTEGER) AS shard
+    FROM r
+    """,
+)
+def shuffle_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + balanced sharding
+    (functions/curation.py:shuffle_shards): the corpus is permuted by
+    md5(seed||doc_id) — a seeded pseudo-random total order DuckDB
+    reproduces bit-exactly — and dealt round-robin into 8 shards, so
+    each shard is a size-balanced unbiased 1/8 sample. The permutation
+    runs as the distributed exact row number (range-partition on the
+    hash, no single-task sort); the oracle recomputes position and
+    shard for every document."""
+    from pipelinewise_spark.functions.curation import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed=42)
+    return out.select("doc_id", "lang", "pos", "shard")

@@ -349,3 +349,22 @@ def test_mean_pool_vectors_matches_exact_sums(spark, sf_dir):
     # vector shape survives: every label has a dim-64 pooled array
     dims = {len(r["pooled"]) for r in pooled.collect()}
     assert dims == {64}
+
+
+def test_shuffle_shards_balance_and_determinism(spark):
+    from pipelinewise_spark.functions.curation import shuffle_shards
+
+    df = spark.range(103).select(F.col("id").alias("k"))
+    a = shuffle_shards(df, "k", n_shards=8, seed=7, num_partitions=4)
+    sizes = {r["shard"]: r["n"] for r in
+             a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(sizes) == set(range(8))
+    # partition-count invariance: identical (pos, shard) assignment
+    b = shuffle_shards(df, "k", n_shards=8, seed=7, num_partitions=13)
+    assert a.select("k", "pos", "shard").exceptAll(
+        b.select("k", "pos", "shard")
+    ).count() == 0
+    # a different seed is a different permutation
+    c = shuffle_shards(df, "k", n_shards=8, seed=8, num_partitions=4)
+    assert c.select("k", "pos").exceptAll(a.select("k", "pos")).count() > 0

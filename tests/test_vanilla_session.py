@@ -74,7 +74,9 @@ SENSITIVE = [
     "dv_delete_orders",
     "merge_on_read_orders",
     # r7 table verbs: same DV/MOR timestamp-round-trip class, plus the
-    # CDF's per-commit plans and the commit-stamp as-of resolution
+    # CDF's per-commit plans and the commit-stamp as-of resolution;
+    # shuffle_shards rides the partition-count-sensitive rank machinery
+    "shuffle_shards_documents",
     "update_where_orders",
     "table_changes_orders",
     "rollback_orders",
