@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "merge_schema_drift_orders",
     "cdf_follow_mv_orders",
     "shuffle_shards_documents",
+    "medallion_cdc_gold_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -801,3 +801,104 @@ def cdc_stream_mor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority",
         "_sdc_extracted_at", "_sdc_batched_at",
     )
+
+
+@register(
+    "medallion_cdc_gold_orders",
+    oracle="""
+    WITH silver AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM silver GROUP BY o_orderstatus
+    """,
+)
+def medallion_cdc_gold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full medallion loop in one oracle-checked unit: a LOG_BASED
+    change stream (bronze) applies MERGE-ON-READ micro-batches to a
+    partitioned ManifestTable (silver — T0 files never rewritten), and
+    a downstream TableChangeConsumer reads the silver table's OWN
+    change feed from a durable version bookmark to fold the gold
+    revenue-by-status rollup forward (streaming/cdc.py →
+    manifest_table.py:merge_on_read → changes_between →
+    incremental_agg.py:apply_change_feed). One poll spans every MOR
+    commit the stream produced — per-commit row events, batch-sized
+    fold, neither silver snapshot re-read. The oracle recomputes gold
+    from MERGE + hard-delete semantics over the base table. Each layer
+    is separately driver-checked (cdc_stream_mor_orders,
+    cdf_follow_mv_orders); this query pins their composition —
+    the lakehouse pipeline the engine exists for."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.incremental_agg import (
+        apply_change_feed,
+        build_aggregate,
+    )
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.streaming.table_feed import TableChangeConsumer
+
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_medal_")
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        spec = StreamSpec(
+            tap_stream_id="orders", primary_keys=["o_orderkey"],
+            hard_delete=True,
+            options={"merge_strategy": "merge_on_read"},
+        )
+        silver = ManifestTable(
+            os.path.join(tmp, "orders"), ["o_orderpriority"]
+        )
+        orders = read_table(spark, sf_dir, "orders")
+        silver.overwrite(
+            add_sdc_columns(orders, extracted_at=T0, batched_at=T0)
+        )
+        n = min(32, spark.sparkContext.defaultParallelism)
+        _orders_cdc_events(spark, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).json(events_dir)
+
+    # gold initialized from silver v1; consumer bookmarked at v1
+    consumer = TableChangeConsumer(silver, os.path.join(tmp, "gold_state"))
+    gold = build_aggregate(
+        silver.read(spark, version=1),
+        ["o_orderstatus"], {"revenue": "o_totalprice"},
+        count_col="n_orders",
+    )
+    run_cdc_stream(
+        spark, events_dir, T._parse_datatype_string(_ORDERS_PAYLOAD),
+        spec, silver,
+        checkpoint_dir=os.path.join(tmp, "_checkpoint"),
+        max_files_per_trigger=16,
+    )
+    polled = consumer.poll(spark)
+    assert polled is not None
+    feed, head = polled
+    assert head >= 2, "the stream must have produced MOR commits"
+    is_del = F.col("_change_type") == "delete"
+    changes = feed.select(
+        F.when(is_del, F.lit("d")).otherwise(F.lit("i")).alias("op"),
+        F.when(is_del, F.col("o_orderstatus")).alias("old_o_orderstatus"),
+        F.when(is_del, F.col("o_totalprice")).alias("old_o_totalprice"),
+        F.when(~is_del, F.col("o_orderstatus")).alias("new_o_orderstatus"),
+        F.when(~is_del, F.col("o_totalprice")).alias("new_o_totalprice"),
+    )
+    gold = apply_change_feed(
+        gold, changes, ["o_orderstatus"], {"revenue": "o_totalprice"},
+        count_col="n_orders",
+    )
+    consumer.commit(head)
+    assert consumer.poll(spark) is None
+    return gold.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("revenue"), 6)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -77,6 +77,7 @@ SENSITIVE = [
     # CDF's per-commit plans and the commit-stamp as-of resolution;
     # shuffle_shards rides the partition-count-sensitive rank machinery
     "shuffle_shards_documents",
+    "medallion_cdc_gold_orders",
     "update_where_orders",
     "table_changes_orders",
     "rollback_orders",
