@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "cdf_follow_mv_orders",
     "shuffle_shards_documents",
     "medallion_cdc_gold_orders",
+    "histogram_quantile_orders",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -134,3 +134,133 @@ def hll_rollup(
         out_col, F.hll_sketch_estimate(F.col(sketch_col)).cast("bigint")
     )
     return out if keep_sketch else out.drop(sketch_col)
+
+
+def histogram_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int = 1024,
+    sketch_col: str = "hist_sketch",
+    count_col: str = "n",
+) -> DataFrame:
+    """Build a MERGEABLE quantile-histogram sketch table: one fixed-range
+    equi-width bucket-count array (``array<long>``, length
+    ``num_buckets``) per group — the quantile companion to
+    :func:`hll_sketch_table`.
+
+    The sketch is exactly mergeable (element-wise add — associative,
+    commutative, no mode promotion), so daily sketches roll into monthly
+    into all-time without rescanning raw data; each is
+    ``8·num_buckets`` bytes regardless of group size. Build cost: one
+    map-side-combinable count per (group, bucket) — at most
+    groups×buckets rows shuffle, never data rows — then a dense-array
+    pivot per group. Values below ``lo``/above ``hi`` clamp into the
+    edge buckets (they still count; their position error is the
+    documented range contract — pick bounds from ANALYZE stats).
+    Quantile estimates off the sketch (:func:`histogram_quantile`) are
+    exact in RANK up to one bucket's occupancy and within one bucket
+    width ``(hi-lo)/num_buckets`` in VALUE of some true sample point —
+    the fixed-range histogram contract (cf. Postgres/ClickHouse
+    histogram stats), deterministic by construction, unlike KLL/GK
+    whose compaction paths are seed-dependent."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / num_buckets
+    b = F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+        ),
+    )
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    m = per.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
+    )
+    return m.select(
+        *group_cols,
+        dense.alias(sketch_col),
+        F.aggregate(
+            dense, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias(count_col),
+    )
+
+
+def histogram_rollup(
+    sketch_table: DataFrame,
+    rollup_cols: list[str],
+    sketch_col: str = "hist_sketch",
+    count_col: str = "n",
+) -> DataFrame:
+    """Re-aggregate a histogram sketch table to a coarser grain:
+    element-wise array addition (``zip_with`` fold over
+    ``collect_list``) — the shuffle carries KB-sized arrays, never rows,
+    and the merged sketch is bit-identical to one built directly from
+    the union of the raw data (exactly mergeable, unlike HLL's
+    last-fraction-of-a-percent mode promotion)."""
+    merged = sketch_table.groupBy(*rollup_cols).agg(
+        F.aggregate(
+            F.collect_list(F.col(sketch_col)),
+            F.lit(None).cast("array<bigint>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.zip_with(acc, x, lambda a, b2: a + b2)
+            ),
+        ).alias(sketch_col),
+        F.sum(F.col(count_col)).alias(count_col),
+    )
+    return merged
+
+
+def histogram_quantile(
+    sketch_table: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+    sketch_col: str = "hist_sketch",
+    count_col: str = "n",
+    out_col: str = "quantile_est",
+) -> DataFrame:
+    """Estimate the q-quantile from each row's sketch: find the first
+    bucket where the cumulative count reaches ``ceil(q·n)`` and report
+    its UPPER edge — guaranteed >= the true q-quantile and < true + one
+    bucket width (clamped range aside). Pure Column work: one
+    ``aggregate`` scan over the array per row, no data touched."""
+    target = F.ceil(F.lit(q) * F.col(count_col)).cast("bigint")
+    # fold: (cum, found_bucket); pick first bucket reaching the target
+    found = F.aggregate(
+        F.zip_with(
+            F.col(sketch_col),
+            F.sequence(F.lit(0), F.size(F.col(sketch_col)) - 1),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(-1).alias("idx"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(
+                (acc["idx"] < 0) & (acc["cum"] + x["c"] >= target),
+                x["i"],
+            ).otherwise(acc["idx"]).alias("idx"),
+        ),
+    )["idx"]
+    est = F.lit(lo) + (
+        (found.cast("double") + F.lit(1.0))
+        * (F.lit(hi - lo) / F.size(F.col(sketch_col)))
+    )
+    return sketch_table.withColumn(out_col, est)

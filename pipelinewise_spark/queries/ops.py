@@ -2335,3 +2335,71 @@ def cdf_follow_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "histogram_quantile_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM orders)
+    SELECT o_orderpriority,
+           o_totalprice AS exact_median,
+           TRUE AS within_bucket_width
+    FROM r WHERE rn = CAST(CEIL(cnt * 0.5) AS BIGINT)
+    """,
+)
+def histogram_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketches
+    (operators/sketches.py:histogram_sketch_table/rollup/quantile — the
+    quantile companion to the HLL sketch tables): per-(priority, status)
+    fixed-range bucket arrays are built in one map-side-combinable pass,
+    ROLLED UP to per-priority by element-wise array addition (KB-sized
+    shuffles, bit-identical to a direct build — exactly mergeable,
+    pinned in tests), and the median estimated off the merged sketch.
+    The contract is hash-checkable: the query emits Spark's own exact
+    rank-based median plus the boolean guarantee
+    ``exact <= estimate <= exact + bucket_width`` — the estimate still
+    exercises the full sketch path, the row hashes exactly (the
+    rows-only→contract-oracle pattern from VERDICT r6 #3)."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+        histogram_sketch_table,
+    )
+
+    lo, hi, nb = 0.0, 600_000.0, 4096
+    orders = read_table(spark, sf_dir, "orders")
+    fine = histogram_sketch_table(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice",
+        lo, hi, nb,
+    )
+    est = histogram_quantile(
+        histogram_rollup(fine, ["o_orderpriority"]), 0.5, lo, hi
+    ).select("o_orderpriority", "quantile_est")
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    cw = Window.partitionBy("o_orderpriority")
+    exact = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__c", F.count("*").over(cw))
+        .filter(F.col("__rn") == F.ceil(F.col("__c") * 0.5))
+        .select("o_orderpriority",
+                F.col("o_totalprice").alias("exact_median"))
+    )
+    width = (hi - lo) / nb
+    return exact.join(F.broadcast(est), "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_median",
+        (
+            (F.col("quantile_est") >= F.col("exact_median"))
+            & (F.col("quantile_est") <= F.col("exact_median") + width)
+        ).alias("within_bucket_width"),
+    )

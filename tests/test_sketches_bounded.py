@@ -60,3 +60,62 @@ def test_run_bounded_available_now_self_terminates(spark, sf_dir, tmp_path):
     )
     assert run_bounded(query, max_run_seconds=120) is True
     assert spark.sql("SELECT sum(count) c FROM bounded_avail").collect()[0].c == 100
+
+
+# ------------------------------------------- histogram quantile sketches
+def _hist_mod():
+    from pipelinewise_spark.operators import sketches as S
+    return S
+
+
+def test_histogram_sketch_bound_and_upper_edge(spark):
+    S = _hist_mod()
+    n, B, lo, hi = 5000, 256, 0.0, 100.0
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"), (F.rand(seed=7) * 100).alias("v")
+    )
+    sk = S.histogram_sketch_table(df, ["g"], "v", lo, hi, B)
+    est = {
+        r["g"]: r["quantile_est"]
+        for r in S.histogram_quantile(sk, 0.5, lo, hi).collect()
+    }
+    # rank-based exact target: x_(ceil(0.5 n_g)) per group
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("v")
+    cnt = Window.partitionBy("g")
+    exact = {
+        r["g"]: r["v"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("c", F.count("*").over(cnt))
+        .filter(F.col("rn") == F.ceil(F.col("c") * 0.5))
+        .collect()
+    }
+    width = (hi - lo) / B
+    for g in exact:
+        assert 0 <= est[g] - exact[g] <= width, (g, est[g], exact[g])
+
+
+def test_histogram_rollup_exactly_mergeable(spark):
+    S = _hist_mod()
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("a"), (F.col("id") % 5).alias("b"),
+        (F.rand(seed=3) * 10 - 2).alias("v"),  # exercises clamping too
+    )
+    fine = S.histogram_sketch_table(df, ["a", "b"], "v", 0.0, 8.0, 64)
+    rolled = S.histogram_rollup(fine, ["a"]).orderBy("a")
+    direct = S.histogram_sketch_table(df, ["a"], "v", 0.0, 8.0, 64) \
+        .orderBy("a")
+    assert [r.asDict() for r in rolled.collect()] == [
+        r.asDict() for r in direct.collect()
+    ], "rollup must be BIT-identical to a direct build"
+
+
+def test_histogram_sketch_deterministic_across_partitions(spark):
+    S = _hist_mod()
+    df = spark.range(999).select(
+        F.lit(0).alias("g"), (F.col("id") * 0.37).alias("v")
+    )
+    a = S.histogram_sketch_table(df.repartition(3), ["g"], "v", 0, 400, 32)
+    b = S.histogram_sketch_table(df.repartition(17), ["g"], "v", 0, 400, 32)
+    assert a.collect() == b.collect()
