@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "shuffle_shards_documents",
     "medallion_cdc_gold_orders",
     "histogram_quantile_orders",
+    "grouping_sets_revenue",
+    "unpivot_order_measures",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

@@ -74,6 +74,10 @@ _SHOWCASE_ORDER = [
     "nb_langid_documents", "ingest_volume_anomaly_orders",
     "semantic_decontaminate_embeddings", "text_index_search_documents",
     "fk_integrity_orders", "source_reputation_filter_documents",
+    # low-risk relational additions (GROUPING SETS / UNPIVOT): registered
+    # past the 50-slot prefix so they don't displace never-graded
+    # operators; pytest-verified now, r8 prefix rotation grades them
+    "grouping_sets_revenue", "unpivot_order_measures",
     # --- part 4: staleness rotation — every query below last went
     # driver-green in r1/r3. The seven new r7 table-verb queries above
     # displaced this block past slot 50 except `source_reputation...`'s

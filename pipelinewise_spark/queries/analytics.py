@@ -1737,3 +1737,72 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("rev", ignorenulls=True).over(w).alias("revenue_locf"),
         F.col("rev").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           count(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form under ROLLUP/CUBE
+    (both already covered): three chosen grains (per-priority,
+    per-status, grand total) in ONE pass — Spark expands to a single
+    Expand node + one shuffle, never three scans. GROUPING() markers
+    keep subtotal rows distinguishable from genuine NULLs. At 100 TB
+    this is the difference between one corpus read and one per grain."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 6)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, value
+    FROM (
+        SELECT o_orderkey,
+               o_totalprice AS totalprice,
+               CAST(o_custkey AS DOUBLE) AS custkey_d,
+               CAST(o_orderkey % 100 AS DOUBLE) AS bucket_d
+        FROM orders)
+    UNPIVOT (value FOR measure IN (totalprice, custkey_d, bucket_d))
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long, the inverse of
+    pivot_user_event_counts): three measure columns unpivot to
+    (key, measure, value) rows via Spark's native ``unpivot`` — one
+    narrow projection per row expanded JVM-side (an Expand node, no
+    shuffle at all), the shape feature stores and metric pipelines
+    feed on. The oracle is DuckDB's UNPIVOT of the same projection."""
+    orders = read_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+        (F.col("o_orderkey") % 100).cast("double").alias("bucket_d"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_d", "bucket_d"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
