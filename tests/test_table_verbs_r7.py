@@ -347,3 +347,51 @@ def test_count_rows_metadata_only(spark, table):
     )  # supersedes k 0(dead),1 -> +2 appended, +1 newly dead
     assert table.count_rows() == table.read(spark).count()
     assert table.count_rows(version=1) == 12
+
+
+def test_consumer_crash_replay_is_exactly_once_with_idempotent_publish(
+    spark, table, tmp_path
+):
+    """The poll→fold→publish→commit loop survives a crash between
+    publish and bookmark-commit: the replayed poll re-folds the SAME
+    feed and the idempotent publish (overwrite keyed by head version)
+    converges instead of double-applying — the write-once epoch
+    pattern on the consumer side."""
+    from pipelinewise_spark.streaming.table_feed import TableChangeConsumer
+
+    gold = ManifestTable(os.path.join(str(tmp_path), "gold"))
+    state = str(tmp_path / "state")
+
+    def fold_and_publish(consumer) -> int | None:
+        polled = consumer.poll(spark)
+        if polled is None:
+            return None
+        feed, head = polled
+        agg = (
+            table.read(spark)
+            .groupBy("p")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        # publish derived state for this head (idempotent: same head ->
+        # same contents; overwrite is the converging publish)
+        gold.overwrite(agg.withColumn("head", F.lit(head)))
+        return head
+
+    c1 = TableChangeConsumer(table, state)
+    table.delete_where(spark, "k % 2 = 0")
+    head = fold_and_publish(c1)
+    assert head == 2
+    # CRASH before c1.commit(head): new consumer re-polls the same feed
+    c2 = TableChangeConsumer(table, state)
+    head2 = fold_and_publish(c2)
+    assert head2 == 2
+    c2.commit(head2)
+    # convergence: gold reflects the post-delete table exactly once
+    rows = {r["p"]: (r["s"], r["n"]) for r in gold.read(spark).collect()}
+    live = {
+        r["p"]: (r["s"], r["n"])
+        for r in table.read(spark).groupBy("p")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert rows == live
+    assert TableChangeConsumer(table, state).poll(spark) is None
