@@ -395,3 +395,28 @@ def test_consumer_crash_replay_is_exactly_once_with_idempotent_publish(
     }
     assert rows == live
     assert TableChangeConsumer(table, state).poll(spark) is None
+
+
+def test_update_where_on_hidden_transform_partitions(spark, tmp_path):
+    """CoW UPDATE against a days(ts)-partitioned table: matched files
+    rewrite into the SAME derived directories, untouched days carry by
+    reference, and the hidden dir column never leaks into the data."""
+    df = spark.createDataFrame(
+        [(i, f"2026-01-{(i % 3) + 1:02d} 10:00:00", float(i))
+         for i in range(12)],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["days(ts)"])
+    t.overwrite(df)
+    before = {e["path"] for e in t._load_manifest()["files"]}
+    n = t.update_where(
+        spark, "ts = TIMESTAMP '2026-01-02 10:00:00'",
+        {"v": F.col("v") * 10},
+    )
+    assert n == 4  # k in {1,4,7,10}
+    after = {e["path"] for e in t._load_manifest()["files"]}
+    assert before & after, "other days' files must carry by reference"
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "ts", "v"}
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows[1] == 10.0 and rows[4] == 40.0 and rows[0] == 0.0
