@@ -322,6 +322,14 @@ class ManifestTable:
                 if prior_r:
                     manifest["retention"] = prior_r
         self.mfs.mkdirs()
+        # Several verbs publish a LOADED manifest dict ({**m, ...}:
+        # constraints, retention, bloom, analyze, clone). Its parent /
+        # committed_at / operation describe the PRIOR commit — keeping
+        # them would corrupt the parent chain (CDF walks, ancestor
+        # checks) and stamp the new commit with the old time/op.
+        # Recompute all three for every publish.
+        for stale in ("parent", "committed_at", "operation"):
+            manifest.pop(stale, None)
         # parent pointer: snapshot lineage for provenance and the
         # fast-forward ancestry check (branch heads must descend from
         # main's current manifest to publish)
@@ -593,6 +601,12 @@ class ManifestTable:
         retained snapshot, no data touched). Raises if the timestamp
         predates the first retained commit (earlier history is
         expired/vacuumed, so the resolution would silently lie)."""
+        # stamps carry microseconds; a seconds-precision query string
+        # would compare lexicographically BELOW a stamp at exactly that
+        # second ('...00' < '...00.000000') — pad so the comparison is
+        # the <=-instant contract at full precision
+        if len(timestamp) == 19:
+            timestamp = timestamp + ".000000"
         best: int | None = None
         for v in self.versions():
             stamp = self._load_manifest(version=v).get("committed_at")
@@ -1692,32 +1706,47 @@ class ManifestTable:
                     }
                 )
                 frames.append(del_)
-            # surviving files that gained vectors in THIS commit
+            # Surviving files whose deletion-vector set CHANGED in this
+            # commit: gained sidecars kill rows ('delete', read as of the
+            # PARENT so only previously-live rows can die); lost sidecars
+            # — a rollback/restore over a DV or MOR commit — RESURRECT
+            # rows ('insert', read as of THIS commit so still-vectored
+            # rows stay out). Entries sharing a sidecar set are grouped so
+            # each sidecar is read and broadcast once per commit, not once
+            # per file; the (file, position) semi-join scopes each file to
+            # its own positions.
+            gained: dict[tuple, list] = {}
+            lost: dict[tuple, list] = {}
             for p, e in c_entries.items():
                 old = p_entries.get(p)
                 if old is None:
                     continue
-                new_dv = [
-                    d for d in e.get("dv", []) if d not in set(old.get("dv", []))
-                ]
-                if not new_dv:
-                    continue
-                # read the file as of the PARENT (old DVs applied), keep
-                # row identity, semi-join the new sidecar positions
-                rows = self._read_entries(spark, [old], parent_m or m, keep_pos=True)
+                odv, ndv = set(old.get("dv", [])), set(e.get("dv", []))
+                if ndv - odv:
+                    gained.setdefault(
+                        tuple(sorted(ndv - odv)), []
+                    ).append(old)
+                if odv - ndv:
+                    lost.setdefault(tuple(sorted(odv - ndv)), []).append(e)
+            for dv_set, ents, as_of_m, ctype in (
+                [(s, es, parent_m or m, "delete")
+                 for s, es in gained.items()]
+                + [(s, es, m, "insert") for s, es in lost.items()]
+            ):
+                rows = self._read_entries(spark, ents, as_of_m, keep_pos=True)
                 dv = F.broadcast(
-                    spark.read.parquet(*[self.mfs.uri(d) for d in new_dv])
+                    spark.read.parquet(*[self.mfs.uri(d) for d in dv_set])
                 )
-                dead = rows.join(
+                hit = rows.join(
                     dv,
                     (F.col("__dv_path") == dv["file_path"])
                     & (F.col("__dv_pos") == dv["row_index"]),
                     "left_semi",
                 ).drop("__dv_path", "__dv_pos")
                 frames.append(
-                    dead.withColumns(
+                    hit.withColumns(
                         {
-                            "_change_type": F.lit("delete"),
+                            "_change_type": F.lit(ctype),
                             "_commit_version": F.lit(v),
                         }
                     )
@@ -1746,8 +1775,18 @@ class ManifestTable:
         Σ rows − Σ dv_rows. Exact for every write path (CoW rewrites
         refresh footer counts; MOR/DV commits only ever add dv_rows)."""
         m = self._load_manifest(version=version)
+        missing = [e["path"] for e in m["files"] if "rows" not in e]
+        if missing:
+            # a silent 0 would be a wrong answer, not a slow one — the
+            # same "missing stats never skip a file" rule data skipping
+            # follows. (Pre-footer-count manifests: read().count().)
+            raise ValueError(
+                f"{len(missing)} manifest entr(ies) lack footer row "
+                f"counts (first: {missing[0]}); metadata count would "
+                "be wrong — use read().count()"
+            )
         return int(
-            sum(e.get("rows", 0) for e in m["files"])
+            sum(e["rows"] for e in m["files"])
             - sum(e.get("dv_rows", 0) for e in m["files"])
         )
 

@@ -1,8 +1,9 @@
 """Randomized sequences of table verbs against three invariants.
 
-Hypothesis drives arbitrary interleavings of overwrite / merge /
-merge_on_read / delete_where / update_where / compact / rollback over a
-small partitioned ManifestTable, checking after EVERY verb:
+Hypothesis drives arbitrary interleavings of merge / merge_on_read /
+delete_where / update_where / compact / rollback_to / metadata-only
+(constraint) commits over a small partitioned ManifestTable, checking
+after EVERY verb:
 
 1. ``count_rows()`` (metadata-only) == ``read().count()`` (data scan);
 2. ``changes_between(v, head)`` replayed onto the version-v snapshot
@@ -41,7 +42,9 @@ def _read_dict(spark, t: ManifestTable, version=None) -> dict[int, float]:
     }
 
 
-VERB = st.sampled_from(["merge", "mor", "delete", "update", "compact"])
+VERB = st.sampled_from(
+    ["merge", "mor", "delete", "update", "compact", "rollback", "meta"]
+)
 STEP = st.tuples(
     VERB,
     st.integers(min_value=0, max_value=11),   # key selector / modulus seed
@@ -92,6 +95,17 @@ def test_table_verbs_fuzz_invariants(spark, steps, rnd):
                 model[k] += delta
             if n == 0:
                 continue
+        elif verb == "rollback":
+            # restore any earlier snapshot (incl. over DV/MOR commits —
+            # the feed must emit resurrection inserts); the fold target
+            # becomes that snapshot's contents
+            target = sorted(snapshots)[sel % len(snapshots)]
+            t.rollback_to(target)
+            model = dict(snapshots[target])
+        elif verb == "meta":
+            # metadata-only commit (constraint publish): parent chain
+            # must stay intact and the CDF must emit nothing for it
+            t.add_constraint(spark, f"c{sel}_{delta}", "k IS NOT NULL")
         else:
             t.compact(spark, min_files=2)
 

@@ -420,3 +420,60 @@ def test_update_where_on_hidden_transform_partitions(spark, tmp_path):
     assert set(out.columns) == {"k", "ts", "v"}
     rows = {r["k"]: r["v"] for r in out.collect()}
     assert rows[1] == 10.0 and rows[4] == 40.0 and rows[0] == 0.0
+
+
+# ----------------------- r7 code-review regressions (parent chain / CDF)
+def test_metadata_commits_keep_parent_chain_intact(spark, table):
+    """Constraint/retention/analyze publishes reuse the loaded manifest
+    dict; _publish must recompute parent/committed_at/operation or the
+    CDF walk wedges and commits inherit the prior commit's stamp."""
+    table.merge(spark, _df(spark, 2).withColumn("v", F.lit(5.0)), ["k"])
+    table.add_constraint(spark, "k_nn", "k IS NOT NULL")
+    table.set_retention("v", keep_days=3650)
+    chain = {
+        v: table._load_manifest(version=v) for v in table.versions()
+    }
+    assert [chain[v].get("operation") for v in sorted(chain)] == [
+        "overwrite", "merge", "constraint", "set-retention",
+    ]
+    for v in sorted(chain)[1:]:
+        assert chain[v]["parent"] == f"manifest-{v - 1:08d}.json"
+    stamps = [chain[v]["committed_at"] for v in sorted(chain)]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+    # a consumer bookmarked mid-chain can still walk the feed
+    feed = table.changes_between(spark, 2)
+    assert feed.count() == 0  # metadata commits emit no row events
+
+
+def test_cdf_rollback_emits_resurrection_inserts(spark, table):
+    table.delete_where(spark, "k = 3")
+    table.rollback_to(1)
+    feed = table.changes_between(spark, 1)
+    got = {(r["k"], r["_change_type"], r["_commit_version"])
+           for r in feed.collect()}
+    assert (3, "delete", 2) in got and (3, "insert", 3) in got
+    assert len(got) == 2
+    # replay invariant holds across the rollback
+    base = {r["k"] for r in table.read(spark, version=1).collect()}
+    live = {r["k"] for r in table.read(spark).collect()}
+    assert base == live
+
+
+def test_version_as_of_seconds_precision_query(spark, table):
+    table.delete_where(spark, "k = 1")
+    s1 = table._load_manifest(version=1)["committed_at"]
+    # query at seconds precision for the exact commit second: the commit
+    # AT that second (any microsecond part) must not be excluded when
+    # its fractional part is zero, and the padded comparison is stable
+    assert table.version_as_of(s1) == 1
+    sec = s1[:19]
+    v = table.version_as_of(sec) if s1.endswith(".000000") else None
+    if v is not None:
+        assert v == 1
+    # zero-fraction stamp vs seconds query: simulate deterministically
+    m1 = table._load_manifest(version=1)
+    m1["committed_at"] = "2020-01-01 00:00:00.000000"
+    import json as _json
+
+    table.mfs.write_text(_json.dumps(m1), "manifest-00000001.json")
+    assert table.version_as_of("2020-01-01 00:00:00") == 1
