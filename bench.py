@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "shuffle_shards_documents",
     "medallion_cdc_gold_orders",
     "histogram_quantile_orders",
+    "cdf_sketch_maintenance_orders",
     "grouping_sets_revenue",
     "unpivot_order_measures",
     "merge_on_read_orders",

@@ -264,3 +264,84 @@ def histogram_quantile(
         * (F.lit(hi - lo) / F.size(F.col(sketch_col)))
     )
     return sketch_table.withColumn(out_col, est)
+
+
+def histogram_apply_feed(
+    sketch_table: DataFrame,
+    feed: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int = 1024,
+    sketch_col: str = "hist_sketch",
+    count_col: str = "n",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Maintain a histogram sketch table from a CHANGE FEED instead of
+    rebuilding: inserts add +1 to their value's bucket, deletes add −1 —
+    the fixed-range histogram is INVERTIBLE (integer bucket counts),
+    which HLL/KLL are not, so the maintained sketch is BIT-IDENTICAL to
+    a fresh build over the new state (asserted in tests, not just
+    bounded). Feed shape: rows carrying ``group_cols``, ``value_col``
+    and ``change_type_col`` in {'insert','delete'} — exactly what
+    ``ManifestTable.changes_between`` emits. Cost: one groups×buckets
+    aggregation over the BATCH plus a sketch-table outer merge of
+    KB-sized arrays — a 100 TB table's column distribution stays
+    current for O(changes) per poll, the quantile companion to
+    CDF-driven MV maintenance. Groups whose maintained count reaches
+    zero disappear, matching a rebuild."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / num_buckets
+    b = F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+        ),
+    )
+    sign = F.when(
+        F.col(change_type_col) == "delete", F.lit(-1)
+    ).otherwise(F.lit(1)).cast("bigint")
+    per = (
+        feed.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("__b"))
+        .agg(F.sum(sign).alias("__c"))
+    )
+    m = per.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
+    )
+    delta = m.select(
+        *group_cols,
+        dense.alias("__dsk"),
+        F.aggregate(
+            dense, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("__dn"),
+    )
+    on = [sketch_table[k].eqNullSafe(delta[k]) for k in group_cols]
+    j = sketch_table.alias("s").join(delta.alias("d"), on, "full_outer")
+    zero = F.array_repeat(F.lit(0).cast("bigint"), num_buckets)
+    merged = j.select(
+        *[
+            F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in group_cols
+        ],
+        F.zip_with(
+            F.coalesce(F.col(f"s.{sketch_col}"), zero),
+            F.coalesce(F.col("d.__dsk"), zero),
+            lambda a, x: a + x,
+        ).alias(sketch_col),
+        (
+            F.coalesce(F.col(f"s.{count_col}"), F.lit(0))
+            + F.coalesce(F.col("d.__dn"), F.lit(0))
+        ).alias(count_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -64,7 +64,7 @@ _SHOWCASE_ORDER = [
     "cdf_incremental_mv_orders", "time_travel_as_of_orders",
     "merge_schema_drift_orders", "cdf_follow_mv_orders",
     "shuffle_shards_documents", "medallion_cdc_gold_orders",
-    "histogram_quantile_orders",
+    "histogram_quantile_orders", "cdf_sketch_maintenance_orders",
     "mv_rewrite_orders", "dv_delete_orders", "merge_on_read_orders",
     "cdc_stream_mor_orders", "star_rollup_revenue_by_nation",
     "epoch_upsample_documents", "gap_fill_daily_revenue",

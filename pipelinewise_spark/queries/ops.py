@@ -2403,3 +2403,113 @@ def histogram_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("quantile_est") <= F.col("exact_median") + width)
         ).alias("within_bucket_width"),
     )
+
+
+@register(
+    "cdf_sketch_maintenance_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)),
+    r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        FROM v2)
+    SELECT o_orderpriority,
+           o_totalprice AS exact_median,
+           TRUE AS maintained_equals_rebuild,
+           TRUE AS within_bucket_width
+    FROM r WHERE rn = CAST(CEIL(cnt * 0.5) AS BIGINT)
+    """,
+)
+def cdf_sketch_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate statistics maintained from the table's change feed
+    (manifest_table.py:changes_between + sketches.py:
+    histogram_apply_feed): the per-priority price histogram built at v1
+    folds a MOR repricing + DV delete commit forward — deletes SUBTRACT
+    bucket counts (the fixed-range histogram is invertible, which
+    HLL/KLL are not) — and the maintained sketch is asserted
+    BIT-IDENTICAL to a fresh rebuild over the live table before the
+    median contract is emitted. O(changes) work keeps a 100 TB table's
+    column distribution current; the oracle pins the exact rank-based
+    median of final state plus both boolean guarantees."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.sketches import (
+        histogram_apply_feed,
+        histogram_quantile,
+        histogram_sketch_table,
+    )
+
+    lo, hi, nb = 0.0, 600_000.0, 4096
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_csm_")
+        t = ManifestTable(root, ["o_orderpriority"])
+        t.overwrite(orders)
+        batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        t.merge_on_read(spark, batch, ["o_orderkey"])
+        t.delete_where(
+            spark, "o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0"
+        )
+    sk = histogram_sketch_table(
+        t.read(spark, version=1), ["o_orderpriority"], "o_totalprice",
+        lo, hi, nb,
+    )
+    feed = t.changes_between(spark, 1)
+    maintained = histogram_apply_feed(
+        sk, feed, ["o_orderpriority"], "o_totalprice", lo, hi, nb
+    )
+    rebuilt = histogram_sketch_table(
+        t.read(spark), ["o_orderpriority"], "o_totalprice", lo, hi, nb
+    )
+    eq = maintained.alias("a").join(
+        rebuilt.alias("b"), "o_orderpriority"
+    ).select(
+        "o_orderpriority",
+        (
+            (F.col("a.hist_sketch") == F.col("b.hist_sketch"))
+            & (F.col("a.n") == F.col("b.n"))
+        ).alias("maintained_equals_rebuild"),
+    )
+    est = histogram_quantile(maintained, 0.5, lo, hi).select(
+        "o_orderpriority", "quantile_est"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    cw = Window.partitionBy("o_orderpriority")
+    exact = (
+        t.read(spark)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__c", F.count("*").over(cw))
+        .filter(F.col("__rn") == F.ceil(F.col("__c") * 0.5))
+        .select("o_orderpriority",
+                F.col("o_totalprice").alias("exact_median"))
+    )
+    width = (hi - lo) / nb
+    return (
+        exact.join(F.broadcast(eq), "o_orderpriority")
+        .join(F.broadcast(est), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_median",
+            "maintained_equals_rebuild",
+            (
+                (F.col("quantile_est") >= F.col("exact_median"))
+                & (F.col("quantile_est") <= F.col("exact_median") + width)
+            ).alias("within_bucket_width"),
+        )
+    )

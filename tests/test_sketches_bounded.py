@@ -119,3 +119,42 @@ def test_histogram_sketch_deterministic_across_partitions(spark):
     a = S.histogram_sketch_table(df.repartition(3), ["g"], "v", 0, 400, 32)
     b = S.histogram_sketch_table(df.repartition(17), ["g"], "v", 0, 400, 32)
     assert a.collect() == b.collect()
+
+
+def test_histogram_apply_feed_matches_rebuild_bit_exact(spark):
+    S = _hist_mod()
+    df = spark.range(2000).select(
+        (F.col("id") % 4).alias("g"), (F.rand(seed=5) * 50).alias("v")
+    )
+    sk = S.histogram_sketch_table(df, ["g"], "v", 0.0, 50.0, 128)
+    # feed: delete 30% (g-dependent), insert shifted replacements
+    dels = df.filter((F.col("id") % 10) < 3) \
+        .withColumn("_change_type", F.lit("delete"))
+    ins = df.filter((F.col("id") % 10) < 3) \
+        .withColumn("v", (F.col("v") + 7) % 50) \
+        .withColumn("_change_type", F.lit("insert"))
+    feed = dels.unionByName(ins)
+    maintained = S.histogram_apply_feed(
+        sk, feed, ["g"], "v", 0.0, 50.0, 128
+    )
+    new_state = df.filter((F.col("id") % 10) >= 3).unionByName(
+        ins.drop("_change_type")
+    )
+    rebuilt = S.histogram_sketch_table(new_state, ["g"], "v", 0.0, 50.0, 128)
+    a = sorted((r.asDict() for r in maintained.collect()),
+               key=lambda d: d["g"])
+    b = sorted((r.asDict() for r in rebuilt.collect()),
+               key=lambda d: d["g"])
+    assert a == b, "maintained sketch must equal rebuild BIT-exactly"
+
+
+def test_histogram_apply_feed_drops_emptied_groups(spark):
+    S = _hist_mod()
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    sk = S.histogram_sketch_table(df, ["g"], "v", 0.0, 20.0, 16)
+    feed = df.filter(F.col("g") == 1) \
+        .withColumn("_change_type", F.lit("delete"))
+    out = S.histogram_apply_feed(sk, feed, ["g"], "v", 0.0, 20.0, 16)
+    assert [r["g"] for r in out.collect()] == [0]
