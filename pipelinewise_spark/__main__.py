@@ -163,12 +163,21 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         t.overwrite(df, t.partition_by or None)
         report["zorder"] = cols
     else:
+        scope = None
+        if getattr(args, "where", None):
+            scope = {}
+            for s in args.where:
+                col, _, vals = s.partition("=")
+                if not _:
+                    raise SystemExit(f"--where needs COL=V1[,V2...], got {s!r}")
+                scope[col.strip()] = [v.strip() for v in vals.split(",")]
         report["compacted_partitions"] = t.compact(
             spark,
             max_dead_ratio=args.max_dead_ratio,
             target_bytes=(
                 args.target_mb * 1024 * 1024 if args.target_mb else None
             ),
+            partitions=scope,
         )
     if args.bloom:
         cols = [c.strip() for c in args.bloom.split(",") if c.strip()]
@@ -844,6 +853,10 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--max-dead-ratio", type=float, default=None,
                      help="also rewrite partitions whose deletion-vector "
                           "dead rows exceed this fraction")
+    opt.add_argument("--where", action="append", default=None,
+                     metavar="COL=V1[,V2...]",
+                     help="scope compaction to these partition values "
+                          "(repeatable; OPTIMIZE ... WHERE)")
     opt.set_defaults(fn=_cmd_optimize)
 
     stat = sub.add_parser("status", help="per-stream replication status")

@@ -1443,6 +1443,7 @@ class ManifestTable:
         min_files: int = 2,
         max_dead_ratio: float | None = None,
         target_bytes: int | None = None,
+        partitions: dict[str, list[str]] | None = None,
     ) -> int:
         """Rewrite partitions fragmented across >= ``min_files`` files into
         one file each (or, with ``target_bytes``, into
@@ -1463,7 +1464,13 @@ class ManifestTable:
         a single-file partition half-emptied by delete_where/merge_on_read
         is read debt (dead rows decoded + anti-joined on every scan) that
         only a rewrite pays down. Pure manifest arithmetic; no data read
-        to decide."""
+        to decide.
+
+        ``partitions`` scopes the pass (Delta ``OPTIMIZE ... WHERE``):
+        only partitions whose value is in the given {col: [values]} map
+        are candidates — maintenance of a 100 TB table runs per
+        day/tenant slice instead of all-or-nothing, and everything out
+        of scope carries by reference untouched."""
         base = self.current_manifest_name()
         m = self._load_manifest()
         partition_by = m["partition_by"]
@@ -1471,9 +1478,28 @@ class ManifestTable:
         for e in m["files"]:
             key = tuple(sorted(e["partition"].items()))
             groups.setdefault(key, []).append(e)
-        frag = {k for k, es in groups.items() if len(es) >= min_files}
+        # scope filters CANDIDATE selection only — `groups` must stay
+        # complete because out-of-scope entries carry over via `kept`
+        if partitions is not None:
+            want = {k: {str(x) for x in vs} for k, vs in partitions.items()}
+
+            def in_scope(k: tuple) -> bool:
+                d = dict(k)
+                return all(
+                    str(d.get(col)) in vals for col, vals in want.items()
+                )
+        else:
+            def in_scope(k: tuple) -> bool:
+                return True
+
+        frag = {
+            k for k, es in groups.items()
+            if in_scope(k) and len(es) >= min_files
+        }
         if max_dead_ratio is not None:
             for k, es in groups.items():
+                if not in_scope(k):
+                    continue
                 rows = sum(e.get("rows", 0) for e in es)
                 dead = sum(e.get("dv_rows", 0) for e in es)
                 if rows and dead / rows >= max_dead_ratio:

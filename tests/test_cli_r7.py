@@ -194,3 +194,26 @@ def test_cli_update_rollback_changes_verbs(capsys, spark, tmp_path):
     assert ManifestTable(root).read(spark).filter(
         "value > 1000"
     ).count() == 7
+
+
+def test_cli_optimize_where_scoped_compaction(capsys, spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, ["p"])
+    t.overwrite(df)
+    t.merge_on_read(spark, df.withColumn("v", F.col("v") + 1), ["k"])
+    rc = cli_main(["optimize", root, "--where", "p=0"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["compacted_partitions"] == 1
+    m = ManifestTable(root)._load_manifest()
+    per = {}
+    for e in m["files"]:
+        per.setdefault(e["partition"]["p"], []).append(e)
+    assert len(per["0"]) == 1 and len(per["1"]) >= 2
+    assert ManifestTable(root).read(spark).count() == 12

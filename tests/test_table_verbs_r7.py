@@ -477,3 +477,31 @@ def test_version_as_of_seconds_precision_query(spark, table):
 
     table.mfs.write_text(_json.dumps(m1), "manifest-00000001.json")
     assert table.version_as_of("2020-01-01 00:00:00") == 1
+
+
+def test_scoped_compaction_optimize_where(spark, table):
+    """OPTIMIZE ... WHERE: only the scoped partition compacts; files of
+    other fragmented partitions carry over untouched, and no file is
+    ever dropped by scoping."""
+    # fragment all three partitions with two MOR waves
+    for delta in (100.0, 200.0):
+        table.merge_on_read(
+            spark, _df(spark).withColumn("v", F.col("v") + delta), ["k"]
+        )
+    m0 = table._load_manifest()
+    per = {}
+    for e in m0["files"]:
+        per.setdefault(e["partition"]["p"], []).append(e["path"])
+    assert all(len(v) >= 3 for v in per.values())
+    n = table.compact(spark, min_files=2, partitions={"p": ["1"]})
+    assert n == 1
+    m1 = table._load_manifest()
+    after = {}
+    for e in m1["files"]:
+        after.setdefault(e["partition"]["p"], []).append(e["path"])
+    assert set(after["0"]) == set(per["0"])  # untouched, by reference
+    assert set(after["2"]) == set(per["2"])
+    assert set(after["1"]).isdisjoint(per["1"]) and len(after["1"]) == 1
+    # values unchanged
+    rows = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert rows == {k: 2.0 * k + 200.0 for k in range(12)}
