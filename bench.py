@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "cdf_sketch_maintenance_orders",
     "grouping_sets_revenue",
     "unpivot_order_measures",
+    "phash_near_dup_media",
     "merge_on_read_orders",
     "cdc_stream_mor_orders",
     "star_rollup_revenue_by_nation",

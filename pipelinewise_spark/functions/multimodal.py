@@ -211,3 +211,61 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    content_col: str = "content",
+    bits: int = 32,
+    out_col: str = "phash",
+) -> DataFrame:
+    """Blockhash-style perceptual signature over raw media bytes — the
+    image-modality entry into the near-dup family, entirely JVM-side.
+
+    ``bits`` byte samples are taken at a fixed stride across the
+    payload (positions cycle modulo length, so any size is total), and
+    bit i of the signature is set when sample i exceeds the mean of all
+    samples — the classic blockhash/aHash mean-threshold scheme. For
+    real images the sampling grid should run over DECODED luma (plug a
+    codec in at the extract_features seam and hash its grid instead);
+    over raw bytes the signature is still a locality-sensitive content
+    fingerprint: near-identical payloads (re-saves, appended metadata,
+    truncated tails) agree on most sampled bytes, so their signatures
+    sit within small Hamming distance — exactly what
+    ``functions/dedup.py:hamming_near_dup_pairs`` consumes. All
+    arithmetic is integer-or-exact (byte values via hex→conv; the mean
+    divides by the power-of-two ``bits``), so any engine reproduces the
+    signature bit-for-bit."""
+    c = F.col(content_col)
+    n = F.octet_length(c)
+    nz = F.greatest(n, F.lit(1))
+    stride = F.greatest(F.lit(1), F.floor(n / F.lit(bits)).cast("int"))
+
+    def byte_at(i: int):
+        pos = (F.lit(i) * stride) % nz + 1
+        return F.conv(F.hex(F.substring(c, pos, F.lit(1))), 16, 10).cast(
+            "int"
+        )
+
+    samples = F.array(*[byte_at(i) for i in range(bits)])
+    mean = (
+        F.aggregate(samples, F.lit(0).cast("bigint"), lambda a, x: a + x)
+        / F.lit(float(bits))
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            samples,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.when(
+            x["s"].cast("double") > mean,
+            # 2^i exact in double for i < 53, then exact bigint
+            F.pow(F.lit(2.0), x["i"].cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return media.withColumn(
+        out_col, F.when(n > 0, sig).otherwise(F.lit(0).cast("bigint"))
+    )

@@ -78,6 +78,7 @@ _SHOWCASE_ORDER = [
     # past the 50-slot prefix so they don't displace never-graded
     # operators; pytest-verified now, r8 prefix rotation grades them
     "grouping_sets_revenue", "unpivot_order_measures",
+    "phash_near_dup_media",
     # --- part 4: staleness rotation — every query below last went
     # driver-green in r1/r3. The seven new r7 table-verb queries above
     # displaced this block past slot 50 except `source_reputation...`'s

@@ -2812,3 +2812,64 @@ def shuffle_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     out = shuffle_shards(docs, "doc_id", n_shards=8, seed=42)
     return out.select("doc_id", "lang", "pos", "shard")
+
+
+@register(
+    "phash_near_dup_media",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+        WHERE doc_id % 97 = 0),
+    s AS (
+        SELECT doc_id,
+               list_transform(range(32),
+                   i -> ord(substr(md5(text), i + 1, 1))) AS sm
+        FROM corpus),
+    sig AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(32),
+                   i -> CASE WHEN sm[i + 1] > list_sum(sm) / 32.0
+                        THEN CAST(POWER(2, i) AS BIGINT)
+                        ELSE 0 END)) AS phash
+        FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality near-duplicate detection: documents stand in for
+    media payloads (md5-derived bytes through the opaque-binary media
+    table — the codec seam is where real decoded luma would enter), a
+    blockhash-style perceptual signature is computed per payload
+    (functions/multimodal.py:perceptual_hash — strided byte samples,
+    mean threshold, all JVM-side exact arithmetic), and pairs within
+    Hamming distance 3 surface via banded blocking
+    (functions/dedup.py:hamming_near_dup_pairs — pigeonhole-COMPLETE
+    with 4 bands, so this is the exact answer, never all-pairs; the
+    oracle brute-forces every pair to prove it). Re-ingested copies of
+    every 97th document guarantee genuine duplicate pairs exist at any
+    scale factor. The same pair machinery serves SimHash text
+    signatures."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    media = M.to_media_table(
+        corpus.select("doc_id", F.md5(F.col("text")).alias("payload")),
+        "doc_id", "payload",
+    )
+    ph = M.perceptual_hash(media)
+    pairs = D.hamming_near_dup_pairs(
+        ph, "media_id", "phash", bits=32, num_bands=4, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "hamming",
+    )

@@ -368,3 +368,45 @@ def test_shuffle_shards_balance_and_determinism(spark):
     # a different seed is a different permutation
     c = shuffle_shards(df, "k", n_shards=8, seed=8, num_partitions=4)
     assert c.select("k", "pos").exceptAll(a.select("k", "pos")).count() > 0
+
+
+def test_perceptual_hash_locality_and_hamming_completeness(spark):
+    from pipelinewise_spark.functions.dedup import hamming_near_dup_pairs
+    from pipelinewise_spark.functions.multimodal import (
+        perceptual_hash,
+        to_media_table,
+    )
+
+    base = b"A" * 200 + bytes(range(56))
+    tweaked = base[:-3] + b"zzz"          # re-save with a changed tail
+    other = bytes((i * 37 + 11) % 251 for i in range(256))
+    df = spark.createDataFrame(
+        [(1, base), (2, tweaked), (3, other)], "id long, payload binary"
+    )
+    ph = perceptual_hash(to_media_table(df, "id", "payload"))
+    sigs = {r["media_id"]: r["phash"] for r in ph.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) <= 3, "near-identical payloads diverge"
+    assert ham(sigs[1], sigs[3]) > 3, "unrelated payloads collide"
+
+    # pigeonhole completeness: banded pairs == brute force at ham <= 3
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.getrandbits(32)) for i in range(120)]
+    # plant near pairs
+    rows += [(1000 + i, rows[i][1] ^ (1 << (i % 32))) for i in range(10)]
+    sdf = spark.createDataFrame(rows, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            sdf, "id", "sig", bits=32, num_bands=4, max_hamming=3
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x) in rows
+        for (b, y) in rows
+        if a < b and bin(x ^ y).count("1") <= 3
+    }
+    assert got == brute and len(brute) >= 10
