@@ -155,6 +155,11 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     t = ManifestTable(args.table)
     report: dict = {"table": args.table}
     if args.zorder:
+        if getattr(args, "where", None):
+            raise SystemExit(
+                "--where scopes compaction only; --zorder rewrites the "
+                "whole table — pass one or the other"
+            )
         cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         df = cluster_by(t.read(spark), cols, num_files=args.target_files)
         # a fresh CLI handle has partition_by=[] — pass None so overwrite()

@@ -734,9 +734,14 @@ def hamming_near_dup_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    ).cast("int")
+    # mask the XOR to the low `bits`: a signed signature with its top
+    # bit set (e.g. F.hash output) sign-extends through cast('bigint'),
+    # and unmasked bit_count would count the 64-bits extension — silently
+    # dropping true near-dup pairs
+    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    if bits < 64:
+        x = x.bitwiseAND(F.lit((1 << bits) - 1))
+    ham = F.bit_count(x).cast("int")
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).drop("sig_a", "sig_b")

@@ -601,12 +601,16 @@ class ManifestTable:
         retained snapshot, no data touched). Raises if the timestamp
         predates the first retained commit (earlier history is
         expired/vacuumed, so the resolution would silently lie)."""
-        # stamps carry microseconds; a seconds-precision query string
-        # would compare lexicographically BELOW a stamp at exactly that
-        # second ('...00' < '...00.000000') — pad so the comparison is
-        # the <=-instant contract at full precision
-        if len(timestamp) == 19:
-            timestamp = timestamp + ".000000"
+        # stamps carry microseconds; a coarser query string ('2026-08-14',
+        # '... 12:00', '... 12:00:00') would compare lexicographically
+        # BELOW a stamp at exactly that instant (prefix < longer string)
+        # — normalize any valid prefix to full precision so <=-instant
+        # holds at every granularity
+        if len(timestamp) < 26:
+            timestamp = (
+                timestamp
+                + "-01-01 00:00:00.000000"[len(timestamp) - 4:]
+            )
         best: int | None = None
         for v in self.versions():
             stamp = self._load_manifest(version=v).get("committed_at")
@@ -1481,6 +1485,16 @@ class ManifestTable:
         # scope filters CANDIDATE selection only — `groups` must stay
         # complete because out-of-scope entries carry over via `kept`
         if partitions is not None:
+            valid = {f_.key for f_ in parse_partition_spec(partition_by)}
+            bad = sorted(set(partitions) - valid)
+            if bad:
+                # a typo'd scope would otherwise compact NOTHING silently
+                # and scheduled maintenance never runs (Delta's OPTIMIZE
+                # ... WHERE raises on non-partition columns too)
+                raise ValueError(
+                    f"scope column(s) {bad} are not partition columns "
+                    f"(have: {sorted(valid)})"
+                )
             want = {k: {str(x) for x in vs} for k, vs in partitions.items()}
 
             def in_scope(k: tuple) -> bool:

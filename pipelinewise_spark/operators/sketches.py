@@ -136,6 +136,29 @@ def hll_rollup(
     return out if keep_sketch else out.drop(sketch_col)
 
 
+def _bucket_expr(value_col: str, lo: float, hi: float, num_buckets: int):
+    """Clamped equi-width bucket index — the ONE definition both the
+    build and the feed fold use; divergence here would break the
+    maintained≡rebuild bit-identity."""
+    width = (hi - lo) / num_buckets
+    return F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+        ),
+    )
+
+
+def _dense_counts(map_col: str, num_buckets: int):
+    """(bucket -> count) map pivoted to a dense array<long>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col(map_col), i), F.lit(0)),
+    )
+
+
 def histogram_sketch_table(
     df: DataFrame,
     group_cols: list[str],
@@ -168,15 +191,7 @@ def histogram_sketch_table(
     whose compaction paths are seed-dependent."""
     if not hi > lo:
         raise ValueError("need hi > lo")
-    width = (hi - lo) / num_buckets
-    b = F.least(
-        F.lit(num_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
-            .cast("int"),
-        ),
-    )
+    b = _bucket_expr(value_col, lo, hi, num_buckets)
     per = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group_cols, b.alias("__b"))
@@ -187,10 +202,7 @@ def histogram_sketch_table(
             F.collect_list(F.struct(F.col("__b"), F.col("__c")))
         ).alias("__m")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(num_buckets - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
-    )
+    dense = _dense_counts("__m", num_buckets)
     return m.select(
         *group_cols,
         dense.alias(sketch_col),
@@ -293,15 +305,7 @@ def histogram_apply_feed(
     zero disappear, matching a rebuild."""
     if not hi > lo:
         raise ValueError("need hi > lo")
-    width = (hi - lo) / num_buckets
-    b = F.least(
-        F.lit(num_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
-            .cast("int"),
-        ),
-    )
+    b = _bucket_expr(value_col, lo, hi, num_buckets)
     sign = F.when(
         F.col(change_type_col) == "delete", F.lit(-1)
     ).otherwise(F.lit(1)).cast("bigint")
@@ -315,10 +319,7 @@ def histogram_apply_feed(
             F.collect_list(F.struct(F.col("__b"), F.col("__c")))
         ).alias("__m")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(num_buckets - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
-    )
+    dense = _dense_counts("__m", num_buckets)
     delta = m.select(
         *group_cols,
         dense.alias("__dsk"),

@@ -217,3 +217,13 @@ def test_cli_optimize_where_scoped_compaction(capsys, spark, tmp_path):
         per.setdefault(e["partition"]["p"], []).append(e)
     assert len(per["0"]) == 1 and len(per["1"]) >= 2
     assert ManifestTable(root).read(spark).count() == 12
+
+
+def test_cli_optimize_rejects_where_with_zorder(capsys, spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root, [])
+    t.overwrite(spark.range(3).selectExpr("id AS k", "id * 1.0 AS v"))
+    with pytest.raises(SystemExit, match="one or the other"):
+        cli_main(["optimize", root, "--zorder", "k", "--where", "p=0"])

@@ -410,3 +410,18 @@ def test_perceptual_hash_locality_and_hamming_completeness(spark):
         if a < b and bin(x ^ y).count("1") <= 3
     }
     assert got == brute and len(brute) >= 10
+
+
+def test_hamming_pairs_signed_signatures(spark):
+    """A 32-bit signature stored SIGNED (top bit set -> negative long)
+    must not sign-extend through the XOR: a pair differing only in bit
+    31 is Hamming 1, not 33."""
+    from pipelinewise_spark.functions.dedup import hamming_near_dup_pairs
+
+    a = 0x80000001 - (1 << 32)   # negative: bits 0 and 31 set
+    b = 0x00000001               # bit 0 set
+    sdf = spark.createDataFrame([(1, a), (2, b)], "id long, sig long")
+    got = hamming_near_dup_pairs(
+        sdf, "id", "sig", bits=32, num_bands=4, max_hamming=3
+    ).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 1

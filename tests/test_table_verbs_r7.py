@@ -505,3 +505,23 @@ def test_scoped_compaction_optimize_where(spark, table):
     # values unchanged
     rows = {r["k"]: r["v"] for r in table.read(spark).collect()}
     assert rows == {k: 2.0 * k + 200.0 for k in range(12)}
+
+
+def test_scoped_compaction_rejects_non_partition_columns(spark, table):
+    with pytest.raises(ValueError, match="not partition columns"):
+        table.compact(spark, partitions={"day": ["x"]})
+
+
+def test_version_as_of_coarse_granularities(spark, table):
+    import json as _json
+
+    m1 = table._load_manifest(version=1)
+    m1["committed_at"] = "2026-03-05 00:00:00.000000"
+    table.mfs.write_text(_json.dumps(m1), "manifest-00000001.json")
+    assert table.version_as_of("2026-03-05") == 1          # date-only
+    assert table.version_as_of("2026-03-05 00:00") == 1    # minute
+    assert table.version_as_of("2026-04") == 1             # next month
+    with pytest.raises(ValueError):
+        # a prefix denotes its EARLIEST instant: '2026-03' = March 1
+        # midnight, which precedes the March 5 commit
+        table.version_as_of("2026-03")
