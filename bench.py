@@ -205,6 +205,13 @@ BENCH_QUERIES = [
     "text_index_search_documents",
     "fk_integrity_orders",
     "source_reputation_filter_documents",
+    "hierarchy_rollup_parts",
+    "part_pairs_cooccurrence",
+    "ohlc_daily_events",
+    "triangle_count_parts",
+    "ewma_daily_events",
+    "chi2_priority_status",
+    "xml_source_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

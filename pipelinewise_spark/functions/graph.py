@@ -1,0 +1,80 @@
+"""Graph metrics over edge lists — degree-oriented triangle counting.
+
+Triangles (co-occurrence cliques of 3) are the standard graph-shaped
+quality signal over similarity / co-purchase edges.  The naive 3-way
+self-join enumerates every *wedge* (2-path) — a hub of degree d emits
+d*(d-1)/2 wedges, so one celebrity node can dominate the whole job.  The
+classic MR fix (Suri & Vassilvitskii, WWW'11) orients each undirected
+edge from the lower-(degree, id) endpoint to the higher one: the
+orientation is acyclic, every triangle then has EXACTLY ONE node with two
+out-edges, and out-degrees are bounded by O(sqrt(m)) — wedge volume drops
+from sum(d^2) to O(m^1.5), the provable optimum.
+
+Shuffle shape: two node-keyed joins to attach degrees, one self-join on
+the wedge apex, one equi-join to close wedges.  No broadcast of
+node-sized state; everything scales with edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles) for the undirected simple
+    graph in ``edges`` (self-loops and duplicate/reversed edges removed).
+    Each triangle counts once."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient low (deg, id) -> high (deg, id); total order, so acyclic
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("t_deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # wedges at the apex s: unordered pairs of out-neighbors, ordered by the
+    # SAME (deg, id) total order the orientation used — the closing edge of
+    # a closed wedge is then guaranteed to be oriented a -> b
+    a = oriented.select("s", F.col("t").alias("a"), F.col("t_deg").alias("a_deg"))
+    b = oriented.select("s", F.col("t").alias("b"), F.col("t_deg").alias("b_deg"))
+    wedges = a.join(b, "s").filter(
+        (F.col("a_deg") < F.col("b_deg"))
+        | ((F.col("a_deg") == F.col("b_deg")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b"), F.lit(1).alias("__closed")
+    )
+    tri = wedges.join(closing, ["a", "b"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    counts = e.agg(
+        F.count("*").alias("n_edges"),
+    ).crossJoin(deg.agg(F.count("*").alias("n_nodes")))
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -1806,3 +1806,323 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "hierarchy_rollup_parts",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS id, p_partkey AS root_id, CAST(0 AS BIGINT) AS depth
+        FROM part WHERE p_partkey < 8
+        UNION ALL
+        SELECT c.p_partkey, a.root_id, a.depth + 1
+        FROM part c JOIN anc a ON c.p_partkey // 8 = a.id AND c.p_partkey >= 8)
+    SELECT a.root_id,
+           count(*) AS n_nodes,
+           max(a.depth) AS max_depth,
+           CAST(CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS subtree_value
+    FROM anc a JOIN part p ON p.p_partkey = a.id
+    GROUP BY a.root_id
+    """,
+)
+def hierarchy_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE replacement: flatten a parent-pointer hierarchy (a
+    deterministic forest over part — ``parent = p_partkey DIV 8``, roots
+    below 8) to (node → root, depth) with pointer jumping, then roll the
+    subtree value up per root.  The closure costs ceil(log2 depth)
+    self-joins — NOT depth joins — so a 20-level dimension tree is 5
+    rounds; the oracle is DuckDB's native WITH RECURSIVE over the same
+    forest.  Decimal-exact subtree sums per the module convention."""
+    from pipelinewise_spark.operators.hierarchy import (
+        resolve_hierarchy,
+        rollup_by_root,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    nodes = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") >= 8, F.expr("p_partkey DIV 8")
+        ).alias("parent"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("val"),
+    )
+    resolved = resolve_hierarchy(nodes, "p_partkey", "parent")
+    return rollup_by_root(nodes, resolved, "p_partkey", "val").select(
+        "root_id",
+        F.col("n_nodes"),
+        "max_depth",
+        F.round(F.col("subtree_value"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("subtree_value"),
+    )
+
+
+@register(
+    "part_pairs_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    tot AS (SELECT count(DISTINCT b) AS n_baskets FROM baskets),
+    supports AS (
+        SELECT i, count(*) AS nb FROM baskets GROUP BY i
+        HAVING count(*) >= 10),
+    pruned AS (SELECT b.b, b.i FROM baskets b JOIN supports s USING (i)),
+    pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, count(*) AS pair_baskets
+        FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.item_a, p.item_b, p.pair_baskets,
+           fa.nb AS baskets_a, fb.nb AS baskets_b, t.n_baskets,
+           CAST(FLOOR(1000000.0 * p.pair_baskets * t.n_baskets
+                      / (fa.nb * fb.nb)) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN supports fa ON fa.i = p.item_a
+    JOIN supports fb ON fb.i = p.item_b
+    CROSS JOIN tot t
+    """,
+)
+def part_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: frequent part pairs across orders with lift.
+    Apriori level-1 pruning (items under support 10 drop via a broadcast
+    semi-join BEFORE the pair self-join) bounds the b^2 basket blow-up;
+    pair generation is one shuffle on the basket key, counting one on the
+    pair.  Lift is emitted as an integer ppm (floor) so the hash is
+    immune to round-half conventions."""
+    from pipelinewise_spark.functions.basket import cooccurrence_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=10,
+        min_pair_support=3,
+    )
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "pair_baskets",
+        "baskets_a",
+        "baskets_b",
+        "n_baskets",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("pair_baskets")
+            * F.col("n_baskets")
+            / (F.col("baskets_a") * F.col("baskets_b"))
+        ).alias("lift_ppm"),
+    )
+
+
+@register(
+    "ohlc_daily_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT event_type, bar_date,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def ohlc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (the hypertable /
+    continuous-aggregate shape): per (event_type, day), open/close are
+    ``min_by``/``max_by`` on the (ts, event_id) key — ONE partial-aggregable
+    shuffle, no window sort, no row_number materialization (the oracle
+    needs two window passes for the same answer).  open/high/low/close are
+    untouched doubles (no arithmetic → bit-exact both engines); the volume
+    sum is decimal-exact per the module convention."""
+    ev = read_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("bar_date"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            _sum_double(F.col("value").cast("decimal(12,2)")).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "triangle_count_parts",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    e AS (
+        SELECT x.i AS u, y.i AS v
+        FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+    nodes AS (
+        SELECT count(DISTINCT n) AS n_nodes
+        FROM (SELECT u AS n FROM e UNION SELECT v FROM e)),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e a
+        JOIN e b ON b.u = a.u AND b.v > a.v
+        JOIN e c ON c.u = a.v AND c.v = b.v)
+    SELECT n.n_nodes, (SELECT count(*) FROM e) AS n_edges, t.n_triangles
+    FROM nodes n CROSS JOIN tri t
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts appearing in
+    >=2 common orders).  The operator orients edges low→high (degree, id)
+    before wedge generation — each triangle closes at exactly one apex and
+    hub wedge fan-out is bounded by O(sqrt m) (functions/graph.py); the
+    oracle is the textbook 3-way self-join on canonical edges, the shape
+    the orientation exists to avoid at scale."""
+    from pipelinewise_spark.functions.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    left = baskets.select("b", F.col("i").alias("pu"))
+    right = baskets.select("b", F.col("i").alias("pv"))
+    edges = (
+        left.join(right, "b")
+        .filter(F.col("pu") < F.col("pv"))
+        .groupBy("pu", "pv")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 2)
+    )
+    return triangle_count(edges, "pu", "pv")
+
+
+@register(
+    "ewma_daily_events",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 6)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS daily_total
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY bar_date) AS rn
+        FROM daily),
+    ew AS (
+        SELECT event_type, bar_date, daily_total, rn,
+               daily_total AS ewma
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.bar_date, s.daily_total, s.rn,
+               CAST(0.3 AS DOUBLE) * s.daily_total
+                   + CAST(0.7 AS DOUBLE) * e.ewma
+        FROM seq s JOIN ew e
+          ON s.event_type = e.event_type AND s.rn = e.rn + 1)
+    SELECT event_type, bar_date, daily_total, ewma FROM ew
+    """,
+)
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over daily event volume —
+    the genuinely sequential per-key fold (y = 0.3x + 0.7y') that plain
+    window functions cannot express.  Daily totals are a decimal-exact
+    shuffle aggregate; the fold runs per event_type inside ONE
+    ``applyInPandas`` pass (Arrow-batched, series-at-a-time — each key's
+    series is bar-sized, keys parallelize across executors).  The oracle
+    is a recursive CTE stepping the identical double arithmetic, so
+    values hash-compare bit-exactly with no rounding of the EWMA itself."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("bar_date"),
+    ).agg(
+        _sum_double(F.col("value").cast("decimal(12,2)")).alias("daily_total")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_date").reset_index(drop=True)
+        out = []
+        y = None
+        for x in pdf["daily_total"]:
+            # same expression and order as the oracle's recursive step
+            y = x if y is None else 0.3 * x + 0.7 * y
+            out.append(y)
+        pdf["ewma"] = out
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, bar_date date, daily_total double, ewma double",
+    )
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT p, s, c,
+               SUM(c) OVER (PARTITION BY p) AS rp,
+               SUM(c) OVER (PARTITION BY s) AS cs,
+               SUM(c) OVER () AS t
+        FROM cells)
+    SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT p) - 1) * (count(DISTINCT s) - 1)
+                AS BIGINT) AS dof,
+           ROUND(SUM(pow(c - rp * cs / t, 2) / (rp * cs / t)), 6) AS chi2
+    FROM m
+    """,
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and status —
+    the contingency table is ONE count shuffle (answer-sized: |priorities|
+    × |statuses| cells); marginals and the statistic are window/broadcast
+    arithmetic over those cells, never a second pass over the fact table.
+    The 6-decimal round absorbs summation-order ulps in the final
+    (answer-sized) reduction."""
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").cast("double").alias("c"))
+    from pyspark.sql import Window
+
+    m = cells.select(
+        "p",
+        "s",
+        "c",
+        F.sum("c").over(Window.partitionBy("p")).alias("rp"),
+        F.sum("c").over(Window.partitionBy("s")).alias("cs"),
+        F.sum("c").over(Window.partitionBy()).alias("t"),
+    )
+    exp = F.col("rp") * F.col("cs") / F.col("t")
+    return m.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.count_distinct("p") - 1) * (F.count_distinct("s") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum(F.pow(F.col("c") - exp, 2) / exp), 6).alias("chi2"),
+    )

@@ -2513,3 +2513,48 @@ def cdf_sketch_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("within_bucket_width"),
         )
     )
+
+
+@register(
+    "xml_source_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def xml_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML file-source end-to-end over Spark 4's NATIVE xml format (the
+    spark-xml package was merged into core — no external jar): orders
+    written as row-tagged XML, read back through the same FileSource
+    seam as CSV/JSONL/binary with schema inference.  XML is a line-less
+    format, so `_sdc_source_lineno` is (correctly) absent; file/bucket
+    decoration rides the `_metadata` scan column like every other
+    format.  Reference: tap-s3-csv handles delimited files only — this
+    extends the same source contract to a format the reference never
+    could."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.files import FileSource
+
+    # fixture: writing the row-tagged source XML
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_xml_")
+        path = os.path.join(tmp, "orders_xml")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "order")
+            .save(path)
+        )
+    src = FileSource(path=path, format="xml", options={"rowTag": "order"})
+    df = src.read(spark, with_source_metadata=True)
+    assert "_sdc_source_file" in df.columns
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -32,7 +32,7 @@ class FileSource:
     """One logical stream backed by files under a directory/bucket prefix."""
 
     path: str  # directory (local or s3a://bucket/prefix)
-    format: str = "parquet"  # parquet | csv | json | binary
+    format: str = "parquet"  # parquet | csv | json | binary | xml | orc
     pattern: str | None = None  # regex on file name (reference: search_pattern)
     options: dict[str, str] = field(default_factory=dict)
 

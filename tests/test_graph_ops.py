@@ -1,0 +1,42 @@
+"""Degree-oriented triangle counting (functions/graph.py) vs brute force
+on randomized graphs — including duplicate / reversed / self-loop edges
+that the canonicalization must absorb."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pipelinewise_spark.functions.graph import triangle_count
+
+
+def _brute(edges):
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = {n for e in canon for n in e}
+    eset = canon
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    return len(nodes), len(canon), tri
+
+
+def test_triangle_count_random(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    # inject noise the operator must normalize away
+    edges += [(v, u) for u, v in edges[:50]] + [(5, 5), (7, 7)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == _brute(edges)
+    assert row["n_triangles"] > 0  # non-degenerate fixture
+
+
+def test_triangle_count_hub_star(spark):
+    # star graph: hub connected to 50 leaves — many wedges, ZERO triangles;
+    # plus one closed leaf pair -> exactly one triangle
+    edges = [(0, i) for i in range(1, 51)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (51, 51, 1)
