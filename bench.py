@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "ewma_daily_events",
     "chi2_priority_status",
     "xml_source_orders",
+    "pagerank_copurchase_parts",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

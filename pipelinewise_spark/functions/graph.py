@@ -78,3 +78,70 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         F.count("*").alias("n_edges"),
     ).crossJoin(deg.agg(F.count("*").alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 5,
+    damping: float = 0.85,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, rank) after a FIXED number of power iterations — fixed so the
+    result is deterministic and oracle-reproducible (convergence-threshold
+    stopping would make the output depend on float noise).  Undirected
+    input symmetrizes the edges, which also removes dangling nodes (every
+    node then has out-degree >= 1, so no rank mass leaks).
+
+    Per iteration: one shuffle join (ranks onto edge sources — edges are
+    pre-keyed by src, ranks arrive hash-partitioned the same way from the
+    previous aggregate) + one aggregate on dst.  Ranks/degrees are
+    node-sized; edges dominate, as they must.  The iteration count is the
+    only sequential dimension — 5 iterations on 100 TB of edges is 5
+    edge-scans, with lineage cut per step so failure recovery replays one
+    iteration, not the whole chain."""
+    e = _canonical_edges(edges, src, dst)
+    e2 = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        if directed
+        else e.select(F.col("u").alias("s"), F.col("v").alias("t")).union(
+            e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+        )
+    ).localCheckpoint(eager=False)
+    outdeg = e2.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    nodes = (
+        e2.select(F.col("s").alias("node"))
+        .union(e2.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.agg(F.count("*").alias("cnt"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("cnt")).alias("rank")
+    )
+    src_deg = e2.join(outdeg, e2.s == outdeg.node).select(
+        "s", "t", "deg"
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contribs = (
+            src_deg.join(ranks, src_deg.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("cnt")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -2126,3 +2126,71 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.round(F.sum(F.pow(F.col("c") - exp, 2) / exp), 6).alias("chi2"),
     )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled power-iteration oracle — standard SQL forbids aggregation
+    in a recursive CTE member, so a FIXED iteration count unrolls into a
+    CTE chain (r0..rN), mirroring the Spark loop term-for-term (same
+    double expressions, same order; only the per-node summation order
+    differs, absorbed by the final 9-decimal round)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT nd.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.cnt
+                   + CAST(0.85 AS DOUBLE)
+                     * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes nd CROSS JOIN n nn
+        LEFT JOIN (
+            SELECT e.t AS node, sum(r.rank / od.deg) AS contrib
+            FROM e2 e
+            JOIN {prev} r ON r.node = e.s
+            JOIN outdeg od ON od.node = e.s
+            GROUP BY e.t) c ON c.node = nd.node)""")
+        prev = f"r{k}"
+    return f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    eu AS (
+        SELECT x.i AS u, y.i AS v
+        FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+    e2 AS (SELECT u AS s, v AS t FROM eu
+           UNION ALL SELECT v, u FROM eu),
+    outdeg AS (SELECT s AS node, count(*) AS deg FROM e2 GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM e2),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt AS rank
+           FROM nodes CROSS JOIN n),{",".join(steps)}
+    SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+    """
+
+
+@register("pagerank_copurchase_parts", oracle=_pagerank_oracle())
+def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the undirected co-purchase graph (parts
+    sharing >=2 orders), 5 fixed power iterations, damping 0.85.  Each
+    iteration is one edge-keyed shuffle join + one dst aggregate with the
+    lineage cut per step (functions/graph.py:pagerank); symmetrized edges
+    mean no dangling-mass correction is needed.  The oracle unrolls the
+    identical arithmetic into a 5-step CTE chain."""
+    from pipelinewise_spark.functions.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    left = baskets.select("b", F.col("i").alias("pu"))
+    right = baskets.select("b", F.col("i").alias("pv"))
+    edges = (
+        left.join(right, "b")
+        .filter(F.col("pu") < F.col("pv"))
+        .groupBy("pu", "pv")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 2)
+    )
+    ranks = pagerank(edges, "pu", "pv", iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
