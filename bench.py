@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "chi2_priority_status",
     "xml_source_orders",
     "pagerank_copurchase_parts",
+    "stream_ohlc_bars_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

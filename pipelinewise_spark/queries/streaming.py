@@ -902,3 +902,85 @@ def medallion_cdc_gold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "stream_ohlc_bars_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT event_type, bar_date,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ohlc_daily_events: the event stream arrives in
+    multiple micro-batches (file order ≠ time order, so batches carry
+    out-of-order data) and each batch folds into a bars table through the
+    MERGEABLE bar state of streaming/bars.py — open/close carry their
+    (ts, id) ordering key inside the state struct, making the combine
+    associative and commutative: no watermark, no unemittable final bar,
+    late data folds into an already-published bar instead of being
+    dropped. End state must equal the batch aggregate (the oracle)."""
+    import uuid
+
+    from pipelinewise_spark.streaming.bars import (
+        bar_partials,
+        finalize_bars,
+        merge_bars,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # fixture: the source stream, deliberately NOT time-ordered — files
+    # are hash-partitioned so every micro-batch spans many days
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_ohlc_")
+        src = os.path.join(tmp, "src")
+        events.repartition(6).write.mode("overwrite").parquet(src)
+
+    bars = ParquetTable(os.path.join(tmp, "bars"))
+    keys = ["event_type", "bar_date"]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        partial = bar_partials(
+            batch, "ts", "event_id", "value", ["event_type"]
+        )
+        merged = (
+            merge_bars(bars.read(batch.sparkSession), partial, keys)
+            if bars.exists()
+            else partial
+        )
+        bars.overwrite(merged)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .queryName(f"pws_ohlc_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    return finalize_bars(bars.read(spark), keys)
