@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "xml_source_orders",
     "pagerank_copurchase_parts",
     "stream_ohlc_bars_events",
+    "regression_price_by_brand",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

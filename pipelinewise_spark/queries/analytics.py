@@ -2194,3 +2194,49 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, "pu", "pv", iterations=5, damping=0.85)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "regression_price_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           regr_count(l.l_extendedprice, l.l_quantity) AS n,
+           ROUND(regr_slope(l.l_extendedprice, l.l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l.l_extendedprice, l.l_quantity), 4)
+               AS intercept,
+           ROUND(regr_r2(l.l_extendedprice, l.l_quantity), 6) AS r2,
+           ROUND(corr(l.l_extendedprice, l.l_quantity), 6) AS corr
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def regression_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS — the SQL regr_* family, engine-native: per brand,
+    regress line price on quantity (slope ≈ mean unit price, so the fit
+    is meaningful, r2 high).  Spark 4's regr_slope/intercept/r2/corr are
+    JVM-side partial-aggregable moments: ONE broadcast dim join + ONE
+    shuffle of brand-sized moment partials — never a second pass, never
+    a sort.  Moment accumulation order differs between engines, so
+    outputs round (4dp for the unbounded slope/intercept, 6dp for the
+    bounded r2/corr)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+                "r2"
+            ),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+                "corr"
+            ),
+        )
+    )
