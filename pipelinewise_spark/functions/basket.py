@@ -52,10 +52,14 @@ def cooccurrence_pairs(
     # shuffle for it
     pruned = baskets.join(F.broadcast(supports.select("i")), "i")
     if max_basket_items is not None:
+        # basket sizes are basket-cardinality (NOT broadcastable at scale);
+        # the semi-join keys on b, the same key the pair self-join below
+        # shuffles on, so the guard's partitioning is reused — one extra
+        # answer-keyed join, no extra repartition of the big side
         sized = pruned.groupBy("b").agg(F.count("*").alias("sz"))
         pruned = pruned.join(
-            F.broadcast(sized.filter(F.col("sz") <= max_basket_items)), "b"
-        ).select("b", "i")
+            sized.filter(F.col("sz") <= max_basket_items), "b", "left_semi"
+        )
     left = pruned.select("b", F.col("i").alias("item_a"))
     right = pruned.select("b", F.col("i").alias("item_b"))
     pairs = (
