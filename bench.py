@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "pagerank_copurchase_parts",
     "stream_ohlc_bars_events",
     "regression_price_by_brand",
+    "window_functions_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

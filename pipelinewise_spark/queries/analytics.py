@@ -2240,3 +2240,57 @@ def regression_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "window_functions_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist,
+           first_value(o_totalprice) OVER w AS min_price,
+           nth_value(o_totalprice, 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS third_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS max_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: lag/lead, percent_rank,
+    cume_dist, first/nth/last value over an explicit full frame — all
+    seven collapse into ONE physical Window node (same partition+order;
+    Catalyst merges across frame variants — plan-pinned in
+    tests/test_plans_r7c.py): one shuffle on the partition key, one
+    per-partition sort.  percent_rank/cume_dist are exact rational
+    doubles (identical division both engines — no rounding needed); the
+    (price, key) order is total, so every output is deterministic."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.first("o_totalprice").over(w).alias("min_price"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+        F.last("o_totalprice").over(wf).alias("max_price"),
+    )
