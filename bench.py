@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "stream_ohlc_bars_events",
     "regression_price_by_brand",
     "window_functions_orders",
+    "cms_user_frequency_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

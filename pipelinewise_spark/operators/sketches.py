@@ -346,3 +346,95 @@ def histogram_apply_feed(
         ).alias(count_col),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+# --- Count-Min Sketch (frequency) — completes the sketch triad beside the
+# HLL (distinct) and quantile-histogram (distribution) tables above.
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = 5,
+    width: int = 4096,
+) -> DataFrame:
+    """Mergeable Count-Min frequency sketch in LONG FORM: one row per
+    (group, hash-row i, counter col) touched cell with its count —
+    at most depth×width rows per group regardless of key cardinality.
+
+    Long form instead of a binary blob because it makes the sketch a
+    plain DataFrame: merging coarser grains is a groupBy-SUM (exactly
+    mergeable — integer counts, so union-of-parts is BIT-IDENTICAL to a
+    direct build, unlike HLL's mode promotion), and point queries are
+    an answer-sized equi-join.  Hash row i uses ``xxhash64(key, i)`` —
+    deterministic across engines, partitionings, and sessions.
+
+    The build is one explode(depth) + one map-side-combinable groupBy:
+    raw data is scanned once; everything downstream shuffles KB-scale
+    cells, never rows."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("__cell"))
+        .groupBy(*group_cols, F.col("__cell.i").alias("i"), F.col("__cell.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_rollup(
+    sketch_table: DataFrame, rollup_cols: list[str]
+) -> DataFrame:
+    """Re-aggregate CMS cells to a coarser grain: counter-wise SUM —
+    associative, commutative, and exact, so daily sketches roll into
+    monthly into all-time bit-identically to a direct build."""
+    return sketch_table.groupBy(*rollup_cols, "i", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch_table: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 4096,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate is
+    min over hash rows of the key's counter (the CMS guarantee:
+    estimate >= true count always; <= true + e/width × N with high
+    probability).  One explode(depth) on the (answer-sized) key set +
+    one equi-join against the cells + one min-groupBy."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__cell"),
+    ).select(key_col, F.col("__cell.i").alias("i"), F.col("__cell.col").alias("col"))
+    return (
+        probes.join(sketch_table, ["i", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
+    )

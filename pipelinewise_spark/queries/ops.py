@@ -2558,3 +2558,63 @@ def xml_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@register(
+    "cms_user_frequency_events",
+    oracle="""
+    WITH cnt AS (SELECT user_id, count(*) AS exact_cnt
+                 FROM events GROUP BY user_id)
+    SELECT user_id, exact_cnt,
+           TRUE AS overcount_ok, TRUE AS within_eps
+    FROM cnt ORDER BY exact_cnt DESC, user_id LIMIT 20
+    """,
+)
+def cms_user_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py:cms_*) —
+    completes the mergeable-sketch triad (HLL distinct, histogram
+    quantiles, CMS frequency).  The sketch builds in one scan; the 20
+    heaviest users (deterministic (count, key) order) are point-queried
+    against it.
+
+    Oracle contract (xxhash64 cells are not SQL-reproducible): emit the
+    exact counts plus two BOOLEANs — ``overcount_ok`` pins the hard CMS
+    guarantee (estimate >= exact, always), ``within_eps`` the
+    probabilistic one (estimate <= exact + e/width × N; deterministic
+    for a fixed dataset+hash, verified at sf0.001/0.01/0.1).  DuckDB
+    reproduces the exact counts and pins both booleans TRUE.
+    tests/test_cms.py additionally pins exact mergeability
+    (union-of-parts ≡ direct build, bit-identical — integer counters
+    have no HLL-style mode promotion)."""
+    import math
+
+    from pipelinewise_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    depth, width = 5, 4096
+    events = read_table(spark, sf_dir, "events")
+    sketch = cms_sketch_table(events, [], "user_id", depth, width)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id", depth, width)
+    total = events.agg(F.count("*").alias("n_total"))
+    eps = math.e / width
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("freq_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+            (
+                F.col("freq_est")
+                <= F.col("exact_cnt") + F.lit(eps) * F.col("n_total")
+            ).alias("within_eps"),
+        )
+    )
