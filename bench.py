@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "regression_price_by_brand",
     "window_functions_orders",
     "cms_user_frequency_events",
+    "item_recommendations_parts",
+    "key_skew_report_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -85,6 +85,16 @@ _SHOWCASE_ORDER = [
     # neighbors; the displaced remain pytest-verified (value-exact
     # oracle at sf0.001 every run + hostile-conf replays) and rotate
     # into the r8 prefix
+    # (r7 CONTINUATION registrations — hierarchy_rollup_parts,
+    # part_pairs_cooccurrence, ohlc_daily_events, triangle_count_parts,
+    # ewma_daily_events, chi2_priority_status, xml_source_orders,
+    # pagerank_copurchase_parts, stream_ohlc_bars_events,
+    # regression_price_by_brand, window_functions_orders,
+    # cms_user_frequency_events — land after the showcase block in
+    # registration order; all pytest-verified at sf0.001 AND
+    # hand-verified at sf0.01 under a vanilla session this round.
+    # r8 rotation: lead the prefix with these twelve + grouping_sets/
+    # unpivot/phash from the r7 post-prefix block.)
     "schema_evolution_version_column", "text_quality_documents",
     "lang_id_documents", "winnowing_fingerprint_documents",
     "fingerprint_documents", "embedding_lsh_buckets",

@@ -2294,3 +2294,165 @@ def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
         F.last("o_totalprice").over(wf).alias("max_price"),
     )
+
+
+@register(
+    "item_recommendations_parts",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    tot AS (SELECT count(DISTINCT b) AS n FROM baskets),
+    supports AS (
+        SELECT i, count(*) AS nb FROM baskets GROUP BY i
+        HAVING count(*) >= 10),
+    pruned AS (SELECT b.b, b.i FROM baskets b JOIN supports s USING (i)),
+    pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, count(*) AS pair_baskets
+        FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS (
+        SELECT item_a AS item, item_b AS rec, pair_baskets FROM pairs
+        UNION ALL
+        SELECT item_b, item_a, pair_baskets FROM pairs),
+    scored AS (
+        SELECT s.item, s.rec, s.pair_baskets,
+               CAST(FLOOR(1000000.0 * s.pair_baskets * t.n
+                          / (fa.nb * fb.nb)) AS BIGINT) AS lift_ppm
+        FROM sym s
+        JOIN supports fa ON fa.i = s.item
+        JOIN supports fb ON fb.i = s.rec
+        CROSS JOIN tot t),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY lift_ppm DESC, pair_baskets DESC, rec) AS rnk
+        FROM scored)
+    SELECT item, rec, pair_baskets, lift_ppm, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def item_recommendations_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering ("customers also bought"):
+    symmetrize the Apriori-pruned co-occurrence pairs, score by lift,
+    keep each item's top 3 by a deterministic (lift, support, id) order.
+    The ranking window partitions by item over the PAIR table — already
+    support-pruned and answer-sized, so the window sort never sees raw
+    baskets.  The whole pipeline reuses `functions/basket.py`; at scale
+    this is the batch-precompute side of a recommendation serving
+    store."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.functions.basket import cooccurrence_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_item_support=10, min_pair_support=3
+    ).select(
+        "item_a",
+        "item_b",
+        "pair_baskets",
+        "baskets_a",
+        "baskets_b",
+        "n_baskets",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("pair_baskets")
+            * F.col("n_baskets")
+            / (F.col("baskets_a") * F.col("baskets_b"))
+        ).alias("lift_ppm"),
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("rec"),
+        "pair_baskets",
+        "lift_ppm",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("rec"),
+            "pair_baskets",
+            "lift_ppm",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("lift_ppm").desc(), F.col("pair_baskets").desc(), F.col("rec")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("item", "rec", "pair_baskets", "lift_ppm", "rnk")
+    )
+
+
+@register(
+    "key_skew_report_events",
+    oracle="""
+    WITH per_key AS (
+        SELECT event_type, user_id, count(*) AS c
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c, user_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS k,
+               SUM(c) OVER (PARTITION BY event_type) AS total
+        FROM per_key)
+    SELECT event_type,
+           CAST(max(k) AS BIGINT) AS n_keys,
+           CAST(max(total) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CASE WHEN rn > k - 10 THEN c ELSE 0 END) AS DOUBLE)
+                 / max(total), 6) AS top10_share,
+           ROUND(CAST(2 * SUM(CAST(rn AS DECIMAL(18,0)) * c) AS DOUBLE)
+                 / (CAST(max(k) AS DOUBLE) * CAST(max(total) AS DOUBLE))
+                 - CAST(max(k) + 1 AS DOUBLE) / max(k), 6) AS gini
+    FROM ranked GROUP BY event_type
+    """,
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE choosing a
+    salting factor: per event_type, the key count, row count, top-10-key
+    mass share, and the Gini coefficient of the per-key distribution
+    (0 = uniform, →1 = one hot key), via the exact sorted-rank identity
+    G = 2·Σ(r·c)/(k·Σc) − (k+1)/k.  The windows run over the PRE-REDUCED
+    per-key counts (one map-side-combinable groupBy collapses raw rows
+    first), so the diagnostic is itself skew-safe — the hot key that
+    motivates the report reduces to one row before any sort."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = per_key.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(wt.orderBy(F.col("c"), F.col("user_id")))
+        .alias("rn"),
+        F.count("*").over(wt).alias("k"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(
+                F.when(F.col("rn") > F.col("k") - 10, F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.max("total"),
+            6,
+        ).alias("top10_share"),
+        # exact-decimal rank-mass sum: Σ rn·c reaches ~k·Σc (≈1e20 at
+        # 100 TB group sizes) — an int64 accumulator overflows (ANSI
+        # throws); DECIMAL(38) holds it exactly in both engines
+        F.round(
+            (2 * F.sum(F.col("rn").cast("decimal(18,0)") * F.col("c")))
+            .cast("double")
+            / (F.max("k").cast("double") * F.max("total").cast("double"))
+            - (F.max("k") + 1).cast("double") / F.max("k"),
+            6,
+        ).alias("gini"),
+    )
