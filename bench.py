@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "cms_user_frequency_events",
     "item_recommendations_parts",
     "key_skew_report_events",
+    "cdf_cms_maintenance_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -438,3 +438,49 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
     )
+
+
+def cms_apply_feed(
+    sketch_table: DataFrame,
+    feed: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 4096,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Maintain a CMS from a CHANGE FEED instead of rebuilding: inserts
+    add +1 to the key's cells, deletes add −1 — integer counters make
+    the sketch exactly INVERTIBLE (like the fixed-range histogram,
+    unlike HLL), so the maintained sketch is BIT-IDENTICAL to a fresh
+    build over the new state.  An update arriving as delete(old) +
+    insert(new) with the same key cancels cell-exactly.  Long form
+    makes the fold a union + groupBy-SUM (no join); cells that sum to
+    zero drop, matching a rebuild.  Cost: O(batch × depth) cells, never
+    the table."""
+    sign = (
+        F.when(F.col(change_type_col) == "delete", F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    delta = (
+        feed.select(sign.alias("__sign"), F.explode(cells).alias("__cell"))
+        .groupBy(F.col("__cell.i").alias("i"), F.col("__cell.col").alias("col"))
+        .agg(F.sum("__sign").alias("cnt"))
+    )
+    return (
+        sketch_table.unionByName(delta)
+        .groupBy("i", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )

@@ -2618,3 +2618,88 @@ def cms_user_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+@register(
+    "cdf_cms_maintenance_orders",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_custkey FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)),
+    cnt AS (SELECT o_custkey, count(*) AS exact_cnt FROM v2 GROUP BY 1)
+    SELECT o_custkey, exact_cnt,
+           TRUE AS maintained_equals_rebuild, TRUE AS overcount_ok
+    FROM cnt ORDER BY exact_cnt DESC, o_custkey LIMIT 10
+    """,
+)
+def cdf_cms_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency sketch maintained from the table's change feed
+    (manifest_table.py:changes_between + sketches.py:cms_apply_feed),
+    completing the maintained-sketch family beside the CDF-fed histogram
+    (cdf_sketch_maintenance_orders): the per-customer order-count CMS
+    built at v1 folds a MOR repricing commit (delete+insert pairs with
+    the SAME custkey — must cancel cell-exactly) and a DV delete commit
+    (real −1s) forward, then is asserted BIT-IDENTICAL to a fresh
+    rebuild over the live table.  The contract emits the 10 heaviest
+    customers of FINAL state with exact counts, the rebuild-equality
+    boolean, and the CMS overcount guarantee; the oracle reproduces the
+    exact counts and pins both TRUE."""
+    import tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.sketches import (
+        cms_apply_feed,
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    depth, width = 5, 4096
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    with fixture_timer():
+        root = tempfile.mkdtemp(prefix="pws_ccm_")
+        t = ManifestTable(root)
+        t.overwrite(orders)
+        batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        t.merge_on_read(spark, batch, ["o_orderkey"])
+        t.delete_where(spark, "o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0")
+    sk = cms_sketch_table(
+        t.read(spark, version=1), [], "o_custkey", depth, width
+    )
+    feed = t.changes_between(spark, 1)
+    maintained = cms_apply_feed(sk, feed, "o_custkey", depth, width)
+    rebuilt = cms_sketch_table(t.read(spark), [], "o_custkey", depth, width)
+    same = (
+        maintained.alias("m")
+        .join(rebuilt.alias("r"), ["i", "col"], "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("m.cnt"), F.lit(0))
+                == F.coalesce(F.col("r.cnt"), F.lit(0))
+            ).alias("same")
+        )
+        .agg(F.min("same").alias("maintained_equals_rebuild"))
+    )
+    top = (
+        t.read(spark)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+    est = cms_estimate(
+        maintained, top.select("o_custkey"), "o_custkey", depth, width
+    )
+    return (
+        top.join(est, "o_custkey")
+        .crossJoin(F.broadcast(same))
+        .select(
+            "o_custkey",
+            "exact_cnt",
+            "maintained_equals_rebuild",
+            (F.col("freq_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+        )
+    )

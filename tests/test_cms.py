@@ -56,3 +56,28 @@ def test_cms_merge_is_bit_identical_to_direct(spark):
     d = {(r["i"], r["col"]): r["cnt"] for r in direct.collect()}
     m = {(r["i"], r["col"]): r["cnt"] for r in merged.collect()}
     assert d == m  # exactly mergeable, no estimation drift
+
+
+def test_cms_apply_feed_matches_rebuild(spark):
+    from pipelinewise_spark.operators.sketches import cms_apply_feed
+
+    rng = random.Random(41)
+    base = [rng.randrange(100) for _ in range(800)]
+    df = _df(spark, base)
+    sketch = cms_sketch_table(df, [], "k", depth=4, width=256)
+    # feed: delete 100 keys, update 50 (delete+insert same key — must
+    # cancel), insert 120 new observations
+    deletes = [("delete", k) for k in base[:100]]
+    updates = [("delete", k) for k in base[100:150]] + [
+        ("insert", k) for k in base[100:150]
+    ]
+    inserts = [("insert", rng.randrange(100)) for _ in range(120)]
+    feed = spark.createDataFrame(
+        deletes + updates + inserts, "_change_type string, k long"
+    )
+    maintained = cms_apply_feed(sketch, feed, "k", depth=4, width=256)
+    final_keys = base[100:] + [k for op, k in inserts]
+    rebuilt = cms_sketch_table(_df(spark, final_keys), [], "k", depth=4, width=256)
+    m = {(r["i"], r["col"]): r["cnt"] for r in maintained.collect()}
+    r = {(r["i"], r["col"]): r["cnt"] for r in rebuilt.collect()}
+    assert m == r  # invertible: maintained sketch is bit-identical
