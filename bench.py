@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "item_recommendations_parts",
     "key_skew_report_events",
     "cdf_cms_maintenance_orders",
+    "stream_running_totals_events",
+    "rolling_7day_revenue",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -2456,3 +2456,55 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE))
+                   AS day_num,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1, 2)
+    SELECT day,
+           CAST(CAST(ROUND(rev, 6) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(SUM(rev) OVER (
+                    ORDER BY day_num
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                6) AS DECIMAL(18,6)) AS DOUBLE) AS rolling_7d
+    FROM daily
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval aggregation with a RANGE frame — the window
+    family's gap vs ROWS frames (monthly_revenue_moving_avg): a 7-day
+    trailing sum must include exactly the CALENDAR window, skipping
+    nothing and double-counting nothing when days are missing, which a
+    ROWS BETWEEN 6 PRECEDING frame gets wrong on sparse dates.  The
+    frame keys on epoch-day ints (identical in both engines);
+    revenue sums are exact decimal.  The global-order window runs over
+    the PRE-REDUCED daily table — answer-sized (one row per calendar
+    day), the documented small-frame exception to the
+    no-SinglePartition rule."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    daily = daily.withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("rev"), 6).cast("decimal(18,6)").cast("double").alias(
+            "revenue"
+        ),
+        F.round(F.sum("rev").over(w), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("rolling_7d"),
+    )

@@ -984,3 +984,65 @@ def stream_ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return finalize_bars(bars.read(spark), keys)
+
+
+@register(
+    "stream_running_totals_events",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end
+    (streaming/windows.py:running_user_totals — ``applyInPandasWithState``,
+    Arrow-batched per-group pandas frames, GroupState surviving across
+    micro-batches): the event stream arrives in 3 checkpointed
+    micro-batches; each batch the touched users emit their updated
+    running totals in update mode.  Counts and (positive) sums are
+    monotone, so the per-user MAX over all emissions is the final state
+    — which must equal the batch aggregate (the oracle).  The 4-decimal
+    round absorbs accumulation-order ulps in the double sum (the state
+    fold adds batch partials in shuffle order)."""
+    import uuid
+
+    from pipelinewise_spark.streaming.windows import running_user_totals
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # fixture: hash-partitioned multi-file stream source (3 micro-batches)
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_rt_")
+        src = os.path.join(tmp, "src")
+        events.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = f"pws_rt_{uuid.uuid4().hex[:8]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")  # state-store count tracks state, not CPUs
+    try:
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
+    emissions = spark.table(sink)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("value_sum"), 4).alias("value_sum"),
+    )
