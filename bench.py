@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "cdf_cms_maintenance_orders",
     "stream_running_totals_events",
     "rolling_7day_revenue",
+    "sliding_window_event_counts",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -2508,3 +2508,59 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_7d"),
     )
+
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+    WITH k AS (SELECT unnest(range(4)) AS i),
+    assigned AS (
+        SELECT e.event_type, e.value,
+               CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900
+                                 - k.i * 900) AS TIMESTAMP)
+                   AS window_start
+        FROM events e CROSS JOIN k
+        WHERE CAST(to_timestamp(floor(epoch(e.ts) / 900) * 900
+                                - k.i * 900) AS TIMESTAMP)
+              > e.ts - INTERVAL 1 HOUR)
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS value_sum
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 h duration, 15 min slide) — the
+    overlapping-window streaming shape tumbling windows
+    (windowed_event_counts) can't express: every event lands in
+    duration/slide = 4 windows.  Spark's `window(ts, '1 hour',
+    '15 minutes')` does the 4-way assignment JVM-side inside the
+    aggregate (an Expand node — no self-join, no UDF); the same
+    expression runs streaming with a watermark.  The oracle reproduces
+    the window arithmetic with an explicit range(4) cross join —
+    window_start = floor(ts/slide)·slide − i·slide, kept while
+    start > ts − duration — the textbook definition Spark implements."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
