@@ -71,6 +71,7 @@ class ProtoField:
     number: int
     type: str  # scalar name, or message/enum type name
     repeated: bool = False
+    oneof_group: str | None = None  # set for members of a `oneof` block
 
 
 @dataclass
@@ -105,13 +106,13 @@ _TOKEN = re.compile(
 
 def parse_proto(schema_text: str, root: str | None = None) -> ProtoSchema:
     """Minimal .proto parser: proto2/proto3 message + enum declarations with
-    scalar / nested-message / repeated fields. ``map<>``, ``oneof`` bodies,
-    options, services and imports are out of scope (the reference compiles
-    arbitrary protos via protoc; this covers the wire-compatible core)."""
-    # `oneof x {}` fields live in the parent's number-space; treating the
-    # block as a nested message would mis-scope them — reject explicitly.
-    if re.search(r"\boneof\b", schema_text):
-        raise NotImplementedError("oneof is not supported by the mini parser")
+    scalar / nested-message / repeated fields, plus ``oneof`` blocks
+    (members inline into the PARENT's number space with their group
+    recorded — on the wire they are ordinary optional fields where at
+    most one is set; the decoder enforces last-wins ACROSS the group per
+    spec merge semantics). ``map<>``, options, services and imports are
+    out of scope (the reference compiles arbitrary protos via protoc;
+    this covers the wire-compatible core)."""
     toks = [
         t for t in _TOKEN.findall(schema_text)
         if not t.startswith("//") and not t.startswith("/*")
@@ -146,6 +147,27 @@ def parse_proto(schema_text: str, root: str | None = None) -> ProtoSchema:
                 i = parse_block(i, full)
                 continue
             if toks[i] == ";":
+                i += 1
+                continue
+            if toks[i] == "oneof":
+                # members live in the PARENT's number space (never
+                # repeated, per spec); record the group for the decoder's
+                # across-group last-wins rule
+                group = toks[i + 1]
+                assert toks[i + 2] == "{", f"expected '{{' after oneof {group}"
+                i += 3
+                while toks[i] != "}":
+                    if toks[i] == ";":
+                        i += 1
+                        continue
+                    ftype, fname, fnum = toks[i], toks[i + 1], toks[i + 3]
+                    msg.fields[int(fnum)] = ProtoField(
+                        fname, int(fnum), ftype, False, oneof_group=group
+                    )
+                    i += 4
+                    while toks[i] != ";":
+                        i += 1
+                    i += 1
                 i += 1
                 continue
             repeated = False
@@ -298,6 +320,15 @@ def decode_message(
         if f_.repeated:
             out.setdefault(f_.name, []).extend(vals)
         else:
+            if f_.oneof_group is not None:
+                # spec merge rule: the LAST member of a oneof seen on the
+                # wire wins and clears any earlier-set sibling
+                for sib in msg.fields.values():
+                    if (
+                        sib.oneof_group == f_.oneof_group
+                        and sib.name != f_.name
+                    ):
+                        out.pop(sib.name, None)
             out[f_.name] = vals[-1]
     return out
 

@@ -197,3 +197,52 @@ def test_from_protobuf_auto_dispatch_order(spark, monkeypatch):
         F.lit(b""), PROTO, confluent=True, desc_file_path="/x.desc", spark=spark
     )
     assert calls == []
+
+
+def test_oneof_members_inline_into_parent():
+    proto = """
+    syntax = "proto3";
+    message Event {
+      int64 id = 1;
+      oneof payload {
+        string text = 2;
+        int64 num = 3;
+        Inner obj = 4;
+      }
+      string tail = 5;
+      message Inner { string s = 1; }
+    }
+    """
+    sch = parse_proto(proto)
+    msg = sch.message()
+    assert msg.fields[2].oneof_group == "payload"
+    assert msg.fields[3].oneof_group == "payload"
+    assert msg.fields[4].oneof_group == "payload"
+    assert msg.fields[1].oneof_group is None
+    assert msg.fields[5].oneof_group is None
+    st = spark_schema(sch)
+    assert [f.name for f in st.fields] == ["id", "text", "num", "obj", "tail"]
+
+
+def test_oneof_roundtrip_and_last_wins_across_group():
+    proto = """
+    message Event {
+      int64 id = 1;
+      oneof payload { string text = 2; int64 num = 3; }
+    }
+    """
+    sch = parse_proto(proto)
+    # single member set: plain roundtrip
+    b = encode_message({"id": 7, "num": 42}, sch)
+    assert decode_message(b, sch) == {"id": 7, "num": 42}
+    # wire carries BOTH members (merge of two partials): the LAST member
+    # seen wins and the earlier sibling is CLEARED, per spec
+    both = encode_message({"id": 7, "text": "hi"}, sch) + encode_message(
+        {"num": 9}, sch
+    )
+    assert decode_message(both, sch) == {"id": 7, "num": 9}
+    # and in the other order
+    both2 = encode_message({"num": 9}, sch) + encode_message(
+        {"text": "hi"}, sch
+    )
+    assert decode_message(both2, sch) == {"text": "hi"}
