@@ -72,6 +72,7 @@ class ProtoField:
     type: str  # scalar name, or message/enum type name
     repeated: bool = False
     oneof_group: str | None = None  # set for members of a `oneof` block
+    map_of: tuple[str, str] | None = None  # (key type, value type) for map<>
 
 
 @dataclass
@@ -96,7 +97,7 @@ class ProtoSchema:
 _TOKEN = re.compile(
     r"""//[^\n]*|/\*.*?\*/           # comments
       | "(?:[^"\\]|\\.)*"            # string literal
-      | [{}=;]                       # punctuation
+      | [{}=;<>,]                       # punctuation
       | [A-Za-z_][A-Za-z0-9_.]*      # identifier
       | -?\d+                        # integer
     """,
@@ -110,9 +111,12 @@ def parse_proto(schema_text: str, root: str | None = None) -> ProtoSchema:
     (members inline into the PARENT's number space with their group
     recorded — on the wire they are ordinary optional fields where at
     most one is set; the decoder enforces last-wins ACROSS the group per
-    spec merge semantics). ``map<>``, options, services and imports are
-    out of scope (the reference compiles arbitrary protos via protoc;
-    this covers the wire-compatible core)."""
+    spec merge semantics) and ``map<k, v>`` fields (wire format: repeated
+    synthesized entry messages {key=1, value=2}; decoded to a dict with
+    last-key-wins merge; keys surface as strings through the JSON
+    carrier, matching protobuf's own MessageToDict). Options, services
+    and imports are out of scope (the reference compiles arbitrary
+    protos via protoc; this covers the wire-compatible core)."""
     toks = [
         t for t in _TOKEN.findall(schema_text)
         if not t.startswith("//") and not t.startswith("/*")
@@ -170,6 +174,28 @@ def parse_proto(schema_text: str, root: str | None = None) -> ProtoSchema:
                     i += 1
                 i += 1
                 continue
+            if toks[i] == "map":
+                # map < k , v > name = num ; — synthesize the spec's
+                # entry message {key=1, value=2}; the wire field is a
+                # repeated entry, the decoded value a dict
+                assert toks[i + 1] == "<" and toks[i + 3] == ","
+                ktype, vtype = toks[i + 2], toks[i + 4]
+                assert toks[i + 5] == ">"
+                fname, fnum = toks[i + 6], toks[i + 8]
+                entry_name = f"{full}.__{fname}_Entry"
+                entry = ProtoMessage(entry_name)
+                entry.fields[1] = ProtoField("key", 1, ktype)
+                entry.fields[2] = ProtoField("value", 2, vtype)
+                messages[entry_name] = entry
+                msg.fields[int(fnum)] = ProtoField(
+                    fname, int(fnum), entry_name, True,
+                    map_of=(ktype, vtype),
+                )
+                i += 9
+                while toks[i] != ";":
+                    i += 1
+                i += 1
+                continue
             repeated = False
             if toks[i] in ("repeated", "optional", "required"):
                 repeated = toks[i] == "repeated"
@@ -206,18 +232,26 @@ def spark_schema(schema: ProtoSchema, message: str | None = None) -> T.StructTyp
     label strings (matching the reference's MessageToDict output), nested
     messages as nested structs, ``repeated`` as arrays."""
     msg = schema.message(message)
+
+    def resolve(t: str) -> T.DataType:
+        if t in _SPARK_TYPES:
+            return _SPARK_TYPES[t]
+        if t in schema.enums:
+            return T.StringType()
+        if t in schema.messages:
+            return spark_schema(schema, t)
+        raise ValueError(f"unknown field type {t!r}")
+
     fields = []
     for f_ in sorted(msg.fields.values(), key=lambda f_: f_.number):
-        if f_.type in _SPARK_TYPES:
-            dt: T.DataType = _SPARK_TYPES[f_.type]
-        elif f_.type in schema.enums:
-            dt = T.StringType()
-        elif f_.type in schema.messages:
-            dt = spark_schema(schema, f_.type)
+        if f_.map_of is not None:
+            # JSON-carrier map keys are strings (protobuf MessageToDict
+            # stringifies them too); values keep their typed schema
+            dt: T.DataType = T.MapType(T.StringType(), resolve(f_.map_of[1]))
         else:
-            raise ValueError(f"unknown field type {f_.type!r}")
-        if f_.repeated:
-            dt = T.ArrayType(dt)
+            dt = resolve(f_.type)
+            if f_.repeated:
+                dt = T.ArrayType(dt)
         fields.append(T.StructField(f_.name, dt, nullable=True))
     return T.StructType(fields)
 
@@ -317,7 +351,11 @@ def decode_message(
             vals = _unpack_packed(f_.type, raw)  # packed repeated scalars
         else:
             vals = [_decode_scalar(f_.type, wire, raw)]
-        if f_.repeated:
+        if f_.map_of is not None:
+            d = out.setdefault(f_.name, {})
+            for e in vals:  # each val is a decoded entry message
+                d[str(e.get("key"))] = e.get("value")  # last key wins
+        elif f_.repeated:
             out.setdefault(f_.name, []).extend(vals)
         else:
             if f_.oneof_group is not None:
@@ -385,6 +423,19 @@ def encode_message(
         if f_.name not in obj or obj[f_.name] is None:
             continue
         v = obj[f_.name]
+        if f_.map_of is not None:
+            # dict → repeated entry messages; int-typed keys re-coerce
+            # from the carrier's string form
+            kt = f_.map_of[0]
+            v = [
+                {
+                    "key": int(k) if kt in _VARINT_TYPES | {
+                        "fixed32", "fixed64", "sfixed32", "sfixed64"
+                    } and kt != "bool" else k,
+                    "value": val,
+                }
+                for k, val in v.items()
+            ]
         if f_.type in schema.enums and f_.type not in SCALARS:
             rev = {lbl: n for n, lbl in schema.enums[f_.type].items()}
             vs = v if f_.repeated else [v]

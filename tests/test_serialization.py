@@ -246,3 +246,50 @@ def test_oneof_roundtrip_and_last_wins_across_group():
         {"text": "hi"}, sch
     )
     assert decode_message(both2, sch) == {"text": "hi"}
+
+
+def test_map_field_parse_decode_roundtrip():
+    proto = """
+    syntax = "proto3";
+    message Event {
+      int64 id = 1;
+      map<string, int64> counts = 2;
+      map<int32, string> names = 3;
+      map<string, Inner> objs = 4;
+      message Inner { string s = 1; }
+    }
+    """
+    sch = parse_proto(proto)
+    obj = {
+        "id": 1,
+        "counts": {"a": 2, "b": 3},
+        "names": {"7": "x"},
+        "objs": {"k": {"s": "v"}},
+    }
+    assert decode_message(encode_message(obj, sch), sch) == obj
+    # duplicate key across merged partials: last wins
+    dup = encode_message({"counts": {"a": 1}}, sch) + encode_message(
+        {"counts": {"a": 9, "z": 5}}, sch
+    )
+    assert decode_message(dup, sch)["counts"] == {"a": 9, "z": 5}
+
+
+def test_map_field_through_spark_json_carrier(spark):
+    import pyspark.sql.types as T
+
+    proto = """
+    message Doc { int64 id = 1; map<string, int64> tags = 2; }
+    """
+    sch = parse_proto(proto)
+    st = spark_schema(sch)
+    assert isinstance(st["tags"].dataType, T.MapType)
+    payloads = [
+        (i, encode_message({"id": i, "tags": {"a": i, "b": i * 2}}, sch))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(payloads, "orig long, message binary")
+    back = df.select(
+        "orig", from_protobuf_py(F.col("message"), proto).alias("m")
+    ).select("orig", "m.id", "m.tags")
+    for r in back.collect():
+        assert r.id == r.orig and r.tags == {"a": r.orig, "b": r.orig * 2}
