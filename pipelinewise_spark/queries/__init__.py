@@ -90,10 +90,13 @@ _SHOWCASE_ORDER = [
     # ewma_daily_events, chi2_priority_status, xml_source_orders,
     # pagerank_copurchase_parts, stream_ohlc_bars_events,
     # regression_price_by_brand, window_functions_orders,
-    # cms_user_frequency_events — land after the showcase block in
+    # cms_user_frequency_events, item_recommendations_parts,
+    # key_skew_report_events, cdf_cms_maintenance_orders,
+    # stream_running_totals_events, rolling_7day_revenue,
+    # sliding_window_event_counts — land after the showcase block in
     # registration order; all pytest-verified at sf0.001 AND
     # hand-verified at sf0.01 under a vanilla session this round.
-    # r8 rotation: lead the prefix with these twelve + grouping_sets/
+    # r8 rotation: lead the prefix with these eighteen + grouping_sets/
     # unpivot/phash from the r7 post-prefix block.)
     "schema_evolution_version_column", "text_quality_documents",
     "lang_id_documents", "winnowing_fingerprint_documents",
