@@ -223,6 +223,19 @@ BENCH_QUERIES = [
     "stream_running_totals_events",
     "rolling_7day_revenue",
     "sliding_window_event_counts",
+    # r8: bench now covers the FULL registry (207) — the 11 entries below
+    # were registered but never timed (r7 record stopped at 196)
+    "bpe_merges_documents",
+    "bpe_encode_documents",
+    "schema_evolution_version_column",
+    "multimodal_binary_metadata",
+    "merge_hard_delete_orders",
+    "schema_evolution_add_column",
+    "multimodal_resize_images",
+    "weighted_sample_documents",
+    "kafka_records_events",
+    "mask_condition_field_path_events",
+    "mask_json_field_paths_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

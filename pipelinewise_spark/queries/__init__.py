@@ -25,6 +25,53 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
+    # ================= r8 prefix-50 =================
+    # Part 1 (26): every query that has NEVER had a driver correctness row
+    # (all r7-new, registered past r7's prefix; pytest-green with oracles).
+    # Grading all of them closes the cumulative driver-green union.
+    # graph / co-occurrence
+    "pagerank_copurchase_parts", "triangle_count_parts",
+    "part_pairs_cooccurrence", "item_recommendations_parts",
+    "hierarchy_rollup_parts",
+    # relational additions
+    "window_functions_orders", "grouping_sets_revenue",
+    "unpivot_order_measures",
+    # time-series (batch + streaming)
+    "rolling_7day_revenue", "ohlc_daily_events", "ewma_daily_events",
+    "sliding_window_event_counts", "stream_ohlc_bars_events",
+    "stream_running_totals_events",
+    # stats
+    "chi2_priority_status", "regression_price_by_brand",
+    # sources / media / sketches
+    "xml_source_orders", "phash_near_dup_media",
+    "cms_user_frequency_events", "cdf_cms_maintenance_orders",
+    # quality gates / retrieval / embeddings
+    "key_skew_report_events", "fk_integrity_orders",
+    "ingest_volume_anomaly_orders", "semantic_decontaminate_embeddings",
+    "source_reputation_filter_documents", "text_index_search_documents",
+    # Part 2 (2): former rows-only reds (r6 `err: no_oracle`) converted in
+    # r8 to VALUE-EXACT oracles — DuckDB replays the greedy merge loop as a
+    # recursive CTE (queries/llmdata.py:_bpe_recursive_sql). Zero rows-only
+    # entries remain in the registry.
+    "bpe_merges_documents", "bpe_encode_documents",
+    # Part 3 (2): re-verify under the driver after r8 ADVICE fixes touched
+    # manifest stats collection (_file_stats row-group dropped-set) and
+    # metadata-verb publish (expected_parent) — the two most exposed verbs.
+    "analyze_stats_orders", "merge_on_read_orders",
+    # Part 4 (20): staleness rotation — cumulative-green rows whose last
+    # driver check is r1/r3/r5; re-shown per the every-round rotation
+    # policy. All are pytest-verified value-exact at sf0.001 every run.
+    "q1_pricing_summary", "q3_shipping_priority",
+    "sessionize_events", "rollup_order_revenue", "windowed_event_counts",
+    "except_customers_both_segments", "intersect_customers_both_statuses",
+    "events_topk_per_user", "asof_join_click_purchase",
+    "range_join_attribution", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "histogram_order_totals",
+    "pivot_user_event_counts", "q9_product_type_profit",
+    "cube_order_revenue", "median_order_price_by_priority",
+    "retention_cohorts_weekly", "ntile_documents_by_length",
+    "monthly_revenue_moving_avg",
+    # ============== end r8 prefix-50 ==============
     # --- r7 rotation, part 1: close the cumulative driver-green union.
     # Never-green first: the r6 red (oracle HUGEINT artifact, fixed),
     # the two post-r6-prefix registrations, and the three r7 operators.

@@ -1518,21 +1518,93 @@ def term_frequencies_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merges_documents")  # iterative: no single-SQL oracle;
-# pinned against a pure-Python BPE reference in tests/test_llmdata.py
+def _bpe_recursive_sql(num_merges: int) -> str:
+    """DuckDB twin of functions/bpe.py's greedy merge loop as ONE recursive
+    CTE: the (word, syms, freq) vocabulary rides along as a single-row list
+    state; each recursion step picks the max-count pair (lexicographic
+    tie-break, same as Spark) via a LATERAL argmax over the flattened pair
+    structs, then rewrites every word's symbols with the same left-fold the
+    Spark side uses (F.aggregate ≡ list_reduce). Exact — not a bound
+    contract: the driver hash-compares the full merge table."""
+    return rf"""
+    WITH RECURSIVE wf AS (
+      SELECT word, COUNT(*)::BIGINT AS freq,
+             string_split(word,'') || ['</w>'] AS syms
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    bpe AS (
+      SELECT 0 AS rank, CAST(NULL AS VARCHAR) AS pair,
+             CAST(NULL AS BIGINT) AS n,
+             (SELECT list(struct_pack(word := word, syms := syms,
+                                      freq := freq)) FROM wf) AS state
+      UNION ALL
+      SELECT rank+1, bst.pair, bst.n,
+             list_transform(state, w -> struct_pack(
+                word := w.word,
+                syms := list_reduce(
+                    [CAST([] AS VARCHAR[])] || list_transform(w.syms, s -> [s]),
+                    (acc, x) -> CASE WHEN len(acc) > 0
+                                      AND acc[-1] = split_part(bst.pair,' ',1)
+                                      AND x[1] = split_part(bst.pair,' ',2)
+                                 THEN acc[1:-2] || [split_part(bst.pair,' ',1)
+                                                    || split_part(bst.pair,' ',2)]
+                                 ELSE acc || x END),
+                freq := w.freq)) AS state
+      FROM bpe,
+      LATERAL (
+         SELECT q.pf.p AS pair, SUM(q.pf.f)::BIGINT AS n
+         FROM (SELECT unnest(flatten(list_transform(bpe.state, w ->
+                 list_transform(range(1, len(w.syms)),
+                                i -> struct_pack(p := w.syms[i] || ' ' || w.syms[i+1],
+                                                 f := w.freq))
+               ))) AS pf) q
+         GROUP BY q.pf.p ORDER BY n DESC, q.pf.p LIMIT 1
+      ) bst
+      WHERE rank < {num_merges}
+    )
+    """
+
+
+@register(
+    "bpe_merges_documents",
+    oracle=_bpe_recursive_sql(10)
+    + """
+    SELECT rank::BIGINT AS rank,
+           split_part(pair,' ',1) AS left,
+           split_part(pair,' ',2) AS right,
+           n AS count
+    FROM bpe WHERE rank >= 1
+    """,
+)
 def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (functions/bpe.py): 10 merges
     learned from the corpus — map-reduce pair counting over the Zipf-small
-    word-frequency table, greedy merge loop with lexicographic tie-break."""
+    word-frequency table, greedy merge loop with lexicographic tie-break.
+    Value-exact oracle: DuckDB replays the identical greedy loop as a
+    recursive CTE (_bpe_recursive_sql)."""
     from pipelinewise_spark.functions.bpe import bpe_train_df
 
     d = read_table(spark, sf_dir, "documents")
     return bpe_train_df(spark, d, "text", num_merges=10)
 
 
-@register("bpe_encode_documents")  # trained-vocab encode: no single-SQL
-# oracle (merge replay is iterative); pinned against the pure-Python
-# reference encoder in tests/test_llmdata.py
+@register(
+    "bpe_encode_documents",
+    oracle=_bpe_recursive_sql(8)
+    + """
+    , enc AS (
+      SELECT q.w.word AS word, len(q.w.syms)::BIGINT AS n_syms
+      FROM (SELECT unnest((SELECT state FROM bpe WHERE rank = 8)) AS w) q
+    )
+    SELECT d.doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           CAST(SUM(e.n_syms) AS BIGINT) AS n_subwords
+    FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+    JOIN enc e USING (word)
+    GROUP BY d.doc_id
+    """.format(_TOKS=_TOKS),
+)
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE (functions/bpe.py:bpe_encode_counts): train 8 merges,
     then compute per-document subword counts under that vocabulary. The

@@ -25,16 +25,10 @@ from pipelinewise_spark.queries import ORACLES, QUERIES
 DRIVER_PREFIX = list(QUERIES)[:50]
 
 # Queries intentionally checked rows-only (no SQL-expressible oracle). Each
-# entry documents why; r6 rotates these into the prefix so every registered
-# query has at least a driver rows check on record.
-ROWS_ONLY_OK: set[str] = {
-    # iterative greedy merge loop — no single-SQL oracle; pinned against a
-    # pure-Python BPE reference implementation in tests/test_llmdata.py
-    # (r7 converted every other former rows-only entry — ANN recall,
-    # sketches, the multimodal stub — to hash-checked contract oracles)
-    "bpe_merges_documents",
-    "bpe_encode_documents",
-}
+# entry documents why. Empty since r8: the last two holdouts (BPE train /
+# encode) gained value-exact oracles — DuckDB replays the identical greedy
+# merge loop as a recursive CTE (queries/llmdata.py:_bpe_recursive_sql).
+ROWS_ONLY_OK: set[str] = set()
 
 _BANNED = (T.ArrayType, T.MapType, T.StructType)
 
