@@ -31,21 +31,32 @@ def forget(
     spark: SparkSession,
     table,
     condition,
+    force_history_purge: bool = False,
 ) -> dict:
     """Erase all rows matching ``condition`` from ``table`` (a
     ManifestTable), including historical snapshots. Returns counts plus
-    any branch refs that still pin old snapshots."""
+    any branch refs that still pin old snapshots.
+
+    A predicate matching ZERO rows performs NO destructive step: nothing
+    was found to erase, so destroying the table's snapshot history and
+    time travel would be a pure loss (e.g. a typo'd WHERE clause). The
+    zero count comes back so the caller can correct the predicate. Pass
+    ``force_history_purge=True`` to expire/vacuum anyway — the one
+    legitimate case is re-running an erasure whose first attempt deleted
+    the rows but died before the history purge."""
     deleted = table.delete_where(spark, condition)
     rewritten = 0
+    expired: list = []
     if deleted:
         # any partition with vectored dead rows rewrites (dead=0 stays)
         rewritten = table.compact(
             spark, min_files=10**9, max_dead_ratio=1e-300
         )
-    expired = table.expire_snapshots(
-        "9999-12-31 23:59:59", keep_last=1
-    )
-    table.vacuum(keep_manifests=1)
+    if deleted or force_history_purge:
+        expired = table.expire_snapshots(
+            "9999-12-31 23:59:59", keep_last=1
+        )
+        table.vacuum(keep_manifests=1)
     return {
         "deleted_rows": deleted,
         "rewritten_partitions": rewritten,

@@ -56,6 +56,27 @@ class MetaFS:
         with self.fs.open_input_stream(self._p(*rel)) as f:
             return f.read().decode("utf-8")
 
+    def write_text_exclusive(self, data: str, *rel: str) -> None:
+        """Create-exclusive write: raises ``FileExistsError`` if the target
+        already exists. Local filesystem: ``O_CREAT|O_EXCL`` — atomic, so
+        two racing writers allocating the same name can never overwrite
+        each other. Object stores: pyarrow exposes no conditional PUT, so
+        this degrades to an exists() probe + PUT (S3 If-None-Match would
+        close the gap; callers must keep a pointer re-check as backstop).
+        """
+        path = self._p(*rel)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            import os
+
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            with os.fdopen(fd, "wb") as f:
+                f.write(data.encode("utf-8"))
+        else:
+            if self.exists(*rel):
+                raise FileExistsError(path)
+            with self.fs.open_output_stream(path) as f:
+                f.write(data.encode("utf-8"))
+
     def write_text(self, data: str, *rel: str, atomic: bool = False) -> None:
         path = self._p(*rel)
         if atomic and isinstance(self.fs, pafs.LocalFileSystem):

@@ -21,6 +21,7 @@ anywhere in the table machinery.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import posixpath
 import re
@@ -45,8 +46,13 @@ class CommitConflict(RuntimeError):
     """Another writer committed between this operation's snapshot read
     and its publish (optimistic concurrency, Iceberg/Delta-style):
     retry the operation against the new snapshot. Detection is
-    read-back-before-swap; a true conditional PUT needs the object
-    store's CAS, which the MetaFS seam can carry."""
+    two-layered: manifest names are allocated with create-exclusive
+    semantics (racing same-number writers can never overwrite each
+    other), and the expected-parent check re-runs inside a lock-
+    serialized critical section immediately before the pointer swap.
+    On object stores the exclusive create degrades to probe + PUT; a
+    true conditional PUT needs the store's CAS, which the MetaFS seam
+    can carry."""
 
 
 def commit_with_retries(fn, attempts: int = 5):
@@ -341,8 +347,8 @@ class ManifestTable:
                     f"{op}; reload and retry"
                 )
             manifest["parent"] = expected_parent
-        if "parent" not in manifest:
-            manifest["parent"] = self.current_manifest_name()
+        # blind publishes get their parent under the commit lock below —
+        # reading it here could chain past a racer's in-flight commit
         # operation provenance: surfaced by meta("snapshots") — which verb
         # produced each snapshot (audit/lineage at manifest scale)
         manifest.setdefault("operation", op)
@@ -357,12 +363,71 @@ class ManifestTable:
                 .replace(tzinfo=None)
                 .isoformat(sep=" ", timespec="microseconds")
             )
-        name = self._next_manifest_name()
-        self.mfs.write_text(json.dumps(manifest, indent=1), name)
-        # the pointer write is the commit point — atomic rename locally,
-        # atomic PUT on object stores
-        self.mfs.write_text(name, self._ref_file, atomic=True)
+        # [re-check, allocate, write, swap] is one lock-serialized critical
+        # section: a racer committing after the entry-time expected_parent
+        # check surfaces as CommitConflict BEFORE anything lands on disk
+        # (no orphan manifest from a conflicted attempt), the parent
+        # pointer of a blind publish is read under the same lock (linear
+        # chain even for last-wins publishes), and the create-exclusive
+        # manifest write stays as the cross-process safety net against a
+        # non-lock-abiding writer (e.g. after a broken stale lock). The
+        # pointer write is the commit point — atomic rename locally,
+        # atomic PUT on object stores.
+        with self._commit_lock():
+            if expected_parent is not None:
+                live = self.current_manifest_name()
+                if live != expected_parent:
+                    raise CommitConflict(
+                        f"snapshot moved {expected_parent} -> {live} during "
+                        f"the {op}; reload and retry"
+                    )
+            if manifest.get("parent") is None:
+                manifest["parent"] = self.current_manifest_name()
+            name = self._next_manifest_name()
+            try:
+                self.mfs.write_text_exclusive(
+                    json.dumps(manifest, indent=1), name
+                )
+            except FileExistsError:
+                raise CommitConflict(
+                    f"{name} already allocated by a racing writer during "
+                    f"the {op}; reload and retry"
+                ) from None
+            self.mfs.write_text(name, self._ref_file, atomic=True)
         return name
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 30.0):
+        """Serialize the pointer-swap critical section across processes via
+        a create-exclusive lock file. Held for microseconds (one read + one
+        rename); a lock older than ``timeout`` is presumed abandoned by a
+        crashed writer and broken. Object-store backends degrade to the
+        probe-based exclusivity of ``write_text_exclusive`` (a true CAS
+        needs the store's conditional PUT)."""
+        import time as _time
+
+        lock = "_commit.lock"
+        deadline = _time.time() + timeout
+        while True:
+            try:
+                self.mfs.write_text_exclusive(str(_time.time()), lock)
+                break
+            except FileExistsError:
+                if _time.time() > deadline:
+                    try:  # break the abandoned lock and re-contend
+                        self.mfs.delete(lock)
+                    except OSError:  # another contender broke it first
+                        pass
+                    deadline = _time.time() + timeout
+                    continue
+                _time.sleep(0.005)
+        try:
+            yield
+        finally:
+            try:
+                self.mfs.delete(lock)
+            except OSError:  # lock broken by a contender that saw us stall
+                pass
 
     # -------------------------------------------------------------- write
     def _file_stats(self, rel: str) -> tuple[dict[str, list[Any]], int]:
@@ -389,18 +454,29 @@ class ManifestTable:
             md = pq.ParquetFile(f).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
+        # Once ANY row group lacks usable stats for a column, the file's
+        # bounds can never cover all its rows — drop the column permanently
+        # (a later row group with stats must NOT re-add it, or range
+        # skipping would wrongly prune a file whose stats-less row group
+        # holds matching rows).
+        dropped: set[str] = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 st = col.statistics
                 name = col.path_in_schema
-                if st is None or not st.has_min_max or "." in name:
+                if name in dropped:
+                    continue
+                mn, mx = (
+                    (enc(st.min), enc(st.max))
+                    if st is not None and st.has_min_max and "." not in name
+                    else (None, None)
+                )
+                if mn is None or mx is None:
+                    dropped.add(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
-                    continue
-                mn, mx = enc(st.min), enc(st.max)
-                if mn is None or mx is None:
                     continue
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
@@ -872,17 +948,23 @@ class ManifestTable:
         (overwrite / merge / merge_on_read) validates incoming rows
         against it, raising :class:`ConstraintViolation` with an example
         row before anything is published."""
+        base = self.current_manifest_name()
         m = self._load_manifest()
         self._enforce(self.read(spark), {name: predicate})
         cons = dict(m.get("constraints", {}))
         cons[name] = predicate
-        return self._publish({**m, "constraints": cons}, op="constraint")
+        return self._publish(
+            {**m, "constraints": cons}, op="constraint", expected_parent=base
+        )
 
     def drop_constraint(self, name: str) -> str:
+        base = self.current_manifest_name()
         m = self._load_manifest()
         cons = dict(m.get("constraints", {}))
         cons.pop(name, None)
-        return self._publish({**m, "constraints": cons})
+        return self._publish(
+            {**m, "constraints": cons}, expected_parent=base
+        )
 
     def _enforce(
         self, df: DataFrame, cons: dict[str, str] | None = None
@@ -1260,9 +1342,10 @@ class ManifestTable:
         policy is table metadata — it rides every publish like
         constraints do; deletes use deletion vectors, so the purge is
         answer-sized until compaction materializes it."""
+        base = self.current_manifest_name()
         m = self._load_manifest()
         m["retention"] = {"column": column, "keep_days": int(keep_days)}
-        return self._publish(m, op="set-retention")
+        return self._publish(m, op="set-retention", expected_parent=base)
 
     def retention(self) -> dict[str, Any] | None:
         if not self.exists():
@@ -1359,6 +1442,7 @@ class ManifestTable:
         round-trip); the positions land in ``entry["bloom"][col]`` as a
         sorted int list with the (m, k) parameters.
         """
+        base_snap = self.current_manifest_name()
         mfest = self._load_manifest()
         entries = mfest["files"]
         # key entries by base-relative path, NOT basename: one task writing
@@ -1426,7 +1510,10 @@ class ManifestTable:
                 "k": k,
                 "bits": base64.b64encode(bytes(bits)).decode("ascii"),
             }
-        self._publish(mfest)
+        # a long build over a stale file list must not silently revert a
+        # merge/delete that landed mid-build (metadata verbs conflict-check
+        # like data verbs; wrap in commit_with_retries to auto-rebuild)
+        self._publish(mfest, expected_parent=base_snap)
 
     @staticmethod
     def _bloom_maybe_contains(bloom: dict[str, Any], value: Any) -> bool:
@@ -1970,6 +2057,7 @@ class ManifestTable:
         of rescanning. The analog of Delta/Iceberg ANALYZE + Iceberg's
         NDV puffin stats; per-FILE [min,max] skipping stats are collected
         separately at write time (`_file_stats`)."""
+        base = self.current_manifest_name()
         df = self.read(spark)
         cols = [c for c in (cols or df.columns) if c in df.columns]
         dtypes = dict(df.dtypes)
@@ -2012,7 +2100,9 @@ class ManifestTable:
         # brand-new ANALYZE read as stale in `status` (r6 ADVICE)
         stats["version"] = self._next_manifest_name()
         mfest["table_stats"] = stats
-        self._publish(mfest)
+        # conflict-check like the data verbs: the ANALYZE job can be long,
+        # and publishing a stale file list would revert a concurrent commit
+        self._publish(mfest, expected_parent=base)
         return stats
 
     def table_stats(self) -> dict[str, Any] | None:

@@ -2785,20 +2785,27 @@ def semantic_decontaminate_embeddings(
 def text_index_search_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Serving-grade retrieval from the PERSISTED inverted index
-    (functions/textindex.py): the corpus is indexed once (term-bucketed
-    postings with denormalized doc lengths, exact integer corpus stats);
-    the probe reads ONLY the query terms' bucket dirs — never the corpus
-    — and must reproduce the direct one-scan BM25 computation
-    bit-for-bit. Half the corpus is indexed at build, the rest arrives
-    via extend (the ingest-loop growth path)."""
+    """Serving-grade retrieval from the PERSISTED inverted index across
+    its FULL maintenance lifecycle (functions/textindex.py): build on
+    half the corpus (term-bucketed postings with denormalized doc
+    lengths, exact integer corpus stats), EXTEND with the other half
+    (the ingest-loop growth path), COMPACT the accumulated per-extend
+    fragments into a fresh versioned postings dir and VACUUM the
+    superseded one — then probe. The probe reads ONLY the query terms'
+    bucket dirs — never the corpus — and must reproduce the direct
+    one-scan BM25 computation bit-for-bit: the maintenance cycle is
+    result-preserving by contract (same lifecycle story as the LSH and
+    IVF indexes; pinned fragment-bounding in tests/test_textindex.py)."""
     import os
     import tempfile
 
     from pipelinewise_spark.functions.textindex import (
         build_text_index,
+        compact_text_index,
         extend_text_index,
         search_text_index,
+        text_index_status,
+        vacuum_text_index,
     )
     from pipelinewise_spark.queries.fixturetime import fixture_timer
 
@@ -2809,6 +2816,9 @@ def text_index_search_documents(
             d.filter(F.col("doc_id") % 2 == 0), idx, "doc_id", "text"
         )
         extend_text_index(d.filter(F.col("doc_id") % 2 == 1), idx)
+        compact_text_index(spark, idx)
+        vacuum_text_index(idx)
+        assert text_index_status(idx)["extensions_since_compaction"] == 0
     return search_text_index(
         spark, idx, ["data", "pipeline", "spark"]
     )

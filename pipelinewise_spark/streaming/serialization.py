@@ -353,8 +353,17 @@ def decode_message(
             vals = [_decode_scalar(f_.type, wire, raw)]
         if f_.map_of is not None:
             d = out.setdefault(f_.name, {})
+            kt, vt = f_.map_of
             for e in vals:  # each val is a decoded entry message
-                d[str(e.get("key"))] = e.get("value")  # last key wins
+                # proto3: an entry omitting key/value means the type's
+                # default, and bool keys stringify JSON-style
+                # ('true'/'false', like MessageToDict — not Python
+                # 'True'/'False')
+                k = e.get("key", _proto3_default(kt, schema))
+                if kt == "bool":
+                    k = "true" if k else "false"
+                val = e.get("value", _proto3_default(vt, schema))
+                d[str(k)] = val  # last key wins
         elif f_.repeated:
             out.setdefault(f_.name, []).extend(vals)
         else:
@@ -369,6 +378,23 @@ def decode_message(
                         out.pop(sib.name, None)
             out[f_.name] = vals[-1]
     return out
+
+
+def _proto3_default(ftype: str, schema: ProtoSchema):
+    """proto3 default for an absent scalar/enum/message field."""
+    if ftype == "bool":
+        return False
+    if ftype == "string":
+        return ""
+    if ftype == "bytes":
+        return b""
+    if ftype in ("double", "float"):
+        return 0.0
+    if ftype in SCALARS:
+        return 0
+    if ftype in schema.enums:  # enum default: the 0-numbered label
+        return schema.enums[ftype].get(0, "0")
+    return None  # message-typed: absent submessage stays None
 
 
 def _unpack_packed(ftype: str, raw: bytes) -> list:
@@ -424,18 +450,19 @@ def encode_message(
             continue
         v = obj[f_.name]
         if f_.map_of is not None:
-            # dict → repeated entry messages; int-typed keys re-coerce
-            # from the carrier's string form
+            # dict → repeated entry messages; keys re-coerce from the
+            # carrier's string form (ints via int(), bool via the
+            # JSON-style 'true'/'false' the decoder emits)
             kt = f_.map_of[0]
-            v = [
-                {
-                    "key": int(k) if kt in _VARINT_TYPES | {
-                        "fixed32", "fixed64", "sfixed32", "sfixed64"
-                    } and kt != "bool" else k,
-                    "value": val,
-                }
-                for k, val in v.items()
-            ]
+
+            def _key(k, kt=kt):
+                if kt == "bool":
+                    return 1 if str(k).lower() in ("true", "1") else 0
+                if kt == "string":
+                    return k
+                return int(k)  # spec: all other legal key types integral
+
+            v = [{"key": _key(k), "value": val} for k, val in v.items()]
         if f_.type in schema.enums and f_.type not in SCALARS:
             rev = {lbl: n for n, lbl in schema.enums[f_.type].items()}
             vs = v if f_.repeated else [v]

@@ -142,3 +142,125 @@ def test_table_verbs_fuzz_invariants(spark, steps, rnd):
 
     # 3. pinned history: v1 is still byte-stable
     assert _read_dict(spark, t, version=1) == snapshots[1]
+
+
+# ------------------------------------------- two interleaved writers (r8)
+
+W_VERB = st.sampled_from(["merge", "update", "delete", "meta", "compact"])
+W_STEP = st.tuples(
+    W_VERB,
+    st.integers(min_value=0, max_value=11),
+    st.integers(min_value=1, max_value=400),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(W_STEP, min_size=2, max_size=3),
+    st.lists(W_STEP, min_size=2, max_size=3),
+)
+def test_two_writer_interleaved_fuzz(spark, steps_a, steps_b):
+    """Two ManifestTable handles racing randomized verbs round-by-round
+    (a threading.Barrier aligns each round so publishes genuinely
+    contend). Under optimistic concurrency + commit_with_retries every
+    verb must eventually land: no silently lost commit (version count ==
+    successful publishes), CDF replay from v1 reconstructs the live
+    table exactly, metadata count == scan count, pinned history stays
+    bit-stable. This is the concurrent analog of the reference's
+    concurrent `SWAP WITH` risk surface
+    (fastsync/commons/target_snowflake.py:448-469)."""
+    import threading
+
+    from pipelinewise_spark.operators.manifest_table import (
+        commit_with_retries,
+    )
+
+    model0 = {k: float(k) for k in KEYS}
+    tmp = tempfile.mkdtemp(prefix="pws_fuzz2_")
+    root = os.path.join(tmp, "t")
+    t = ManifestTable(root, ["p"])
+    t.overwrite(_rows_df(spark, model0))
+
+    rounds = max(len(steps_a), len(steps_b))
+    barrier = threading.Barrier(2)
+    published = {"a": 0, "b": 0}
+    errors: list[BaseException] = []
+
+    def runner(tag: str, steps):
+        handle = ManifestTable(root, ["p"])
+        try:
+            for rnd_i in range(rounds):
+                barrier.wait(timeout=120)
+                if rnd_i >= len(steps):
+                    continue
+                verb, sel, delta = steps[rnd_i]
+
+                def apply(verb=verb, sel=sel, delta=delta):
+                    if verb == "merge":
+                        batch = {
+                            k: float(k + delta)
+                            for k in KEYS
+                            if k % 4 == sel % 4
+                        }
+                        handle.merge(spark, _rows_df(spark, batch), ["k"])
+                        return 1
+                    if verb == "update":
+                        return (
+                            1
+                            if handle.update_where(
+                                spark,
+                                f"k % 3 = {sel % 3}",
+                                {"v": F.col("v") + float(delta)},
+                            )
+                            else 0
+                        )
+                    if verb == "delete":
+                        return (
+                            1
+                            if handle.delete_where(spark, f"k = {sel}")
+                            else 0
+                        )
+                    if verb == "meta":
+                        handle.add_constraint(
+                            spark, f"c_{tag}_{rnd_i}", "k IS NOT NULL"
+                        )
+                        return 1
+                    return 1 if handle.compact(spark, min_files=2) else 0
+
+                published[tag] += commit_with_retries(apply, attempts=10)
+        except BaseException as e:  # noqa: BLE001 — surface to main thread
+            errors.append(e)
+            # release the peer so the test fails fast instead of hanging
+            barrier.abort()
+
+    ta = threading.Thread(target=runner, args=("a", steps_a))
+    tb = threading.Thread(target=runner, args=("b", steps_b))
+    ta.start(), tb.start()
+    ta.join(timeout=600), tb.join(timeout=600)
+    assert not errors, f"writer died: {errors[0]!r}"
+
+    # no lost commits: overwrite (v1) + every successful publish
+    assert len(t.versions()) == 1 + published["a"] + published["b"]
+
+    # CDF replay from the initial snapshot reconstructs the live table
+    live = _read_dict(spark, t)
+    feed = t.changes_between(spark, 1)
+    base = dict(model0)
+    events: dict[int, list] = {}
+    for r in feed.select("k", "v", "_change_type", "_commit_version").collect():
+        events.setdefault(r["_commit_version"], []).append(r)
+    for v in sorted(events):
+        for r in sorted(events[v], key=lambda r: r["_change_type"]):
+            if r["_change_type"] == "delete":
+                assert base.pop(r["k"]) == r["v"]
+            else:
+                base[r["k"]] = r["v"]
+    assert base == live, "CDF replay diverged after concurrent writers"
+
+    # metadata count == scan count; pinned v1 unchanged
+    assert t.count_rows() == len(live)
+    assert _read_dict(spark, t, version=1) == model0
