@@ -80,6 +80,40 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
+def _iteration_contribs(
+    src_deg: DataFrame, ranks: DataFrame, hot: list, salt_n: int
+) -> DataFrame:
+    """One power-iteration contribution pass: ranks onto edge sources,
+    summed per destination. With a non-empty ``hot`` list the plan is the
+    skew-hardened shape pagerank's docstring describes: hot sources take
+    a broadcast slice of the ranks (never a shuffle concentration), and
+    the destination aggregate runs as a salted two-level partial."""
+    if not hot:
+        return (
+            src_deg.join(ranks, src_deg.s == ranks.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+    hot_ranks = ranks.filter(F.col("node").isin(hot))
+    joined = (
+        src_deg.filter(~F.col("s").isin(hot))
+        .join(ranks, src_deg.s == ranks.node)
+        .select("t", (F.col("rank") / F.col("deg")).alias("__c"))
+        .unionByName(
+            src_deg.filter(F.col("s").isin(hot))
+            .join(F.broadcast(hot_ranks), src_deg.s == F.col("node"))
+            .select("t", (F.col("rank") / F.col("deg")).alias("__c"))
+        )
+    )
+    partial = joined.withColumn(
+        "__salt",
+        F.pmod(F.hash("t", F.spark_partition_id()), F.lit(salt_n)),
+    ).groupBy("t", "__salt").agg(F.sum("__c").alias("__p"))
+    return partial.groupBy(F.col("t").alias("node")).agg(
+        F.sum("__p").alias("contrib")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "u",
@@ -87,6 +121,9 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     directed: bool = False,
+    skew_salt: int | str | None = "auto",
+    skew_threshold: float = 64.0,
+    max_hot_nodes: int = 1024,
 ) -> DataFrame:
     """(node, rank) after a FIXED number of power iterations — fixed so the
     result is deterministic and oracle-reproducible (convergence-threshold
@@ -100,7 +137,21 @@ def pagerank(
     node-sized; edges dominate, as they must.  The iteration count is the
     only sequential dimension — 5 iterations on 100 TB of edges is 5
     edge-scans, with lineage cut per step so failure recovery replays one
-    iteration, not the whole chain."""
+    iteration, not the whole chain.
+
+    Skew hardening (``skew_salt="auto"``, the default): real graphs are
+    power-law — one celebrity node can own a third of the edges.  One
+    node-sized degree scan up front finds nodes whose degree exceeds
+    ``skew_threshold`` x the mean (at most ``max_hot_nodes``, metadata-
+    scale by construction).  When any exist, each iteration (a) routes
+    hot-SOURCE edges through a broadcast join of just the hot nodes'
+    ranks — the rank-onto-edges shuffle join never concentrates a hot
+    key's edge volume on one task — and (b) runs the dst aggregate as a
+    salted two-level partial (groupBy(t, salt) then groupBy(t)), so the
+    final combine of a hot DESTINATION fans in over salt shards.  Results
+    are identical up to float summation order (callers round; the
+    registered query pins 9 dp against the unrolled-SQL oracle).  Pass an
+    int to force that many salt shards, or None/0 to disable."""
     e = _canonical_edges(edges, src, dst)
     e2 = (
         e.select(F.col("u").alias("s"), F.col("v").alias("t"))
@@ -125,12 +176,39 @@ def pagerank(
     src_deg = e2.join(outdeg, e2.s == outdeg.node).select(
         "s", "t", "deg"
     ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        contribs = (
-            src_deg.join(ranks, src_deg.s == ranks.node)
-            .groupBy(F.col("t").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+
+    hot: list = []
+    salt_n = 0
+    if skew_salt:
+        # node-sized, once: degree table is already answer-scale. A node
+        # is hot when its degree exceeds skew_threshold x mean; by
+        # construction at most N/threshold nodes qualify, and the
+        # max_hot_nodes cap keeps the collected list (and the broadcast
+        # rank slice) driver-safe even on adversarial inputs.
+        deg_all = (
+            e2.select(F.col("s").alias("node"))
+            .union(e2.select(F.col("t").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
         )
+        mean_d = deg_all.agg(F.avg("d").alias("m")).collect()[0]["m"] or 0.0
+        hot = [
+            r["node"]
+            for r in deg_all.filter(
+                F.col("d") > F.lit(float(skew_threshold) * mean_d)
+            )
+            .orderBy(F.col("d").desc())
+            .limit(max_hot_nodes)
+            .collect()
+        ]
+        salt_n = (
+            skew_salt
+            if isinstance(skew_salt, int)
+            else min(32, max(8, e2.sparkSession.sparkContext.defaultParallelism))
+        )
+
+    for _ in range(iterations):
+        contribs = _iteration_contribs(src_deg, ranks, hot, salt_n)
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(n))

@@ -555,6 +555,108 @@ class ManifestTable:
             op="overwrite",
         )
 
+    def append(self, df: DataFrame) -> str:
+        """Append load (no PK — the reference's non-key table path,
+        target_snowflake/db_sync.py straight-INSERT mode, as a snapshot
+        commit): the batch lands as new data files under the LIVE
+        partition spec, every existing file carries over by manifest
+        reference. Cost is O(batch) + one publish — no table scan, no
+        deletion vectors, the cheapest possible commit. Constraints still
+        gate the incoming rows; conflicts retry via expected_parent."""
+        base = self.current_manifest_name()
+        m = (
+            self._load_manifest()
+            if self.exists()
+            else {"partition_by": list(self.partition_by), "files": []}
+        )
+        self._enforce(df, m.get("constraints", {}))
+        partition_by = m.get("partition_by", [])
+        ptypes = m.get("partition_types") or {
+            f_.key: df.schema[f_.source].dataType.simpleString()
+            for f_ in parse_partition_spec(partition_by)
+            if not f_.hidden
+        }
+        entries = self._write_files(df, partition_by)
+        return self._publish(
+            {
+                "partition_by": partition_by,
+                "partition_types": ptypes,
+                "files": m["files"] + entries,
+            },
+            op="append",
+            expected_parent=base,
+        )
+
+    def import_files(
+        self, base_rel: str, split_key: str | None = None
+    ) -> list[str]:
+        """Iceberg ``add_files`` analog: register ALREADY-WRITTEN hive-
+        partitioned parquet under the table root as append commit(s) —
+        data is never rewritten, only footer stats are read (metadata-
+        scale). With ``split_key``, the files' ``<split_key>=N`` dir level
+        becomes SEPARATE commits in sorted-N order (bulk history import:
+        replaying an ingest log lands the whole history with ONE data
+        write plus per-commit metadata publishes); that dir level is
+        excluded from the entries' partition dicts. Returns the published
+        manifest names. Reference behavior modeled: archive-to-table
+        backfill of FastSync-exported files without a second copy."""
+        groups: dict[Any, list[dict[str, Any]]] = {}
+        for rel in self.mfs.walk_files(base_rel):
+            if not rel.endswith(".parquet"):
+                continue
+            partition: dict[str, Any] = {}
+            split_val: Any = None
+            entry_base = base_rel
+            for seg in posixpath.relpath(
+                posixpath.dirname(rel), base_rel
+            ).split("/"):
+                if "=" not in seg:
+                    continue
+                kk, vv = seg.split("=", 1)
+                if kk == split_key:
+                    split_val = _decode_hive_value(vv)
+                    # anchor the entry's basePath BELOW the split dir so
+                    # the read-time hive discovery never surfaces the
+                    # split level as a table column
+                    entry_base = posixpath.join(base_rel, seg)
+                else:
+                    partition[kk] = _decode_hive_value(vv)
+            stats, num_rows = self._file_stats(rel)
+            groups.setdefault(split_val, []).append(
+                {
+                    "path": rel,
+                    "base": entry_base,
+                    "partition": partition,
+                    "stats": stats,
+                    "rows": num_rows,
+                    "bytes": self.mfs.file_size(rel),
+                }
+            )
+        published = []
+        for sv in sorted(groups, key=lambda v: (v is None, str(v))):
+            base = self.current_manifest_name()
+            m = (
+                self._load_manifest()
+                if self.exists()
+                else {
+                    "partition_by": list(self.partition_by),
+                    "partition_types": {},
+                    "files": [],
+                }
+            )
+            published.append(
+                self._publish(
+                    {
+                        "partition_by": m.get("partition_by", []),
+                        "partition_types": m.get("partition_types", {}),
+                        "files": m["files"] + groups[sv],
+                    },
+                    op="import",
+                    expected_parent=base,
+                )
+            )
+        return published
+
     # --------------------------------------------------------------- read
     def select_entries(
         self,

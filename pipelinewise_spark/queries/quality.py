@@ -179,7 +179,11 @@ def ingest_volume_anomaly_orders(
     per-commit loaded-row deltas come from ``meta("snapshots")`` (pure
     manifest arithmetic, zero data scanned) and the median/MAD rule
     flags exactly the bad commit. The oracle recomputes the same deltas
-    straight from the source rows."""
+    straight from the source rows. The six-commit history lands with ONE
+    staged Spark write + ``import_files`` (the Iceberg add_files-style
+    bulk history import: per-commit publishes are metadata-only), so the
+    bench number measures DETECTION, not table-building (r7 VERDICT
+    task 6)."""
     from pipelinewise_spark.operators.anomaly import (
         snapshot_row_deltas,
         volume_anomalies,
@@ -191,19 +195,20 @@ def ingest_volume_anomaly_orders(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
         )
         k = F.col("o_orderkey")
-        t = ManifestTable(os.path.join(tmp, "orders"), ["o_orderpriority"])
-        t.overwrite(orders.filter(k % 5 == 0))
-        for i in range(1, 5):
-            t.merge_on_read(spark, orders.filter(k % 5 == i), ["o_orderkey"])
-        # the bad commit: a half-table load under fresh keys — its
-        # snapshot row delta is its full append size
-        t.merge_on_read(
-            spark,
-            orders.filter(k % 2 == 0).withColumn(
-                "o_orderkey", k + 200_000_000
-            ),
-            ["o_orderkey"],
+        # commits 1-5: the mod-5 shards; commit 6 (the bad batch): a
+        # half-table load under fresh keys — its delta is its full size
+        staged = orders.withColumn("__commit", (k % 5 + 1)).unionByName(
+            orders.filter(k % 2 == 0)
+            .withColumn("o_orderkey", k + 200_000_000)
+            .withColumn("__commit", F.lit(6))
         )
+        t = ManifestTable(os.path.join(tmp, "orders"), ["o_orderpriority"])
+        # cluster by the partition tuple: one task per output dir (no
+        # writer-per-dir fanout inside a task), one file per commit/prio
+        staged.repartition("__commit", "o_orderpriority").write.partitionBy(
+            "__commit", "o_orderpriority"
+        ).parquet(t.mfs.uri("data/staged"))
+        t.import_files("data/staged", split_key="__commit")
     deltas = snapshot_row_deltas(t.meta(spark, "snapshots"))
     return volume_anomalies(deltas, "rows_added").select(
         "version", "rows_added", "is_anomaly"

@@ -7,6 +7,8 @@ from __future__ import annotations
 import itertools
 import random
 
+import pyspark.sql.functions as F
+
 from pipelinewise_spark.functions.graph import triangle_count
 
 
@@ -70,3 +72,77 @@ def test_pagerank_random_vs_brute(spark):
     for x in nodes:
         assert abs(got[x] - rank[x]) < 1e-12, x
     assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_skew_salted_matches_plain(spark):
+    """90 % of edges point into one celebrity node: the auto-detected
+    skew-hardened plan (broadcast hot-source join + salted two-level dst
+    aggregate) must reproduce the plain plan's ranks to well inside the
+    query contract's 9-dp round."""
+    from pipelinewise_spark.functions.graph import pagerank
+
+    rnd = random.Random(7)
+    edges = [(i, 0) for i in range(1, 181)]  # hub: 90 % of edges
+    edges += [(rnd.randrange(1, 60), rnd.randrange(60, 120)) for _ in range(20)]
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "u", "v", skew_salt=None).collect()
+    }
+    salted = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "u", "v", skew_salt=8, skew_threshold=4.0).collect()
+    }
+    auto = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "u", "v", skew_salt="auto", skew_threshold=4.0).collect()
+    }
+    assert set(plain) == set(salted) == set(auto)
+    for x in plain:
+        assert abs(plain[x] - salted[x]) < 1e-12, x
+        assert abs(plain[x] - auto[x]) < 1e-12, x
+    assert abs(sum(salted.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_skew_plan_shape(spark):
+    """Plan pin for the hardened iteration: the hot-source slice joins by
+    BROADCAST (no shuffle concentration of a hot key), and the destination
+    aggregate is two-level — a partial keyed by (t, __salt) under the
+    final groupBy(t) — so a hot destination's final fan-in is bounded by
+    the salt shard count, not its in-degree."""
+    from pipelinewise_spark.functions.graph import _iteration_contribs
+
+    edges = [(i, 0) for i in range(1, 50)]
+    e = spark.createDataFrame(edges, "s long, t long").withColumn(
+        "deg", F.lit(1).cast("long")
+    )
+    ranks = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .withColumn("rank", F.lit(0.01))
+    )
+    contribs = _iteration_contribs(e, ranks, hot=[0], salt_n=8)
+    plan = contribs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "__salt" in plan
+    # two-level: at least two aggregate exchanges keyed differently
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+    # the salted partial genuinely shards the hot destination: node 0's
+    # partial rows outnumber 1 (no single-reducer fan-in of its in-degree)
+    partial_rows = (
+        e.join(ranks, e.s == ranks.node)
+        .select("t", (F.col("rank") / F.col("deg")).alias("__c"))
+        .repartition(8)
+        .withColumn(
+            "__salt",
+            F.pmod(F.hash("t", F.spark_partition_id()), F.lit(8)),
+        )
+        .groupBy("t", "__salt")
+        .count()
+        .filter(F.col("t") == 0)
+        .count()
+    )
+    assert partial_rows > 1

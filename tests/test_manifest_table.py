@@ -337,3 +337,73 @@ def test_add_constraint_rejects_violating_existing_data(spark, tmp_path):
         t.add_constraint(spark, "positive_value", "value > 0")
     assert t.current_manifest_name() == v  # not published
     assert t.constraints() == {}
+
+
+def test_append_carries_files_by_reference(spark, tmp_path):
+    """append (r8): new files land, EVERY existing file carries over by
+    manifest reference (paths unchanged); CDF shows pure inserts; count
+    metadata stays exact; constraints gate the incoming batch."""
+    import pytest
+
+    from pipelinewise_spark.operators.manifest_table import (
+        ConstraintViolation,
+    )
+
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["p"])
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    t.overwrite(base)
+    paths_before = {e["path"] for e in _manifest(t)["files"]}
+
+    t.append(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+        )
+    )
+    m = _manifest(t)
+    assert m["operation"] == "append"
+    assert paths_before <= {e["path"] for e in m["files"]}, "rewrote files"
+    assert t.count_rows() == 30 and t.read(spark).count() == 30
+    feed = t.changes_between(spark, 1)
+    assert feed.filter("_change_type = 'delete'").count() == 0
+    assert feed.filter("_change_type = 'insert'").count() == 10
+
+    t.add_constraint(spark, "small", "k < 100")
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.range(500, 505).select(
+                F.col("id").alias("k"), F.lit("0").alias("p")
+            )
+        )
+    assert t.count_rows() == 30
+
+
+def test_import_files_splits_staged_write_into_commits(spark, tmp_path):
+    """import_files (r8, Iceberg add_files analog): one staged hive-
+    partitioned write becomes N append commits in split-key order, data
+    never copied; partition dicts exclude the split level; per-commit
+    row deltas match the staged slices; stats-based pruning still works
+    on imported entries."""
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), ["p"])
+    staged = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") % 2 + 1).alias("__c"),
+    )
+    staged.repartition("__c", "p").write.partitionBy("__c", "p").parquet(
+        t.mfs.uri("data/staged")
+    )
+    names = t.import_files("data/staged", split_key="__c")
+    assert len(names) == 2
+    assert t.count_rows() == 60 and t.read(spark).count() == 60
+    m = _manifest(t)
+    assert m["operation"] == "import"
+    assert all("__c" not in e["partition"] for e in m["files"])
+    assert sorted(t.read(spark).columns) == ["k", "p"]
+    # commit 1 = __c==1 slice (30 rows), commit 2 adds the other 30
+    assert t.read(spark, version=1).count() == 30
+    # file-skipping stats were captured from the imported footers
+    entries, _ = t.select_entries(ranges={"k": (0, 1)})
+    assert 0 < len(entries) < len(m["files"])
