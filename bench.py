@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "kafka_records_events",
     "mask_condition_field_path_events",
     "mask_json_field_paths_events",
+    "kmeans_embeddings",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

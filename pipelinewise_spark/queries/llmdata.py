@@ -2955,3 +2955,89 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "hamming",
     )
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """DuckDB twin of functions/kmeans.py:kmeans_exact — the Lloyd loop as
+    one recursive CTE (the BPE-oracle pattern extended to numerical ML).
+    Centroid state rides as a single-row list of (j, s BIGINT[], c); the
+    vector table enters the recursive term as a LIST (pure correlation —
+    DuckDB's binder forbids direct aggregates over a base-table scan in a
+    LATERAL, and 3-deep lambda capture; list_zip keeps every capture at
+    depth <= 2). Every distance compare is the same HUGEINT
+    cross-multiplication the Spark side runs in DECIMAL(38,0), so
+    assignments are value-exact."""
+
+    def assign(state: str, qcol: str) -> str:
+        return f"""
+          (list_reduce(
+             list_transform({state}, ce -> struct_pack(
+                 N := list_aggregate(list_transform(list_zip({qcol}, ce.s),
+                        p -> (CAST(ce.c AS HUGEINT) * p[1]
+                              - CAST(p[2] AS HUGEINT))
+                           * (CAST(ce.c AS HUGEINT) * p[1]
+                              - CAST(p[2] AS HUGEINT))), 'sum'),
+                 c2 := CAST(ce.c AS HUGEINT) * CAST(ce.c AS HUGEINT),
+                 j := ce.j)),
+             (a, b) -> CASE WHEN b.N * a.c2 < a.N * b.c2
+                            THEN b ELSE a END)).j"""
+
+    members = "list_filter(t1.asg, x -> x.cl = ce.j)"
+    return f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+      FROM embeddings),
+    init AS (
+      SELECT list(struct_pack(j := rn, s := q, c := 1::BIGINT)
+                  ORDER BY rn) AS cents
+      FROM (SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {k}))),
+    vlist AS (SELECT list(struct_pack(q := q)) AS vl FROM vecs),
+    km AS (
+      SELECT 0 AS it, (SELECT cents FROM init) AS cents
+      UNION ALL
+      SELECT it + 1,
+             list_transform(km.cents, ce ->
+                 CASE WHEN len({members}) = 0 THEN ce
+                      ELSE struct_pack(
+                          j := ce.j,
+                          s := list_reduce(
+                                 list_transform({members}, m -> m.q),
+                                 (a, b) -> list_transform(list_zip(a, b),
+                                             p -> p[1] + p[2])),
+                          c := len({members})::BIGINT)
+                 END)
+      FROM km,
+      -- lambdas may reference columns of the CURRENT scope's FROM but not
+      -- outer-correlated ones: re-scope km.cents via a plain projection
+      -- (t0) so the assignment fold can see it
+      LATERAL (
+        SELECT list_transform((SELECT vl FROM vlist), vv -> struct_pack(
+                   q := vv.q,
+                   cl := {assign("t0.cents0", "vv.q")})) AS asg
+        FROM (SELECT km.cents AS cents0) t0
+      ) t1
+      WHERE it < {iterations}
+    ),
+    st AS (SELECT cents AS state FROM km WHERE it = {iterations})
+    SELECT v.vec_id, CAST({assign("st.state", "v.q")} AS BIGINT) AS cluster_id
+    FROM vecs v, st
+    """
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT distributed k-means over the embeddings table
+    (functions/kmeans.py:kmeans_exact): 8 clusters, 3 Lloyd iterations,
+    deterministic lowest-id init, all arithmetic in integer micro-units
+    with cross-multiplied rational distance compares — per-vector
+    assignments are bit-identical across engines (the DuckDB oracle
+    replays the full iteration loop as a recursive CTE). Per iteration the
+    corpus never shuffles: one map stage against k x dim literal centroid
+    values into a k-row aggregate."""
+    from pipelinewise_spark.functions.kmeans import kmeans_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_exact(emb, "vec_id", "embedding", k=8, iterations=3)
