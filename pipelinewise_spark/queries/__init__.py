@@ -69,9 +69,13 @@ _SHOWCASE_ORDER = [
     "q22_global_sales_opportunity", "histogram_order_totals",
     "pivot_user_event_counts", "q9_product_type_profit",
     "cube_order_revenue", "median_order_price_by_priority",
-    "retention_cohorts_weekly", "ntile_documents_by_length",
-    "monthly_revenue_moving_avg",
+    "retention_cohorts_weekly",
+    # Part 5 (2): NEW in r8 (registered this round, graded now) — the
+    # value-exact distributed k-means and the PQ ANN that completes the
+    # IVF / int8 / PQ triad
+    "kmeans_embeddings", "embedding_pq_topk",
     # ============== end r8 prefix-50 ==============
+    "ntile_documents_by_length", "monthly_revenue_moving_avg",
     # --- r7 rotation, part 1: close the cumulative driver-green union.
     # Never-green first: the r6 red (oracle HUGEINT artifact, fixed),
     # the two post-r6-prefix registrations, and the three r7 operators.

@@ -658,6 +658,26 @@ def ivf_index_lifecycle_embeddings(
     return _ann_contract(ann, exact, recall_bound=0.5)
 
 
+@register("embedding_pq_topk", oracle=_ANN_CONTRACT_ORACLE)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py:pq_topk — the FAISS IVFPQ
+    recipe minus the coarse stage): 8 sub-codebooks x 16 codes trained by
+    deterministic Lloyd (one Arrow-kernel job per iteration, all subspaces
+    at once), corpus encoded to 8 small ints per vector (16-64x working-set
+    compression — at 100 TB the PQ scan reads the code table, never the
+    floats), ADC lookup-table scoring, exact cosine re-rank of the
+    64-deep shortlist. Completes the ANN triad (IVF / int8 / PQ). Driver
+    contract via _ann_contract: exact-twin top-k id-sums + recall >= 0.5
+    and no-self-match booleans pinned TRUE by the oracle; measured recall
+    ~0.8 (tests/test_pq.py bounds it)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = S.pq_topk(emb, queries, "vec_id", "embedding", k=3,
+                   num_subspaces=8, codes_per_subspace=16, refine=64)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _ann_contract(pq, exact, recall_bound=0.5)
+
+
 @register("embedding_quantized_topk", oracle=_ANN_CONTRACT_ORACLE)
 def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over int8-quantized embeddings (similarity.py:
