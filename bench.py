@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "mask_condition_field_path_events",
     "mask_json_field_paths_events",
     "kmeans_embeddings",
+    "embedding_pq_topk",
+    "mmr_diversified_topk_embeddings",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

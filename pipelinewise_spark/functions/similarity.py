@@ -1067,3 +1067,103 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------- MMR
+def mmr_diversify_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pool: int = 15,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein):
+    per query, greedily pick k results maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` from an
+    exact-cosine ``pool``-deep candidate shortlist. The standard re-rank for
+    RAG retrieval where the plain top-k collapses onto near-duplicates.
+
+    Scale shape: the pool bound makes the greedy state per-query-finite BY
+    CONSTRUCTION — relevance is one broadcast cosine_topk scan, pairwise
+    sims are pool^2-per-query rows (a pool-vs-pool self-join, never
+    corpus^2), and the sequential greedy runs inside applyInPandas per
+    query group over <= pool^2 rows. Determinism: every rel/sim the greedy
+    consumes is the JVM fold cosine rounded to ``round_to`` (the exact
+    value a SQL twin reproduces); scoring is two IEEE multiplies + a
+    subtract on those rounded doubles; ties break to the lower neighbor
+    id. Returns (query_id, neighbor_id, mmr_rank).
+    """
+    rel = cosine_topk(corpus, queries, id_col, vec_col, k=pool,
+                      round_to=round_to)
+    cva = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
+    cvb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"))
+    pa = rel.select(
+        "query_id", F.col("neighbor_id").alias("a_id"), F.col("cos").alias("rel_a")
+    )
+    pb = rel.select("query_id", F.col("neighbor_id").alias("b_id"))
+    pairs = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(cva, "a_id")
+        .join(cvb, "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "rel_a",
+            "b_id",
+            F.round(cosine(F.col("__av"), F.col("__bv")), round_to).alias("sim"),
+        )
+    )
+    # carrier rows (b_id NULL) keep pool-of-one queries representable
+    feed = pairs.unionByName(
+        pa.select(
+            "query_id",
+            "a_id",
+            "rel_a",
+            F.lit(None).cast("long").alias("b_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+
+    one_minus = 1.0 - lam
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        rels: dict[int, float] = {}
+        sims: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rels[int(r.a_id)] = float(r.rel_a)
+            if r.b_id is not None and not pd.isna(r.b_id):
+                sims[(int(r.a_id), int(r.b_id))] = float(r.sim)
+        selected: list[int] = []
+        remaining = set(rels)
+        while remaining and len(selected) < k:
+            best_id, best_score = None, None
+            for c in sorted(remaining):
+                # true max over selected (can be negative); 0 only when
+                # nothing is selected yet — mirrors the SQL twin's
+                # COALESCE(list_max(...), 0)
+                div = max(
+                    (sims.get((c, s), 0.0) for s in selected), default=0.0
+                )
+                score = lam * rels[c] - one_minus * div
+                # strictly-greater keeps the earlier (lower-id) candidate
+                # on ties — the same rule the SQL twin's fold runs
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.discard(best_id)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "neighbor_id": selected,
+                "mmr_rank": range(1, len(selected) + 1),
+            }
+        )
+
+    return feed.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, neighbor_id long, mmr_rank int"
+    )

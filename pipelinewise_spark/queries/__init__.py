@@ -58,7 +58,7 @@ _SHOWCASE_ORDER = [
     # manifest stats collection (_file_stats row-group dropped-set) and
     # metadata-verb publish (expected_parent) — the two most exposed verbs.
     "analyze_stats_orders", "merge_on_read_orders",
-    # Part 4 (20): staleness rotation — cumulative-green rows whose last
+    # Part 4 (17): staleness rotation — cumulative-green rows whose last
     # driver check is r1/r3/r5; re-shown per the every-round rotation
     # policy. All are pytest-verified value-exact at sf0.001 every run.
     "q1_pricing_summary", "q3_shipping_priority",
@@ -69,12 +69,13 @@ _SHOWCASE_ORDER = [
     "q22_global_sales_opportunity", "histogram_order_totals",
     "pivot_user_event_counts", "q9_product_type_profit",
     "cube_order_revenue", "median_order_price_by_priority",
-    "retention_cohorts_weekly",
-    # Part 5 (2): NEW in r8 (registered this round, graded now) — the
-    # value-exact distributed k-means and the PQ ANN that completes the
-    # IVF / int8 / PQ triad
+    # Part 5 (3): NEW in r8 (registered this round, graded now) — the
+    # value-exact distributed k-means, the PQ ANN that completes the
+    # IVF / int8 / PQ triad, and the value-exact MMR diversified re-rank
     "kmeans_embeddings", "embedding_pq_topk",
+    "mmr_diversified_topk_embeddings",
     # ============== end r8 prefix-50 ==============
+    "retention_cohorts_weekly",
     "ntile_documents_by_length", "monthly_revenue_moving_avg",
     # --- r7 rotation, part 1: close the cumulative driver-green union.
     # Never-green first: the r6 red (oracle HUGEINT artifact, fixed),

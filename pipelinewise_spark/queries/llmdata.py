@@ -3061,3 +3061,93 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_exact(emb, "vec_id", "embedding", k=8, iterations=3)
+
+
+def _mmr_oracle(k: int = 5, pool: int = 15, lam: float = 0.7) -> str:
+    """DuckDB twin of similarity.py:mmr_diversify_topk — the greedy MMR
+    loop replayed as a recursive CTE (the kmeans/BPE oracle pattern).
+    Every rel/sim both engines consume is the rounded fold cosine (the
+    proven _ANN_CONTRACT_ORACLE arithmetic), the score is the same two
+    IEEE multiplies + subtract, and ties break to the lower neighbor id
+    via a strictly-greater fold over a nid-ordered candidate list."""
+    one_minus = 1.0 - lam
+    cos = (
+        "round(list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {b}.v[i])) /"
+        " (sqrt(list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {a}.v[i]))) *"
+        "  sqrt(list_sum(list_transform(range(1, 65), i -> {b}.v[i] * {b}.v[i])))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE qv AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 10),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rel AS (
+      SELECT query_id, nid, cos FROM (
+        SELECT q.query_id, c.vec_id AS nid,
+               {cos.format(a='q', b='c')} AS cos,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos.format(a='q', b='c')} DESC, c.vec_id) AS rn
+        FROM qv q CROSS JOIN cv c WHERE q.query_id <> c.vec_id)
+      WHERE rn <= {pool}),
+    prs AS (
+      SELECT a.query_id,
+             list(struct_pack(a := a.nid, b := b.nid,
+                              sim := {cos.format(a='va', b='vb')})) AS ps
+      FROM rel a
+      JOIN rel b ON a.query_id = b.query_id AND a.nid <> b.nid
+      JOIN cv va ON va.vec_id = a.nid
+      JOIN cv vb ON vb.vec_id = b.nid
+      GROUP BY a.query_id),
+    base AS (
+      SELECT c.query_id, c.cands, COALESCE(p.ps, []) AS ps
+      FROM (SELECT query_id,
+                   list(struct_pack(nid := nid, rel := cos) ORDER BY nid)
+                     AS cands
+            FROM rel GROUP BY query_id) c
+      LEFT JOIN prs p USING (query_id)),
+    mmr AS (
+      SELECT query_id, 0 AS step, []::BIGINT[] AS sel FROM base
+      UNION ALL
+      SELECT t0.query_id, t0.step + 1,
+             list_append(t0.sel, (list_reduce(
+               list_transform(
+                 list_filter(t0.cands, x -> NOT list_contains(t0.sel, x.nid)),
+                 x -> struct_pack(
+                   score := {lam} * x.rel - {one_minus} * COALESCE(
+                     list_aggregate(
+                       list_transform(
+                         list_filter(t0.ps,
+                           p -> p.a = x.nid AND list_contains(t0.sel, p.b)),
+                         p -> p.sim), 'max'), 0),
+                   nid := x.nid)),
+               (a, b) -> CASE WHEN b.score > a.score THEN b ELSE a END)).nid)
+      FROM (SELECT m.query_id, m.step, m.sel, b.cands, b.ps
+            FROM mmr m JOIN base b USING (query_id)) t0
+      WHERE t0.step < {k} AND len(t0.cands) > t0.step
+    )
+    SELECT query_id,
+           unnest(sel) AS neighbor_id,
+           CAST(generate_subscripts(sel, 1) AS INT) AS mmr_rank
+    FROM mmr WHERE step = {k}
+    """
+
+
+@register("mmr_diversified_topk_embeddings", oracle=_mmr_oracle())
+def mmr_diversified_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUE-EXACT maximal-marginal-relevance re-rank
+    (similarity.py:mmr_diversify_topk): per query, greedy k=5 selection
+    from an exact-cosine 15-deep pool with lambda=0.7 — the standard RAG
+    diversification when plain top-k collapses onto near-duplicates. Every
+    number the greedy consumes is the rounded JVM fold cosine, so the
+    DuckDB oracle replays the full selection loop (recursive CTE) and the
+    driver hash-checks per-step picks. Pool bound makes per-query state
+    finite by construction: one broadcast scan for relevance, pool^2 rows
+    per query for sims, applyInPandas for the sequential greedy."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.mmr_diversify_topk(
+        emb, queries, "vec_id", "embedding", k=5, pool=15, lam=0.7
+    )
