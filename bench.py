@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "embedding_pq_topk",
     "mmr_diversified_topk_embeddings",
+    "seasonal_anomaly_daily_events",
+    "distribution_drift_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

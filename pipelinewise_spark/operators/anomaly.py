@@ -64,3 +64,44 @@ def snapshot_row_deltas(snapshots: DataFrame) -> DataFrame:
             - F.coalesce(F.lag("total_rows").over(w), F.lit(0))
         ).alias("rows_added"),
     )
+
+
+def seasonal_anomalies(
+    series: DataFrame,
+    season_col: str,
+    value_col: str,
+    k: float = 3.0,
+    rel: float = 0.01,
+) -> DataFrame:
+    """Season-aware median/MAD rule: the same robust outlier test as
+    :func:`volume_anomalies`, but each row is judged against the baseline
+    of ITS OWN season bucket (day-of-week, hour-of-day, …) — a Monday is
+    compared to Mondays, so weekly shape doesn't read as seven anomalies.
+
+    ``series`` is one row per (season, point) — e.g. daily event counts
+    with ``season_col = dow``. Scale: the series is date-cardinality-
+    bounded (never corpus-bounded: the heavy corpus aggregate producing it
+    is map-side combinable), so the two per-season exact medians run on
+    answer-sized groups; baselines broadcast back as a #seasons-row join.
+    Emits ``baseline_median``, ``mad`` (rounded to 6 dp so the flag
+    arithmetic is engine-portable) and ``is_anomaly``."""
+    med = series.groupBy(season_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias(
+            "baseline_median"
+        )
+    )
+    devs = series.join(F.broadcast(med), season_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("baseline_median"))
+    )
+    mad = devs.groupBy(season_col).agg(
+        F.round(F.expr("percentile(__dev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), season_col)
+        .withColumn(
+            "is_anomaly",
+            F.col("__dev")
+            > F.lit(k) * F.col("mad") + F.lit(rel) * F.col("baseline_median"),
+        )
+        .drop("__dev")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,104 @@ def snapshot_drift(
             (rel_shift > mean_shift_threshold)
             | (null_delta > null_rate_threshold)
         ).alias("drifted"),
+    )
+
+
+def distribution_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    tie_cols: Sequence[str],
+    n_buckets: int = 10,
+    tvd_threshold_ppm: int = 50_000,
+) -> DataFrame:
+    """Histogram-based distribution drift (the PSI-family feature-monitor
+    check): bucket BOTH snapshots by the REFERENCE's ``n_buckets``-tile
+    bounds, then score the shift with total-variation distance
+    ``TVD = 1/2 * Σ |p_i − q_i|``.
+
+    Engine-portable by construction: bucket bounds come from the
+    distributed interpolated quantiles (operators/rank.py, rounded 6 dp),
+    bucket assignment is pure comparison, and the TVD leaves integer space
+    only in the LAST division — ``Σ |ref_cnt·N_cur − cur_cnt·N_ref|`` is
+    exact BIGINT arithmetic, so no float-summation-order nondeterminism
+    exists anywhere (PSI's ``ln`` is 1-ulp engine-dependent; TVD isn't).
+    Scale: two corpus aggregation passes (quantile rank + bucket counts,
+    both shuffle-light), then everything runs on n_buckets rows.
+
+    Returns one row per bucket: (bucket, lo, hi, ref_cnt, cur_cnt) plus
+    the table-wide tvd_ppm (parts-per-million, BIGINT) and drifted flag.
+    """
+    from pipelinewise_spark.operators.rank import (
+        exact_quantiles_interpolated,
+    )
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        r["value"]
+        for r in exact_quantiles_interpolated(
+            reference, value_col, list(tie_cols), qs
+        ).collect()
+    )
+
+    def bucket(col: Column) -> Column:
+        b = F.lit(n_buckets)
+        for i, edge in reversed(list(enumerate(bounds))):
+            b = F.when(col <= F.lit(edge), F.lit(i + 1)).otherwise(b)
+        return b.cast("int")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(bucket(F.col(value_col)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    spark = reference.sparkSession
+    buckets = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                float(bounds[i - 1]) if i > 0 else None,
+                float(bounds[i]) if i < n_buckets - 1 else None,
+            )
+            for i in range(n_buckets)
+        ],
+        "bucket int, lo double, hi double",
+    )
+    per = (
+        buckets.join(F.broadcast(counts(reference, "ref_cnt")), "bucket", "left")
+        .join(F.broadcast(counts(current, "cur_cnt")), "bucket", "left")
+        .na.fill({"ref_cnt": 0, "cur_cnt": 0})
+    )
+    tot = per.agg(
+        F.sum("ref_cnt").alias("__nr"), F.sum("cur_cnt").alias("__nc")
+    )
+    # TVD in exact integer space: Σ|ref·Nc − cur·Nr| / (2·Nr·Nc), scaled to
+    # ppm with one integer division at the very end
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__absdiff",
+        F.abs(
+            F.col("ref_cnt").cast("decimal(38,0)") * F.col("__nc")
+            - F.col("cur_cnt").cast("decimal(38,0)") * F.col("__nr")
+        ),
+    )
+    tvd = scored.agg(
+        F.floor(
+            (F.lit(1_000_000).cast("decimal(38,0)") * F.sum("__absdiff"))
+            / (
+                F.lit(2).cast("decimal(38,0)")
+                * F.max("__nr")
+                * F.max("__nc")
+            )
+        )
+        .cast("long")
+        .alias("tvd_ppm")
+    )
+    return (
+        per.crossJoin(F.broadcast(tvd))
+        .withColumn("drifted", F.col("tvd_ppm") > F.lit(tvd_threshold_ppm))
+        .select(
+            "bucket", "lo", "hi", "ref_cnt", "cur_cnt", "tvd_ppm", "drifted"
+        )
     )

@@ -68,13 +68,16 @@ _SHOWCASE_ORDER = [
     "range_join_attribution", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "histogram_order_totals",
     "pivot_user_event_counts", "q9_product_type_profit",
-    "cube_order_revenue", "median_order_price_by_priority",
-    # Part 5 (3): NEW in r8 (registered this round, graded now) — the
-    # value-exact distributed k-means, the PQ ANN that completes the
-    # IVF / int8 / PQ triad, and the value-exact MMR diversified re-rank
+    # Part 5 (5): NEW in r8 (registered this round, graded now) — the
+    # value-exact distributed k-means, the PQ ANN completing the IVF /
+    # int8 / PQ triad, the value-exact MMR diversified re-rank, the
+    # season-aware median/MAD anomaly rule, and the integer-exact
+    # TVD histogram-drift monitor
     "kmeans_embeddings", "embedding_pq_topk",
     "mmr_diversified_topk_embeddings",
+    "seasonal_anomaly_daily_events", "distribution_drift_orders",
     # ============== end r8 prefix-50 ==============
+    "cube_order_revenue", "median_order_price_by_priority",
     "retention_cohorts_weekly",
     "ntile_documents_by_length", "monthly_revenue_moving_avg",
     # --- r7 rotation, part 1: close the cumulative driver-green union.

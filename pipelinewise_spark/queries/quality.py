@@ -267,3 +267,127 @@ def fk_integrity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         "passed",
     )
+
+
+@register(
+    "seasonal_anomaly_daily_events",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1),
+    d2 AS (SELECT day, cnt, CAST(dayofweek(day) AS INT) AS dow FROM daily),
+    med AS (
+        SELECT dow, ROUND(MEDIAN(cnt), 6) AS baseline_median
+        FROM d2 GROUP BY dow),
+    dev AS (
+        SELECT d2.day, d2.dow, d2.cnt, med.baseline_median,
+               ABS(cnt - baseline_median) AS dv
+        FROM d2 JOIN med USING (dow)),
+    mad AS (SELECT dow, ROUND(MEDIAN(dv), 6) AS mad FROM dev GROUP BY dow)
+    SELECT dev.day, dev.dow, dev.cnt, dev.baseline_median, mad.mad,
+           dv > 3.0 * mad.mad + 0.01 * dev.baseline_median AS is_anomaly
+    FROM dev JOIN mad USING (dow)
+    """,
+)
+def seasonal_anomaly_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Season-aware volume observability (operators/anomaly.py:
+    seasonal_anomalies): daily event counts judged against THEIR
+    day-of-week's median/MAD baseline — weekly traffic shape doesn't read
+    as seven anomalies the way a global baseline would. The corpus
+    touches exactly one map-side-combinable aggregate (count per day);
+    everything after runs on the date-cardinality-bounded series with
+    7-row broadcast baselines. Medians are the exact interpolated
+    percentile both engines share; baseline/MAD round to 6 dp so the
+    flag arithmetic is engine-portable."""
+    from pipelinewise_spark.operators.anomaly import seasonal_anomalies
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+    series = daily.withColumn(
+        "dow", (F.dayofweek("day") - 1).cast("int")
+    )
+    return seasonal_anomalies(series, "dow", "cnt").select(
+        "day", "dow", "cnt", "baseline_median", "mad", "is_anomaly"
+    )
+
+
+@register(
+    "distribution_drift_orders",
+    oracle="""
+    WITH ref AS (
+        SELECT o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (
+        SELECT CASE WHEN o_orderkey % 10 < 3
+                    THEN o_totalprice + 500 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1),
+    edges AS (
+        SELECT list_transform(
+                 quantile_cont(o_totalprice,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref),
+    rb AS (
+        SELECT COALESCE(len(list_filter(es, e -> o_totalprice > e)), 0) + 1
+                   AS bucket
+        FROM ref, edges),
+    cb AS (
+        SELECT COALESCE(len(list_filter(es, e -> o_totalprice > e)), 0) + 1
+                   AS bucket
+        FROM cur, edges),
+    rc AS (SELECT bucket, COUNT(*) AS ref_cnt FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cur_cnt FROM cb GROUP BY bucket),
+    per AS (
+        SELECT b.bucket,
+               CASE WHEN b.bucket > 1 THEN es[b.bucket - 1] END AS lo,
+               CASE WHEN b.bucket < 10 THEN es[b.bucket] END AS hi,
+               COALESCE(rc.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cc.cur_cnt, 0) AS cur_cnt
+        FROM (SELECT unnest(range(1, 11)) AS bucket) b
+        CROSS JOIN edges
+        LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+    tot AS (SELECT SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc FROM per),
+    tvd AS (
+        SELECT CAST(FLOOR(
+            1000000::HUGEINT
+            * SUM(ABS(ref_cnt::HUGEINT * nc - cur_cnt::HUGEINT * nr))
+            / (2::HUGEINT * MAX(nr) * MAX(nc))) AS BIGINT) AS tvd_ppm
+        FROM per, tot)
+    SELECT CAST(per.bucket AS INT) AS bucket, per.lo, per.hi,
+           per.ref_cnt, per.cur_cnt, tvd.tvd_ppm,
+           tvd.tvd_ppm > 50000 AS drifted
+    FROM per, tvd
+    """,
+)
+def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram drift between two snapshots (operators/drift.py:
+    distribution_drift — the PSI-family feature monitor): even-key orders
+    are the reference, odd-key orders with +500 on 30% of prices are the
+    shifted current batch; both bucket by the reference's decile bounds
+    (distributed interpolated quantiles) and the shift scores as
+    total-variation distance in EXACT integer arithmetic — Σ|ref·Nc −
+    cur·Nr| stays in decimal/HUGEINT space with one integer division at
+    the end, so no float-summation-order or transcendental (PSI's ln)
+    nondeterminism exists anywhere. Corpus cost: one rank pass + one
+    bucket-count aggregate per side; everything else is 10-row
+    metadata."""
+    from pipelinewise_spark.operators.drift import distribution_drift
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ref = o.filter(k % 2 == 0)
+    cur = o.filter(k % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(
+            k % 10 < 3, F.col("o_totalprice") + 500
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return distribution_drift(
+        ref, cur, "o_totalprice", ["o_orderkey"], n_buckets=10
+    )
