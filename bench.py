@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "mmr_diversified_topk_embeddings",
     "seasonal_anomaly_daily_events",
     "distribution_drift_orders",
+    "record_linkage_customer",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

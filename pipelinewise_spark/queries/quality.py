@@ -391,3 +391,88 @@ def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         ref, cur, "o_totalprice", ["o_orderkey"], n_buckets=10
     )
+
+
+@register(
+    "record_linkage_customer",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               substr(c_name, 10, 7) AS blk
+        FROM customer),
+    b AS (
+        SELECT c_custkey + 10000000 AS b_key,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN substr(c_name, 1, 16) ELSE c_name END AS b_name,
+               c_nationkey AS b_nation,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN c_acctbal + 0.01 ELSE c_acctbal END AS b_acctbal,
+               c_mktsegment AS b_seg
+        FROM customer WHERE c_custkey % 5 <> 0),
+    scored AS (
+        SELECT b.b_key AS right_key, a.c_custkey AS left_key,
+               CAST(CASE WHEN a.c_name = b.b_name THEN 300 ELSE 0 END
+                  + CASE WHEN levenshtein(a.c_name, b.b_name) <= 2
+                         THEN 500 ELSE 0 END
+                  + CASE WHEN abs(a.c_acctbal - b.b_acctbal) <= 0.02
+                         THEN 400 ELSE 0 END
+                  + CASE WHEN a.c_mktsegment = b.b_seg THEN 100 ELSE 0 END
+                 AS BIGINT) AS score
+        FROM a JOIN b ON a.c_nationkey = b.b_nation
+                     AND a.blk = substr(b.b_name, 10, 7))
+    SELECT right_key, left_key, score FROM (
+        SELECT right_key, left_key, score,
+               row_number() OVER (PARTITION BY right_key
+                                  ORDER BY score DESC, left_key) AS rn
+        FROM scored WHERE score >= 800)
+    WHERE rn = 1
+    """,
+)
+def record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution across two sources (functions/linkage.py:
+    link_records — Fellegi-Sunter shaped with INTEGER agreement weights):
+    the customer table vs a perturbed sibling source (key space +10M, 25%
+    truncated names, a third of balances off by 0.01, 20% of rows
+    absent). Blocking on (nation, name-digit prefix) bounds candidates —
+    never all-pairs, the edit-distance-dedup join shape; features are
+    name-exact(+300) / name-edit<=2(+500) / balance-within-0.02(+400) /
+    segment(+100), all engine-portable (levenshtein is JVM-built-in and
+    DuckDB-native; balances stay decimal-exact); each right record
+    resolves to its best match at threshold 800 with (score DESC, key
+    ASC) tie-breaks via one partial-aggregatable min(struct) — no window
+    sort."""
+    from pipelinewise_spark.functions.linkage import (
+        feature_band,
+        feature_edit,
+        feature_exact,
+        link_records,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = c.withColumn("blk", F.substring("c_name", 10, 7))
+    b = c.filter(k % 5 != 0).select(
+        (k + 10_000_000).alias("b_key"),
+        F.when(k % 4 == 0, F.substring("c_name", 1, 16))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("b_nation"),
+        F.when(k % 3 == 0, F.col("c_acctbal") + 0.01)
+        .otherwise(F.col("c_acctbal") + 0)
+        .alias("b_acctbal"),
+        F.col("c_mktsegment").alias("b_seg"),
+    ).withColumn("blk", F.substring("b_name", 10, 7))
+    return link_records(
+        a,
+        b,
+        "c_custkey",
+        "b_key",
+        blocks=[("c_nationkey", "b_nation"), ("blk", "blk")],
+        features=[
+            feature_exact("c_name", "b_name", 300),
+            feature_edit("c_name", "b_name", 500, max_dist=2),
+            feature_band("c_acctbal", "b_acctbal", 400, 0.02),
+            feature_exact("c_mktsegment", "b_seg", 100),
+        ],
+        threshold=800,
+    )
