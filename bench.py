@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "seasonal_anomaly_daily_events",
     "distribution_drift_orders",
     "record_linkage_customer",
+    "pq_index_lifecycle_embeddings",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

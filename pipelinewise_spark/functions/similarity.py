@@ -1167,3 +1167,151 @@ def mmr_diversify_topk(
     return feed.groupBy("query_id").applyInPandas(
         greedy, schema="query_id long, neighbor_id long, mmr_rank int"
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    dim: int = DIM,
+) -> None:
+    """Persist the PQ index as a serving artifact: the trained codebooks
+    as a JSON sidecar (metadata-scale) plus the CODE TABLE — ``id`` +
+    num_subspaces small ints per vector, the 16-64x-compressed scan set.
+    Unlike the IVF index (which carries the float vectors inside its
+    inverted lists), the PQ artifact deliberately does NOT copy vectors:
+    the ADC scan touches only codes, and the exact re-rank fetches the
+    shortlist's vectors from the source lake — that asymmetry IS the PQ
+    memory story at 100 TB. Metadata goes through MetaFS (s3://-capable),
+    mirroring build_ivf_index / build_lsh_index."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    codebooks = pq_train_codebooks(
+        corpus, id_col, vec_col, num_subspaces, codes_per_subspace, dim=dim
+    )
+    pq_encode(corpus, id_col, vec_col, codebooks, dim=dim).write.mode(
+        "overwrite"
+    ).parquet(mfs.uri("codes"))
+    meta = {
+        "id_col": id_col,
+        "num_subspaces": num_subspaces,
+        "codes_per_subspace": codes_per_subspace,
+        "dim": dim,
+        "codebooks": codebooks,
+    }
+    mfs.write_text(json.dumps(meta), "_pq_index.json", atomic=True)
+
+
+def extend_pq_index(batch: DataFrame, path: str, vec_col: str) -> None:
+    """Admit new vectors: encode against the EXISTING codebooks (one
+    Arrow-kernel map pass, batch-sized) and append to the code table —
+    codebooks unchanged (the standard serving policy; rebuild when the
+    corpus distribution drifts)."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = json.loads(mfs.read_text("_pq_index.json"))
+    pq_encode(
+        batch, meta["id_col"], vec_col, meta["codebooks"], dim=meta["dim"]
+    ).write.mode("append").parquet(mfs.uri("codes"))
+
+
+def pq_topk_against_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    k: int = 3,
+    refine: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe the persisted PQ index: ADC-score the CODE TABLE (the only
+    full scan — 8 ints per row), shortlist ``refine`` deep, exact-cosine
+    re-rank against vectors fetched from ``corpus`` (the source lake).
+    Same output contract as pq_topk / cosine_topk."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    mfs = MetaFS(path)
+    meta = json.loads(mfs.read_text("_pq_index.json"))
+    codebooks = meta["codebooks"]
+    id_col = meta["id_col"]
+    num_subspaces = meta["num_subspaces"]
+    sub_dim = meta["dim"] // num_subspaces
+    codes = spark.read.parquet(mfs.uri("codes"))
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).collect()
+    adc_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["__qv"]]
+        table = [
+            [
+                sum(
+                    (qv[m * sub_dim + i] - cent[i]) ** 2
+                    for i in range(sub_dim)
+                )
+                for cent in cb_m
+            ]
+            for m, cb_m in enumerate(codebooks)
+        ]
+        adc_rows.append((r["query_id"], table))
+    adc = spark.createDataFrame(
+        adc_rows, "query_id bigint, adc array<array<double>>"
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(adc))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("adc"),
+                    lambda code, row: F.element_at(row, code),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    q = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["__qv"]]) for r in qrows],
+        "query_id bigint, __qv array<double>",
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

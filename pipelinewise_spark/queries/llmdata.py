@@ -3151,3 +3151,39 @@ def mmr_diversified_topk_embeddings(
     return S.mmr_diversify_topk(
         emb, queries, "vec_id", "embedding", k=5, pool=15, lam=0.7
     )
+
+
+@register("pq_index_lifecycle_embeddings", oracle=_ANN_CONTRACT_ORACLE)
+def pq_index_lifecycle_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-PQ-index lifecycle (similarity.py:build_pq_index /
+    extend_pq_index / pq_topk_against_index): train codebooks + write the
+    compressed CODE TABLE from 2/3 of the corpus, EXTEND with the
+    remaining third (encode-against-existing-codebooks append), then
+    probe — the ADC scan reads ONLY the code table (8 small ints per
+    vector; the index deliberately carries no float vectors — the exact
+    re-rank fetches its refine-deep shortlist from the source lake, which
+    is the PQ memory story at 100 TB). Same driver contract as the
+    in-plan PQ (_ann_contract): exact-twin top-k id-sums + recall >= 0.5 /
+    no-self-match booleans. Completes the per-family index lifecycles:
+    LSH (documents), IVF, text index, PQ."""
+    import tempfile
+
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pws_pqidx_") + "/idx"
+    with fixture_timer():
+        S.build_pq_index(
+            emb.filter(F.col("vec_id") % 3 != 0), path, "vec_id", "embedding"
+        )
+        S.extend_pq_index(
+            emb.filter(F.col("vec_id") % 3 == 0), path, "embedding"
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = S.pq_topk_against_index(
+        spark, path, emb, queries, "embedding", k=3, refine=64
+    )
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _ann_contract(ann, exact, recall_bound=0.5)

@@ -73,3 +73,32 @@ def test_refine_everything_equals_exact(emb):
     assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq} == {
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in exact
     }
+
+
+def test_pq_index_lifecycle(spark, emb, tmp_path):
+    """Build on 2/3, extend with 1/3: the code table covers the full corpus,
+    codebooks are unchanged by extension, and the probe against the index
+    equals the in-plan pq_topk with the same codebook training set."""
+    import json
+
+    from pipelinewise_spark.operators.fsio import MetaFS
+
+    path = str(tmp_path / "pqidx")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    rest = emb.filter(F.col("vec_id") % 3 == 0)
+    S.build_pq_index(base, path, "vec_id", "embedding")
+    meta_before = json.loads(MetaFS(path).read_text("_pq_index.json"))
+    S.extend_pq_index(rest, path, "embedding")
+    meta_after = json.loads(MetaFS(path).read_text("_pq_index.json"))
+    assert meta_before["codebooks"] == meta_after["codebooks"]
+    codes = spark.read.parquet(MetaFS(path).uri("codes"))
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.pq_topk_against_index(
+        spark, path, emb, queries, "embedding", k=3, refine=64
+    ).collect()
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    hits = sum((r["query_id"], r["neighbor_id"]) in ex for r in out)
+    assert hits / len(ex) >= 0.5
