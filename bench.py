@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "distribution_drift_orders",
     "record_linkage_customer",
     "pq_index_lifecycle_embeddings",
+    "reconcile_report_orders",
+    "reconcile_diff_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -1,0 +1,115 @@
+"""Source/target reconciliation — the "did replication actually replicate?"
+verifier a pipelinewise-class tool runs after every sync (the data-diff /
+audit op; the reference trusts per-batch record counts, cf.
+pipelinewise/fastsync/commons/utils.py export row counts — this is the
+content-level generalization).
+
+Two granularities over the same canonical row hash:
+
+- :func:`reconcile_report` — per-BUCKET row counts + checksums (SUM of a
+  48-bit slice of each row's sha256). One aggregation pass per side, report
+  size = n_buckets rows regardless of table size; a clean report proves
+  equality without moving any data, a dirty one names the buckets to
+  drill into.
+- :func:`reconcile_diff` — the row-level drill-down: full-outer join on the
+  key, classifying every disagreement as missing_in_target /
+  missing_in_source / modified. One shuffle on the key; at 100 TB run it
+  only on the buckets the report flagged (pass a pre-filtered pair).
+
+Engine-portable by construction: the canonical string is built from exact
+integer/string/date casts (doubles go through money-cents rounding — the
+micro-unit convention), sha256 is identical everywhere, and the checksum
+sums 48-bit hash slices in DECIMAL(38,0) — exact, order-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_hash(canon_cols: Sequence[Column]) -> Column:
+    """48-bit integer slice of sha256 over the '|'-joined canonical
+    columns. NULLs encode as the empty string (concat_ws skips them the
+    same way in both engines)."""
+    h = F.sha2(F.concat_ws("|", *canon_cols), 256)
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def _hashed(
+    df: DataFrame, key_col: str, canon_cols: Sequence[Column], n_buckets: int
+) -> DataFrame:
+    return df.select(
+        F.col(key_col).alias("__key"),
+        F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        row_hash(canon_cols).alias("__h"),
+    )
+
+
+def reconcile_report(
+    source: DataFrame,
+    target: DataFrame,
+    key_col: str,
+    canon_cols: Sequence[Column],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(bucket, src_cnt, tgt_cnt, src_sum, tgt_sum, consistent) — one row
+    per key-modulo bucket; ``consistent`` iff counts and checksums agree."""
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            _hashed(df, key_col, canon_cols, n_buckets)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias(f"{tag}_cnt"),
+                F.sum(F.col("__h").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(f"{tag}_sum"),
+            )
+        )
+
+    rep = side(source, "src").join(side(target, "tgt"), "bucket", "full")
+    return rep.select(
+        "bucket",
+        F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+        F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+        F.coalesce("src_sum", F.lit(0).cast("decimal(38,0)")).alias("src_sum"),
+        F.coalesce("tgt_sum", F.lit(0).cast("decimal(38,0)")).alias("tgt_sum"),
+        (
+            (F.coalesce("src_cnt", F.lit(0)) == F.coalesce("tgt_cnt", F.lit(0)))
+            & (
+                F.coalesce("src_sum", F.lit(0).cast("decimal(38,0)"))
+                == F.coalesce("tgt_sum", F.lit(0).cast("decimal(38,0)"))
+            )
+        ).alias("consistent"),
+    )
+
+
+def reconcile_diff(
+    source: DataFrame,
+    target: DataFrame,
+    key_col: str,
+    canon_cols: Sequence[Column],
+) -> DataFrame:
+    """Row-level disagreements: (key, status) with status in
+    missing_in_target / missing_in_source / modified. Equal rows are
+    absent. One key-shuffle full-outer join carrying only (key, hash)."""
+    s = source.select(
+        F.col(key_col).alias("key"), row_hash(canon_cols).alias("__sh")
+    )
+    t = target.select(
+        F.col(key_col).alias("key"), row_hash(canon_cols).alias("__th")
+    )
+    j = s.join(t, "key", "full")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("__th").isNull(), F.lit("missing_in_target"))
+            .when(F.col("__sh").isNull(), F.lit("missing_in_source"))
+            .when(F.col("__sh") != F.col("__th"), F.lit("modified")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select("key", "status")
+    )

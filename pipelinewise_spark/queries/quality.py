@@ -476,3 +476,129 @@ def record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         threshold=800,
     )
+
+
+_RECON_CANON_SQL = """
+        concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                  CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       AS VARCHAR),
+                  CAST(CAST(date_trunc('day', o_orderdate) AS DATE)
+                       AS VARCHAR))"""
+
+_RECON_TARGET_SQL = """
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 997 = 0
+                    THEN o_totalprice + 0.01 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 1003 <> 7
+        UNION ALL
+        SELECT o_orderkey + 300000000, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 1009 = 3"""
+
+
+def _recon_frames(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    target = o.filter(k % 1003 != 7).withColumn(
+        "o_totalprice",
+        F.when(k % 997 == 0, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        o.filter(k % 1009 == 3).withColumn("o_orderkey", k + 300_000_000)
+    )
+    canon = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string"),
+    ]
+    return o, target, canon
+
+
+@register(
+    "reconcile_report_orders",
+    oracle=f"""
+    WITH tgt AS ({_RECON_TARGET_SQL}),
+    sh AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(('0x' || substr(sha256({_RECON_CANON_SQL}), 1, 12))
+                    AS BIGINT) AS h
+        FROM orders),
+    th AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(('0x' || substr(sha256({_RECON_CANON_SQL}), 1, 12))
+                    AS BIGINT) AS h
+        FROM tgt),
+    sa AS (SELECT bucket, COUNT(*) AS src_cnt,
+                  CAST(SUM(h) AS BIGINT) AS src_sum FROM sh GROUP BY bucket),
+    ta AS (SELECT bucket, COUNT(*) AS tgt_cnt,
+                  CAST(SUM(h) AS BIGINT) AS tgt_sum FROM th GROUP BY bucket)
+    SELECT CAST(COALESCE(sa.bucket, ta.bucket) AS INT) AS bucket,
+           COALESCE(src_cnt, 0) AS src_cnt, COALESCE(tgt_cnt, 0) AS tgt_cnt,
+           COALESCE(src_sum, 0) AS src_sum, COALESCE(tgt_sum, 0) AS tgt_sum,
+           COALESCE(src_cnt, 0) = COALESCE(tgt_cnt, 0)
+             AND COALESCE(src_sum, 0) = COALESCE(tgt_sum, 0) AS consistent
+    FROM sa FULL JOIN ta ON sa.bucket = ta.bucket
+    """,
+)
+def reconcile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication verification, bucket granularity (operators/
+    reconcile.py:reconcile_report): the target replica carries three
+    deterministic corruption classes (rows missing, rows modified by one
+    cent, spurious extra rows) and the per-bucket count+checksum report
+    pinpoints every dirty bucket without moving data — one aggregation
+    pass per side, 64 output rows at ANY table size. Checksums are exact
+    integer sums of 48-bit sha256 slices (order-free, engine-identical);
+    doubles canonicalize through money-cents rounding."""
+    from pipelinewise_spark.operators.reconcile import reconcile_report
+
+    src, target, canon = _recon_frames(spark, sf_dir)
+    rep = reconcile_report(src, target, "o_orderkey", canon, n_buckets=64)
+    return rep.select(
+        "bucket", "src_cnt", "tgt_cnt",
+        F.col("src_sum").cast("long").alias("src_sum"),
+        F.col("tgt_sum").cast("long").alias("tgt_sum"),
+        "consistent",
+    )
+
+
+@register(
+    "reconcile_diff_orders",
+    oracle=f"""
+    WITH tgt AS ({_RECON_TARGET_SQL}),
+    s AS (
+        SELECT o_orderkey AS key,
+               CAST(('0x' || substr(sha256({_RECON_CANON_SQL}), 1, 12))
+                    AS BIGINT) AS sh
+        FROM orders),
+    t AS (
+        SELECT o_orderkey AS key,
+               CAST(('0x' || substr(sha256({_RECON_CANON_SQL}), 1, 12))
+                    AS BIGINT) AS th
+        FROM tgt)
+    SELECT COALESCE(s.key, t.key) AS key,
+           CASE WHEN t.th IS NULL THEN 'missing_in_target'
+                WHEN s.sh IS NULL THEN 'missing_in_source'
+                WHEN s.sh <> t.th THEN 'modified' END AS status
+    FROM s FULL JOIN t ON s.key = t.key
+    WHERE (t.th IS NULL) OR (s.sh IS NULL) OR (s.sh <> t.th)
+    """,
+)
+def reconcile_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication verification, row granularity (operators/reconcile.py:
+    reconcile_diff): the drill-down for the buckets reconcile_report
+    flags — a full-outer key join carrying only (key, hash48) classifies
+    every disagreement as missing_in_target / missing_in_source /
+    modified. At 100 TB this runs only on flagged buckets; here it runs
+    table-wide and must recover exactly the three injected corruption
+    classes."""
+    from pipelinewise_spark.operators.reconcile import reconcile_diff
+
+    src, target, canon = _recon_frames(spark, sf_dir)
+    return reconcile_diff(src, target, "o_orderkey", canon)

@@ -1,0 +1,73 @@
+"""Source/target reconciliation (operators/reconcile.py).
+
+Content-level generalization of the reference's per-batch record-count
+checks (pipelinewise/fastsync/commons/utils.py export counts). Value-exact
+oracle coverage via reconcile_report_orders / reconcile_diff_orders; these
+tests pin the detection semantics on controlled corruptions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.reconcile import (
+    reconcile_diff,
+    reconcile_report,
+)
+
+CANON = lambda: [  # noqa: E731
+    F.col("id").cast("string"),
+    F.col("v").cast("string"),
+]
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.createDataFrame(
+        [(i, f"val{i}") for i in range(100)], "id long, v string"
+    )
+
+
+def test_identical_tables_fully_consistent(src):
+    rep = reconcile_report(src, src, "id", CANON(), n_buckets=8).collect()
+    assert len(rep) == 8
+    assert all(r["consistent"] for r in rep)
+    assert reconcile_diff(src, src, "id", CANON()).count() == 0
+
+
+def test_three_corruption_classes_detected(spark, src):
+    tgt = (
+        src.filter(F.col("id") != 7)  # missing_in_target
+        .withColumn(
+            "v", F.when(F.col("id") == 13, F.lit("CORRUPT")).otherwise(F.col("v"))
+        )  # modified
+        .unionByName(
+            spark.createDataFrame([(999, "extra")], "id long, v string")
+        )  # missing_in_source
+    )
+    diff = {
+        r["key"]: r["status"]
+        for r in reconcile_diff(src, tgt, "id", CANON()).collect()
+    }
+    assert diff == {
+        7: "missing_in_target",
+        13: "modified",
+        999: "missing_in_source",
+    }
+    rep = reconcile_report(src, tgt, "id", CANON(), n_buckets=8).collect()
+    dirty = {r["bucket"] for r in rep if not r["consistent"]}
+    assert dirty == {7 % 8, 13 % 8, 999 % 8}
+
+
+def test_count_equal_content_drift_caught(spark, src):
+    """Same row counts but one value changed: counts agree, checksums must
+    not — the case pure count-based verification (the reference's) misses."""
+    tgt = src.withColumn(
+        "v", F.when(F.col("id") == 42, F.lit("oops")).otherwise(F.col("v"))
+    )
+    rep = reconcile_report(src, tgt, "id", CANON(), n_buckets=8).collect()
+    bad = [r for r in rep if not r["consistent"]]
+    assert len(bad) == 1 and bad[0]["bucket"] == 42 % 8
+    assert bad[0]["src_cnt"] == bad[0]["tgt_cnt"]
+    assert bad[0]["src_sum"] != bad[0]["tgt_sum"]
