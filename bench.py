@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "pq_index_lifecycle_embeddings",
     "reconcile_report_orders",
     "reconcile_diff_orders",
+    "benford_audit_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -602,3 +602,71 @@ def reconcile_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, target, canon = _recon_frames(spark, sf_dir)
     return reconcile_diff(src, target, "o_orderkey", canon)
+
+
+@register(
+    "benford_audit_orders",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, COUNT(*) AS cnt FROM digits GROUP BY digit),
+    exp AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                              (4, 96910), (5, 79181), (6, 66947),
+                              (7, 57992), (8, 51153), (9, 45757))
+            e(digit, expected_ppm)),
+    n AS (SELECT SUM(cnt) AS total FROM obs)
+    SELECT exp.digit, COALESCE(obs.cnt, 0) AS cnt, exp.expected_ppm,
+           CAST(FLOOR(COALESCE(obs.cnt, 0) * 1000000 / n.total) AS BIGINT)
+               AS observed_ppm,
+           ABS(COALESCE(obs.cnt, 0) * 1000000
+               - CAST(exp.expected_ppm AS BIGINT) * n.total)
+             > 20000 * n.total AS deviates
+    FROM exp LEFT JOIN obs USING (digit) CROSS JOIN n
+    """,
+)
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic
+    data-quality check for fabricated or truncated numeric feeds. Exact
+    integer arithmetic end to end: first digits come from the money-cents
+    string, observed shares compare against precomputed Benford ppm
+    LITERALS via cross-multiplication (|cnt·1e6 − ppm·N| > tol·N), so no
+    log10 / float-summation nondeterminism exists anywhere. One
+    map-side-combinable digit aggregate; everything after is 9 rows.
+    (TPC-H prices are range-bounded rather than scale-free, so the audit
+    legitimately flags most digits here — the point is the report is
+    value-exact and cheap at any scale.)"""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("cnt"))
+    exp = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit int, expected_ppm int",
+    )
+    n = obs.agg(F.sum("cnt").alias("total"))
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .na.fill({"cnt": 0})
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            "expected_ppm",
+            F.floor(F.col("cnt") * 1_000_000 / F.col("total"))
+            .cast("long")
+            .alias("observed_ppm"),
+            (
+                F.abs(
+                    F.col("cnt") * F.lit(1_000_000).cast("long")
+                    - F.col("expected_ppm").cast("long") * F.col("total")
+                )
+                > F.lit(20_000).cast("long") * F.col("total")
+            ).alias("deviates"),
+        )
+    )
