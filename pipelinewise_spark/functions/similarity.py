@@ -914,6 +914,16 @@ def pq_train_codebooks(
         [float(x) for x in r["__v"]]
         for r in v.orderBy("__id").limit(codes_per_subspace).collect()
     ]
+    if len(seed) < codes_per_subspace:
+        raise ValueError(
+            f"PQ needs >= codes_per_subspace ({codes_per_subspace}) vectors "
+            f"to seed the codebooks; corpus has {len(seed)}"
+        )
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"dim ({dim}) must divide evenly into num_subspaces "
+            f"({num_subspaces})"
+        )
     codebooks = [
         [vec[m * sub_dim : (m + 1) * sub_dim] for vec in seed]
         for m in range(num_subspaces)
