@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "reconcile_report_orders",
     "reconcile_diff_orders",
     "benford_audit_orders",
+    "freshness_report_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -58,29 +58,29 @@ _SHOWCASE_ORDER = [
     # manifest stats collection (_file_stats row-group dropped-set) and
     # metadata-verb publish (expected_parent) — the two most exposed verbs.
     "analyze_stats_orders", "merge_on_read_orders",
-    # Part 4 (10): staleness rotation — cumulative-green rows whose last
+    # Part 4 (9): staleness rotation — cumulative-green rows whose last
     # driver check is r1/r3/r5; re-shown per the every-round rotation
     # policy. All are pytest-verified value-exact at sf0.001 every run.
     "q1_pricing_summary", "q3_shipping_priority",
     "sessionize_events", "rollup_order_revenue", "windowed_event_counts",
     "except_customers_both_segments", "intersect_customers_both_statuses",
     "events_topk_per_user", "asof_join_click_purchase",
-    "range_join_attribution",
     # Part 5 (7): NEW in r8 (registered this round, graded now) — the
     # value-exact distributed k-means, the PQ ANN completing the IVF /
     # int8 / PQ triad, the value-exact MMR diversified re-rank, the
     # season-aware median/MAD anomaly rule, the integer-exact TVD
     # histogram-drift monitor, blocked Fellegi-Sunter record linkage,
     # the PQ index lifecycle, source/target reconciliation, and the
-    # integer-exact Benford first-digit audit
+    # integer-exact Benford first-digit audit, and the freshness SLA
+    # report completing the observability quartet
     "kmeans_embeddings", "embedding_pq_topk",
     "mmr_diversified_topk_embeddings",
     "seasonal_anomaly_daily_events", "distribution_drift_orders",
     "record_linkage_customer", "pq_index_lifecycle_embeddings",
     "reconcile_report_orders", "reconcile_diff_orders",
-    "benford_audit_orders",
+    "benford_audit_orders", "freshness_report_events",
     # ============== end r8 prefix-50 ==============
-    "q21_waiting_suppliers",
+    "range_join_attribution", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "histogram_order_totals",
     "cube_order_revenue", "median_order_price_by_priority",
     "pivot_user_event_counts", "q9_product_type_profit",

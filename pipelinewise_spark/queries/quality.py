@@ -670,3 +670,43 @@ def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviates"),
         )
     )
+
+
+@register(
+    "freshness_report_events",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               MAX(epoch_ms(ts)) AS last_ms
+        FROM events GROUP BY event_type),
+    ref AS (SELECT MAX(last_ms) AS now_ms FROM per)
+    SELECT per.event_type, per.n_events,
+           CAST(FLOOR((ref.now_ms - per.last_ms) / 1000) AS BIGINT)
+               AS lag_s,
+           (ref.now_ms - per.last_ms) > 86400000 AS stale
+    FROM per CROSS JOIN ref
+    """,
+)
+def freshness_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness observability — the third leg of the volume
+    (ingest_volume_anomaly / seasonal_anomaly) + distribution
+    (snapshot/distribution drift) + schema (drift) monitoring quartet:
+    per stream (event_type), last-event lag against the corpus watermark
+    and a staleness flag at the 24h SLA. One map-side-combinable
+    aggregate (count + max per group) and a 1-row broadcast reference;
+    all arithmetic in exact epoch milliseconds."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.unix_millis("ts")).alias("__last_ms"),
+    )
+    ref = per.agg(F.max("__last_ms").alias("__now_ms"))
+    return per.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n_events",
+        F.floor((F.col("__now_ms") - F.col("__last_ms")) / 1000)
+        .cast("long")
+        .alias("lag_s"),
+        ((F.col("__now_ms") - F.col("__last_ms")) > 86_400_000).alias("stale"),
+    )
