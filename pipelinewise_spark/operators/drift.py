@@ -130,6 +130,11 @@ def distribution_drift(
             reference, value_col, list(tie_cols), qs
         ).collect()
     )
+    if len(bounds) < n_buckets - 1:
+        raise ValueError(
+            "distribution_drift: reference has no rows to derive "
+            f"{n_buckets}-tile bounds from"
+        )
 
     def bucket(col: Column) -> Column:
         b = F.lit(n_buckets)

@@ -83,3 +83,30 @@ def test_distribution_drift_buckets_partition_everything(orders):
     ).collect()
     assert sum(r["ref_cnt"] for r in out) == orders.count()
     assert sum(r["cur_cnt"] for r in out) == cur.count()
+
+
+def test_distribution_drift_empty_reference_raises(spark, orders):
+    with pytest.raises(ValueError, match="no rows"):
+        distribution_drift(
+            orders.filter(F.lit(False)), orders, "o_totalprice",
+            ["o_orderkey"], n_buckets=10,
+        )
+
+
+def test_distribution_drift_constant_reference(spark):
+    """Degenerate reference (one distinct value): every decile edge
+    coincides, all reference mass lands in bucket 1, and a shifted current
+    still reads as drift rather than crashing."""
+    ref = spark.createDataFrame(
+        [(i, 100.0) for i in range(50)], "id long, v double"
+    )
+    cur = spark.createDataFrame(
+        [(i, 200.0) for i in range(50)], "id long, v double"
+    )
+    out = distribution_drift(ref, cur, "v", ["id"], n_buckets=10).collect()
+    assert sum(r["ref_cnt"] for r in out) == 50
+    assert sum(r["cur_cnt"] for r in out) == 50
+    b1 = [r for r in out if r["bucket"] == 1][0]
+    b10 = [r for r in out if r["bucket"] == 10][0]
+    assert b1["ref_cnt"] == 50 and b10["cur_cnt"] == 50
+    assert all(r["drifted"] for r in out)

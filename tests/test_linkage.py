@@ -86,3 +86,27 @@ def test_threshold_zero_keeps_all_blocked_candidates(sources):
     ).collect()
     # every right record with at least one same-city candidate resolves
     assert {r["right_key"] for r in out} == {11, 12, 13, 14}
+
+
+def test_empty_right_side(sources, spark):
+    left, right = sources
+    out = link_records(
+        left, right.filter("id < 0"), "id", "id", [("city", "city")],
+        FEATURES, 0,
+    )
+    assert out.count() == 0
+
+
+def test_null_feature_values_score_zero(spark):
+    """NULL on either side of a feature contributes 0, never NULL-poisons
+    the score (three-valued logic collapses through the when/otherwise)."""
+    left = spark.createDataFrame(
+        [(1, None, "B", 5.0)], "id long, name string, blk string, bal double"
+    )
+    right = spark.createDataFrame(
+        [(9, "x", "B", 5.0)], "id long, name string, blk string, bal double"
+    )
+    out = link_records(
+        left, right, "id", "id", [("blk", "blk")], FEATURES, 0
+    ).collect()
+    assert len(out) == 1 and out[0]["score"] == 400  # only the balance band

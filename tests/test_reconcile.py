@@ -71,3 +71,14 @@ def test_count_equal_content_drift_caught(spark, src):
     assert len(bad) == 1 and bad[0]["bucket"] == 42 % 8
     assert bad[0]["src_cnt"] == bad[0]["tgt_cnt"]
     assert bad[0]["src_sum"] != bad[0]["tgt_sum"]
+
+
+def test_empty_target_all_buckets_dirty(spark, src):
+    rep = reconcile_report(
+        src, src.filter("id < 0"), "id", CANON(), n_buckets=8
+    ).collect()
+    assert len(rep) == 8
+    assert all(not r["consistent"] and r["tgt_cnt"] == 0 for r in rep)
+    diff = reconcile_diff(src, src.filter("id < 0"), "id", CANON()).collect()
+    assert len(diff) == 100
+    assert all(r["status"] == "missing_in_target" for r in diff)
