@@ -26,6 +26,16 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
     # ================= r8 prefix-50 =================
+    # Composition: 26 never-driver-checked r7 queries + 2 BPE oracle
+    # conversions + 2 post-ADVICE re-verifications + 11 r8-new queries +
+    # 9 staleness rotations = 50. Every query registered in rounds 1-8
+    # that lacked a driver correctness row is in this prefix, so a green
+    # r8 run completes the cumulative driver-checked union at 218/218
+    # with zero rows-only entries and zero latest-red rows.
+    # r9 rotation plan: rotate the oldest cumulative-green rows first —
+    # the r3-green block (q2..q20, profile/anti/semi-join, set ops,
+    # pivot/cube/median/retention/moving_avg/ntile/histogram/range_join/
+    # q21/q22) — plus any query whose code changes in r9.
     # Part 1 (26): every query that has NEVER had a driver correctness row
     # (all r7-new, registered past r7's prefix; pytest-green with oracles).
     # Grading all of them closes the cumulative driver-green union.
