@@ -108,6 +108,20 @@ SENSITIVE = [
     # hidden partitioning derives month dirs via date_format (session-tz
     # dependent) and compares raw timestamps against range literals
     "hidden_partition_prune_orders",
+    # round 8: the Arrow-kernel ANN family (pandas_udf batch shapes under
+    # driver-default Arrow confs + 200 shuffle partitions), the
+    # applyInPandas greedy (MMR), the rank-machinery drift bounds, the
+    # date_trunc/dayofweek seasonal series and epoch-ms freshness lags
+    # (the session-tz class), and the sha256-checksum reconciliation
+    # whose canonical strings embed date casts
+    "embedding_pq_topk",
+    "mmr_diversified_topk_embeddings",
+    "kmeans_embeddings",
+    "distribution_drift_orders",
+    "seasonal_anomaly_daily_events",
+    "freshness_report_events",
+    "reconcile_report_orders",
+    "reconcile_diff_orders",
     # NB classifier: micro-log integer scoring + broadcast likelihood
     # joins must survive 200 shuffle partitions / broadcast threshold
     "nb_langid_documents",
