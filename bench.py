@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "reconcile_diff_orders",
     "benford_audit_orders",
     "freshness_report_events",
+    "holt_forecast_daily_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -2564,3 +2564,84 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "holt_forecast_daily_events",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 6)
+                    AS DECIMAL(18,6)) AS DOUBLE) AS daily_total
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY bar_date) AS rn
+        FROM daily),
+    h AS (
+        SELECT event_type, bar_date, daily_total, rn,
+               daily_total AS level, CAST(0 AS DOUBLE) AS trend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.bar_date, s.daily_total, s.rn,
+               CAST(0.5 AS DOUBLE) * s.daily_total
+                   + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+               CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * s.daily_total
+                       + CAST(0.5 AS DOUBLE) * (h.level + h.trend))
+                      - h.level)
+                   + CAST(0.7 AS DOUBLE) * h.trend
+        FROM seq s JOIN h ON s.event_type = h.event_type
+                         AND s.rn = h.rn + 1)
+    SELECT event_type, bar_date, daily_total, level, trend,
+           level + trend AS forecast_next
+    FROM h
+    """,
+)
+def holt_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasting (double exponential smoothing) over
+    daily event volume — the EWMA fold extended with a trend state:
+    l = 0.5x + 0.5(l' + b'), b = 0.3(l − l') + 0.7b', one-step-ahead
+    forecast l + b. Init: level = first observation, trend = 0. Same
+    scale shape as ewma_daily_events: one decimal-exact shuffle aggregate
+    builds the date-cardinality-bounded series, then the genuinely
+    sequential per-key fold runs series-at-a-time inside ONE
+    applyInPandas pass (keys parallelize across executors). The oracle
+    steps the IDENTICAL double arithmetic in a recursive CTE, so level /
+    trend / forecast hash-compare bit-exactly with no rounding."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("bar_date"),
+    ).agg(
+        _sum_double(F.col("value").cast("decimal(12,2)")).alias("daily_total")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_date").reset_index(drop=True)
+        levels, trends = [], []
+        lv, tr = None, 0.0
+        for x in pdf["daily_total"]:
+            if lv is None:
+                lv, tr = x, 0.0
+            else:
+                # identical expression and evaluation order as the
+                # oracle's recursive step
+                new_lv = 0.5 * x + 0.5 * (lv + tr)
+                tr = 0.3 * (new_lv - lv) + 0.7 * tr
+                lv = new_lv
+            levels.append(lv)
+            trends.append(tr)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast_next"] = [l + t for l, t in zip(levels, trends)]
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, bar_date date, daily_total double, "
+        "level double, trend double, forecast_next double",
+    )

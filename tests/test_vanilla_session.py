@@ -122,6 +122,7 @@ SENSITIVE = [
     "freshness_report_events",
     "reconcile_report_orders",
     "reconcile_diff_orders",
+    "holt_forecast_daily_events",
     # NB classifier: micro-log integer scoring + broadcast likelihood
     # joins must survive 200 shuffle partitions / broadcast threshold
     "nb_langid_documents",
