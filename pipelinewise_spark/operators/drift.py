@@ -143,8 +143,14 @@ def distribution_drift(
         return b.cast("int")
 
     def counts(df: DataFrame, out: str) -> DataFrame:
+        # NULL values are excluded, matching the quantile machinery that
+        # derived the bounds (engines disagree on where a NULL "buckets":
+        # three-valued <= sends it to the top bucket in Spark and out of
+        # the filter entirely in SQL twins — excluding is the one portable
+        # semantic, and it keeps p/q proportions meaningful)
         return (
-            df.select(bucket(F.col(value_col)).alias("bucket"))
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket(F.col(value_col)).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count("*").alias(out))
         )

@@ -32,9 +32,12 @@ from pyspark.sql import functions as F
 
 def row_hash(canon_cols: Sequence[Column]) -> Column:
     """48-bit integer slice of sha256 over the '|'-joined canonical
-    columns. NULLs encode as the empty string (concat_ws skips them the
-    same way in both engines)."""
-    h = F.sha2(F.concat_ws("|", *canon_cols), 256)
+    columns. Each column NULL-coalesces to an explicit sentinel BEFORE the
+    join — concat_ws silently SKIPS nulls, which would make
+    ('a', NULL, 'b') and ('a', 'b', NULL) hash identically and hide a
+    column-shift corruption from the diff."""
+    cells = [F.coalesce(c.cast("string"), F.lit("\\N")) for c in canon_cols]
+    h = F.sha2(F.concat_ws("|", *cells), 256)
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
 
 

@@ -110,3 +110,18 @@ def test_distribution_drift_constant_reference(spark):
     b10 = [r for r in out if r["bucket"] == 10][0]
     assert b1["ref_cnt"] == 50 and b10["cur_cnt"] == 50
     assert all(r["drifted"] for r in out)
+
+
+def test_distribution_drift_nulls_excluded(spark, orders):
+    cur = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = distribution_drift(
+        orders, cur, "o_totalprice", ["o_orderkey"], n_buckets=10
+    ).collect()
+    assert sum(r["cur_cnt"] for r in out) == cur.filter(
+        "o_totalprice IS NOT NULL"
+    ).count()

@@ -82,3 +82,14 @@ def test_empty_target_all_buckets_dirty(spark, src):
     diff = reconcile_diff(src, src.filter("id < 0"), "id", CANON()).collect()
     assert len(diff) == 100
     assert all(r["status"] == "missing_in_target" for r in diff)
+
+
+def test_null_shift_is_detected(spark):
+    """('a', NULL, 'b') vs ('a', 'b', NULL) must NOT collide: concat_ws
+    skips nulls, so without explicit sentinels a column-shift corruption
+    would hash identically and vanish from the diff."""
+    s = spark.createDataFrame([(1, "a", None, "b")], "id long, x string, y string, z string")
+    t = spark.createDataFrame([(1, "a", "b", None)], "id long, x string, y string, z string")
+    canon = [F.col("x"), F.col("y"), F.col("z")]
+    diff = reconcile_diff(s, t, "id", canon).collect()
+    assert len(diff) == 1 and diff[0]["status"] == "modified"
