@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "benford_audit_orders",
     "freshness_report_events",
     "holt_forecast_daily_events",
+    "mann_whitney_acctbal_segments",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -2645,3 +2645,82 @@ def holt_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bar_date date, daily_total double, "
         "level double, trend double, forecast_next double",
     )
+
+
+@register(
+    "mann_whitney_acctbal_segments",
+    oracle="""
+    WITH c AS (
+        SELECT c_acctbal AS v, c_mktsegment AS seg
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    r AS (
+        SELECT v, seg,
+               rank() OVER (ORDER BY v) AS rmin,
+               count(*) OVER (PARTITION BY v) AS cv
+        FROM c),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN seg = 'BUILDING'
+                             THEN 2 * rmin + cv - 1 ELSE 0 END) AS BIGINT)
+                   AS r1_2,
+               CAST(COUNT(*) FILTER (WHERE seg = 'BUILDING') AS BIGINT)
+                   AS n_a,
+               CAST(COUNT(*) FILTER (WHERE seg = 'MACHINERY') AS BIGINT)
+                   AS n_b
+        FROM r)
+    SELECT n_a, n_b,
+           (r1_2 - n_a * (n_a + 1)) / 2.0 AS u_a,
+           CAST(n_a AS DOUBLE) * n_b - (r1_2 - n_a * (n_a + 1)) / 2.0 AS u_b,
+           ROUND(((r1_2 - n_a * (n_a + 1)) / 2.0) / (CAST(n_a AS DOUBLE) * n_b), 6)
+               AS effect_a
+    FROM agg
+    """,
+)
+def mann_whitney_acctbal_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing account-balance
+    distributions between two customer segments — the nonparametric A/B
+    test, next to chi-square (categorical) and OLS (linear) in the
+    statistical family. EXACT by construction: tie-averaged ranks stay in
+    integer space doubled (2·rank_min + ties − 1), so the rank-sum and
+    both U statistics are integer-exact (halves at worst) and the
+    common-language effect size is one deterministic IEEE division,
+    rounded 6 dp. Scale shape: ONE distributed range-partitioned rank
+    (operators/rank.py — no SinglePartition) + one per-value groupBy; the
+    final fold is a 1-row aggregate."""
+    from pipelinewise_spark.operators.rank import _ranked
+
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_acctbal").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+    )
+    ranked, _ = _ranked(c, ["v", "c_custkey"], "__rn", None)
+    # per distinct value: min global row_number == rank() (ties share it),
+    # tie count, and the A-side count; all integer
+    per_v = ranked.groupBy("v").agg(
+        F.min("__rn").alias("rmin"),
+        F.count("*").alias("cv"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+    )
+    agg = per_v.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("rmin") + F.col("cv") - 1)
+        ).alias("r1_2"),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cv") - F.col("cnt_a")).alias("n_b"),
+    )
+    u_a = (F.col("r1_2") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (F.col("n_a").cast("double") * F.col("n_b") - u_a).alias("u_b"),
+        F.round(
+            u_a / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("effect_a"),
+    )
