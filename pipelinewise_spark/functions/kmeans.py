@@ -122,7 +122,10 @@ def kmeans_exact(
     vector; cluster_id in 1..k."""
     from pipelinewise_spark.caching import register_cache
 
-    dim = df.select(F.size(vec_col)).first()[0]
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("kmeans_exact: input has no rows")
+    dim = first[0]
     # pinned for the iteration loop; release_caches() (the per-query sweep
     # every driver-facing query runs first) reclaims it afterwards
     v = register_cache(
@@ -130,6 +133,10 @@ def kmeans_exact(
         .persist()
     )
     init = v.orderBy("__id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_exact: k={k} but input has only {len(init)} vectors"
+        )
     cents = [
         (i + 1, [int(x) for x in r["__q"]], 1)
         for i, r in enumerate(sorted(init, key=lambda r: r["__id"]))

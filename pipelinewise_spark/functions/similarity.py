@@ -834,15 +834,6 @@ def ivf_topk_against_index(
 
 
 # ----------------------------------------------------------------------- PQ
-def _l2(a: Column, b: Column) -> Column:
-    """Sequential fold-left squared-L2 (deterministic summation order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _unit(col: Column) -> Column:
     """L2-normalize so squared-L2 ranking == cosine ranking (2 - 2cos)."""
     v = _as_double(col)
@@ -1106,8 +1097,15 @@ def mmr_diversify_topk(
     subtract on those rounded doubles; ties break to the lower neighbor
     id. Returns (query_id, neighbor_id, mmr_rank).
     """
-    rel = cosine_topk(corpus, queries, id_col, vec_col, k=pool,
-                      round_to=round_to)
+    from pipelinewise_spark.caching import register_cache
+
+    # rel feeds THREE branches of the final plan (scored pairs, pool
+    # membership, carrier rows) — pin it or the corpus-dominant
+    # cosine_topk scan re-executes per branch
+    rel = register_cache(
+        cosine_topk(corpus, queries, id_col, vec_col, k=pool,
+                    round_to=round_to).persist()
+    )
     cva = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
     cvb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"))
     pa = rel.select(

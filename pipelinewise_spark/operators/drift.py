@@ -185,12 +185,18 @@ def distribution_drift(
         ),
     )
     tvd = scored.agg(
-        F.floor(
-            (F.lit(1_000_000).cast("decimal(38,0)") * F.sum("__absdiff"))
-            / (
-                F.lit(2).cast("decimal(38,0)")
-                * F.max("__nr")
-                * F.max("__nc")
+        # an EMPTY current snapshot (total outage — the most extreme
+        # drift) would make this division NULL and the flag silently
+        # un-checkable; define it as max TVD instead
+        F.when(F.max("__nc") == 0, F.lit(1_000_000))
+        .otherwise(
+            F.floor(
+                (F.lit(1_000_000).cast("decimal(38,0)") * F.sum("__absdiff"))
+                / (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.max("__nr")
+                    * F.max("__nc")
+                )
             )
         )
         .cast("long")

@@ -42,6 +42,13 @@ class ConstraintViolation(ValueError):
     """A write violated a table CHECK constraint (Delta-style)."""
 
 
+#: expected_parent sentinel for FIRST commits: "the table must still be
+#: absent" — a bare None means "no check", which would let two concurrent
+#: first appends both publish from an empty file list and silently drop
+#: one batch.
+EXPECT_ABSENT = "__expect_absent__"
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed between this operation's snapshot read
     and its publish (optimistic concurrency, Iceberg/Delta-style):
@@ -341,12 +348,16 @@ class ManifestTable:
         # main's current manifest to publish)
         if expected_parent is not None:
             live = self.current_manifest_name()
-            if live != expected_parent:
+            want = (
+                None if expected_parent == EXPECT_ABSENT else expected_parent
+            )
+            if live != want:
                 raise CommitConflict(
-                    f"snapshot moved {expected_parent} -> {live} during the "
+                    f"snapshot moved {want} -> {live} during the "
                     f"{op}; reload and retry"
                 )
-            manifest["parent"] = expected_parent
+            if want is not None:
+                manifest["parent"] = want
         # blind publishes get their parent under the commit lock below —
         # reading it here could chain past a racer's in-flight commit
         # operation provenance: surfaced by meta("snapshots") — which verb
@@ -376,9 +387,14 @@ class ManifestTable:
         with self._commit_lock():
             if expected_parent is not None:
                 live = self.current_manifest_name()
-                if live != expected_parent:
+                want = (
+                    None
+                    if expected_parent == EXPECT_ABSENT
+                    else expected_parent
+                )
+                if live != want:
                     raise CommitConflict(
-                        f"snapshot moved {expected_parent} -> {live} during "
+                        f"snapshot moved {want} -> {live} during "
                         f"the {op}; reload and retry"
                     )
             if manifest.get("parent") is None:
@@ -400,34 +416,52 @@ class ManifestTable:
     def _commit_lock(self, timeout: float = 30.0):
         """Serialize the pointer-swap critical section across processes via
         a create-exclusive lock file. Held for microseconds (one read + one
-        rename); a lock older than ``timeout`` is presumed abandoned by a
-        crashed writer and broken. Object-store backends degrade to the
-        probe-based exclusivity of ``write_text_exclusive`` (a true CAS
-        needs the store's conditional PUT)."""
+        rename). Liveness and safety rules:
+
+        - a lock is broken only when ITS OWN birth timestamp (stored in
+          the file) is older than ``timeout`` — how long a contender has
+          been waiting is irrelevant, so a healthy writer's fresh lock is
+          never stolen;
+        - release is ownership-checked: the holder deletes the lock only
+          if it still carries its own token, so a holder that WAS timed
+          out and broken can't delete the next holder's lock on exit.
+
+        The check-then-delete break has an unavoidable window without a
+        store-side CAS; the create-exclusive manifest write downstream
+        remains the safety net that turns any double-entry into a
+        CommitConflict rather than a lost commit."""
         import time as _time
 
         lock = "_commit.lock"
-        deadline = _time.time() + timeout
+        token = uuid.uuid4().hex
         while True:
             try:
-                self.mfs.write_text_exclusive(str(_time.time()), lock)
+                self.mfs.write_text_exclusive(
+                    f"{_time.time()}|{token}", lock
+                )
                 break
             except FileExistsError:
-                if _time.time() > deadline:
-                    try:  # break the abandoned lock and re-contend
+                try:
+                    born = float(
+                        self.mfs.read_text(lock).split("|", 1)[0]
+                    )
+                except (OSError, ValueError):
+                    born = None  # vanished or torn: re-contend immediately
+                if born is not None and _time.time() - born > timeout:
+                    try:  # break the genuinely abandoned lock
                         self.mfs.delete(lock)
                     except OSError:  # another contender broke it first
                         pass
-                    deadline = _time.time() + timeout
-                    continue
                 _time.sleep(0.005)
         try:
             yield
         finally:
             try:
-                self.mfs.delete(lock)
-            except OSError:  # lock broken by a contender that saw us stall
-                pass
+                owner = self.mfs.read_text(lock).split("|", 1)[1]
+                if owner == token:
+                    self.mfs.delete(lock)
+            except (OSError, ValueError, IndexError):
+                pass  # broken by a contender that saw us stall
 
     # -------------------------------------------------------------- write
     def _file_stats(self, rel: str) -> tuple[dict[str, list[Any]], int]:
@@ -584,7 +618,7 @@ class ManifestTable:
                 "files": m["files"] + entries,
             },
             op="append",
-            expected_parent=base,
+            expected_parent=base if base is not None else EXPECT_ABSENT,
         )
 
     def import_files(
@@ -633,7 +667,19 @@ class ManifestTable:
                 }
             )
         published = []
-        for sv in sorted(groups, key=lambda v: (v is None, str(v))):
+
+        def _split_order(v):
+            # numeric split values sort numerically ("10" after "9"), so
+            # the documented sorted-N commit order holds past 9 commits;
+            # mixed/non-numeric values fall back to string order
+            if v is None:
+                return (2, 0, "")
+            try:
+                return (0, float(v), "")
+            except (TypeError, ValueError):
+                return (1, 0, str(v))
+
+        for sv in sorted(groups, key=_split_order):
             base = self.current_manifest_name()
             m = (
                 self._load_manifest()
@@ -652,7 +698,9 @@ class ManifestTable:
                         "files": m["files"] + groups[sv],
                     },
                     op="import",
-                    expected_parent=base,
+                    expected_parent=(
+                        base if base is not None else EXPECT_ABSENT
+                    ),
                 )
             )
         return published

@@ -75,16 +75,15 @@ _SHOWCASE_ORDER = [
     "sessionize_events",
     "except_customers_both_segments", "intersect_customers_both_statuses",
     "events_topk_per_user", "asof_join_click_purchase",
-    # Part 5 (7): NEW in r8 (registered this round, graded now) — the
-    # value-exact distributed k-means, the PQ ANN completing the IVF /
-    # int8 / PQ triad, the value-exact MMR diversified re-rank, the
-    # season-aware median/MAD anomaly rule, the integer-exact TVD
-    # histogram-drift monitor, blocked Fellegi-Sunter record linkage,
-    # the PQ index lifecycle, source/target reconciliation, and the
-    # integer-exact Benford first-digit audit, and the freshness SLA
-    # report completing the observability quartet, and Holt linear-trend
-    # forecasting (bit-exact recursive fold, both engines), and the
-    # integer-exact Mann-Whitney U rank-sum test
+    # Part 5 (13): NEW in r8 (registered this round, graded now) —
+    # value-exact distributed k-means; PQ ANN completing the IVF / int8 /
+    # PQ triad + its persisted index lifecycle; value-exact MMR
+    # diversified re-rank; season-aware median/MAD anomaly rule;
+    # integer-exact TVD histogram-drift monitor; blocked Fellegi-Sunter
+    # record linkage; source/target reconciliation (report + diff);
+    # integer-exact Benford first-digit audit; freshness SLA report
+    # completing the observability quartet; Holt linear-trend forecasting
+    # (bit-exact recursive fold); integer-exact Mann-Whitney U rank-sum
     "kmeans_embeddings", "embedding_pq_topk",
     "mmr_diversified_topk_embeddings",
     "seasonal_anomaly_daily_events", "distribution_drift_orders",
@@ -98,7 +97,6 @@ _SHOWCASE_ORDER = [
     "q22_global_sales_opportunity", "histogram_order_totals",
     "cube_order_revenue", "median_order_price_by_priority",
     "pivot_user_event_counts", "q9_product_type_profit",
-    "cube_order_revenue", "median_order_price_by_priority",
     "retention_cohorts_weekly",
     "ntile_documents_by_length", "monthly_revenue_moving_avg",
     # --- r7 rotation, part 1: close the cumulative driver-green union.

@@ -3129,7 +3129,13 @@ def _mmr_oracle(k: int = 5, pool: int = 15, lam: float = 0.7) -> str:
     SELECT query_id,
            unnest(sel) AS neighbor_id,
            CAST(generate_subscripts(sel, 1) AS INT) AS mmr_rank
-    FROM mmr WHERE step = {k}
+    -- each query's DEEPEST step, not step = k: a pool smaller than k
+    -- stops recursing early (the len(cands) > step guard) and the Spark
+    -- greedy emits its partial selection — the oracle must too
+    FROM mmr m
+    WHERE step = (SELECT MAX(step) FROM mmr x
+                  WHERE x.query_id = m.query_id)
+      AND step > 0
     """
 
 

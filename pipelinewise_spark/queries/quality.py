@@ -536,9 +536,14 @@ def _recon_frames(spark: SparkSession, sf_dir: str):
                     AS BIGINT) AS h
         FROM tgt),
     sa AS (SELECT bucket, COUNT(*) AS src_cnt,
-                  CAST(SUM(h) AS BIGINT) AS src_sum FROM sh GROUP BY bucket),
+                  -- mod-2^61 keeps the checksum in BIGINT at ANY bucket
+                  -- size (a raw 48-bit-slice sum overflows at ~65k
+                  -- rows/bucket); collision odds are unchanged in practice
+                  CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS src_sum
+           FROM sh GROUP BY bucket),
     ta AS (SELECT bucket, COUNT(*) AS tgt_cnt,
-                  CAST(SUM(h) AS BIGINT) AS tgt_sum FROM th GROUP BY bucket)
+                  CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS tgt_sum
+           FROM th GROUP BY bucket)
     SELECT CAST(COALESCE(sa.bucket, ta.bucket) AS INT) AS bucket,
            COALESCE(src_cnt, 0) AS src_cnt, COALESCE(tgt_cnt, 0) AS tgt_cnt,
            COALESCE(src_sum, 0) AS src_sum, COALESCE(tgt_sum, 0) AS tgt_sum,
@@ -560,10 +565,15 @@ def reconcile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, target, canon = _recon_frames(spark, sf_dir)
     rep = reconcile_report(src, target, "o_orderkey", canon, n_buckets=64)
+    # driver-hash dtype contract wants BIGINT; the operator's exact
+    # decimal(38,0) sums fold mod 2^61 so the cast can never overflow
+    # (raw 48-bit-slice sums pass LONG_MAX at ~65k rows per bucket)
     return rep.select(
         "bucket", "src_cnt", "tgt_cnt",
-        F.col("src_sum").cast("long").alias("src_sum"),
-        F.col("tgt_sum").cast("long").alias("tgt_sum"),
+        F.pmod(F.col("src_sum"), F.lit(2305843009213693952).cast("decimal(38,0)"))
+        .cast("long").alias("src_sum"),
+        F.pmod(F.col("tgt_sum"), F.lit(2305843009213693952).cast("decimal(38,0)"))
+        .cast("long").alias("tgt_sum"),
         "consistent",
     )
 

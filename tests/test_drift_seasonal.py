@@ -125,3 +125,13 @@ def test_distribution_drift_nulls_excluded(spark, orders):
     assert sum(r["cur_cnt"] for r in out) == cur.filter(
         "o_totalprice IS NOT NULL"
     ).count()
+
+
+def test_distribution_drift_empty_current_is_max_drift(spark, orders):
+    """A dead feed (current snapshot empty) must flag max TVD, not a NULL
+    that silently passes both drifted==True and drifted==False checks."""
+    out = distribution_drift(
+        orders, orders.filter(F.lit(False)), "o_totalprice",
+        ["o_orderkey"], n_buckets=10,
+    ).collect()
+    assert all(r["tvd_ppm"] == 1_000_000 and r["drifted"] for r in out)

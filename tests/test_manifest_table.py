@@ -407,3 +407,58 @@ def test_import_files_splits_staged_write_into_commits(spark, tmp_path):
     # file-skipping stats were captured from the imported footers
     entries, _ = t.select_entries(ranges={"k": (0, 1)})
     assert 0 < len(entries) < len(m["files"])
+
+
+def test_import_files_double_digit_split_order(spark, tmp_path):
+    """Split commits must land in NUMERIC order — 12 splits used to
+    publish 1,10,11,12,2,... (lexicographic), corrupting the history
+    every per-commit consumer (snapshot_row_deltas, time travel) reads."""
+    import os
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    df = spark.range(120).selectExpr(
+        "id AS k", "CAST(id % 12 + 1 AS INT) AS __commit"
+    )
+    t = ManifestTable(os.path.join(str(tmp_path), "t"), [])
+    df.repartition("__commit").write.partitionBy("__commit").parquet(
+        t.mfs.uri("data/staged")
+    )
+    t.import_files("data/staged", split_key="__commit")
+    snaps = t.meta(spark, "snapshots").orderBy("version").collect()
+    assert len(snaps) == 12
+    # each commit adds exactly 10 rows; cumulative totals must be strictly
+    # increasing by 10 — only true when splits landed 1,2,...,12
+    totals = [r["total_rows"] for r in snaps]
+    assert totals == [10 * (i + 1) for i in range(12)]
+
+
+def test_first_append_conflict_detected(spark, tmp_path):
+    """Two concurrent FIRST appends: the sentinel turns the loser's blind
+    publish into CommitConflict instead of silently dropping the winner's
+    batch."""
+    import os
+
+    import pytest as _pytest
+
+    from pipelinewise_spark.operators.manifest_table import (
+        CommitConflict,
+        EXPECT_ABSENT,
+        ManifestTable,
+    )
+
+    path = os.path.join(str(tmp_path), "t2")
+    a = ManifestTable(path, [])
+    b = ManifestTable(path, [])
+    df = spark.range(5).selectExpr("id AS k")
+    # writer A snapshots "absent", writer B commits first
+    entries_a = a._write_files(df, [])
+    b.append(spark.range(7).selectExpr("id AS k"))
+    with _pytest.raises(CommitConflict):
+        a._publish(
+            {"partition_by": [], "partition_types": {}, "files": entries_a},
+            op="append",
+            expected_parent=EXPECT_ABSENT,
+        )
+    # the surviving table is B's batch, untouched
+    assert a.read(spark).count() == 7
