@@ -264,3 +264,54 @@ def test_two_writer_interleaved_fuzz(spark, steps_a, steps_b):
     # metadata count == scan count; pinned v1 unchanged
     assert t.count_rows() == len(live)
     assert _read_dict(spark, t, version=1) == model0
+
+
+def test_concurrent_first_appends_exactly_one_wins(spark, tmp_path):
+    """N threads race to CREATE the same table with one append each: the
+    EXPECT_ABSENT sentinel guarantees exactly one blind first commit; the
+    losers either conflict (and retry as ordinary appends here) or land
+    AFTER the winner with its files carried — no batch may ever vanish."""
+    import os
+    import threading
+
+    from pipelinewise_spark.operators.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    path = os.path.join(str(tmp_path), "race")
+    n_writers = 4
+    barrier = threading.Barrier(n_writers, timeout=120)
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            t = ManifestTable(path, [])
+            df = spark.range(i * 100, i * 100 + 10).selectExpr("id AS k")
+            barrier.wait()
+            for _ in range(12):  # retry conflicts like a real caller
+                try:
+                    t.append(df)
+                    return
+                except CommitConflict:
+                    continue
+            raise AssertionError(f"writer {i} never committed")
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, f"writer died: {errors[0]!r}"
+
+    t = ManifestTable(path, [])
+    rows = {r["k"] for r in t.read(spark).collect()}
+    want = {
+        k for i in range(n_writers) for k in range(i * 100, i * 100 + 10)
+    }
+    assert rows == want, "a concurrent first append lost a batch"
+    assert len(t.versions()) == n_writers
