@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "freshness_report_events",
     "holt_forecast_daily_events",
     "mann_whitney_acctbal_segments",
+    "ks_test_price_priorities",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -27,10 +27,10 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 _SHOWCASE_ORDER = [
     # ================= r8 prefix-50 =================
     # Composition: 26 never-driver-checked r7 queries + 2 BPE oracle
-    # conversions + 2 post-ADVICE re-verifications + 13 r8-new queries +
-    # 7 staleness rotations = 50. Every query registered in rounds 1-8
+    # conversions + 2 post-ADVICE re-verifications + 14 r8-new queries +
+    # 6 staleness rotations = 50. Every query registered in rounds 1-8
     # that lacked a driver correctness row is in this prefix, so a green
-    # r8 run completes the cumulative driver-checked union at 220/220
+    # r8 run completes the cumulative driver-checked union at 221/221
     # with zero rows-only entries and zero latest-red rows.
     # r9 rotation plan: rotate the oldest cumulative-green rows first —
     # the r3-green block (q2..q20, profile/anti/semi-join, set ops,
@@ -68,14 +68,13 @@ _SHOWCASE_ORDER = [
     # manifest stats collection (_file_stats row-group dropped-set) and
     # metadata-verb publish (expected_parent) — the two most exposed verbs.
     "analyze_stats_orders", "merge_on_read_orders",
-    # Part 4 (7): staleness rotation — cumulative-green rows whose last
+    # Part 4 (6): staleness rotation — cumulative-green rows whose last
     # driver check is r1/r3/r5; re-shown per the every-round rotation
     # policy. All are pytest-verified value-exact at sf0.001 every run.
     "q1_pricing_summary", "q3_shipping_priority",
-    "sessionize_events",
     "except_customers_both_segments", "intersect_customers_both_statuses",
     "events_topk_per_user", "asof_join_click_purchase",
-    # Part 5 (13): NEW in r8 (registered this round, graded now) —
+    # Part 5 (14): NEW in r8 (registered this round, graded now) —
     # value-exact distributed k-means; PQ ANN completing the IVF / int8 /
     # PQ triad + its persisted index lifecycle; value-exact MMR
     # diversified re-rank; season-aware median/MAD anomaly rule;
@@ -83,7 +82,9 @@ _SHOWCASE_ORDER = [
     # record linkage; source/target reconciliation (report + diff);
     # integer-exact Benford first-digit audit; freshness SLA report
     # completing the observability quartet; Holt linear-trend forecasting
-    # (bit-exact recursive fold); integer-exact Mann-Whitney U rank-sum
+    # (bit-exact recursive fold); integer-exact Mann-Whitney U rank-sum;
+    # integer-exact two-sample Kolmogorov-Smirnov over the distributed
+    # prefix sum
     "kmeans_embeddings", "embedding_pq_topk",
     "mmr_diversified_topk_embeddings",
     "seasonal_anomaly_daily_events", "distribution_drift_orders",
@@ -91,7 +92,9 @@ _SHOWCASE_ORDER = [
     "reconcile_report_orders", "reconcile_diff_orders",
     "benford_audit_orders", "freshness_report_events",
     "holt_forecast_daily_events", "mann_whitney_acctbal_segments",
+    "ks_test_price_priorities",
     # ============== end r8 prefix-50 ==============
+    "sessionize_events",
     "windowed_event_counts", "rollup_order_revenue",
     "range_join_attribution", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "histogram_order_totals",

@@ -2724,3 +2724,89 @@ def mann_whitney_acctbal_segments(
             u_a / (F.col("n_a").cast("double") * F.col("n_b")), 6
         ).alias("effect_a"),
     )
+
+
+@register(
+    "ks_test_price_priorities",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    pv AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+        FROM s GROUP BY v),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS cum_a,
+               SUM(cb) OVER (ORDER BY v) AS cum_b
+        FROM pv),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+    d AS (SELECT MAX(ABS(cum_a * nb - cum_b * na)) AS d2 FROM cum, n)
+    SELECT n.na AS n_a, n.nb AS n_b,
+           CAST(FLOOR(1000000 * d.d2 / (n.na * n.nb)) AS BIGINT) AS d_ppm,
+           (d.d2 / (CAST(n.na AS DOUBLE) * n.nb))
+             > 1.358 * sqrt((n.na + n.nb) / (CAST(n.na AS DOUBLE) * n.nb))
+               AS significant
+    FROM d, n
+    """,
+)
+def ks_test_price_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov comparing order-price distributions
+    between URGENT and LOW priorities — the bin-free complement to the
+    bucketed TVD drift monitor and the third nonparametric in the family
+    (chi-square: categorical; Mann-Whitney: location; KS: whole-CDF
+    shape). EXACT: the sup-distance stays in integer cross-multiplied
+    space (max |cumA·nB − cumB·nA|) with one trailing division, and the
+    alpha=0.05 significance compare is literal-coefficient IEEE
+    arithmetic (sqrt is correctly rounded — deterministic both engines).
+    Scale shape: one map-side-combinable per-value aggregate, then
+    running counts over the DISTINCT-VALUE table via the two-phase
+    distributed prefix sum (functions/curation.py:group_prefix_sum — no
+    SinglePartition window), then a 1-row max fold."""
+    from pipelinewise_spark.functions.curation import group_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("a"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        (F.count("*") - F.sum("a")).cast("long").alias("cb"),
+    ).withColumn("__g", F.lit(0))
+    cum = group_prefix_sum(pv, ["__g"], ["v"], "ca", out_col="cum_a")
+    cum = group_prefix_sum(cum, ["__g"], ["v"], "cb", out_col="cum_b")
+    n = pv.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                )
+            ).alias("d2"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb")
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.floor(1_000_000 * F.col("d2") / (F.col("na") * F.col("nb")))
+        .cast("long")
+        .alias("d_ppm"),
+        (
+            F.col("d2") / (na * nb)
+            > 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (na * nb))
+        ).alias("significant"),
+    )
