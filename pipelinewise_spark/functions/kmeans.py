@@ -37,11 +37,17 @@ materialized centroids).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 _DEC = "decimal(38,0)"
+# DECIMAL(38,0) ceiling for the cross-multiplied compare N_j * c_b^2 (the
+# DuckDB HUGEINT twin tops out slightly higher at ~1.7e38; the stricter
+# bound governs)
+_COMPARE_LIMIT = 10**38
 
 
 def _quantize(vec_col: str) -> Column:
@@ -108,6 +114,73 @@ def _argmin_cluster(cents: list[tuple[int, list[int], int]]) -> Column:
     return best.getField("j")
 
 
+def _argmin_udf(cents: list[tuple[int, list[int], int]]):
+    """Arrow-kernel twin of :func:`_argmin_cluster` — bit-identical
+    assignments, ~2 orders of magnitude faster per row (the PQ ADC lesson,
+    similarity.py:_pq_codes_udf: a k x dim candidate argmin per row is
+    numpy-batch territory, not interpreted-Catalyst-lambda territory).
+
+    Exactness without arbitrary precision on the hot path: every input to
+    the distance (c_j * q_d - S_jd) is an integer below 2^53, so float64
+    represents it EXACTLY; squaring + the dim-wide sum then carry only
+    ~dim*eps relative error. A row's float64 verdict is trusted only when
+    the runner-up score exceeds the winner by a margin far above that
+    error bound; ambiguous rows (exact ties, near-ties) re-run the exact
+    Python-int cross-multiplied fold — the same strictly-less,
+    ties-to-lower-j contract as the Catalyst fold and the DuckDB oracle.
+    In practice the fallback fires on a handful of rows (duplicate
+    vectors), so the kernel stays vectorized."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ids = np.asarray([j for j, _, _ in cents], dtype=np.int64)  # (k,)
+    S = np.asarray([s for _, s, _ in cents], dtype=np.float64)  # (k, dim)
+    c = np.asarray([n for _, _, n in cents], dtype=np.float64)  # (k,)
+    c2 = c * c
+    cents_py = [(j, [int(x) for x in s], int(n)) for j, s, n in cents]
+    dim = S.shape[1]
+    # relative error of score = (sum of dim exact-product squares) / c^2:
+    # <= (dim + 3) * eps per term; 64x headroom on top
+    tol = 64.0 * (dim + 3) * np.finfo(np.float64).eps
+
+    def exact_row(q: list[int]) -> int:
+        best_j, best_n, best_c2 = None, None, None
+        for j, s, n in cents_py:
+            N = sum((n * int(a) - b) ** 2 for a, b in zip(q, s))
+            C2 = n * n
+            if best_j is None or N * best_c2 < best_n * C2:
+                best_j, best_n, best_c2 = j, N, C2
+        return best_j
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)  # (B, dim)
+        # (B, k, dim): c_j * q - S_j, every entry an exactly-represented
+        # integer; scores (B, k)
+        diff = c[None, :, None] * x[:, None, :] - S[None, :, :]
+        scores = (diff * diff).sum(axis=-1) / c2[None, :]
+        order = np.argmin(scores, axis=1)  # first minimal index
+        best = np.take_along_axis(
+            scores, order[:, None], axis=1
+        ).ravel()
+        # ambiguous iff ANY other candidate is within tolerance of the
+        # winner (includes exact ties, where the fold's lower-j rule and
+        # argmin's first-match rule must be re-derived exactly)
+        near = (
+            (np.abs(scores - best[:, None]) <= tol * np.maximum(
+                scores, best[:, None]
+            )).sum(axis=1)
+        ) > 1
+        out = ids[order]
+        if near.any():
+            rows = vecs.iloc[np.flatnonzero(near)]
+            out[np.flatnonzero(near)] = [
+                exact_row([int(v) for v in q]) for q in rows
+            ]
+        return pd.Series(out.astype(np.int32))
+
+    return assign
+
+
 def kmeans_exact(
     df: DataFrame,
     id_col: str,
@@ -137,13 +210,35 @@ def kmeans_exact(
         raise ValueError(
             f"kmeans_exact: k={k} but input has only {len(init)} vectors"
         )
+    # Magnitude budget, enforced (not just documented): the
+    # cross-multiplied compare N_j * c_b^2 <= 4*dim*qmax^2 * n^4 must stay
+    # below DECIMAL(38,0)/HUGEINT, and the float64 fast path needs every
+    # intermediate integer (<= 2*n*qmax) under 2^53. Exceeding either
+    # bound must fail LOUDLY here — Spark's non-ANSI decimal overflow
+    # returns NULL (silent misassignment) and only DuckDB's HUGEINT
+    # errors, so without this guard the two engines diverge silently.
+    qmax_row = v.select(
+        F.max(F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(acc, F.abs(x)),
+        ))
+    ).first()
+    qmax = int(qmax_row[0] or 0)
+    n_budget = (
+        min(
+            int((_COMPARE_LIMIT / (4.0 * dim * qmax * qmax)) ** 0.25),
+            (1 << 53) // (2 * qmax),
+        )
+        if qmax > 0
+        else 1 << 40
+    )
     cents = [
         (i + 1, [int(x) for x in r["__q"]], 1)
         for i, r in enumerate(sorted(init, key=lambda r: r["__id"]))
     ]
     for _ in range(iterations):
         agg = (
-            v.withColumn("__c", _argmin_cluster(cents))
+            v.withColumn("__c", _argmin_udf(cents)(F.col("__q")))
             .groupBy("__c")
             .agg(
                 F.count("*").alias("n"),
@@ -154,6 +249,14 @@ def kmeans_exact(
             )
         )
         got = {int(r["__c"]): r for r in agg.collect()}
+        worst = max((int(r["n"]) for r in got.values()), default=0)
+        if worst > n_budget:
+            raise ValueError(
+                f"kmeans_exact: cluster with {worst} members exceeds the "
+                f"exact-arithmetic budget of {n_budget} for max|q|={qmax} "
+                f"(dim={dim}); shrink the corpus (sample/reservoir) or "
+                f"coarsen MICRO"
+            )
         cents = [
             (
                 j,
@@ -166,5 +269,5 @@ def kmeans_exact(
         ]
     return v.select(
         F.col("__id").alias(id_col),
-        _argmin_cluster(cents).cast("long").alias("cluster_id"),
+        _argmin_udf(cents)(F.col("__q")).cast("long").alias("cluster_id"),
     )

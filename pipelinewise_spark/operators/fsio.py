@@ -21,6 +21,8 @@ import uuid
 
 from pyarrow import fs as pafs
 
+_WARNED_NONCAS = False
+
 
 class MetaFS:
     """Rooted filesystem view: all paths are POSIX-relative to ``root_uri``.
@@ -60,9 +62,12 @@ class MetaFS:
         """Create-exclusive write: raises ``FileExistsError`` if the target
         already exists. Local filesystem: ``O_CREAT|O_EXCL`` — atomic, so
         two racing writers allocating the same name can never overwrite
-        each other. Object stores: pyarrow exposes no conditional PUT, so
-        this degrades to an exists() probe + PUT (S3 If-None-Match would
-        close the gap; callers must keep a pointer re-check as backstop).
+        each other. S3 with boto3 available: conditional PUT
+        (``If-None-Match: *``) — the store-side CAS S3 has offered since
+        2024, same atomicity as O_EXCL. Anything else degrades to an
+        exists() probe + PUT, which is TOCTOU-racy — a ``RuntimeWarning``
+        is emitted (once per process) so operators know the two-writer
+        guarantees are weakened; callers keep a pointer re-check backstop.
         """
         path = self._p(*rel)
         if isinstance(self.fs, pafs.LocalFileSystem):
@@ -71,11 +76,54 @@ class MetaFS:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             with os.fdopen(fd, "wb") as f:
                 f.write(data.encode("utf-8"))
-        else:
-            if self.exists(*rel):
-                raise FileExistsError(path)
-            with self.fs.open_output_stream(path) as f:
-                f.write(data.encode("utf-8"))
+            return
+        if isinstance(self.fs, pafs.S3FileSystem) and self._s3_put_if_absent(
+            path, data
+        ):
+            return
+        global _WARNED_NONCAS
+        if not _WARNED_NONCAS:
+            import warnings
+
+            warnings.warn(
+                "MetaFS.write_text_exclusive on this filesystem has no "
+                "store-side conditional PUT: exclusive creates degrade to "
+                "a racy exists()+PUT. Concurrent-writer safety relies on "
+                "the commit-lock ownership re-check only.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _WARNED_NONCAS = True
+        if self.exists(*rel):
+            raise FileExistsError(path)
+        with self.fs.open_output_stream(path) as f:
+            f.write(data.encode("utf-8"))
+
+    @staticmethod
+    def _s3_put_if_absent(path: str, data: str) -> bool:
+        """Atomic create-exclusive on S3 via boto3 conditional PUT.
+        Returns False when boto3 is unavailable (caller falls back to the
+        racy probe+PUT and warns); raises FileExistsError when the object
+        already exists (HTTP 412 PreconditionFailed)."""
+        try:  # env-gated: boto3 is not a hard dependency
+            import boto3
+            import botocore.exceptions
+        except ImportError:
+            return False
+        bucket, _, key = path.partition("/")
+        try:
+            boto3.client("s3").put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=data.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+        except botocore.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "412"):
+                raise FileExistsError(path) from None
+            raise
+        return True
 
     def write_text(self, data: str, *rel: str, atomic: bool = False) -> None:
         path = self._p(*rel)

@@ -384,7 +384,7 @@ class ManifestTable:
         # non-lock-abiding writer (e.g. after a broken stale lock). The
         # pointer write is the commit point — atomic rename locally,
         # atomic PUT on object stores.
-        with self._commit_lock():
+        with self._commit_lock() as assert_lock_owned:
             if expected_parent is not None:
                 live = self.current_manifest_name()
                 want = (
@@ -409,6 +409,14 @@ class ManifestTable:
                     f"{name} already allocated by a racing writer during "
                     f"the {op}; reload and retry"
                 ) from None
+            # Ownership re-check IMMEDIATELY before the pointer swap: a
+            # holder that stalled long enough to be timed out and broken
+            # may resume here AFTER the breaker committed — its manifest
+            # got a fresh (later) number, so the create-exclusive write
+            # above succeeded, and the swap would silently orphan the
+            # breaker's commit. Re-reading the lock shrinks that
+            # lost-commit window to the single read→rename gap.
+            assert_lock_owned()
             self.mfs.write_text(name, self._ref_file, atomic=True)
         return name
 
@@ -453,8 +461,23 @@ class ManifestTable:
                     except OSError:  # another contender broke it first
                         pass
                 _time.sleep(0.005)
+
+        def assert_owned() -> None:
+            """Raise CommitConflict unless _commit.lock still carries
+            this holder's token (i.e. we were NOT timed out and broken
+            while stalled inside the critical section)."""
+            try:
+                owner = self.mfs.read_text(lock).split("|", 1)[1]
+            except (OSError, ValueError, IndexError):
+                owner = None
+            if owner != token:
+                raise CommitConflict(
+                    "commit lock was broken while this writer stalled "
+                    "(another writer may have committed); reload and retry"
+                )
+
         try:
-            yield
+            yield assert_owned
         finally:
             try:
                 owner = self.mfs.read_text(lock).split("|", 1)[1]

@@ -41,12 +41,30 @@ def row_hash(canon_cols: Sequence[Column]) -> Column:
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
 
 
+_INTEGRAL_TYPES = {"byte", "short", "int", "integer", "long", "bigint"}
+
+
+def _bucket_expr(df: DataFrame, key_col: str, n_buckets: int) -> Column:
+    """Integral keys bucket on the key itself (pmod) — deterministic,
+    oracle-reproducible in any SQL engine. Non-integral keys (string/UUID
+    PKs are common in replication) bucket on xxhash64(key) so they never
+    null-bucket or fail; both sides use the same rule, which is all
+    bucketing needs."""
+    dtype = dict(df.dtypes)[key_col]
+    key = (
+        F.col(key_col)
+        if dtype in _INTEGRAL_TYPES or dtype.startswith("decimal")
+        else F.xxhash64(F.col(key_col).cast("string"))
+    )
+    return F.pmod(key, F.lit(n_buckets)).cast("int")
+
+
 def _hashed(
     df: DataFrame, key_col: str, canon_cols: Sequence[Column], n_buckets: int
 ) -> DataFrame:
     return df.select(
         F.col(key_col).alias("__key"),
-        F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        _bucket_expr(df, key_col, n_buckets).alias("bucket"),
         row_hash(canon_cols).alias("__h"),
     )
 

@@ -362,7 +362,9 @@ def decode_message(
                 k = e.get("key", _proto3_default(kt, schema))
                 if kt == "bool":
                     k = "true" if k else "false"
-                val = e.get("value", _proto3_default(vt, schema))
+                val = e.get(
+                    "value", _proto3_default(vt, schema, map_value=True)
+                )
                 d[str(k)] = val  # last key wins
         elif f_.repeated:
             out.setdefault(f_.name, []).extend(vals)
@@ -380,8 +382,13 @@ def decode_message(
     return out
 
 
-def _proto3_default(ftype: str, schema: ProtoSchema):
-    """proto3 default for an absent scalar/enum/message field."""
+def _proto3_default(ftype: str, schema: ProtoSchema, map_value: bool = False):
+    """proto3 default for an absent scalar/enum/message field.
+
+    ``map_value`` distinguishes the two message-typed cases: a map entry
+    with an omitted message VALUE means an empty message ``{}`` (the
+    MessageToDict contract), while an absent singular submessage field
+    means "not set" → None."""
     if ftype == "bool":
         return False
     if ftype == "string":
@@ -394,7 +401,9 @@ def _proto3_default(ftype: str, schema: ProtoSchema):
         return 0
     if ftype in schema.enums:  # enum default: the 0-numbered label
         return schema.enums[ftype].get(0, "0")
-    return None  # message-typed: absent submessage stays None
+    # message-typed: omitted map VALUE ≡ empty message; absent singular
+    # submessage ≡ not set
+    return {} if map_value else None
 
 
 def _unpack_packed(ftype: str, raw: bytes) -> list:
