@@ -284,6 +284,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # dev-only subset filter (`python bench.py --queries a,b,c`); the
+    # driver's bare invocation times the full list as always
+    only: set[str] | None = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--queries":
+        only = set(sys.argv[2].split(","))
+    bench_queries = [q for q in BENCH_QUERIES if only is None or q in only]
     # a 119-query single-session run needs driver heap headroom: streaming
     # state, listener backlog, and broadcast cleanup all live there, and a
     # GC-bound driver drags every query measured late in the run
@@ -301,17 +307,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     fixtures: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for qi, name in enumerate(BENCH_QUERIES):
+    for qi, name in enumerate(bench_queries):
         fn = QUERIES.get(name)
         if fn is None:
             continue
         best = None  # (total_sec, fixture_sec) with min total
         try:
-            # min-of-2 damps JIT/GC/scheduler noise; queries whose first
-            # pass is already slow (heavy table-write fixtures) are timed
-            # once — the second pass would double wall-clock for noise
-            # reduction that long runs don't need
-            for _attempt in range(2):
+            # adaptive min-of-N (2..4) damps JIT/GC/scheduler noise;
+            # queries whose first pass is already slow (heavy table-write
+            # fixtures) are timed once — the second pass would double
+            # wall-clock for noise reduction that long runs don't need.
+            # Extra passes (3rd/4th) run ONLY while the timing is still
+            # improving >10% — the r8 lesson: multi-stage overhead-
+            # dominated queries early in the session (positions ~10-50)
+            # need ~4 passes before C2 finishes compiling their codegen
+            # stages, and a min-of-2 froze dedup_clusters at +27% over its
+            # converged time (clean-session 5-pass: 9.3 → 4.9 → 4.5 →
+            # 4.3 → 3.4s, the last matching r7's record).
+            for _attempt in range(4):
                 fixturetime.drain()  # zero the fixture accumulator
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -320,6 +333,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 fix = fixturetime.drain()
+                prev_best = best[0] if best is not None else None
                 if best is None or dt < best[0]:
                     best = (dt, fix)
                 # session hygiene BETWEEN attempts, untimed: drop operator
@@ -332,6 +346,10 @@ def main() -> None:
                 # min-of-2 exists for (an 11 s transient on a 2 s query
                 # landed in a round record under the old 8 s cutoff)
                 if dt > 12.0:
+                    break
+                # converged: the 2nd+ pass stopped improving materially —
+                # stop re-running (most queries exit here at 2 passes)
+                if prev_best is not None and dt >= 0.9 * prev_best:
                     break
         except Exception as exc:  # one bad query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
