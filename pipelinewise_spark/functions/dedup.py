@@ -507,14 +507,23 @@ def build_lsh_index(
 
     from pipelinewise_spark.operators.fsio import MetaFS
 
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
+
     # sidecar metadata goes through the MetaFS seam (pyarrow.fs), data
     # through Spark — same split as ManifestTable, so the index lives on
-    # s3://…/hdfs://… exactly like a local directory
-    mfs = MetaFS(path)
+    # s3://…/hdfs://… exactly like a local directory. Versioned-dir
+    # maintenance is the shared IndexLifecycle contract.
+    life = IndexLifecycle.create(
+        path, "_lsh_index.json", ("shingles", "bands"),
+        {
+            "id_col": id_col, "text_col": text_col,
+            "num_hashes": num_hashes, "num_bands": num_bands,
+        },
+    )
     sh = shingle_sets(corpus, id_col, text_col)
-    sh.write.mode("overwrite").parquet(mfs.uri("shingles"))
+    sh.write.mode("overwrite").parquet(life.uri("shingles"))
     spark = corpus.sparkSession
-    sh_back = spark.read.parquet(mfs.uri("shingles"))
+    sh_back = spark.read.parquet(life.uri("shingles"))
     bands = _band_keys(
         minhash_signatures(sh_back, id_col, num_hashes),
         id_col, num_hashes, num_bands,
@@ -522,30 +531,16 @@ def build_lsh_index(
     (
         bands.repartition(F.col("band_key"))
         .write.mode("overwrite")
-        .parquet(mfs.uri("bands"))
+        .parquet(life.uri("bands"))
     )
-    meta = {
-        "id_col": id_col, "text_col": text_col,
-        "num_hashes": num_hashes, "num_bands": num_bands,
-        # ManifestTable-style pointer: maintenance verbs (extend/compact)
-        # repoint these; readers always resolve through the meta file
-        "shingles_dir": "shingles", "bands_dir": "bands",
-        "extensions": 0, "compactions": 0,
-    }
-    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
+    life.save()
 
 
-def _load_index_meta(path: str):
-    import json as _json
+def _load_index_life(path: str):
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
 
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = _json.loads(mfs.read_text("_lsh_index.json"))
-    # pre-maintenance indexes predate the dir pointers
-    meta.setdefault("shingles_dir", "shingles")
-    meta.setdefault("bands_dir", "bands")
-    return mfs, meta
+    # pre-lifecycle sidecars default to the legacy unversioned dirs
+    return IndexLifecycle.load(path, "_lsh_index.json", ("shingles", "bands"))
 
 
 def extend_lsh_index(batch: DataFrame, path: str) -> None:
@@ -556,62 +551,51 @@ def extend_lsh_index(batch: DataFrame, path: str) -> None:
     dedup against this one too). Batch-sized work only; a months-long
     loop accumulates small fragment files, which
     :func:`compact_lsh_index` consolidates."""
-    import json as _json
-
-    mfs, meta = _load_index_meta(path)
+    life = _load_index_life(path)
+    meta = life.meta
     id_col, text_col = meta["id_col"], meta["text_col"]
     sh = shingle_sets(batch, id_col, text_col)
-    sh.write.mode("append").parquet(mfs.uri(meta["shingles_dir"]))
+    sh.write.mode("append").parquet(life.uri("shingles"))
     bands = _band_keys(
         minhash_signatures(sh, id_col, meta["num_hashes"]),
         id_col, meta["num_hashes"], meta["num_bands"],
     )
-    bands.write.mode("append").parquet(mfs.uri(meta["bands_dir"]))
-    meta["extensions"] = meta.get("extensions", 0) + 1
-    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
+    bands.write.mode("append").parquet(life.uri("bands"))
+    life.record_extension()
 
 
 def compact_lsh_index(spark, path: str) -> dict:
-    """Consolidate index fragments (ManifestTable.compact analog): rewrite
-    the shingle and band tables into fresh versioned dirs — bands
+    """Consolidate index fragments (shared IndexLifecycle.compact):
+    rewrite the shingle and band tables into fresh versioned dirs — bands
     re-clustered by band_key so probes stay co-located — and atomically
     repoint the meta file. Candidate sets are unchanged by construction
     (same rows, new files). Old dirs stay on disk for in-flight readers
     until :func:`vacuum_lsh_index`. Returns the updated meta."""
-    import json as _json
-
-    mfs, meta = _load_index_meta(path)
-    n = meta.get("compactions", 0) + 1
-    new_sh, new_bands = f"shingles-{n:04d}", f"bands-{n:04d}"
-    sh = spark.read.parquet(mfs.uri(meta["shingles_dir"]))
-    sh.repartition(spark.sparkContext.defaultParallelism).write.mode(
-        "overwrite"
-    ).parquet(mfs.uri(new_sh))
-    bands = spark.read.parquet(mfs.uri(meta["bands_dir"]))
-    bands.repartition(F.col("band_key")).write.mode("overwrite").parquet(
-        mfs.uri(new_bands)
-    )
-    meta["shingles_dir"], meta["bands_dir"] = new_sh, new_bands
-    meta["compactions"] = n
-    mfs.write_text(_json.dumps(meta), "_lsh_index.json", atomic=True)
-    return meta
+    par = spark.sparkContext.defaultParallelism
+    return _load_index_life(path).compact({
+        "shingles": lambda cur, new: (
+            spark.read.parquet(cur).repartition(par)
+            .write.mode("overwrite").parquet(new)
+        ),
+        "bands": lambda cur, new: (
+            spark.read.parquet(cur).repartition(F.col("band_key"))
+            .write.mode("overwrite").parquet(new)
+        ),
+    })
 
 
 def vacuum_lsh_index(path: str) -> list[str]:
     """Delete index data dirs no longer referenced by the meta pointer
-    (ManifestTable.vacuum analog). Returns the removed dir names."""
-    mfs, meta = _load_index_meta(path)
-    live = {meta["shingles_dir"], meta["bands_dir"]}
-    removed = []
-    for d in mfs.listdir():
-        if (
-            d.startswith(("shingles", "bands"))
-            and d not in live
-            and not d.endswith(".json")
-        ):
-            mfs.delete_dir(d)
-            removed.append(d)
-    return removed
+    (shared IndexLifecycle.vacuum). Returns the removed dir names."""
+    return _load_index_life(path).vacuum()
+
+
+def lsh_index_status(path: str) -> dict:
+    """Staleness/maintenance surface (metadata-only): the shared
+    lifecycle counters plus the live band-fragment file count — the
+    number an ingest daemon thresholds on to schedule
+    :func:`compact_lsh_index`."""
+    return _load_index_life(path).status(fragment_role="bands")
 
 
 def minhash_lsh_pairs_against_index(
@@ -627,7 +611,8 @@ def minhash_lsh_pairs_against_index(
     :func:`minhash_lsh_pairs_against`, but the corpus side costs a
     parquet read — shingling/banding ran once at index-build time. The
     batch side still shingles/bands in-plan (it is batch-sized)."""
-    mfs, meta = _load_index_meta(path)
+    life = _load_index_life(path)
+    meta = life.meta
     if (meta["num_hashes"], meta["num_bands"]) != (num_hashes, num_bands):
         raise ValueError(
             f"index at {path} was built with (hashes, bands)="
@@ -635,8 +620,8 @@ def minhash_lsh_pairs_against_index(
             f"requested ({num_hashes}, {num_bands})"
         )
     id_col = meta["id_col"]
-    sh_c = spark.read.parquet(mfs.uri(meta["shingles_dir"]))
-    bands_c = spark.read.parquet(mfs.uri(meta["bands_dir"]))
+    sh_c = spark.read.parquet(life.uri("shingles"))
+    bands_c = spark.read.parquet(life.uri("bands"))
     sh_b = register_cache(
         shingle_sets(batch, id_col, meta["text_col"]).persist()
     )

@@ -714,11 +714,12 @@ def build_ivf_index(
     assignment pass against broadcast centroids, and each query batch
     touches `n_probe/num_centroids` of the data. Metadata goes through
     the MetaFS seam (s3://-capable), mirroring build_lsh_index."""
-    import json
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
 
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
+    life = IndexLifecycle.create(
+        path, "_ivf_index.json", ("lists", "centroids"),
+        {"id_col": id_col, "num_centroids": num_centroids},
+    )
     assignments, centroids = ivf_assign(
         corpus, id_col, vec_col, num_centroids, iterations
     )
@@ -726,11 +727,18 @@ def build_ivf_index(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     ).join(assignments, id_col)
     lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        mfs.uri("lists")
+        life.uri("lists")
     )
-    centroids.write.mode("overwrite").parquet(mfs.uri("centroids"))
-    meta = {"id_col": id_col, "num_centroids": num_centroids}
-    mfs.write_text(json.dumps(meta), "_ivf_index.json", atomic=True)
+    centroids.write.mode("overwrite").parquet(life.uri("centroids"))
+    life.save()
+
+
+def _ivf_life(path: str):
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
+
+    return IndexLifecycle.load(
+        path, "_ivf_index.json", ("lists", "centroids")
+    )
 
 
 def extend_ivf_index(batch: DataFrame, path: str, vec_col: str) -> None:
@@ -738,23 +746,45 @@ def extend_ivf_index(batch: DataFrame, path: str, vec_col: str) -> None:
     nearest EXISTING centroid (broadcast) and append to that inverted
     list — batch-sized work, centroids unchanged (the standard serving
     policy; rebuild when the corpus distribution drifts)."""
-    import json
-
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = json.loads(mfs.read_text("_ivf_index.json"))
-    id_col = meta["id_col"]
+    life = _ivf_life(path)
+    id_col = life.meta["id_col"]
     spark = batch.sparkSession
-    centroids = spark.read.parquet(mfs.uri("centroids"))
+    centroids = spark.read.parquet(life.uri("centroids"))
     v = batch.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
     assigned = _assign_to_centroids(v, centroids)
     lists = v.select(F.col(id_col), F.col("__v").alias("vec")).join(
         assigned, id_col
     )
     lists.write.mode("append").partitionBy("centroid_id").parquet(
-        mfs.uri("lists")
+        life.uri("lists")
     )
+    life.record_extension()
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Consolidate inverted-list fragments (shared IndexLifecycle.compact):
+    every extend appends one file per touched list, so a long-running
+    ingest accumulates fragments that tax probe-time listing. The rewrite
+    keeps the centroid_id hive partitioning (probes still prune to their
+    n_probe lists); the build-once centroid sidecar is untouched."""
+    return _ivf_life(path).compact({
+        "lists": lambda cur, new: (
+            spark.read.parquet(cur)
+            .repartition(F.col("centroid_id"))
+            .write.mode("overwrite").partitionBy("centroid_id").parquet(new)
+        ),
+    })
+
+
+def vacuum_ivf_index(path: str) -> list[str]:
+    """Delete list dirs no longer referenced by the meta pointer."""
+    return _ivf_life(path).vacuum()
+
+
+def ivf_index_status(path: str) -> dict:
+    """Maintenance surface: shared lifecycle counters + live list-fragment
+    file count."""
+    return _ivf_life(path).status(fragment_role="lists")
 
 
 def ivf_topk_against_index(
@@ -772,14 +802,9 @@ def ivf_topk_against_index(
     the probe-id set is at most ``num_centroids`` driver-side ints) and
     exact-cosine within. Same (query_id, neighbor_id, cos, rank) contract
     as :func:`ivf_topk`."""
-    import json
-
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = json.loads(mfs.read_text("_ivf_index.json"))
-    id_col = meta["id_col"]
-    centroids = spark.read.parquet(mfs.uri("centroids"))
+    life = _ivf_life(path)
+    id_col = life.meta["id_col"]
+    centroids = spark.read.parquet(life.uri("centroids"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
@@ -809,7 +834,7 @@ def ivf_topk_against_index(
         for r in probes.select("centroid_id").distinct().collect()
     )
     lists = (
-        spark.read.parquet(mfs.uri("lists"))
+        spark.read.parquet(life.uri("lists"))
         .filter(F.col("centroid_id").isin(probe_ids))
         .select(
             F.col(id_col).alias("neighbor_id"), "vec", "centroid_id"
@@ -1194,26 +1219,33 @@ def build_pq_index(
     the ADC scan touches only codes, and the exact re-rank fetches the
     shortlist's vectors from the source lake — that asymmetry IS the PQ
     memory story at 100 TB. Metadata goes through MetaFS (s3://-capable),
-    mirroring build_ivf_index / build_lsh_index."""
-    import json
+    mirroring build_ivf_index / build_lsh_index; versioned-dir
+    maintenance is the shared IndexLifecycle contract."""
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
 
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
     codebooks = pq_train_codebooks(
         corpus, id_col, vec_col, num_subspaces, codes_per_subspace, dim=dim
     )
+    life = IndexLifecycle.create(
+        path, "_pq_index.json", ("codes",),
+        {
+            "id_col": id_col,
+            "num_subspaces": num_subspaces,
+            "codes_per_subspace": codes_per_subspace,
+            "dim": dim,
+            "codebooks": codebooks,
+        },
+    )
     pq_encode(corpus, id_col, vec_col, codebooks, dim=dim).write.mode(
         "overwrite"
-    ).parquet(mfs.uri("codes"))
-    meta = {
-        "id_col": id_col,
-        "num_subspaces": num_subspaces,
-        "codes_per_subspace": codes_per_subspace,
-        "dim": dim,
-        "codebooks": codebooks,
-    }
-    mfs.write_text(json.dumps(meta), "_pq_index.json", atomic=True)
+    ).parquet(life.uri("codes"))
+    life.save()
+
+
+def _pq_life(path: str):
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
+
+    return IndexLifecycle.load(path, "_pq_index.json", ("codes",))
 
 
 def extend_pq_index(batch: DataFrame, path: str, vec_col: str) -> None:
@@ -1221,15 +1253,36 @@ def extend_pq_index(batch: DataFrame, path: str, vec_col: str) -> None:
     Arrow-kernel map pass, batch-sized) and append to the code table —
     codebooks unchanged (the standard serving policy; rebuild when the
     corpus distribution drifts)."""
-    import json
-
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = json.loads(mfs.read_text("_pq_index.json"))
+    life = _pq_life(path)
+    meta = life.meta
     pq_encode(
         batch, meta["id_col"], vec_col, meta["codebooks"], dim=meta["dim"]
-    ).write.mode("append").parquet(mfs.uri("codes"))
+    ).write.mode("append").parquet(life.uri("codes"))
+    life.record_extension()
+
+
+def compact_pq_index(spark, path: str) -> dict:
+    """Consolidate code-table fragments (shared IndexLifecycle.compact):
+    the code table is 8 small ints per row, so fragments are cheap to
+    rewrite; the ADC scan's cost is dominated by file count, not bytes."""
+    par = spark.sparkContext.defaultParallelism
+    return _pq_life(path).compact({
+        "codes": lambda cur, new: (
+            spark.read.parquet(cur).repartition(par)
+            .write.mode("overwrite").parquet(new)
+        ),
+    })
+
+
+def vacuum_pq_index(path: str) -> list[str]:
+    """Delete code dirs no longer referenced by the meta pointer."""
+    return _pq_life(path).vacuum()
+
+
+def pq_index_status(path: str) -> dict:
+    """Maintenance surface: shared lifecycle counters + live code-table
+    fragment count."""
+    return _pq_life(path).status(fragment_role="codes")
 
 
 def pq_topk_against_index(
@@ -1246,17 +1299,13 @@ def pq_topk_against_index(
     full scan — 8 ints per row), shortlist ``refine`` deep, exact-cosine
     re-rank against vectors fetched from ``corpus`` (the source lake).
     Same output contract as pq_topk / cosine_topk."""
-    import json
-
-    from pipelinewise_spark.operators.fsio import MetaFS
-
-    mfs = MetaFS(path)
-    meta = json.loads(mfs.read_text("_pq_index.json"))
+    life = _pq_life(path)
+    meta = life.meta
     codebooks = meta["codebooks"]
     id_col = meta["id_col"]
     num_subspaces = meta["num_subspaces"]
     sub_dim = meta["dim"] // num_subspaces
-    codes = spark.read.parquet(mfs.uri("codes"))
+    codes = spark.read.parquet(life.uri("codes"))
 
     qrows = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")

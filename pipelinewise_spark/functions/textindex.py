@@ -22,15 +22,15 @@ ManifestTable, so the index lives on ``s3://``/``hdfs://`` unchanged):
 
 Incremental growth: ``extend_text_index`` appends a batch's postings as
 new fragments in the same bucket layout and bumps the integer corpus
-stats; probes see the union. (Fragment accumulation is bounded by the
-same compact-style maintenance as the LSH index; the layout is plain
-parquet, so ``ManifestTable.compact``-grade consolidation is a rewrite
-of each bucket dir.)
+stats; probes see the union. Versioned-dir maintenance — compaction into
+fresh dirs, pointer repoint, vacuum, staleness counters — is the shared
+:class:`~pipelinewise_spark.functions.indexlife.IndexLifecycle` contract
+(one implementation across the LSH / IVF / PQ / text index families);
+this module keeps only the postings kernel.
 """
 
 from __future__ import annotations
 
-import json as _json
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions.retrieval import B, K1
 from pipelinewise_spark.functions.text import tokens
-from pipelinewise_spark.operators.fsio import MetaFS
+from pipelinewise_spark.functions.indexlife import IndexLifecycle
 from pipelinewise_spark.partitioning import spread
 
 N_BUCKETS = 64
@@ -74,121 +74,81 @@ def _doc_stats(df: DataFrame, text_col: str) -> tuple[int, int]:
     return int(row["n"]), int(row["tok"] or 0)
 
 
-def _load_index_meta(path: str) -> tuple[MetaFS, dict]:
-    mfs = MetaFS(path)
-    meta = _json.loads(mfs.read_text(_META))
-    # pre-lifecycle indexes stored postings in an unversioned dir
-    meta.setdefault("postings_dir", "postings")
-    return mfs, meta
+def _life(path: str) -> IndexLifecycle:
+    return IndexLifecycle.load(path, _META, ("postings",))
+
+
+def _write_postings(p: DataFrame, uri: str, mode: str) -> None:
+    (
+        p.repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(uri)
+    )
 
 
 def build_text_index(
     corpus: DataFrame, path: str, id_col: str, text_col: str
 ) -> None:
-    mfs = MetaFS(path)
-    pdir = "postings-0000"
-    p = _postings(corpus, id_col, text_col)
-    (
-        p.repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(mfs.uri(pdir))
-    )
     n_docs, total_tokens = _doc_stats(corpus, text_col)
-    meta = {
-        "id_col": id_col, "text_col": text_col,
-        "n_buckets": N_BUCKETS,
-        "n_docs": n_docs, "total_tokens": total_tokens,
-        "postings_dir": pdir,
-        "extensions": 0,
-        "extensions_since_compaction": 0,
-        "compactions": 0,
-    }
-    mfs.write_text(_json.dumps(meta), _META, atomic=True)
+    life = IndexLifecycle.create(
+        path, _META, ("postings",),
+        {
+            "id_col": id_col, "text_col": text_col,
+            "n_buckets": N_BUCKETS,
+            "n_docs": n_docs, "total_tokens": total_tokens,
+        },
+    )
+    _write_postings(
+        _postings(corpus, id_col, text_col), life.uri("postings"),
+        "overwrite",
+    )
+    life.save()
 
 
 def extend_text_index(batch: DataFrame, path: str) -> None:
     """Admit an ingest batch: append its postings fragments and bump the
     exact corpus stats (batch-sized work only)."""
-    mfs, meta = _load_index_meta(path)
+    life = _life(path)
+    meta = life.meta
     p = _postings(batch, meta["id_col"], meta["text_col"])
-    (
-        p.repartition(F.col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(mfs.uri(meta["postings_dir"]))
-    )
+    _write_postings(p, life.uri("postings"), "append")
     n, tok = _doc_stats(batch, meta["text_col"])
     meta["n_docs"] += n
     meta["total_tokens"] += tok
-    meta["extensions"] = meta.get("extensions", 0) + 1
-    meta["extensions_since_compaction"] = (
-        meta.get("extensions_since_compaction", 0) + 1
-    )
-    mfs.write_text(_json.dumps(meta), _META, atomic=True)
+    life.record_extension()
 
 
 def compact_text_index(spark: SparkSession, path: str) -> dict:
-    """Consolidate postings fragments (ManifestTable.compact / LSH-index
-    compact analog): every ``extend`` appends one file per bucket, so a
-    long-running ingest daemon accumulates fragments that tax probe-time
-    listing and open costs. Rewrite the postings — still bucket-
-    partitioned, re-clustered — into a fresh versioned dir and atomically
-    repoint the meta file. Search results are unchanged by construction
-    (same rows, new files); old dirs stay on disk for in-flight readers
-    until :func:`vacuum_text_index`. Returns the updated meta."""
-    mfs, meta = _load_index_meta(path)
-    n = meta.get("compactions", 0) + 1
-    new_dir = f"postings-{n:04d}"
-    (
-        spark.read.parquet(mfs.uri(meta["postings_dir"]))
-        .repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(mfs.uri(new_dir))
-    )
-    meta["postings_dir"] = new_dir
-    meta["compactions"] = n
-    meta["extensions_since_compaction"] = 0
-    mfs.write_text(_json.dumps(meta), _META, atomic=True)
-    return meta
+    """Consolidate postings fragments (shared IndexLifecycle.compact):
+    every ``extend`` appends one file per bucket, so a long-running
+    ingest daemon accumulates fragments that tax probe-time listing and
+    open costs. The rewrite keeps the bucket partitioning (re-clustered);
+    search results are unchanged by construction. Returns the updated
+    meta."""
+    return _life(path).compact({
+        "postings": lambda cur, new: _write_postings(
+            spark.read.parquet(cur), new, "overwrite"
+        ),
+    })
 
 
 def vacuum_text_index(path: str) -> list[str]:
-    """Delete postings dirs no longer referenced by the meta pointer
-    (ManifestTable.vacuum analog). Returns the removed dir names."""
-    mfs, meta = _load_index_meta(path)
-    removed = []
-    for d in mfs.listdir():
-        if d.startswith("postings") and d != meta["postings_dir"]:
-            mfs.delete_dir(d)
-            removed.append(d)
-    return removed
+    """Delete postings dirs no longer referenced by the meta pointer."""
+    return _life(path).vacuum()
 
 
 def text_index_status(path: str) -> dict:
     """Staleness/maintenance surface (metadata-only — no data read):
-    corpus stats plus fragment pressure. ``fragment_files`` counts the
-    live postings files; ``extensions_since_compaction`` is the signal a
-    maintenance loop thresholds on to schedule :func:`compact_text_index`
-    (each extend adds ~1 file per touched bucket)."""
-    mfs, meta = _load_index_meta(path)
-    frags = sum(
-        1
-        for rel in mfs.walk_files(meta["postings_dir"])
-        if rel.endswith(".parquet")
-    )
-    return {
-        "n_docs": meta["n_docs"],
-        "total_tokens": meta["total_tokens"],
-        "extensions": meta.get("extensions", 0),
-        "extensions_since_compaction": meta.get(
-            "extensions_since_compaction", 0
-        ),
-        "compactions": meta.get("compactions", 0),
-        "fragment_files": frags,
-        "postings_dir": meta["postings_dir"],
-    }
+    corpus stats plus the shared lifecycle counters; ``fragment_files``
+    counts live postings files (each extend adds ~1 per touched
+    bucket — the signal a maintenance loop thresholds on to schedule
+    :func:`compact_text_index`)."""
+    life = _life(path)
+    out = life.status(fragment_role="postings")
+    out["n_docs"] = life.meta["n_docs"]
+    out["total_tokens"] = life.meta["total_tokens"]
+    return out
 
 
 def search_text_index(
@@ -201,7 +161,8 @@ def search_text_index(
     """(doc_id, score) BM25 over the index — reads ONLY the query terms'
     buckets (hive partition dirs), never the corpus. Scores match
     ``bm25_scores`` on the same corpus exactly (6-dp rounded)."""
-    mfs, meta = _load_index_meta(path)
+    life = _life(path)
+    mfs, meta = life.mfs, life.meta
     n_docs = float(meta["n_docs"])
     avgdl = meta["total_tokens"] / meta["n_docs"]
     pdir = meta["postings_dir"]

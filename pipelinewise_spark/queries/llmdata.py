@@ -650,6 +650,12 @@ def ivf_index_lifecycle_embeddings(
         )
         S.extend_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path,
                            "embedding")
+        # full maintenance cycle (shared IndexLifecycle verbs): compact
+        # the extend's fragments, vacuum the superseded list dirs —
+        # probe results must be unchanged (checked by the contract below)
+        S.compact_ivf_index(spark, path)
+        S.vacuum_ivf_index(path)
+        assert S.ivf_index_status(path)["extensions_since_compaction"] == 0
     queries = emb.filter(F.col("vec_id") < 10)
     ann = S.ivf_topk_against_index(
         spark, path, queries, "embedding", k=3, n_probe=4
@@ -3187,6 +3193,10 @@ def pq_index_lifecycle_embeddings(
         S.extend_pq_index(
             emb.filter(F.col("vec_id") % 3 == 0), path, "embedding"
         )
+        # full maintenance cycle (shared IndexLifecycle verbs)
+        S.compact_pq_index(spark, path)
+        S.vacuum_pq_index(path)
+        assert S.pq_index_status(path)["extensions_since_compaction"] == 0
     queries = emb.filter(F.col("vec_id") < 10)
     ann = S.pq_topk_against_index(
         spark, path, emb, queries, "embedding", k=3, refine=64

@@ -202,11 +202,16 @@ def test_lsh_index_extend_compact_vacuum_preserves_pairs(spark, tmp_path):
             for f in fs
         )
 
-    frags_before = _n_fragments("bands")
+    import json as _j
+    pre = _j.loads(
+        open(os.path.join(path, "_lsh_index.json")).read()
+    )
+    frags_before = _n_fragments(pre["bands_dir"])
     meta = compact_lsh_index(spark, path)
     removed = vacuum_lsh_index(path)
-    assert {"shingles", "bands"} <= set(removed)
-    assert not os.path.exists(os.path.join(path, "bands"))
+    # vacuum removes exactly the superseded (pre-compaction) dirs
+    assert {pre["shingles_dir"], pre["bands_dir"]} <= set(removed)
+    assert not os.path.exists(os.path.join(path, pre["bands_dir"]))
     assert _n_fragments(meta["bands_dir"]) <= frags_before
 
     got_post = {
@@ -267,12 +272,12 @@ def test_ivf_index_extend_assigns_to_existing_lists(spark, tmp_path):
         num_centroids=4,
     )
     dirs_before = {
-        d for d in os.listdir(os.path.join(path, "lists"))
+        d for d in os.listdir(os.path.join(path, "lists-0000"))
         if d.startswith("centroid_id=")
     }
     S.extend_ivf_index(emb.filter("vec_id >= 100"), path, "embedding")
     dirs_after = {
-        d for d in os.listdir(os.path.join(path, "lists"))
+        d for d in os.listdir(os.path.join(path, "lists-0000"))
         if d.startswith("centroid_id=")
     }
     assert dirs_after <= dirs_before | dirs_after
@@ -280,7 +285,7 @@ def test_ivf_index_extend_assigns_to_existing_lists(spark, tmp_path):
     # every vector, old and new, is findable
     import pyspark.sql.functions as F
 
-    back = spark.read.parquet(os.path.join(path, "lists"))
+    back = spark.read.parquet(os.path.join(path, "lists-0000"))
     assert back.count() == 120
     assert back.select("vec_id").distinct().count() == 120
 

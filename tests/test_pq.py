@@ -91,7 +91,7 @@ def test_pq_index_lifecycle(spark, emb, tmp_path):
     S.extend_pq_index(rest, path, "embedding")
     meta_after = json.loads(MetaFS(path).read_text("_pq_index.json"))
     assert meta_before["codebooks"] == meta_after["codebooks"]
-    codes = spark.read.parquet(MetaFS(path).uri("codes"))
+    codes = spark.read.parquet(MetaFS(path).uri("codes-0000"))
     assert codes.count() == emb.count()
     assert codes.select("vec_id").distinct().count() == emb.count()
     queries = emb.filter(F.col("vec_id") < 5)
