@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "holt_forecast_daily_events",
     "mann_whitney_acctbal_segments",
     "ks_test_price_priorities",
+    # r9
+    "ks_drift_by_segment_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -209,3 +209,99 @@ def distribution_drift(
             "bucket", "lo", "hi", "ref_cnt", "cur_cnt", "tvd_ppm", "drifted"
         )
     )
+
+
+def ks_drift_by_segment(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Per-SEGMENT two-sample Kolmogorov-Smirnov drift against a pinned
+    reference epoch — the nightly feature-monitor composition of the
+    KS machinery (queries/analytics.py:ks_test_price_priorities) with
+    :func:`distribution_drift`'s reference-vs-current framing. Where the
+    bucketed TVD monitor needs bounds from the reference, KS is bin-free:
+    it compares whole CDFs, so a shape change INSIDE a bucket still
+    registers.
+
+    EXACT by the same construction as the global KS: per (segment, v)
+    counts are integers, running counts come from the two-phase
+    distributed prefix sum grouped BY SEGMENT (one range partitioning for
+    every segment at once — no SinglePartition window, no per-segment
+    jobs), and the sup-distance stays in cross-multiplied integer space
+    ``max |cumR·n_cur − cumC·n_ref|`` with one trailing division into
+    ppm. Significance is the alpha=0.05 two-sample bound
+    ``D > 1.358·sqrt((n_r+n_c)/(n_r·n_c))`` in literal-coefficient IEEE
+    arithmetic. A segment empty on either side (appeared/vanished since
+    the reference epoch) is maximal drift by definition: d_ppm=1e6,
+    significant=true.
+
+    Returns one row per segment:
+    (segment, n_ref, n_cur, d_ppm, significant).
+    """
+    from pipelinewise_spark.functions.curation import group_prefix_sum
+
+    def side(df: DataFrame, ca: str, cb: str) -> DataFrame:
+        return (
+            df.filter(
+                F.col(value_col).isNotNull()
+                & F.col(segment_col).isNotNull()
+            )
+            .groupBy(
+                F.col(segment_col).alias("segment"),
+                F.col(value_col).alias("v"),
+            )
+            .agg(F.count("*").cast("long").alias(ca))
+            .withColumn(cb, F.lit(0).cast("long"))
+        )
+    # one frame of per-(segment, value) counts carrying both sides — the
+    # union keys align so the per-value groupBy merges ref and cur rows
+    pv = (
+        side(reference, "cr", "cc")
+        .unionByName(
+            side(current, "cc", "cr").select("segment", "v", "cr", "cc")
+        )
+        .groupBy("segment", "v")
+        .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+    )
+    cum = group_prefix_sum(pv, ["segment"], ["v"], "cr", out_col="cum_r")
+    cum = group_prefix_sum(cum, ["segment"], ["v"], "cc", out_col="cum_c")
+    n = pv.groupBy("segment").agg(
+        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    d = (
+        cum.join(n, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_r") * F.col("n_cur")
+                    - F.col("cum_c") * F.col("n_ref")
+                )
+            ).alias("d2"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+        )
+    )
+    nr, nc = F.col("n_ref").cast("double"), F.col("n_cur")
+    one_sided_empty = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
+    return d.select(
+        "segment",
+        "n_ref",
+        "n_cur",
+        F.when(one_sided_empty, F.lit(1_000_000))
+        .otherwise(
+            F.floor(
+                1_000_000 * F.col("d2") / (F.col("n_ref") * F.col("n_cur"))
+            )
+        )
+        .cast("long")
+        .alias("d_ppm"),
+        F.when(one_sided_empty, F.lit(True))
+        .otherwise(
+            F.col("d2") / (nr * nc)
+            > 1.358 * F.sqrt((F.col("n_ref") + F.col("n_cur")) / (nr * nc))
+        )
+        .alias("significant"),
+    )

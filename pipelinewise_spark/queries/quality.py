@@ -394,6 +394,78 @@ def distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ks_drift_by_segment_orders",
+    oracle="""
+    WITH ref AS (
+        SELECT o_orderpriority AS segment, o_totalprice AS v
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    cur AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN o_totalprice + 50000.00 ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    pv AS (
+        SELECT segment, v,
+               CAST(SUM(r) AS BIGINT) AS cr, CAST(SUM(c) AS BIGINT) AS cc
+        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
+              UNION ALL
+              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
+        GROUP BY segment, v),
+    cum AS (
+        SELECT segment, v,
+               SUM(cr) OVER (PARTITION BY segment ORDER BY v) AS cum_r,
+               SUM(cc) OVER (PARTITION BY segment ORDER BY v) AS cum_c
+        FROM pv),
+    n AS (SELECT segment, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur
+          FROM pv GROUP BY segment),
+    d AS (SELECT c.segment,
+                 CAST(MAX(ABS(cum_r * n_cur - cum_c * n_ref)) AS BIGINT)
+                     AS d2
+          FROM cum c JOIN n ON c.segment = n.segment
+          GROUP BY c.segment)
+    SELECT n.segment, n.n_ref, n.n_cur,
+           CAST(CASE WHEN n.n_ref = 0 OR n.n_cur = 0 THEN 1000000
+                     ELSE FLOOR(1000000 * d.d2 / (n.n_ref * n.n_cur))
+                END AS BIGINT) AS d_ppm,
+           CASE WHEN n.n_ref = 0 OR n.n_cur = 0 THEN TRUE
+                ELSE (d.d2 / (CAST(n.n_ref AS DOUBLE) * n.n_cur))
+                     > 1.358 * sqrt((n.n_ref + n.n_cur)
+                                    / (CAST(n.n_ref AS DOUBLE) * n.n_cur))
+           END AS significant
+    FROM d JOIN n ON d.segment = n.segment
+    """,
+)
+def ks_drift_by_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment KS drift against a pinned reference epoch
+    (operators/drift.py:ks_drift_by_segment) — the nightly monitor a real
+    pipeline runs: pre-1998 orders are the reference epoch, 1998+ the
+    current, segmented by order priority, and ONE segment ('2-HIGH')
+    carries an injected +50000.00 price shift that the bin-free KS must
+    flag (untouched segments score only the generator's natural
+    epoch-to-epoch drift). Composes the
+    ks_test_price_priorities machinery (integer cross-multiplied
+    sup-distance over the SEGMENT-grouped two-phase prefix sum — one
+    range partitioning for all segments, no SinglePartition window) with
+    distribution_drift's reference-vs-current framing. All five rows are
+    value-exact vs the oracle; the shift uses decimal ADDITION so the
+    transformed values group identically in both engines."""
+    from pipelinewise_spark.operators.drift import ks_drift_by_segment
+
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    ref = o.filter(F.col("o_orderdate") < cut)
+    cur = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "2-HIGH",
+            F.col("o_totalprice") + F.lit("50000.00").cast("decimal(12,2)"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return ks_drift_by_segment(ref, cur, "o_totalprice", "o_orderpriority")
+
+
+@register(
     "record_linkage_customer",
     oracle="""
     WITH a AS (

@@ -259,3 +259,70 @@ def test_kmeans_kernel_equals_catalyst_fold(spark):
     assert not mismatches, mismatches[:5]
     # the tie engineering worked: centroid 5 never wins (lower j=1 does)
     assert all(r["fold"] != 5 for r in got)
+
+
+# ----------------------------------- r9 task 6: segment-level KS drift
+
+
+def test_ks_drift_by_segment_empty_side_is_max_drift(spark):
+    """A segment present in only one epoch (appeared/vanished) is maximal
+    drift by definition — d_ppm=1e6, significant — not a crash or NULL."""
+    from pipelinewise_spark.operators.drift import ks_drift_by_segment
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)], "seg string, v double"
+    )
+    cur = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)]
+        + [("b", float(i)) for i in range(5)],
+        "seg string, v double",
+    )
+    got = {
+        r["segment"]: r
+        for r in ks_drift_by_segment(ref, cur, "v", "seg").collect()
+    }
+    assert got["b"]["d_ppm"] == 1_000_000 and got["b"]["significant"]
+    assert got["b"]["n_ref"] == 0 and got["b"]["n_cur"] == 5
+    # identical distributions: D = 0, quiet
+    assert got["a"]["d_ppm"] == 0 and not got["a"]["significant"]
+
+
+def test_ks_drift_by_segment_matches_scipy_shape(spark):
+    """Cross-check the per-segment sup-distance against a pure-Python
+    two-sample KS on the same values."""
+    import random
+
+    from pipelinewise_spark.operators.drift import ks_drift_by_segment
+
+    rng = random.Random(11)
+    ref_rows = [("s1", rng.gauss(0, 1)) for _ in range(80)] + [
+        ("s2", rng.gauss(0, 1)) for _ in range(60)
+    ]
+    cur_rows = [("s1", rng.gauss(0.8, 1)) for _ in range(70)] + [
+        ("s2", rng.gauss(0, 1)) for _ in range(90)
+    ]
+    ref = spark.createDataFrame(ref_rows, "seg string, v double")
+    cur = spark.createDataFrame(cur_rows, "seg string, v double")
+    got = {
+        r["segment"]: r
+        for r in ks_drift_by_segment(ref, cur, "v", "seg").collect()
+    }
+
+    def ks_ppm(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb, best = len(a), len(b), 0
+        ca = cb = 0
+        from collections import Counter
+
+        fa, fb = Counter(a), Counter(b)
+        for v in vals:
+            ca += fa[v]
+            cb += fb[v]
+            best = max(best, abs(ca * nb - cb * na))
+        return (1_000_000 * best) // (na * nb)
+
+    for seg in ("s1", "s2"):
+        a = [v for s, v in ref_rows if s == seg]
+        b = [v for s, v in cur_rows if s == seg]
+        assert got[seg]["d_ppm"] == ks_ppm(a, b)
+    assert got["s1"]["significant"] and not got["s2"]["significant"]
