@@ -168,7 +168,9 @@ class IncrementalJoinView:
             self.fact_pk,
             "left_anti",
         )
-        self.view_table.overwrite(merged)
+        # count-less PK repartition: AQE sizes the rewrite, so the view
+        # lands as few right-sized files per batch (write-shape rule)
+        self.view_table.overwrite(merged.repartition(F.col(self.fact_pk)))
 
     # ------------------------------------------------------------- deltas
 

@@ -87,13 +87,18 @@ def apply_change_batch(
     """Merge one micro-batch of change events into the target table."""
     spark = batch.sparkSession
     prepared = prepare_change_batch(batch, spec)
+    # count-less PK repartition before full-table rewrites: AQE sizes the
+    # shuffle by bytes so the PK-sized state lands as few right-sized
+    # files per batch instead of shuffle-partition-many tiny ones that
+    # every later micro-batch re-lists (write-shape rule; scd.py twin)
+    pk = [F.col(c) for c in spec.primary_keys]
     if not table.exists():
         merged = (
             prepared.filter(F.col(SDC_DELETED_AT).isNull())
             if spec.hard_delete
             else prepared
         )
-        table.overwrite(merged)
+        table.overwrite(merged.repartition(*pk))
     elif (
         spec.options.get("merge_strategy") == "merge_on_read"
         and hasattr(table, "merge_on_read")
@@ -122,7 +127,7 @@ def apply_change_batch(
             table.read(spark), prepared, spec.primary_keys,
             hard_delete=spec.hard_delete, guard_col=SDC_SEQ_COL,
         )
-        table.overwrite(merged)
+        table.overwrite(merged.repartition(*pk))
 
 
 def run_cdc_stream(

@@ -66,7 +66,11 @@ class StreamingRollup:
     def _publishable(self, df: DataFrame) -> DataFrame:
         if self.publish_partitions:
             return df.coalesce(self.publish_partitions)
-        return df
+        # count-less repartition by the MV keys: AQE sizes the shuffle by
+        # bytes, so the answer-sized rollup lands as few right-sized files
+        # instead of shuffle-partition-many tiny ones that every later
+        # batch re-lists (the write-shape rule; see streaming/scd.py)
+        return df.repartition(*[F.col(k) for k in self.keys])
 
     # ------------------------------------------------- replay idempotency
     # foreachBatch is at-least-once: a crash after the rollup publish but

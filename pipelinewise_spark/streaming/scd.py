@@ -56,9 +56,17 @@ def apply_scd2_batch(
     """Fold one micro-batch of change events into (current, closed-log)."""
     spark = batch.sparkSession
     prepared = prepare_change_batch(batch, spec)
+    # count-less repartition by PK before every state write: AQE sizes the
+    # shuffle to bytes, so the PK-sized current table lands as few
+    # right-sized files instead of shuffle-partition-many tiny ones (which
+    # every subsequent micro-batch would re-list and re-open). folded is
+    # CACHED below, which pins its 32-partition shape — AQE coalescing
+    # can't reach through a cache, so the repartition must sit between the
+    # cache read and the write.
+    pk = [F.col(c) for c in spec.primary_keys]
     if not current_table.exists():
         current_table.overwrite(
-            scd2_init(prepared, SDC_EXTRACTED_AT)
+            scd2_init(prepared, SDC_EXTRACTED_AT).repartition(*pk)
         )
         return
     # change checksum over payload columns only: _sdc_* bookkeeping moves
@@ -89,10 +97,12 @@ def apply_scd2_batch(
         epoch_dir = posixpath.join(closed_dir, f"epoch={epoch}")
         committed = MetaFS(epoch_dir).exists("_SUCCESS")
         if not committed:
-            folded.filter(~F.col(IS_CURRENT)).write.mode(
+            folded.filter(~F.col(IS_CURRENT)).repartition(*pk).write.mode(
                 "overwrite"
             ).parquet(epoch_dir)
-        current_table.overwrite(folded.filter(F.col(IS_CURRENT)))
+        current_table.overwrite(
+            folded.filter(F.col(IS_CURRENT)).repartition(*pk)
+        )
     finally:
         folded.unpersist()
 
