@@ -25,75 +25,49 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
-    # ================= r8 prefix-50 =================
-    # Composition: 26 never-driver-checked r7 queries + 2 BPE oracle
-    # conversions + 2 post-ADVICE re-verifications + 14 r8-new queries +
-    # 6 staleness rotations = 50. Every query registered in rounds 1-8
-    # that lacked a driver correctness row is in this prefix, so a green
-    # r8 run completes the cumulative driver-checked union at 221/221
-    # with zero rows-only entries and zero latest-red rows.
-    # r9 rotation plan: rotate the oldest cumulative-green rows first —
-    # the r3-green block (q2..q20, profile/anti/semi-join, set ops,
-    # pivot/cube/median/retention/moving_avg/ntile/histogram/range_join/
-    # q21/q22) — plus any query whose code changes in r9.
-    # Part 1 (26): every query that has NEVER had a driver correctness row
-    # (all r7-new, registered past r7's prefix; pytest-green with oracles).
-    # Grading all of them closes the cumulative driver-green union.
-    # graph / co-occurrence
-    "pagerank_copurchase_parts", "triangle_count_parts",
-    "part_pairs_cooccurrence", "item_recommendations_parts",
-    "hierarchy_rollup_parts",
-    # relational additions
-    "window_functions_orders", "grouping_sets_revenue",
-    "unpivot_order_measures",
-    # time-series (batch + streaming)
-    "rolling_7day_revenue", "ohlc_daily_events", "ewma_daily_events",
-    "sliding_window_event_counts", "stream_ohlc_bars_events",
-    "stream_running_totals_events",
-    # stats
-    "chi2_priority_status", "regression_price_by_brand",
-    # sources / media / sketches
-    "xml_source_orders", "phash_near_dup_media",
-    "cms_user_frequency_events", "cdf_cms_maintenance_orders",
-    # quality gates / retrieval / embeddings
-    "key_skew_report_events", "fk_integrity_orders",
-    "ingest_volume_anomaly_orders", "semantic_decontaminate_embeddings",
-    "source_reputation_filter_documents", "text_index_search_documents",
-    # Part 2 (2): former rows-only reds (r6 `err: no_oracle`) converted in
-    # r8 to VALUE-EXACT oracles — DuckDB replays the greedy merge loop as a
-    # recursive CTE (queries/llmdata.py:_bpe_recursive_sql). Zero rows-only
-    # entries remain in the registry.
-    "bpe_merges_documents", "bpe_encode_documents",
-    # Part 3 (2): re-verify under the driver after r8 ADVICE fixes touched
-    # manifest stats collection (_file_stats row-group dropped-set) and
-    # metadata-verb publish (expected_parent) — the two most exposed verbs.
-    "analyze_stats_orders", "merge_on_read_orders",
-    # Part 4 (6): staleness rotation — cumulative-green rows whose last
-    # driver check is r1/r3/r5; re-shown per the every-round rotation
-    # policy. All are pytest-verified value-exact at sf0.001 every run.
-    "q1_pricing_summary", "q3_shipping_priority",
-    "except_customers_both_segments", "intersect_customers_both_statuses",
-    "events_topk_per_user", "asof_join_click_purchase",
-    # Part 5 (14): NEW in r8 (registered this round, graded now) —
-    # value-exact distributed k-means; PQ ANN completing the IVF / int8 /
-    # PQ triad + its persisted index lifecycle; value-exact MMR
-    # diversified re-rank; season-aware median/MAD anomaly rule;
-    # integer-exact TVD histogram-drift monitor; blocked Fellegi-Sunter
-    # record linkage; source/target reconciliation (report + diff);
-    # integer-exact Benford first-digit audit; freshness SLA report
-    # completing the observability quartet; Holt linear-trend forecasting
-    # (bit-exact recursive fold); integer-exact Mann-Whitney U rank-sum;
-    # integer-exact two-sample Kolmogorov-Smirnov over the distributed
-    # prefix sum
-    "kmeans_embeddings", "embedding_pq_topk",
-    "mmr_diversified_topk_embeddings",
-    "seasonal_anomaly_daily_events", "distribution_drift_orders",
-    "record_linkage_customer", "pq_index_lifecycle_embeddings",
-    "reconcile_report_orders", "reconcile_diff_orders",
-    "benford_audit_orders", "freshness_report_events",
-    "holt_forecast_daily_events", "mann_whitney_acctbal_segments",
-    "ks_test_price_priorities",
-    # ============== end r8 prefix-50 ==============
+    # ================= r9 prefix-50 =================
+    # Composition (per the r8-documented rotation plan): 13 queries whose
+    # CODE r9 touched (Arrow-kernel k-means + runtime magnitude guard;
+    # xxhash64 reconcile bucketing; the IndexLifecycle unification behind
+    # all four persisted indexes; the write-shape repartition in the SCD2/
+    # CDC/MV/IVM per-batch folds) + 1 r9-new query + 36 staleness
+    # rotations covering the ENTIRE remaining r1/r3-green block except
+    # q6_forecast_revenue and monthly_revenue_moving_avg (deferred to r10
+    # for slot budget; both trivial single-agg/window shapes, pytest-
+    # verified value-exact at sf0.001 every session). The cdc.py/mv.py
+    # transports also feed cdc_stream_mv_orders / medallion / curation
+    # streams — those keep their r7/r8 green rows and the full-registry
+    # pytest sweep re-verifies them value-exact every session.
+    # Part 1 (13): r9 code-touched.
+    "kmeans_embeddings", "reconcile_report_orders", "reconcile_diff_orders",
+    "lsh_index_lifecycle_documents", "ivf_index_lifecycle_embeddings",
+    "pq_index_lifecycle_embeddings", "text_index_search_documents",
+    "stream_ingest_dedup_index_documents", "cdc_stream_scd2_customer",
+    "cdf_incremental_mv_orders", "incremental_join_view_orders",
+    "cdc_stream_apply_orders", "cdc_stream_mv_orders",
+    # Part 2 (1): NEW in r9 — segment-level KS drift monitor.
+    "ks_drift_by_segment_orders",
+    # Part 3 (36): staleness rotation — every remaining r1/r3-green row.
+    # r1-green (5 rounds stale):
+    "archive_load_metadata_orders", "embedding_ann_bucket_top1",
+    "embedding_lsh_buckets", "fingerprint_documents", "lang_id_documents",
+    "multimodal_binary_metadata", "schema_evolution_version_column",
+    "text_quality_documents", "winnowing_fingerprint_documents",
+    # r3-green TPC-H block:
+    "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier_volume",
+    "q7_nation_volume", "q8_national_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_parts", "q12_priority_shipping",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    # r3-green relational/profile block:
+    "profile_orders_columns", "anti_join_inactive_customers",
+    "semi_join_parts_shipped", "cube_order_revenue",
+    "pivot_user_event_counts", "median_order_price_by_priority",
+    "histogram_order_totals", "retention_cohorts_weekly",
+    # ============== end r9 prefix-50 ==============
     "sessionize_events",
     "windowed_event_counts", "rollup_order_revenue",
     "range_join_attribution", "q21_waiting_suppliers",
