@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "ks_test_price_priorities",
     # r9
     "ks_drift_by_segment_orders",
+    "reconcile_repair_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -134,3 +134,39 @@ def reconcile_diff(
         .filter(F.col("status").isNotNull())
         .select("key", "status")
     )
+
+
+def reconcile_repair(
+    source: DataFrame,
+    target: DataFrame,
+    key_col: str,
+    canon_cols: Sequence[Column],
+) -> DataFrame:
+    """The ACTION verb closing the detect→repair loop: return the target
+    repaired to content-equality with the source — rows the diff flags
+    ``missing_in_source`` drop, rows flagged ``missing_in_target`` or
+    ``modified`` re-copy from the source; agreeing rows pass through
+    UNTOUCHED (never rewritten from the source — at 100 TB the repair
+    moves only flagged keys, and the surviving-target-rows path is an
+    anti-join on keys, not a data copy).
+
+    Scale shape: one :func:`reconcile_diff` pass (keys + 48-bit hashes
+    only), then two key joins — the flagged-key sets are
+    corruption-sized, so Spark broadcasts them when small. In production
+    this composes per flagged bucket from :func:`reconcile_report`; here
+    it runs table-wide. Idempotent: repairing an already-repaired target
+    diffs empty and returns it unchanged."""
+    d = reconcile_diff(source, target, key_col, canon_cols)
+    drop_keys = d.filter(
+        F.col("status").isin("missing_in_source", "modified")
+    ).select("key")
+    copy_keys = d.filter(
+        F.col("status").isin("missing_in_target", "modified")
+    ).select("key")
+    kept = target.join(
+        drop_keys, target[key_col] == drop_keys["key"], "left_anti"
+    )
+    fixes = source.join(
+        copy_keys, source[key_col] == copy_keys["key"], "left_semi"
+    )
+    return kept.unionByName(fixes)

@@ -687,6 +687,35 @@ def reconcile_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reconcile_repair_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    """,
+)
+def reconcile_repair_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detect→repair loop closed (operators/reconcile.py:
+    reconcile_repair): the same three-way-corrupted replica as
+    reconcile_report/diff (rows missing, one-cent modifications, spurious
+    extras) is repaired back to CONTENT EQUALITY with the source — the
+    oracle is simply the source table itself, so every repaired cell is
+    value-checked. Spurious rows drop via key anti-join, missing and
+    modified rows re-copy from the source via key semi-join; agreeing
+    rows pass through untouched (at 100 TB the repair moves only flagged
+    keys). A second repair diffs empty (idempotence is asserted in
+    tests/test_reconcile.py)."""
+    from pipelinewise_spark.operators.reconcile import reconcile_repair
+
+    src, target, canon = _recon_frames(spark, sf_dir)
+    repaired = reconcile_repair(src, target, "o_orderkey", canon)
+    return repaired.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+
+
+@register(
     "benford_audit_orders",
     oracle="""
     WITH digits AS (

@@ -93,3 +93,38 @@ def test_null_shift_is_detected(spark):
     canon = [F.col("x"), F.col("y"), F.col("z")]
     diff = reconcile_diff(s, t, "id", canon).collect()
     assert len(diff) == 1 and diff[0]["status"] == "modified"
+
+
+def test_reconcile_repair_restores_equality_and_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.operators.reconcile import (
+        reconcile_diff,
+        reconcile_repair,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], ["pk", "val"]
+    )
+    tgt = (
+        src.filter(F.col("pk") % 37 != 5)  # some missing
+        .withColumn(
+            "val",
+            F.when(F.col("pk") % 41 == 3, F.lit("CORRUPT")).otherwise(
+                F.col("val")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame([(9999, "ghost"), (8888, "ghost2")],
+                                  ["pk", "val"])
+        )
+    )
+    canon = [F.col("pk").cast("string"), F.col("val")]
+    repaired = reconcile_repair(src, tgt, "pk", canon)
+    got = sorted((r["pk"], r["val"]) for r in repaired.collect())
+    want = sorted((r["pk"], r["val"]) for r in src.collect())
+    assert got == want
+    # idempotent: a repaired target diffs empty and passes through
+    assert reconcile_diff(src, repaired, "pk", canon).count() == 0
+    again = reconcile_repair(src, repaired, "pk", canon)
+    assert sorted((r["pk"], r["val"]) for r in again.collect()) == want
