@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Scale-evidence sweep: time a query subset at sf0.1 and at the 10x
+self-scaled copy (scripts/make_scaled_data.py), print per-query scaling
+ratios. A plan whose documented shape is linear should land near 10x
+(CPU-bound local[32] wall-clock; sub-10x means fixed overhead still
+dominates at sf0.1, well past ~10x means a super-linear stage to audit).
+
+Usage: python scripts/scale_sweep.py [query ...]
+Defaults to the bench HEADLINE subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pipelinewise_spark.caching import release_caches  # noqa: E402
+from pipelinewise_spark.queries import QUERIES, fixturetime  # noqa: E402
+from pipelinewise_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("PWS_SCALED_DIR", "/tmp/pws_sf1")
+
+
+def main() -> None:
+    from bench import HEADLINE
+
+    names = sys.argv[1:] or HEADLINE
+    spark = get_spark("pws-scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        best = None
+        for _ in range(3):
+            fixturetime.drain()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if best is not None and dt >= 0.9 * best:
+                best = min(best, dt)
+                break
+            best = dt if best is None else min(best, dt)
+            df = None
+            release_caches(spark)
+        release_caches(spark)
+        return best
+
+    out = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        t_small = run(name, SF01)
+        t_big = run(name, SF1)
+        out[name] = {
+            "sf0.1_s": round(t_small, 3),
+            "x10_s": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s  "
+            f"ratio {t_big / t_small:.2f}x", flush=True,
+        )
+    with open("/tmp/scale_sweep.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"n": len(out)}))
+
+
+if __name__ == "__main__":
+    main()
