@@ -348,11 +348,22 @@ def main() -> None:
                 # is almost always a GC/scheduler hiccup — exactly the case
                 # min-of-2 exists for (an 11 s transient on a 2 s query
                 # landed in a round record under the old 8 s cutoff)
-                if dt > 12.0:
+                # A >12 s pass on this suite is ALWAYS an anomaly (every
+                # structurally-heavy query sits under ~9 s clean), so it
+                # must never become the record unchallenged: retry once
+                # (transient stall -> the retry is fast and wins; genuine
+                # 12 s+ query -> two passes, bounded wall-clock). The old
+                # break-on-first-pass froze a 26 s IO stall into a 1.8 s
+                # query's record.
+                if dt > 12.0 and _attempt >= 1:
                     break
                 # converged: the 2nd+ pass stopped improving materially —
                 # stop re-running (most queries exit here at 2 passes)
-                if prev_best is not None and dt >= 0.9 * prev_best:
+                if (
+                    dt <= 12.0
+                    and prev_best is not None
+                    and dt >= 0.9 * prev_best
+                ):
                     break
         except Exception as exc:  # one bad query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
