@@ -596,8 +596,12 @@ def stream_curation_ingest_documents(
                 F.lit("2026-01-01 00:00:00").cast("timestamp"),
             ).alias("ts"),
         )
-        n = min(32, spark.sparkContext.defaultParallelism)
-        docs.repartition(n).write.mode("append").option(
+        # 8+4 source files with maxFilesPerTrigger=8 forces the
+        # re-deliveries into a LATER micro-batch (the cross-batch dedup
+        # contract under test) while keeping per-batch task counts
+        # proportionate to the corpus — 32 tiny json scan tasks per
+        # batch were pure scheduler overhead at bench scale
+        docs.repartition(8).write.mode("append").option(
             "timestampFormat", ts_fmt
         ).json(src)
         # re-deliveries land as separate files -> later micro-batches
@@ -610,7 +614,7 @@ def stream_curation_ingest_documents(
     )
     stream = (
         spark.readStream.schema(payload)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", 8)
         .option("timestampFormat", ts_fmt)
         .json(src)
     )
