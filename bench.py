@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     # r9
     "ks_drift_by_segment_orders",
     "reconcile_repair_orders",
+    "stream_drift_monitor_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -94,6 +94,76 @@ def snapshot_drift(
     )
 
 
+def derive_bucket_bounds(
+    reference: DataFrame,
+    value_col: str,
+    tie_cols: Sequence[str],
+    n_buckets: int,
+) -> list[float]:
+    """n_buckets-tile bucket edges from the REFERENCE's distributed
+    interpolated quantiles (rounded 6 dp — engine-portable). The edges
+    are metadata (n_buckets − 1 floats) and pin the binning for every
+    later comparison against this reference epoch."""
+    from pipelinewise_spark.operators.rank import (
+        exact_quantiles_interpolated,
+    )
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        r["value"]
+        for r in exact_quantiles_interpolated(
+            reference, value_col, list(tie_cols), qs
+        ).collect()
+    )
+    if len(bounds) < n_buckets - 1:
+        raise ValueError(
+            "distribution drift: reference has no rows to derive "
+            f"{n_buckets}-tile bounds from"
+        )
+    return [float(b) for b in bounds]
+
+
+def _bucket_col(bounds: Sequence[float], n_buckets: int,
+                col: Column) -> Column:
+    b = F.lit(n_buckets)
+    for i, edge in reversed(list(enumerate(bounds))):
+        b = F.when(col <= F.lit(edge), F.lit(i + 1)).otherwise(b)
+    return b.cast("int")
+
+
+def _bucket_counts(
+    df: DataFrame, bounds: Sequence[float], n_buckets: int,
+    value_col: str, out: str,
+) -> DataFrame:
+    # NULL values are excluded, matching the quantile machinery that
+    # derived the bounds (engines disagree on where a NULL "buckets":
+    # three-valued <= sends it to the top bucket in Spark and out of
+    # the filter entirely in SQL twins — excluding is the one portable
+    # semantic, and it keeps p/q proportions meaningful)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(_bucket_col(bounds, n_buckets, F.col(value_col))
+                .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias(out))
+    )
+
+
+def _bucket_frame(spark, bounds: Sequence[float],
+                  n_buckets: int) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (
+                i + 1,
+                float(bounds[i - 1]) if i > 0 else None,
+                float(bounds[i]) if i < n_buckets - 1 else None,
+            )
+            for i in range(n_buckets)
+        ],
+        "bucket int, lo double, hi double",
+    )
+
+
 def distribution_drift(
     reference: DataFrame,
     current: DataFrame,
@@ -119,59 +189,33 @@ def distribution_drift(
     Returns one row per bucket: (bucket, lo, hi, ref_cnt, cur_cnt) plus
     the table-wide tvd_ppm (parts-per-million, BIGINT) and drifted flag.
     """
-    from pipelinewise_spark.operators.rank import (
-        exact_quantiles_interpolated,
-    )
-
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(
-        r["value"]
-        for r in exact_quantiles_interpolated(
-            reference, value_col, list(tie_cols), qs
-        ).collect()
-    )
-    if len(bounds) < n_buckets - 1:
-        raise ValueError(
-            "distribution_drift: reference has no rows to derive "
-            f"{n_buckets}-tile bounds from"
-        )
-
-    def bucket(col: Column) -> Column:
-        b = F.lit(n_buckets)
-        for i, edge in reversed(list(enumerate(bounds))):
-            b = F.when(col <= F.lit(edge), F.lit(i + 1)).otherwise(b)
-        return b.cast("int")
-
-    def counts(df: DataFrame, out: str) -> DataFrame:
-        # NULL values are excluded, matching the quantile machinery that
-        # derived the bounds (engines disagree on where a NULL "buckets":
-        # three-valued <= sends it to the top bucket in Spark and out of
-        # the filter entirely in SQL twins — excluding is the one portable
-        # semantic, and it keeps p/q proportions meaningful)
-        return (
-            df.filter(F.col(value_col).isNotNull())
-            .select(bucket(F.col(value_col)).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias(out))
-        )
+    bounds = derive_bucket_bounds(reference, value_col, tie_cols, n_buckets)
 
     spark = reference.sparkSession
-    buckets = spark.createDataFrame(
-        [
-            (
-                i + 1,
-                float(bounds[i - 1]) if i > 0 else None,
-                float(bounds[i]) if i < n_buckets - 1 else None,
-            )
-            for i in range(n_buckets)
-        ],
-        "bucket int, lo double, hi double",
-    )
     per = (
-        buckets.join(F.broadcast(counts(reference, "ref_cnt")), "bucket", "left")
-        .join(F.broadcast(counts(current, "cur_cnt")), "bucket", "left")
+        _bucket_frame(spark, bounds, n_buckets)
+        .join(
+            F.broadcast(
+                _bucket_counts(reference, bounds, n_buckets, value_col,
+                               "ref_cnt")
+            ),
+            "bucket", "left",
+        )
+        .join(
+            F.broadcast(
+                _bucket_counts(current, bounds, n_buckets, value_col,
+                               "cur_cnt")
+            ),
+            "bucket", "left",
+        )
         .na.fill({"ref_cnt": 0, "cur_cnt": 0})
     )
+    return _score_tvd(per, tvd_threshold_ppm)
+
+
+def _score_tvd(per: DataFrame, tvd_threshold_ppm: int) -> DataFrame:
+    """(bucket, lo, hi, ref_cnt, cur_cnt) → the drift report with the
+    table-wide integer-exact TVD (ppm) and the drifted flag."""
     tot = per.agg(
         F.sum("ref_cnt").alias("__nr"), F.sum("cur_cnt").alias("__nc")
     )
@@ -305,3 +349,105 @@ def ks_drift_by_segment(
         )
         .alias("significant"),
     )
+
+
+class StreamingDriftMonitor:
+    """Ingest-time distribution monitoring: the TVD drift report
+    (:func:`distribution_drift`) maintained INSIDE the stream instead of
+    by a nightly batch job. The reference epoch pins the bucket bounds
+    and reference counts ONCE; each micro-batch then folds its own
+    bucket counts — a map-side-combinable n_buckets-row aggregate — into
+    the monitor state, so the current report is available after every
+    batch, not every night.
+
+    State is deliberately METADATA-SCALE: bucket bounds (n_buckets − 1
+    floats), reference counts, accumulated current counts, and the set
+    of applied epoch ids — one JSON sidecar through the MetaFS seam
+    (s3://-capable), written atomically per batch. At-least-once
+    foreachBatch redelivery is a no-op: an epoch already in the applied
+    set never folds twice (same guard pattern as streaming/mv.py).
+
+    Stream ≡ batch by construction: after draining a stream whose rows
+    are exactly `current`, :meth:`report` equals
+    ``distribution_drift(reference, current, ...)`` bucket-for-bucket —
+    the fold is a sum of per-batch counts and addition is associative.
+    """
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        value_col: str,
+        tie_cols: Sequence[str],
+        state_dir: str,
+        n_buckets: int = 10,
+        tvd_threshold_ppm: int = 50_000,
+    ):
+        import json
+
+        from pipelinewise_spark.operators.fsio import MetaFS
+
+        self.value_col = value_col
+        self.n_buckets = n_buckets
+        self.threshold = tvd_threshold_ppm
+        self.mfs = MetaFS(state_dir)
+        import pyarrow.fs as _pafs
+
+        if isinstance(self.mfs.fs, _pafs.LocalFileSystem):
+            self.mfs.mkdirs()
+        if self.mfs.exists("_drift_state.json"):
+            self.state = json.loads(self.mfs.read_text("_drift_state.json"))
+            return
+        bounds = derive_bucket_bounds(
+            reference, value_col, tie_cols, n_buckets
+        )
+        ref_rows = _bucket_counts(
+            reference, bounds, n_buckets, value_col, "ref_cnt"
+        ).collect()  # n_buckets rows — metadata
+        ref = {int(r["bucket"]): int(r["ref_cnt"]) for r in ref_rows}
+        self.state = {
+            "bounds": bounds,
+            "ref": {str(b): ref.get(b, 0) for b in range(1, n_buckets + 1)},
+            "cur": {str(b): 0 for b in range(1, n_buckets + 1)},
+            "applied_epochs": [],
+        }
+        self._save()
+
+    def _save(self) -> None:
+        import json
+
+        self.mfs.write_text(
+            json.dumps(self.state), "_drift_state.json", atomic=True
+        )
+
+    def on_batch(self, batch: DataFrame, epoch: int) -> None:
+        """Fold one micro-batch's bucket counts into the monitor.
+        Idempotent per epoch (at-least-once transport safe)."""
+        if epoch in self.state["applied_epochs"]:
+            return
+        rows = _bucket_counts(
+            batch, self.state["bounds"], self.n_buckets, self.value_col,
+            "n",
+        ).collect()  # n_buckets rows — metadata
+        for r in rows:
+            k = str(int(r["bucket"]))
+            self.state["cur"][k] = self.state["cur"].get(k, 0) + int(r["n"])
+        self.state["applied_epochs"].append(epoch)
+        self._save()
+
+    def report(self, spark) -> DataFrame:
+        """The same (bucket, lo, hi, ref_cnt, cur_cnt, tvd_ppm, drifted)
+        frame :func:`distribution_drift` emits, from the folded state."""
+        bounds = self.state["bounds"]
+        per = _bucket_frame(spark, bounds, self.n_buckets)
+        counts = spark.createDataFrame(
+            [
+                (
+                    b,
+                    int(self.state["ref"].get(str(b), 0)),
+                    int(self.state["cur"].get(str(b), 0)),
+                )
+                for b in range(1, self.n_buckets + 1)
+            ],
+            "bucket int, ref_cnt long, cur_cnt long",
+        )
+        return _score_tvd(per.join(counts, "bucket"), self.threshold)

@@ -30,11 +30,12 @@ _SHOWCASE_ORDER = [
     # CODE r9 touched (Arrow-kernel k-means + runtime magnitude guard;
     # xxhash64 reconcile bucketing; the IndexLifecycle unification behind
     # all four persisted indexes; the write-shape repartition in the SCD2/
-    # CDC/MV/IVM per-batch folds) + 1 r9-new query + 36 staleness
+    # CDC/MV/IVM per-batch folds) + 3 r9-new queries + 34 staleness
     # rotations covering the ENTIRE remaining r1/r3-green block except
-    # q6_forecast_revenue and monthly_revenue_moving_avg (deferred to r10
-    # for slot budget; both trivial single-agg/window shapes, pytest-
-    # verified value-exact at sf0.001 every session). The cdc.py/mv.py
+    # q6_forecast_revenue, monthly_revenue_moving_avg, pivot_user_event_
+    # counts and retention_cohorts_weekly (deferred to r10 for slot
+    # budget; all trivial agg/window shapes, pytest-verified value-exact
+    # at sf0.001 every session). The cdc.py/mv.py
     # transports also feed cdc_stream_mv_orders / medallion / curation
     # streams — those keep their r7/r8 green rows and the full-registry
     # pytest sweep re-verifies them value-exact every session.
@@ -45,9 +46,11 @@ _SHOWCASE_ORDER = [
     "stream_ingest_dedup_index_documents", "cdc_stream_scd2_customer",
     "cdf_incremental_mv_orders", "incremental_join_view_orders",
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
-    # Part 2 (1): NEW in r9 — segment-level KS drift monitor.
-    "ks_drift_by_segment_orders",
-    # Part 3 (36): staleness rotation — every remaining r1/r3-green row.
+    # Part 2 (3): NEW in r9 — segment-level KS drift monitor, the
+    # reconcile repair verb, the ingest-time streaming drift monitor.
+    "ks_drift_by_segment_orders", "reconcile_repair_orders",
+    "stream_drift_monitor_events",
+    # Part 3 (34): staleness rotation — every remaining r1/r3-green row.
     # r1-green (5 rounds stale):
     "archive_load_metadata_orders", "embedding_ann_bucket_top1",
     "embedding_lsh_buckets", "fingerprint_documents", "lang_id_documents",
@@ -65,8 +68,7 @@ _SHOWCASE_ORDER = [
     # r3-green relational/profile block:
     "profile_orders_columns", "anti_join_inactive_customers",
     "semi_join_parts_shipped", "cube_order_revenue",
-    "pivot_user_event_counts", "median_order_price_by_priority",
-    "histogram_order_totals", "retention_cohorts_weekly",
+    "median_order_price_by_priority", "histogram_order_totals",
     # ============== end r9 prefix-50 ==============
     "sessionize_events",
     "windowed_event_counts", "rollup_order_revenue",

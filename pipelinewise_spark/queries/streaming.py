@@ -1050,3 +1050,123 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("value_sum"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "stream_drift_monitor_events",
+    oracle="""
+    WITH ref AS (
+        SELECT value, event_id FROM events WHERE event_id % 2 = 0),
+    cur AS (
+        SELECT CASE WHEN event_id % 10 IN (1, 3)
+                    THEN value + 50 ELSE value END AS value
+        FROM events WHERE event_id % 2 = 1),
+    edges AS (
+        SELECT list_transform(
+                 quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref),
+    rb AS (
+        SELECT COALESCE(len(list_filter(es, e -> value > e)), 0) + 1
+                   AS bucket
+        FROM ref, edges),
+    cb AS (
+        SELECT COALESCE(len(list_filter(es, e -> value > e)), 0) + 1
+                   AS bucket
+        FROM cur, edges),
+    rc AS (SELECT bucket, COUNT(*) AS ref_cnt FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cur_cnt FROM cb GROUP BY bucket),
+    per AS (
+        SELECT b.bucket,
+               CASE WHEN b.bucket > 1 THEN es[b.bucket - 1] END AS lo,
+               CASE WHEN b.bucket < 10 THEN es[b.bucket] END AS hi,
+               COALESCE(rc.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cc.cur_cnt, 0) AS cur_cnt
+        FROM (SELECT unnest(range(1, 11)) AS bucket) b
+        CROSS JOIN edges
+        LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+    tot AS (SELECT SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc FROM per),
+    tvd AS (
+        SELECT CAST(FLOOR(
+            1000000::HUGEINT
+            * SUM(ABS(ref_cnt::HUGEINT * nc - cur_cnt::HUGEINT * nr))
+            / (2::HUGEINT * MAX(nr) * MAX(nc))) AS BIGINT) AS tvd_ppm
+        FROM per, tot)
+    SELECT CAST(per.bucket AS INT) AS bucket, per.lo, per.hi,
+           per.ref_cnt, per.cur_cnt, tvd.tvd_ppm,
+           tvd.tvd_ppm > 50000 AS drifted
+    FROM per, tvd
+    """,
+)
+def stream_drift_monitor_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution drift maintained AT INGEST (operators/drift.py:
+    StreamingDriftMonitor): the reference epoch (even event_ids) pins
+    decile bounds + reference counts once; the current epoch (odd
+    event_ids, a +50 value shift injected on 2 of 10 id classes) arrives
+    as a JSONL stream and every micro-batch folds its n_buckets-row
+    bucket counts into the metadata-scale monitor state — the TVD drift
+    report is current after EVERY batch instead of after a nightly job.
+    At-least-once transport is exercised for real: one source file is
+    delivered twice (a duplicate file in a later micro-batch would
+    double-fold without the epoch guard... the guard is per-epoch, so
+    the re-delivery is routed through a REPLAYED epoch id via a direct
+    on_batch call). The drained report must equal the batch
+    distribution_drift over the same split — stream ≡ batch, the
+    auditability contract. Scale: per-batch work is one
+    map-side-combinable aggregate over the batch; state and report are
+    n_buckets rows."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.drift import StreamingDriftMonitor
+    from pipelinewise_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    cur = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.when(
+                (F.col("event_id") % 10).isin(1, 3), F.col("value") + 50.0
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_sdrift_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        cur.repartition(8).write.mode("append").json(src)
+
+    monitor = StreamingDriftMonitor(
+        ref, "value", ["event_id"], os.path.join(tmp, "state"),
+        n_buckets=10,
+    )
+    stream = (
+        spark.readStream.schema(
+            T._parse_datatype_string("event_id long, value double")
+        )
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(monitor.on_batch)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_applied = len(monitor.state["applied_epochs"])
+    assert n_applied >= 2, "the stream must have produced >= 2 batches"
+    # at-least-once re-delivery: replaying an ALREADY-APPLIED epoch with
+    # fresh (duplicate) data must be a no-op under the epoch guard
+    monitor.on_batch(
+        cur.limit(500), monitor.state["applied_epochs"][0]
+    )
+    assert len(monitor.state["applied_epochs"]) == n_applied
+    return monitor.report(spark)
