@@ -323,7 +323,8 @@ def test_cli_index_verbs_roundtrip(spark, tmp_path, capsys):
         "build", "extend", "compact", "vacuum"
     ]
     assert lines[2]["compactions"] == 1
-    assert set(lines[3]["removed"]) == {"shingles", "bands"}
+    # vacuum removes exactly the pre-compaction (version-0) dirs
+    assert set(lines[3]["removed"]) == {"shingles-0000", "bands-0000"}
 
     probe = spark.createDataFrame(
         [(99, "common phrase repeated across documents 0")],
