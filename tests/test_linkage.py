@@ -110,3 +110,42 @@ def test_null_feature_values_score_zero(spark):
         left, right, "id", "id", [("blk", "blk")], FEATURES, 0
     ).collect()
     assert len(out) == 1 and out[0]["score"] == 400  # only the balance band
+
+
+def test_max_block_pairs_skips_dense_blocks(spark):
+    """A block key shared by many records on both sides is skipped under
+    the cap (no quadratic scan, no match emitted from it); normal blocks
+    still link identically to the uncapped run."""
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.functions.linkage import (
+        feature_exact,
+        link_records,
+    )
+
+    # block 'dense' has 50x50 candidates; block 'a'..'e' are 2x1
+    left_rows = [(i, "dense", f"L{i}") for i in range(50)] + [
+        (100 + i, blk, f"N{i}") for i, blk in enumerate("abcde")
+    ] + [(200 + i, blk, f"X{i}") for i, blk in enumerate("abcde")]
+    right_rows = [(1000 + i, "dense", f"L{i}") for i in range(50)] + [
+        (1100 + i, blk, f"N{i}") for i, blk in enumerate("abcde")
+    ]
+    left = spark.createDataFrame(left_rows, "lk long, blk string, name string")
+    right = spark.createDataFrame(
+        right_rows, "rk long, blk string, name string"
+    )
+    feats = [feature_exact("name", "name", 10)]
+
+    uncapped = link_records(
+        left, right, "lk", "rk", [("blk", "blk")], feats, threshold=10
+    ).collect()
+    capped = link_records(
+        left, right, "lk", "rk", [("blk", "blk")], feats, threshold=10,
+        max_block_pairs=100,
+    ).collect()
+
+    # uncapped: dense block links all 50 + the 5 normal
+    assert len(uncapped) == 55
+    got = {(r["right_key"], r["left_key"]) for r in capped}
+    # capped: dense block skipped entirely; the 5 normal blocks intact
+    assert got == {(1100 + i, 100 + i) for i in range(5)}
