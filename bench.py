@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "ks_drift_by_segment_orders",
     "reconcile_repair_orders",
     "stream_drift_monitor_events",
+    "cardinality_drift_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -821,3 +821,60 @@ def freshness_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_s"),
         ((F.col("__now_ms") - F.col("__last_ms")) > 86_400_000).alias("stale"),
     )
+
+
+@register(
+    "cardinality_drift_events",
+    oracle="""
+    WITH ref AS (
+        SELECT event_type AS segment, user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN user_id % 50
+                    ELSE user_id END AS user_id
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+    r AS (SELECT segment, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS ref_distinct FROM ref GROUP BY segment),
+    c AS (SELECT segment, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS cur_distinct FROM cur GROUP BY segment),
+    j AS (
+        SELECT COALESCE(r.segment, c.segment) AS segment,
+               COALESCE(ref_distinct, 0) AS ref_distinct,
+               COALESCE(cur_distinct, 0) AS cur_distinct
+        FROM r FULL JOIN c ON r.segment = c.segment)
+    SELECT segment, ref_distinct, cur_distinct,
+           CAST(CASE WHEN ref_distinct = 0 THEN 1000000
+                ELSE FLOOR(1000000.0
+                           * ABS(cur_distinct - ref_distinct)
+                           / ref_distinct) END AS BIGINT) AS delta_ppm,
+           CASE WHEN ref_distinct = 0 THEN 1000000
+                ELSE FLOOR(1000000.0
+                           * ABS(cur_distinct - ref_distinct)
+                           / ref_distinct) END > 200000 AS drifted
+    FROM j
+    """,
+)
+def cardinality_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distinct-key cardinality drift (operators/drift.py:
+    cardinality_drift) — the fifth observability face next to volume /
+    distribution / freshness / schema: pre-Jan-20 events are the
+    reference epoch; the current epoch carries an injected id-space
+    COLLAPSE on one segment ('click' user ids squashed mod 50 — the
+    key-truncation bug class) that the monitor must flag while organic
+    segments stay quiet. Two countDistinct passes + an answer-sized
+    segment join; delta leaves integer space only in the final ppm
+    division. At 100 TB the exact countDistinct swaps for the HLL sketch
+    table with the same report contract."""
+    from pipelinewise_spark.operators.drift import cardinality_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut)
+    cur = ev.filter(F.col("ts") >= cut).withColumn(
+        "user_id",
+        F.when(
+            F.col("event_type") == "click", F.col("user_id") % 50
+        ).otherwise(F.col("user_id")),
+    )
+    return cardinality_drift(ref, cur, "user_id", "event_type")
