@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "reconcile_repair_orders",
     "stream_drift_monitor_events",
     "cardinality_drift_events",
+    "kmeans_assign_embeddings",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -181,23 +181,12 @@ def _argmin_udf(cents: list[tuple[int, list[int], int]]):
     return assign
 
 
-def kmeans_exact(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 8,
-    iterations: int = 3,
-) -> DataFrame:
-    """(id, cluster_id) after ``iterations`` exact Lloyd steps.
-
-    Init: the k lowest-id vectors, as (S=q, c=1) — reproducible, no RNG.
-    Empty clusters keep their previous (S, c). Returns one row per input
-    vector; cluster_id in 1..k."""
+def _prepare(df: DataFrame, id_col: str, vec_col: str) -> tuple:
     from pipelinewise_spark.caching import register_cache
 
     first = df.select(F.size(vec_col)).first()
     if first is None:
-        raise ValueError("kmeans_exact: input has no rows")
+        raise ValueError("kmeans: input has no rows")
     dim = first[0]
     # pinned for the iteration loop; release_caches() (the per-query sweep
     # every driver-facing query runs first) reclaims it afterwards
@@ -205,10 +194,26 @@ def kmeans_exact(
         df.select(F.col(id_col).alias("__id"), _quantize(vec_col).alias("__q"))
         .persist()
     )
+    return v, dim
+
+
+def _budget(dim: int, qmax: int) -> int:
+    """Max safe cluster-member count for the exact-compare arithmetic:
+    both the DECIMAL(38,0)/HUGEINT cross-multiply ceiling and the float64
+    2^53 exact-integer bound must hold."""
+    if qmax <= 0:
+        return 1 << 40
+    return min(
+        int((_COMPARE_LIMIT / (4.0 * dim * qmax * qmax)) ** 0.25),
+        (1 << 53) // (2 * qmax),
+    )
+
+
+def _train_on(v, dim: int, k: int, iterations: int) -> list:
     init = v.orderBy("__id").limit(k).collect()
     if len(init) < k:
         raise ValueError(
-            f"kmeans_exact: k={k} but input has only {len(init)} vectors"
+            f"kmeans: k={k} but input has only {len(init)} vectors"
         )
     # Magnitude budget, enforced (not just documented): the
     # cross-multiplied compare N_j * c_b^2 <= 4*dim*qmax^2 * n^4 must stay
@@ -224,14 +229,7 @@ def kmeans_exact(
         ))
     ).first()
     qmax = int(qmax_row[0] or 0)
-    n_budget = (
-        min(
-            int((_COMPARE_LIMIT / (4.0 * dim * qmax * qmax)) ** 0.25),
-            (1 << 53) // (2 * qmax),
-        )
-        if qmax > 0
-        else 1 << 40
-    )
+    n_budget = _budget(dim, qmax)
     cents = [
         (i + 1, [int(x) for x in r["__q"]], 1)
         for i, r in enumerate(sorted(init, key=lambda r: r["__id"]))
@@ -252,7 +250,7 @@ def kmeans_exact(
         worst = max((int(r["n"]) for r in got.values()), default=0)
         if worst > n_budget:
             raise ValueError(
-                f"kmeans_exact: cluster with {worst} members exceeds the "
+                f"kmeans: cluster with {worst} members exceeds the "
                 f"exact-arithmetic budget of {n_budget} for max|q|={qmax} "
                 f"(dim={dim}); shrink the corpus (sample/reservoir) or "
                 f"coarsen MICRO"
@@ -267,6 +265,76 @@ def kmeans_exact(
             )
             for j, s_vec, c in cents
         ]
+    return cents
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+) -> list[tuple[int, list[int], int]]:
+    """Train and return the exact centroid states [(j, S, c), ...] —
+    metadata-scale driver state (the ivf_assign contract), consumable by
+    :func:`kmeans_assign` for held-out/new data. Init: the k lowest-id
+    vectors; empty clusters keep their previous (S, c)."""
+    v, dim = _prepare(df, id_col, vec_col)
+    return _train_on(v, dim, k, iterations)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[int], int]],
+    check_budget: bool = True,
+) -> DataFrame:
+    """(id, cluster_id): assign ANY vector frame to trained centroids —
+    the full-corpus/serving pass (one broadcast map stage, zero shuffle;
+    the same shape as ivf_assign's search path). Bit-identical to the
+    in-training assignment: the same Arrow kernel with the same exact
+    fallback. ``check_budget`` re-verifies the exact-arithmetic bound
+    against THIS frame's max|q| (one agg pass) — new data with larger
+    magnitudes than the training corpus must fail loudly, not silently
+    overflow; disable only when the caller proved the bound already."""
+    q = _quantize(vec_col)
+    if check_budget:
+        qmax_row = df.select(
+            F.max(F.aggregate(
+                q, F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            ))
+        ).first()
+        qmax = int(qmax_row[0] or 0) if qmax_row is not None else 0
+        dim = len(cents[0][1])
+        worst = max(c for _, _, c in cents)
+        if worst > _budget(dim, qmax):
+            raise ValueError(
+                f"kmeans_assign: centroid with {worst} members exceeds "
+                f"the exact-arithmetic budget for this frame's "
+                f"max|q|={qmax} (dim={dim})"
+            )
+    return df.select(
+        F.col(id_col),
+        _argmin_udf(cents)(q).cast("long").alias("cluster_id"),
+    )
+
+
+def kmeans_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """(id, cluster_id) after ``iterations`` exact Lloyd steps.
+
+    Init: the k lowest-id vectors, as (S=q, c=1) — reproducible, no RNG.
+    Empty clusters keep their previous (S, c). Returns one row per input
+    vector; cluster_id in 1..k."""
+    v, dim = _prepare(df, id_col, vec_col)
+    cents = _train_on(v, dim, k, iterations)
     return v.select(
         F.col("__id").alias(id_col),
         _argmin_udf(cents)(F.col("__q")).cast("long").alias("cluster_id"),

@@ -2983,7 +2983,12 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    iterations: int = 3,
+    train_where: str = "TRUE",
+    assign_where: str = "TRUE",
+) -> str:
     """DuckDB twin of functions/kmeans.py:kmeans_exact — the Lloyd loop as
     one recursive CTE (the BPE-oracle pattern extended to numerical ML).
     Centroid state rides as a single-row list of (j, s BIGINT[], c); the
@@ -3010,11 +3015,12 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
 
     members = "list_filter(t1.asg, x -> x.cl = ce.j)"
     return f"""
-    WITH RECURSIVE vecs AS (
+    WITH RECURSIVE allvecs AS (
       SELECT vec_id,
              list_transform(embedding, x ->
                  CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
       FROM embeddings),
+    vecs AS (SELECT * FROM allvecs WHERE {train_where}),
     init AS (
       SELECT list(struct_pack(j := rn, s := q, c := 1::BIGINT)
                   ORDER BY rn) AS cents
@@ -3047,9 +3053,10 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
       ) t1
       WHERE it < {iterations}
     ),
-    st AS (SELECT cents AS state FROM km WHERE it = {iterations})
+    st AS (SELECT cents AS state FROM km WHERE it = {iterations}),
+    targets AS (SELECT * FROM allvecs WHERE {assign_where})
     SELECT v.vec_id, CAST({assign("st.state", "v.q")} AS BIGINT) AS cluster_id
-    FROM vecs v, st
+    FROM targets v, st
     """
 
 
@@ -3067,6 +3074,39 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_exact(emb, "vec_id", "embedding", k=8, iterations=3)
+
+
+@register(
+    "kmeans_assign_embeddings",
+    oracle=_kmeans_oracle(
+        k=8, iterations=2,
+        train_where="vec_id % 3 <> 0",
+        assign_where="vec_id % 3 = 0",
+    ),
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means SERVING path (functions/kmeans.py:kmeans_train +
+    kmeans_assign): centroids train on 2/3 of the corpus, and the
+    HELD-OUT third — data the training loop never saw, the
+    full-corpus/new-batch assignment story at 100 TB — assigns via the
+    same Arrow kernel with the same exact-arithmetic contract: one
+    broadcast map stage, zero shuffle, bit-identical to the DuckDB
+    recursive-CTE oracle that replays training on the same split and
+    assigns the same held-out rows in HUGEINT. The magnitude guard
+    re-verifies against the ASSIGNED frame's own max|q|."""
+    from pipelinewise_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(
+        emb.filter(F.col("vec_id") % 3 != 0), "vec_id", "embedding",
+        k=8, iterations=2,
+    )
+    return kmeans_assign(
+        emb.filter(F.col("vec_id") % 3 == 0), "vec_id", "embedding", cents
+    )
 
 
 def _mmr_oracle(k: int = 5, pool: int = 15, lam: float = 0.7) -> str:
