@@ -89,3 +89,63 @@ def test_kmeans_duplicate_points_tiebreak_lower_id(spark):
     )
     out = kmeans_exact(df, "vec_id", "embedding", k=2, iterations=2)
     assert {r["cluster_id"] for r in out.collect()} == {1}
+
+
+def test_train_assign_split_matches_exact(spark):
+    """kmeans_train + kmeans_assign over the SAME corpus must reproduce
+    kmeans_exact's assignments exactly (the serving path is the same
+    kernel), and assigning a held-out frame works against the trained
+    centroids."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_exact,
+        kmeans_train,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    exact = {
+        r["id"]: r["cluster_id"]
+        for r in kmeans_exact(df, "id", "vec", k=4, iterations=2).collect()
+    }
+    cents = kmeans_train(df, "id", "vec", k=4, iterations=2)
+    split = {
+        r["id"]: r["cluster_id"]
+        for r in kmeans_assign(df, "id", "vec", cents).collect()
+    }
+    assert split == exact
+    held = df.filter(F.col("id") % 2 == 0)
+    sub = {
+        r["id"]: r["cluster_id"]
+        for r in kmeans_assign(held, "id", "vec", cents).collect()
+    }
+    assert sub == {i: c for i, c in exact.items() if i % 2 == 0}
+
+
+def test_kmeans_assign_budget_guard_on_new_frame(spark):
+    """New data with larger magnitudes than the training corpus must
+    fail loudly in kmeans_assign, not silently overflow."""
+    import pytest
+
+    from pipelinewise_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    train = spark.createDataFrame(
+        [(i, [float(i % 5) / 5, 0.0]) for i in range(400)],
+        "id long, vec array<double>",
+    )
+    cents = kmeans_train(train, "id", "vec", k=2, iterations=1)
+    huge = spark.createDataFrame(
+        [(1, [3.0e7, 0.0])], "id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_assign(huge, "id", "vec", cents)
