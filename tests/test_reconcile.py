@@ -128,3 +128,40 @@ def test_reconcile_repair_restores_equality_and_is_idempotent(spark):
     assert reconcile_diff(src, repaired, "pk", canon).count() == 0
     again = reconcile_repair(src, repaired, "pk", canon)
     assert sorted((r["pk"], r["val"]) for r in again.collect()) == want
+
+
+def test_reconcile_repair_random_corruption_property(spark):
+    """Property: for ANY combination of dropped / modified / spurious
+    rows, repair(source, corrupt(target)) == source and the post-repair
+    diff is empty. Randomized corruption sets (seeded) instead of the
+    fixed three-way case above."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.operators.reconcile import (
+        reconcile_diff,
+        reconcile_repair,
+    )
+
+    base = [(i, f"payload-{i}") for i in range(400)]
+    src = spark.createDataFrame(base, ["pk", "val"])
+    canon = [F.col("pk").cast("string"), F.col("val")]
+    want = sorted(base)
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        drop = set(rng.sample(range(400), rng.randint(0, 40)))
+        modify = set(rng.sample(range(400), rng.randint(0, 40))) - drop
+        ghosts = [(10_000 + seed * 100 + g, "ghost")
+                  for g in range(rng.randint(0, 10))]
+        rows = [
+            (k, f"XX-{k}" if k in modify else v)
+            for k, v in base
+            if k not in drop
+        ] + ghosts
+        tgt = spark.createDataFrame(rows, ["pk", "val"])
+        repaired = reconcile_repair(src, tgt, "pk", canon)
+        got = sorted((r["pk"], r["val"]) for r in repaired.collect())
+        assert got == want, f"seed {seed}"
+        assert reconcile_diff(src, repaired, "pk", canon).count() == 0
