@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "stream_drift_monitor_events",
     "cardinality_drift_events",
     "kmeans_assign_embeddings",
+    "mw_drift_by_segment_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -30,13 +30,13 @@ _SHOWCASE_ORDER = [
     # CODE r9 touched (Arrow-kernel k-means + runtime magnitude guard;
     # xxhash64 reconcile bucketing; the IndexLifecycle unification behind
     # all four persisted indexes; the write-shape repartition in the SCD2/
-    # CDC/MV/IVM per-batch folds) + 5 r9-new queries + 32 staleness
+    # CDC/MV/IVM per-batch folds) + 6 r9-new queries + 31 staleness
     # rotations covering the ENTIRE remaining r1/r3-green block except
     # q6_forecast_revenue, monthly_revenue_moving_avg, pivot_user_event_
-    # counts, retention_cohorts_weekly, histogram_order_totals and
-    # median_order_price_by_priority (deferred to r10 for slot budget;
-    # all trivial agg/window shapes, pytest-verified value-exact at
-    # sf0.001 every session). The cdc.py/mv.py
+    # counts, retention_cohorts_weekly, histogram_order_totals,
+    # median_order_price_by_priority and cube_order_revenue (deferred to
+    # r10 for slot budget; all trivial agg/window shapes, pytest-verified
+    # value-exact at sf0.001 every session). The cdc.py/mv.py
     # transports also feed cdc_stream_mv_orders / medallion / curation
     # streams — those keep their r7/r8 green rows and the full-registry
     # pytest sweep re-verifies them value-exact every session.
@@ -47,14 +47,15 @@ _SHOWCASE_ORDER = [
     "stream_ingest_dedup_index_documents", "cdc_stream_scd2_customer",
     "cdf_incremental_mv_orders", "incremental_join_view_orders",
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
-    # Part 2 (5): NEW in r9 — segment-level KS drift monitor, the
-    # reconcile repair verb, the ingest-time streaming drift monitor,
-    # the per-segment cardinality-drift monitor, the k-means held-out
-    # serving path.
-    "ks_drift_by_segment_orders", "reconcile_repair_orders",
+    # Part 2 (6): NEW in r9 — segment-level KS and Mann-Whitney drift
+    # monitors, the reconcile repair verb, the ingest-time streaming
+    # drift monitor, the per-segment cardinality-drift monitor, the
+    # k-means held-out serving path.
+    "ks_drift_by_segment_orders", "mw_drift_by_segment_orders",
+    "reconcile_repair_orders",
     "stream_drift_monitor_events", "cardinality_drift_events",
     "kmeans_assign_embeddings",
-    # Part 3 (32): staleness rotation — every remaining r1/r3-green row.
+    # Part 3 (31): staleness rotation — every remaining r1/r3-green row.
     # r1-green (5 rounds stale):
     "archive_load_metadata_orders", "embedding_ann_bucket_top1",
     "embedding_lsh_buckets", "fingerprint_documents", "lang_id_documents",
@@ -71,7 +72,7 @@ _SHOWCASE_ORDER = [
     "q21_waiting_suppliers", "q22_global_sales_opportunity",
     # r3-green relational/profile block:
     "profile_orders_columns", "anti_join_inactive_customers",
-    "semi_join_parts_shipped", "cube_order_revenue",
+    "semi_join_parts_shipped",
     # ============== end r9 prefix-50 ==============
     "sessionize_events",
     "windowed_event_counts", "rollup_order_revenue",

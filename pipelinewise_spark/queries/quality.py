@@ -878,3 +878,70 @@ def cardinality_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("user_id")),
     )
     return cardinality_drift(ref, cur, "user_id", "event_type")
+
+
+@register(
+    "mw_drift_by_segment_orders",
+    oracle="""
+    WITH ref AS (
+        SELECT o_orderpriority AS segment, o_totalprice AS v
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    cur AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN o_totalprice + 50000.00 ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    pv AS (
+        SELECT segment, v,
+               CAST(SUM(r) AS BIGINT) AS cr, CAST(SUM(c) AS BIGINT) AS cc
+        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
+              UNION ALL
+              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
+        GROUP BY segment, v),
+    ranked AS (
+        SELECT segment, v, cr, cc,
+               2 * SUM(cr + cc) OVER (PARTITION BY segment ORDER BY v)
+                 - (cr + cc) + 1 AS r2
+        FROM pv),
+    agg AS (
+        SELECT segment,
+               CAST(SUM(cr * r2) AS BIGINT) AS rr2,
+               CAST(SUM(cr) AS BIGINT) AS n_ref,
+               CAST(SUM(cc) AS BIGINT) AS n_cur
+        FROM ranked GROUP BY segment)
+    SELECT segment, n_ref, n_cur,
+           CAST(rr2 - n_ref * (n_ref + 1) AS BIGINT) AS u_ref_x2,
+           CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000000
+                ELSE FLOOR(1000000 * (rr2 - n_ref * (n_ref + 1))
+                           / (2 * n_ref * n_cur)) END AS BIGINT)
+               AS effect_ppm,
+           ABS(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000000
+                ELSE FLOOR(1000000 * (rr2 - n_ref * (n_ref + 1))
+                           / (2 * n_ref * n_cur)) END - 500000) > 100000
+               AS drifted
+    FROM agg
+    """,
+)
+def mw_drift_by_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Mann-Whitney location drift (operators/drift.py:
+    mw_drift_by_segment) — the rank-sum sibling of
+    ks_drift_by_segment_orders on the SAME epoch split and injected
+    +50000.00 shift: the shifted segment's common-language effect
+    collapses toward 0 (reference values rank below the shifted current
+    ones) and flags; organic segments hover near the no-shift 500000
+    ppm. Integer-exact end to end (doubled tie-averaged ranks over the
+    segment-grouped distributed prefix sum; one trailing ppm
+    division)."""
+    from pipelinewise_spark.operators.drift import mw_drift_by_segment
+
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    ref = o.filter(F.col("o_orderdate") < cut)
+    cur = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "2-HIGH",
+            F.col("o_totalprice") + F.lit("50000.00").cast("decimal(12,2)"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return mw_drift_by_segment(ref, cur, "o_totalprice", "o_orderpriority")

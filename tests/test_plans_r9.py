@@ -70,3 +70,19 @@ def test_kmeans_assignment_is_arrow_batched(spark):
     plan = _plan(out)
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_mw_drift_plan_no_single_partition(spark):
+    from pipelinewise_spark.operators.drift import mw_drift_by_segment
+
+    o = read_table(spark, SF, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    out = mw_drift_by_segment(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "Cartesian" not in plan, plan
