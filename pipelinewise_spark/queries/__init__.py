@@ -40,6 +40,14 @@ _SHOWCASE_ORDER = [
     # transports also feed cdc_stream_mv_orders / medallion / curation
     # streams — those keep their r7/r8 green rows and the full-registry
     # pytest sweep re-verifies them value-exact every session.
+    # r10 rotation plan: lead with the seven deferred r3-green rows
+    # above, then the oldest remaining cumulative-green block — the
+    # r4-green rows (sessionize, windowed_event_counts, rollup,
+    # range_join, salted_agg/join, mask variants, curation_pipeline,
+    # embedding_cosine_topk, snapshot_diff, timestamp_clamp,
+    # merge_hard_delete, frequent_tokens, kafka_json_payload,
+    # minhash_incremental, schema_evolution_add_column) — plus any query
+    # whose code r10 touches.
     # Part 1 (13): r9 code-touched.
     "kmeans_embeddings", "reconcile_report_orders", "reconcile_diff_orders",
     "lsh_index_lifecycle_documents", "ivf_index_lifecycle_embeddings",
