@@ -153,6 +153,10 @@ def _argmin_udf(cents: list[tuple[int, list[int], int]]):
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            # a zero-row Arrow batch tolist()s to a 1-D (0,) array and the
+            # broadcast indexing below would raise instead of no-op'ing
+            return pd.Series([], dtype=np.int32)
         x = np.asarray(vecs.tolist(), dtype=np.float64)  # (B, dim)
         # (B, k, dim): c_j * q - S_j, every entry an exactly-represented
         # integer; scores (B, k)

@@ -886,6 +886,10 @@ def _pq_codes_udf(codebooks: list[list[list[float]]], dim: int):
 
     @pandas_udf("array<int>")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            # zero-row Arrow batch: tolist() yields a 1-D (0,) array and
+            # the reshape below would raise instead of no-op'ing
+            return pd.Series([], dtype=object)
         x = np.asarray(vecs.tolist(), dtype=np.float64)  # (B, dim)
         norms = np.sqrt((x * x).sum(axis=1, keepdims=True))
         np.divide(x, norms, out=x, where=norms > 0)

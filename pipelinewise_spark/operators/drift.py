@@ -314,14 +314,18 @@ def ks_drift_by_segment(
     n = pv.groupBy("segment").agg(
         F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
     )
+    # cross-multiplied terms in decimal(38,0) (_score_tvd's pattern; the
+    # DuckDB twin is HUGEINT): plain LongType wraps silently in non-ANSI
+    # Spark once cum·n or 1e6·d2 passes 2^63 (~3M rows/side/segment)
+    dec = "decimal(38,0)"
     d = (
         cum.join(n, "segment")
         .groupBy("segment")
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_r") * F.col("n_cur")
-                    - F.col("cum_c") * F.col("n_ref")
+                    F.col("cum_r").cast(dec) * F.col("n_cur")
+                    - F.col("cum_c").cast(dec) * F.col("n_ref")
                 )
             ).alias("d2"),
             F.max("n_ref").alias("n_ref"),
@@ -337,14 +341,15 @@ def ks_drift_by_segment(
         F.when(one_sided_empty, F.lit(1_000_000))
         .otherwise(
             F.floor(
-                1_000_000 * F.col("d2") / (F.col("n_ref") * F.col("n_cur"))
+                F.lit(1_000_000).cast(dec) * F.col("d2")
+                / (F.col("n_ref").cast(dec) * F.col("n_cur"))
             )
         )
         .cast("long")
         .alias("d_ppm"),
         F.when(one_sided_empty, F.lit(True))
         .otherwise(
-            F.col("d2") / (nr * nc)
+            F.col("d2").cast("double") / (nr * nc)
             > 1.358 * F.sqrt((F.col("n_ref") + F.col("n_cur")) / (nr * nc))
         )
         .alias("significant"),
@@ -360,12 +365,15 @@ class StreamingDriftMonitor:
     the monitor state, so the current report is available after every
     batch, not every night.
 
-    State is deliberately METADATA-SCALE: bucket bounds (n_buckets − 1
-    floats), reference counts, accumulated current counts, and the set
-    of applied epoch ids — one JSON sidecar through the MetaFS seam
-    (s3://-capable), written atomically per batch. At-least-once
-    foreachBatch redelivery is a no-op: an epoch already in the applied
-    set never folds twice (same guard pattern as streaming/mv.py).
+    State is deliberately METADATA-SCALE — and CONSTANT-size in stream
+    length: bucket bounds (n_buckets − 1 floats), reference counts,
+    accumulated current counts, and an applied-epoch HIGH-WATER MARK —
+    one JSON sidecar through the MetaFS seam (s3://-capable), written
+    atomically per batch. At-least-once foreachBatch redelivery is a
+    no-op: batch ids are monotone per checkpoint (a redelivery replays
+    the last uncommitted epoch), so ``epoch <= hwm`` is exactly "already
+    folded" with O(1) state and O(1) membership (same guard pattern as
+    streaming/mv.py, minus that module's per-epoch artifacts).
 
     Stream ≡ batch by construction: after draining a stream whose rows
     are exactly `current`, :meth:`report` equals
@@ -396,6 +404,14 @@ class StreamingDriftMonitor:
             self.mfs.mkdirs()
         if self.mfs.exists("_drift_state.json"):
             self.state = json.loads(self.mfs.read_text("_drift_state.json"))
+            if "applied_epochs" in self.state:  # pre-r10 state: ever-
+                # growing list -> high-water mark + count (epochs are
+                # monotone per checkpoint, so the mark is lossless)
+                eps = self.state.pop("applied_epochs")
+                self.state.setdefault(
+                    "epoch_hwm", max(eps) if eps else None
+                )
+                self.state.setdefault("n_applied", len(eps))
             return
         bounds = derive_bucket_bounds(
             reference, value_col, tie_cols, n_buckets
@@ -408,7 +424,13 @@ class StreamingDriftMonitor:
             "bounds": bounds,
             "ref": {str(b): ref.get(b, 0) for b in range(1, n_buckets + 1)},
             "cur": {str(b): 0 for b in range(1, n_buckets + 1)},
-            "applied_epochs": [],
+            # epoch bookkeeping is O(1), not an ever-growing list: batch
+            # ids are monotone per checkpoint (a foreachBatch redelivery
+            # replays the LAST uncommitted epoch), so "epoch <= high-water
+            # mark" is exactly "already applied" — constant-size state and
+            # O(1) membership at any stream length
+            "epoch_hwm": None,
+            "n_applied": 0,
         }
         self._save()
 
@@ -422,7 +444,8 @@ class StreamingDriftMonitor:
     def on_batch(self, batch: DataFrame, epoch: int) -> None:
         """Fold one micro-batch's bucket counts into the monitor.
         Idempotent per epoch (at-least-once transport safe)."""
-        if epoch in self.state["applied_epochs"]:
+        hwm = self.state.get("epoch_hwm")
+        if hwm is not None and epoch <= hwm:
             return
         rows = _bucket_counts(
             batch, self.state["bounds"], self.n_buckets, self.value_col,
@@ -431,7 +454,10 @@ class StreamingDriftMonitor:
         for r in rows:
             k = str(int(r["bucket"]))
             self.state["cur"][k] = self.state["cur"].get(k, 0) + int(r["n"])
-        self.state["applied_epochs"].append(epoch)
+        self.state["epoch_hwm"] = (
+            epoch if hwm is None else max(hwm, epoch)
+        )
+        self.state["n_applied"] = self.state.get("n_applied", 0) + 1
         self._save()
 
     def report(self, spark) -> DataFrame:
@@ -566,22 +592,26 @@ def mw_drift_by_segment(
     )
     cum = group_prefix_sum(pv, ["segment"], ["v"], "cv", out_col="cum")
     # doubled tie-averaged rank of value v within its segment:
-    # 2*rank_min + ties - 1 = 2*(cum - cv + 1) + cv - 1 = 2*cum - cv + 1
+    # 2*rank_min + ties - 1 = 2*(cum - cv + 1) + cv - 1 = 2*cum - cv + 1.
+    # Rank products in decimal(38,0) (_score_tvd's pattern; DuckDB's
+    # SUM(BIGINT) is HUGEINT): cr·r2 and its segment sum wrap silently in
+    # non-ANSI LongType once n_ref·n passes 2^63 (~3M rows/side/segment)
+    dec = "decimal(38,0)"
     ranked = cum.withColumn(
-        "r2", 2 * F.col("cum") - F.col("cv") + 1
+        "r2", F.lit(2).cast(dec) * F.col("cum") - F.col("cv") + 1
     )
     agg = ranked.groupBy("segment").agg(
-        F.sum(F.col("cr") * F.col("r2")).alias("rr2"),
+        F.sum(F.col("cr").cast(dec) * F.col("r2")).alias("rr2"),
         F.sum("cr").alias("n_ref"),
         F.sum("cc").alias("n_cur"),
     )
     # 2*U_ref = R_ref_doubled - n_ref*(n_ref+1)  (all integer)
-    u2 = F.col("rr2") - F.col("n_ref") * (F.col("n_ref") + 1)
+    u2 = F.col("rr2") - F.col("n_ref").cast(dec) * (F.col("n_ref") + 1)
     empty = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
     effect = F.when(empty, F.lit(1_000_000)).otherwise(
         F.floor(
-            F.lit(1_000_000) * u2
-            / (F.lit(2) * F.col("n_ref") * F.col("n_cur"))
+            F.lit(1_000_000).cast(dec) * u2
+            / (F.lit(2).cast(dec) * F.col("n_ref") * F.col("n_cur"))
         )
     ).cast("long")
     return agg.select(

@@ -99,20 +99,64 @@ class MetaFS:
         with self.fs.open_output_stream(path) as f:
             f.write(data.encode("utf-8"))
 
-    @staticmethod
-    def _s3_put_if_absent(path: str, data: str) -> bool:
-        """Atomic create-exclusive on S3 via boto3 conditional PUT.
-        Returns False when boto3 is unavailable (caller falls back to the
-        racy probe+PUT and warns); raises FileExistsError when the object
+    def _s3_client_kwargs(self) -> dict | None:
+        """boto3 client kwargs mirroring the S3 addressing baked into this
+        MetaFS's own root URI — region, endpoint_override (MinIO/localstack),
+        explicit credentials — so the conditional PUT targets the SAME
+        store/account as every other pyarrow-side IO. A default
+        ``boto3.client('s3')`` would silently aim the CAS object at real
+        AWS when the rest of the metadata lives on an endpoint-overridden
+        store, defeating the exclusivity guarantee. Returns None when the
+        URI carries addressing options we cannot mirror (caller falls back
+        to the warned probe+PUT path)."""
+        from urllib.parse import parse_qsl, urlsplit
+
+        q = dict(parse_qsl(urlsplit(self.root_uri).query))
+        kwargs: dict = {}
+        if q.get("region"):
+            kwargs["region_name"] = q["region"]
+        if q.get("endpoint_override"):
+            ep = q["endpoint_override"]
+            if "://" not in ep:
+                ep = f"{q.get('scheme', 'https')}://{ep}"
+            kwargs["endpoint_url"] = ep
+        if q.get("access_key"):
+            kwargs["aws_access_key_id"] = q["access_key"]
+        if q.get("secret_key"):
+            kwargs["aws_secret_access_key"] = q["secret_key"]
+        if q.get("session_token"):
+            kwargs["aws_session_token"] = q["session_token"]
+        known = {
+            "region", "endpoint_override", "scheme", "access_key",
+            "secret_key", "session_token", "allow_bucket_creation",
+            "allow_bucket_deletion",
+        }
+        if set(q) - known:
+            # an addressing/auth option this mirror does not understand:
+            # safer to degrade to probe+PUT than to CAS the wrong store
+            return None
+        return kwargs
+
+    def _s3_put_if_absent(self, path: str, data: str) -> bool:
+        """Atomic create-exclusive on S3 via boto3 conditional PUT
+        (``If-None-Match: *``), addressed with the SAME region/endpoint/
+        credentials as this MetaFS's pyarrow S3FileSystem (mirrored from
+        the root URI's query options). Returns False when boto3 is
+        unavailable, the URI carries unmirrorable options, or botocore
+        predates conditional-PUT support (caller falls back to the racy
+        probe+PUT and warns); raises FileExistsError when the object
         already exists (HTTP 412 PreconditionFailed)."""
         try:  # env-gated: boto3 is not a hard dependency
             import boto3
             import botocore.exceptions
         except ImportError:
             return False
+        kwargs = self._s3_client_kwargs()
+        if kwargs is None:
+            return False
         bucket, _, key = path.partition("/")
         try:
-            boto3.client("s3").put_object(
+            boto3.client("s3", **kwargs).put_object(
                 Bucket=bucket,
                 Key=key,
                 Body=data.encode("utf-8"),
@@ -123,6 +167,9 @@ class MetaFS:
             if code in ("PreconditionFailed", "412"):
                 raise FileExistsError(path) from None
             raise
+        except botocore.exceptions.ParamValidationError:
+            # botocore too old to know IfNoneMatch: no store-side CAS
+            return False
         return True
 
     def write_text(self, data: str, *rel: str, atomic: bool = False) -> None:

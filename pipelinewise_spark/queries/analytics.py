@@ -2785,13 +2785,17 @@ def ks_test_price_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = pv.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
+    # cross-multiplied sup-distance in decimal(38,0) (the DuckDB twin's
+    # SUM-OVER/HUGEINT space): plain LongType wraps silently in non-ANSI
+    # Spark once cum·n or 1e6·d2 passes 2^63 (~3M rows per side)
+    dec = "decimal(38,0)"
     d = (
         cum.crossJoin(F.broadcast(n))
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_a") * F.col("nb")
-                    - F.col("cum_b") * F.col("na")
+                    F.col("cum_a").cast(dec) * F.col("nb")
+                    - F.col("cum_b").cast(dec) * F.col("na")
                 )
             ).alias("d2"),
             F.max("na").alias("na"),
@@ -2802,11 +2806,14 @@ def ks_test_price_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        F.floor(1_000_000 * F.col("d2") / (F.col("na") * F.col("nb")))
+        F.floor(
+            F.lit(1_000_000).cast(dec) * F.col("d2")
+            / (F.col("na").cast(dec) * F.col("nb"))
+        )
         .cast("long")
         .alias("d_ppm"),
         (
-            F.col("d2") / (na * nb)
+            F.col("d2").cast("double") / (na * nb)
             > 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (na * nb))
         ).alias("significant"),
     )

@@ -1161,12 +1161,11 @@ def stream_drift_monitor_events(
         .start()
     )
     q.awaitTermination()
-    n_applied = len(monitor.state["applied_epochs"])
+    n_applied = monitor.state["n_applied"]
     assert n_applied >= 2, "the stream must have produced >= 2 batches"
     # at-least-once re-delivery: replaying an ALREADY-APPLIED epoch with
-    # fresh (duplicate) data must be a no-op under the epoch guard
-    monitor.on_batch(
-        cur.limit(500), monitor.state["applied_epochs"][0]
-    )
-    assert len(monitor.state["applied_epochs"]) == n_applied
+    # fresh (duplicate) data must be a no-op under the high-water-mark
+    # guard (epoch 0 is the stream's first batch, long since folded)
+    monitor.on_batch(cur.limit(500), 0)
+    assert monitor.state["n_applied"] == n_applied
     return monitor.report(spark)
