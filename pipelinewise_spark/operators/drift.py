@@ -255,6 +255,42 @@ def _score_tvd(per: DataFrame, tvd_threshold_ppm: int) -> DataFrame:
     )
 
 
+def _two_sample_value_counts(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Shared two-sample frame for the rank-family monitors (KS, MW):
+    per-(segment, value) ROW COUNTS carrying both sides in one frame —
+    (segment, v, cr, cc) — built from one union + one aggregate. NULL
+    values/segments are excluded on both sides (the one portable
+    semantic; matches the bucketing monitors)."""
+
+    def side(df: DataFrame, ca: str, cb: str) -> DataFrame:
+        return (
+            df.filter(
+                F.col(value_col).isNotNull()
+                & F.col(segment_col).isNotNull()
+            )
+            .groupBy(
+                F.col(segment_col).alias("segment"),
+                F.col(value_col).alias("v"),
+            )
+            .agg(F.count("*").cast("long").alias(ca))
+            .withColumn(cb, F.lit(0).cast("long"))
+        )
+
+    return (
+        side(reference, "cr", "cc")
+        .unionByName(
+            side(current, "cc", "cr").select("segment", "v", "cr", "cc")
+        )
+        .groupBy("segment", "v")
+        .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+    )
+
+
 def ks_drift_by_segment(
     reference: DataFrame,
     current: DataFrame,
@@ -286,29 +322,7 @@ def ks_drift_by_segment(
     """
     from pipelinewise_spark.functions.curation import group_prefix_sum
 
-    def side(df: DataFrame, ca: str, cb: str) -> DataFrame:
-        return (
-            df.filter(
-                F.col(value_col).isNotNull()
-                & F.col(segment_col).isNotNull()
-            )
-            .groupBy(
-                F.col(segment_col).alias("segment"),
-                F.col(value_col).alias("v"),
-            )
-            .agg(F.count("*").cast("long").alias(ca))
-            .withColumn(cb, F.lit(0).cast("long"))
-        )
-    # one frame of per-(segment, value) counts carrying both sides — the
-    # union keys align so the per-value groupBy merges ref and cur rows
-    pv = (
-        side(reference, "cr", "cc")
-        .unionByName(
-            side(current, "cc", "cr").select("segment", "v", "cr", "cc")
-        )
-        .groupBy("segment", "v")
-        .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
-    )
+    pv = _two_sample_value_counts(reference, current, value_col, segment_col)
     cum = group_prefix_sum(pv, ["segment"], ["v"], "cr", out_col="cum_r")
     cum = group_prefix_sum(cum, ["segment"], ["v"], "cc", out_col="cum_c")
     n = pv.groupBy("segment").agg(
@@ -479,6 +493,44 @@ class StreamingDriftMonitor:
         return _score_tvd(per.join(counts, "bucket"), self.threshold)
 
 
+def segment_scalar_drift(
+    ref_per_segment: DataFrame,
+    cur_per_segment: DataFrame,
+    ref_name: str,
+    cur_name: str,
+    threshold_ppm: int,
+) -> DataFrame:
+    """Shared frame for the per-segment SCALAR monitors (row volume,
+    distinct-key cardinality, any one-number-per-segment statistic):
+    given two answer-sized (segment, <scalar>) frames — one aggregate
+    pass per side upstream — full-outer join on segment, default absent
+    segments to 0, and score ``|cur − ref| / ref`` in ppm with the
+    integer division LAST. Segments empty in the reference are maximal
+    drift by definition (a segment that APPEARED since the epoch is as
+    alarming as one that vanished).
+
+    Returns (segment, <ref_name>, <cur_name>, delta_ppm, drifted)."""
+    j = ref_per_segment.join(cur_per_segment, "segment", "full").select(
+        "segment",
+        F.coalesce(ref_name, F.lit(0)).alias(ref_name),
+        F.coalesce(cur_name, F.lit(0)).alias(cur_name),
+    )
+    delta = F.when(F.col(ref_name) == 0, F.lit(1_000_000)).otherwise(
+        F.floor(
+            1_000_000
+            * F.abs(F.col(cur_name) - F.col(ref_name))
+            / F.col(ref_name)
+        )
+    ).cast("long")
+    return j.select(
+        "segment",
+        ref_name,
+        cur_name,
+        delta.alias("delta_ppm"),
+        (delta > F.lit(int(threshold_ppm))).alias("drifted"),
+    )
+
+
 def cardinality_drift(
     reference: DataFrame,
     current: DataFrame,
@@ -495,12 +547,12 @@ def cardinality_drift(
     that value-distribution monitors miss.
 
     Exact and engine-portable: two countDistinct aggregates (one pass per
-    side), a segment full-outer join on answer-sized frames, and the
-    delta leaves integer space only in the final ppm division. Segments
-    empty in the reference are maximal drift by definition. At 100 TB
-    swap the exact countDistinct for the HLL sketch table
-    (operators/sketches.py — same report contract, ±2% estimates);
-    the monitor's shape is unchanged.
+    side), then the shared :func:`segment_scalar_drift` frame (segment
+    full-outer join on answer-sized frames; the delta leaves integer
+    space only in the final ppm division). At 100 TB swap the exact
+    countDistinct for the HLL sketch table —
+    :func:`cardinality_drift_hll` is that swap as a real code path with
+    the same report contract.
 
     Returns (segment, ref_distinct, cur_distinct, delta_ppm, drifted).
     """
@@ -514,26 +566,91 @@ def cardinality_drift(
             .agg(F.countDistinct(key_col).cast("long").alias(out))
         )
 
-    j = side(reference, "ref_distinct").join(
-        side(current, "cur_distinct"), "segment", "full"
-    ).select(
-        "segment",
-        F.coalesce("ref_distinct", F.lit(0)).alias("ref_distinct"),
-        F.coalesce("cur_distinct", F.lit(0)).alias("cur_distinct"),
-    )
-    delta = F.when(F.col("ref_distinct") == 0, F.lit(1_000_000)).otherwise(
-        F.floor(
-            1_000_000
-            * F.abs(F.col("cur_distinct") - F.col("ref_distinct"))
-            / F.col("ref_distinct")
-        )
-    ).cast("long")
-    return j.select(
-        "segment",
+    return segment_scalar_drift(
+        side(reference, "ref_distinct"),
+        side(current, "cur_distinct"),
         "ref_distinct",
         "cur_distinct",
-        delta.alias("delta_ppm"),
-        (delta > F.lit(int(threshold_ppm))).alias("drifted"),
+        threshold_ppm,
+    )
+
+
+def cardinality_drift_hll(
+    reference: DataFrame,
+    current: DataFrame,
+    key_col: str,
+    segment_col: str,
+    threshold_ppm: int = 200_000,
+    lgk: int = 14,
+) -> DataFrame:
+    """The 100 TB form of :func:`cardinality_drift`: per-segment distinct
+    counts come from Apache DataSketches HLL sketches
+    (operators/sketches.py — ~0.8% standard error at lgK=14) instead of
+    exact countDistinct, with the SAME report contract. The exact
+    monitor's countDistinct shuffles every distinct (segment, key) pair;
+    the sketch build is one map-side-combinable aggregate whose shuffle
+    moves KB-sized registers — and in production the reference side
+    comes from the warehouse's standing sketch table
+    (:func:`~pipelinewise_spark.operators.sketches.hll_sketch_table`)
+    without rescanning the epoch at all, which is why the swap matters.
+
+    Returns (segment, ref_distinct, cur_distinct, delta_ppm, drifted) —
+    distinct counts are HLL ESTIMATES; thresholds must exceed the sketch
+    error envelope (the default 20% is 25x the lgK=14 standard error).
+    """
+    from pipelinewise_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        clean = df.filter(
+            F.col(key_col).isNotNull() & F.col(segment_col).isNotNull()
+        ).select(F.col(segment_col).alias("segment"), key_col)
+        return hll_rollup(
+            hll_sketch_table(clean, ["segment"], key_col, lgk=lgk),
+            ["segment"],
+            out_col=out,
+        )
+
+    return segment_scalar_drift(
+        side(reference, "ref_distinct"),
+        side(current, "cur_distinct"),
+        "ref_distinct",
+        "cur_distinct",
+        threshold_ppm,
+    )
+
+
+def volume_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    segment_col: str,
+    threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Per-segment ROW-VOLUME drift vs a pinned reference epoch — the
+    epoch-framed face of volume observability (operators/anomaly.py
+    watches per-commit deltas over a table's own history; this watches
+    "did this segment's row count jump or collapse since the reference
+    epoch", the same question the other epoch monitors ask of values,
+    ranks, and cardinalities). One count aggregate per side, then the
+    shared :func:`segment_scalar_drift` frame.
+
+    Returns (segment, ref_rows, cur_rows, delta_ppm, drifted)."""
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(segment_col).isNotNull())
+            .groupBy(F.col(segment_col).alias("segment"))
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    return segment_scalar_drift(
+        side(reference, "ref_rows"),
+        side(current, "cur_rows"),
+        "ref_rows",
+        "cur_rows",
+        threshold_ppm,
     )
 
 
@@ -567,29 +684,9 @@ def mw_drift_by_segment(
     """
     from pipelinewise_spark.functions.curation import group_prefix_sum
 
-    def side(df: DataFrame, ca: str, cb: str) -> DataFrame:
-        return (
-            df.filter(
-                F.col(value_col).isNotNull()
-                & F.col(segment_col).isNotNull()
-            )
-            .groupBy(
-                F.col(segment_col).alias("segment"),
-                F.col(value_col).alias("v"),
-            )
-            .agg(F.count("*").cast("long").alias(ca))
-            .withColumn(cb, F.lit(0).cast("long"))
-        )
-
-    pv = (
-        side(reference, "cr", "cc")
-        .unionByName(
-            side(current, "cc", "cr").select("segment", "v", "cr", "cc")
-        )
-        .groupBy("segment", "v")
-        .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
-        .withColumn("cv", F.col("cr") + F.col("cc"))
-    )
+    pv = _two_sample_value_counts(
+        reference, current, value_col, segment_col
+    ).withColumn("cv", F.col("cr") + F.col("cc"))
     cum = group_prefix_sum(pv, ["segment"], ["v"], "cv", out_col="cum")
     # doubled tie-averaged rank of value v within its segment:
     # 2*rank_min + ties - 1 = 2*(cum - cv + 1) + cv - 1 = 2*cum - cv + 1.

@@ -739,9 +739,10 @@ def reconcile_repair_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit over order totals — the forensic
-    data-quality check for fabricated or truncated numeric feeds. Exact
-    integer arithmetic end to end: first digits come from the money-cents
+    """Benford first-digit audit over order totals
+    (operators/monitors.py:benford_report) — the forensic data-quality
+    check for fabricated or truncated numeric feeds. Exact integer
+    arithmetic end to end: first digits come from the money-cents
     string, observed shares compare against precomputed Benford ppm
     LITERALS via cross-multiplication (|cnt·1e6 − ppm·N| > tol·N), so no
     log10 / float-summation nondeterminism exists anywhere. One
@@ -749,37 +750,11 @@ def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H prices are range-bounded rather than scale-free, so the audit
     legitimately flags most digits here — the point is the report is
     value-exact and cheap at any scale.)"""
-    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-    digits = o.select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
-    )
-    obs = digits.groupBy("digit").agg(F.count("*").alias("cnt"))
-    exp = spark.createDataFrame(
-        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
-        "digit int, expected_ppm int",
-    )
-    n = obs.agg(F.sum("cnt").alias("total"))
-    return (
-        exp.join(F.broadcast(obs), "digit", "left")
-        .na.fill({"cnt": 0})
-        .crossJoin(F.broadcast(n))
-        .select(
-            "digit",
-            "cnt",
-            "expected_ppm",
-            F.floor(F.col("cnt") * 1_000_000 / F.col("total"))
-            .cast("long")
-            .alias("observed_ppm"),
-            (
-                F.abs(
-                    F.col("cnt") * F.lit(1_000_000).cast("long")
-                    - F.col("expected_ppm").cast("long") * F.col("total")
-                )
-                > F.lit(20_000).cast("long") * F.col("total")
-            ).alias("deviates"),
-        )
+    from pipelinewise_spark.operators.monitors import benford_report
+
+    o = read_table(spark, sf_dir, "orders")
+    return benford_report(o, "o_totalprice", tol_ppm=20_000).select(
+        "digit", "cnt", "expected_ppm", "observed_ppm", "deviates"
     )
 
 
@@ -804,22 +779,15 @@ def freshness_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ingest_volume_anomaly / seasonal_anomaly) + distribution
     (snapshot/distribution drift) + schema (drift) monitoring quartet:
     per stream (event_type), last-event lag against the corpus watermark
-    and a staleness flag at the 24h SLA. One map-side-combinable
+    and a staleness flag at the 24h SLA
+    (operators/monitors.py:freshness_report). One map-side-combinable
     aggregate (count + max per group) and a 1-row broadcast reference;
     all arithmetic in exact epoch milliseconds."""
+    from pipelinewise_spark.operators.monitors import freshness_report
+
     ev = read_table(spark, sf_dir, "events")
-    per = ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.max(F.unix_millis("ts")).alias("__last_ms"),
-    )
-    ref = per.agg(F.max("__last_ms").alias("__now_ms"))
-    return per.crossJoin(F.broadcast(ref)).select(
-        "event_type",
-        "n_events",
-        F.floor((F.col("__now_ms") - F.col("__last_ms")) / 1000)
-        .cast("long")
-        .alias("lag_s"),
-        ((F.col("__now_ms") - F.col("__last_ms")) > 86_400_000).alias("stale"),
+    return freshness_report(ev, "ts", "event_type", sla_s=86_400).select(
+        F.col("segment").alias("event_type"), "n_events", "lag_s", "stale"
     )
 
 
@@ -878,6 +846,305 @@ def cardinality_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("user_id")),
     )
     return cardinality_drift(ref, cur, "user_id", "event_type")
+
+
+@register(
+    "cardinality_drift_hll_events",
+    oracle="""
+    WITH ref AS (
+        SELECT event_type AS segment, user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN user_id % 50
+                    ELSE user_id END AS user_id
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+    r AS (SELECT segment, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS ref_exact FROM ref GROUP BY segment),
+    c AS (SELECT segment, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS cur_exact FROM cur GROUP BY segment)
+    SELECT COALESCE(r.segment, c.segment) AS segment,
+           COALESCE(ref_exact, 0) AS ref_exact,
+           COALESCE(cur_exact, 0) AS cur_exact,
+           TRUE AS ref_est_within_2pct,
+           TRUE AS cur_est_within_2pct,
+           CASE WHEN COALESCE(ref_exact, 0) = 0 THEN 1000000
+                ELSE FLOOR(1000000.0
+                           * ABS(COALESCE(cur_exact, 0) - ref_exact)
+                           / ref_exact) END > 200000 AS drifted,
+           TRUE AS flag_agrees_with_exact
+    FROM r FULL JOIN c ON r.segment = c.segment
+    """,
+)
+def cardinality_drift_hll_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB cardinality monitor (operators/drift.py:
+    cardinality_drift_hll): the docstring-promised "swap the exact
+    countDistinct for the HLL sketch table" made a REAL code path with
+    the SAME report contract, on the same epoch split and injected
+    'click' id-space collapse as cardinality_drift_events. The exact
+    monitor shuffles every distinct (segment, key) pair; the sketch
+    build shuffles KB-sized registers — the swap that matters when the
+    key space is billions.
+
+    Oracle contract (the HLL estimate is a DataSketches value DuckDB
+    cannot reproduce): the query ALSO computes the exact monitor in
+    Spark and emits the exact counts plus three hash-checked bounds —
+    each side's estimate within the documented ±2% envelope (25x
+    slack over the lgK=14 ~0.8% standard error), and the sketch
+    monitor's drifted flag AGREEING with the exact monitor's on every
+    segment (the injected collapse is 95%+ and organic drift is far
+    from the 20% threshold, so the ±2% envelope cannot flip a flag
+    here). A drifting sketch flips a hash-checked boolean instead of
+    hiding behind a rows-only check."""
+    from pipelinewise_spark.operators.drift import (
+        cardinality_drift,
+        cardinality_drift_hll,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut)
+    cur = ev.filter(F.col("ts") >= cut).withColumn(
+        "user_id",
+        F.when(
+            F.col("event_type") == "click", F.col("user_id") % 50
+        ).otherwise(F.col("user_id")),
+    )
+    exact = cardinality_drift(ref, cur, "user_id", "event_type").select(
+        "segment",
+        F.col("ref_distinct").alias("ref_exact"),
+        F.col("cur_distinct").alias("cur_exact"),
+        F.col("drifted").alias("__exact_drifted"),
+    )
+    est = cardinality_drift_hll(ref, cur, "user_id", "event_type").select(
+        "segment",
+        F.col("ref_distinct").alias("__ref_est"),
+        F.col("cur_distinct").alias("__cur_est"),
+        F.col("drifted").alias("__est_drifted"),
+    )
+    within = lambda e, x: (  # noqa: E731
+        F.abs(F.col(e) - F.col(x)) <= F.lit(0.02) * F.col(x)
+    )
+    return exact.join(est, "segment").select(
+        "segment",
+        "ref_exact",
+        "cur_exact",
+        within("__ref_est", "ref_exact").alias("ref_est_within_2pct"),
+        within("__cur_est", "cur_exact").alias("cur_est_within_2pct"),
+        F.col("__exact_drifted").alias("drifted"),
+        (F.col("__est_drifted") == F.col("__exact_drifted")).alias(
+            "flag_agrees_with_exact"
+        ),
+    )
+
+
+@register(
+    "quality_report_orders",
+    oracle="""
+    WITH ref AS (
+        SELECT o_orderpriority AS segment, o_totalprice AS v,
+               o_custkey AS k, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+    cur AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN o_totalprice + 50000.00 ELSE o_totalprice END AS v,
+               o_custkey AS k, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01'),
+    -- volume ------------------------------------------------------------
+    volr AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS rn
+             FROM ref GROUP BY segment),
+    volc AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS cn
+             FROM cur GROUP BY segment),
+    vol AS (
+        SELECT 'volume' AS monitor, segment,
+               CAST(CASE WHEN COALESCE(rn, 0) = 0 THEN 1000000
+                    ELSE FLOOR(1000000.0 * ABS(COALESCE(cn, 0) - rn) / rn)
+               END AS BIGINT) AS metric,
+               CAST(200000 AS BIGINT) AS threshold
+        FROM volr FULL JOIN volc USING (segment)),
+    -- cardinality -------------------------------------------------------
+    cardr AS (SELECT segment, CAST(COUNT(DISTINCT k) AS BIGINT) AS rn
+              FROM ref WHERE k IS NOT NULL GROUP BY segment),
+    cardc AS (SELECT segment, CAST(COUNT(DISTINCT k) AS BIGINT) AS cn
+              FROM cur WHERE k IS NOT NULL GROUP BY segment),
+    card AS (
+        SELECT 'cardinality' AS monitor, segment,
+               CAST(CASE WHEN COALESCE(rn, 0) = 0 THEN 1000000
+                    ELSE FLOOR(1000000.0 * ABS(COALESCE(cn, 0) - rn) / rn)
+               END AS BIGINT) AS metric,
+               CAST(200000 AS BIGINT) AS threshold
+        FROM cardr FULL JOIN cardc USING (segment)),
+    -- tvd (global, reference-decile buckets) -----------------------------
+    edges AS (
+        SELECT list_transform(
+                 quantile_cont(v,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref),
+    rb AS (SELECT COALESCE(len(list_filter(es, e -> v > e)), 0) + 1
+                   AS bucket FROM ref, edges),
+    cb AS (SELECT COALESCE(len(list_filter(es, e -> v > e)), 0) + 1
+                   AS bucket FROM cur, edges),
+    rc AS (SELECT bucket, COUNT(*) AS ref_cnt FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS cur_cnt FROM cb GROUP BY bucket),
+    per AS (
+        SELECT b.bucket, COALESCE(rc.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cc.cur_cnt, 0) AS cur_cnt
+        FROM (SELECT unnest(range(1, 11)) AS bucket) b
+        LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+    tot AS (SELECT SUM(ref_cnt) AS nr2, SUM(cur_cnt) AS nc2 FROM per),
+    tvd AS (
+        SELECT 'tvd' AS monitor, '(all)' AS segment,
+               CAST(FLOOR(
+                 1000000::HUGEINT
+                 * SUM(ABS(ref_cnt::HUGEINT * nc2 - cur_cnt::HUGEINT * nr2))
+                 / (2::HUGEINT * MAX(nr2) * MAX(nc2))) AS BIGINT) AS metric,
+               CAST(50000 AS BIGINT) AS threshold
+        FROM per, tot),
+    -- ks + mw (shared per-(segment, value) counts) ------------------------
+    pv AS (
+        SELECT segment, v,
+               CAST(SUM(r) AS BIGINT) AS cr, CAST(SUM(c) AS BIGINT) AS cc
+        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
+              UNION ALL
+              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
+        GROUP BY segment, v),
+    n AS (SELECT segment, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur
+          FROM pv GROUP BY segment),
+    cum AS (
+        SELECT segment, v,
+               SUM(cr) OVER (PARTITION BY segment ORDER BY v) AS cum_r,
+               SUM(cc) OVER (PARTITION BY segment ORDER BY v) AS cum_c,
+               2 * SUM(cr + cc) OVER (PARTITION BY segment ORDER BY v)
+                 - (cr + cc) + 1 AS r2,
+               cr
+        FROM pv),
+    dd AS (SELECT c.segment,
+                  CAST(MAX(ABS(cum_r * n_cur - cum_c * n_ref)) AS HUGEINT)
+                      AS d2
+           FROM cum c JOIN n USING (segment) GROUP BY c.segment),
+    ks AS (
+        SELECT 'ks' AS monitor, n.segment,
+               CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000000
+                    ELSE FLOOR(1000000 * d2 / (n_ref * n_cur))
+               END AS BIGINT) AS metric,
+               CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                    ELSE FLOOR(1000000.0 * 1.358
+                               * sqrt((n_ref + n_cur)
+                                      / (CAST(n_ref AS DOUBLE) * n_cur)))
+               END AS BIGINT) AS threshold,
+               CASE WHEN n_ref = 0 OR n_cur = 0 THEN TRUE
+                    ELSE (d2 / (CAST(n_ref AS DOUBLE) * n_cur))
+                         > 1.358 * sqrt((n_ref + n_cur)
+                                        / (CAST(n_ref AS DOUBLE) * n_cur))
+               END AS drifted
+        FROM dd JOIN n USING (segment)),
+    mwagg AS (
+        SELECT segment,
+               CAST(SUM(cr * r2) AS HUGEINT) AS rr2,
+               MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur
+        FROM cum JOIN n USING (segment) GROUP BY segment),
+    mw AS (
+        SELECT 'mw' AS monitor, segment,
+               CAST(ABS(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1000000
+                    ELSE FLOOR(1000000 * (rr2 - n_ref * (n_ref + 1))
+                               / (2 * n_ref * n_cur)) END - 500000)
+               AS BIGINT) AS metric,
+               CAST(100000 AS BIGINT) AS threshold
+        FROM mwagg),
+    -- benford (current epoch) --------------------------------------------
+    bdig AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(v * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cur WHERE v > 0),
+    bobs AS (SELECT digit, COUNT(*) AS cnt FROM bdig GROUP BY digit),
+    bexp AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                              (4, 96910), (5, 79181), (6, 66947),
+                              (7, 57992), (8, 51153), (9, 45757))
+            e(digit, expected_ppm)),
+    bn AS (SELECT SUM(cnt) AS total FROM bobs),
+    ben AS (
+        SELECT 'benford' AS monitor, 'digit=' || bexp.digit AS segment,
+               CAST(FLOOR(ABS(COALESCE(bobs.cnt, 0) * 1000000
+                              - CAST(bexp.expected_ppm AS BIGINT) * bn.total)
+                          / bn.total) AS BIGINT) AS metric,
+               CAST(20000 AS BIGINT) AS threshold,
+               ABS(COALESCE(bobs.cnt, 0) * 1000000
+                   - CAST(bexp.expected_ppm AS BIGINT) * bn.total)
+                 > 20000 * bn.total AS drifted
+        FROM bexp LEFT JOIN bobs USING (digit) CROSS JOIN bn),
+    -- freshness (current epoch, date-grained) -----------------------------
+    fper AS (SELECT segment, MAX(d) AS last FROM cur GROUP BY segment),
+    fref AS (SELECT MAX(last) AS now FROM fper),
+    fresh AS (
+        SELECT 'freshness' AS monitor, segment,
+               CAST(date_diff('day', last, now) AS BIGINT) AS metric,
+               CAST(30 AS BIGINT) AS threshold
+        FROM fper, fref)
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM vol
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM card
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM tvd
+    UNION ALL
+    SELECT monitor, segment, metric, threshold, drifted FROM ks
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM mw
+    UNION ALL
+    SELECT monitor, segment, metric, threshold, drifted FROM ben
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM fresh
+    """,
+)
+def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNIFIED nightly quality matrix (operators/monitors.py:
+    quality_report) — the r9 index-lifecycle consolidation applied to
+    observability: all seven monitor verbs (per-segment volume,
+    cardinality, bucketed TVD, KS, Mann-Whitney, Benford, freshness)
+    over ONE pinned (reference epoch, current epoch) pair, emitted as
+    one (monitor, segment, metric, threshold, drifted) frame a
+    production pipeline registers as a single nightly job. Same epoch
+    split and injected +50000.00 '2-HIGH' shift as the standalone
+    ks/mw queries, so the matrix must flag the shifted segment on the
+    rank monitors while the scalar monitors (volume/cardinality) stay
+    quiet at the generator's organic drift. Every row keeps its
+    kernel's exact integer/ppm arithmetic — this composition reshapes
+    columns, never recomputes a verdict — and each kernel is one or two
+    map-side-combinable corpus aggregates, so the composed nightly job
+    costs exactly the sum of its parts."""
+    from pipelinewise_spark.operators.monitors import quality_report
+
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    ref = o.filter(F.col("o_orderdate") < cut)
+    cur = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "2-HIGH",
+            F.col("o_totalprice") + F.lit("50000.00").cast("decimal(12,2)"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return quality_report(
+        ref,
+        cur,
+        value_col="o_totalprice",
+        key_col="o_custkey",
+        segment_col="o_orderpriority",
+        tie_cols=["o_orderkey"],
+        date_col="o_orderdate",
+        freshness_sla_days=30,
+    )
 
 
 @register(
