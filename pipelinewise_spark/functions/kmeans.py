@@ -325,6 +325,101 @@ def kmeans_assign(
     )
 
 
+# ------------------------------------------------- persisted model store
+# The kmeans_train/kmeans_assign split returns driver-side centroid state;
+# like every other serving artifact (LSH/IVF/PQ/text indexes) that state
+# must survive session death, so it routes through the SAME
+# IndexLifecycle contract (functions/indexlife.py): one versioned
+# ``centroids`` role (a k-row parquet of (j, s, c) exact integer state),
+# retrain = a NEW versioned dir + atomic sidecar repoint (the compact
+# verb — in-flight readers of the old model are never disturbed), vacuum
+# reclaims superseded versions, status reports the counters.
+
+_MODEL_META = "_kmeans_model.json"
+_MODEL_ROLES = ("centroids",)
+
+
+def _model_life(path: str):
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
+
+    return IndexLifecycle.load(path, _MODEL_META, _MODEL_ROLES)
+
+
+def _write_centroids(spark, cents: list, uri: str) -> None:
+    spark.createDataFrame(
+        [(j, [int(x) for x in s], int(c)) for j, s, c in cents],
+        "j int, s array<long>, c long",
+    ).coalesce(1).write.mode("overwrite").parquet(uri)
+
+
+def save_kmeans_model(
+    spark, path: str, cents: list[tuple[int, list[int], int]]
+) -> None:
+    """Persist trained centroid state as a versioned serving artifact
+    (IndexLifecycle.create): a k-row parquet under the ``centroids``
+    role pointer plus the shared sidecar. Metadata-scale IO — the model
+    IS k·(dim+2) integers."""
+    from pipelinewise_spark.functions.indexlife import IndexLifecycle
+
+    if not cents:
+        raise ValueError("save_kmeans_model: empty centroid state")
+    life = IndexLifecycle.create(
+        path, _MODEL_META, _MODEL_ROLES,
+        {"k": len(cents), "dim": len(cents[0][1]), "micro": MICRO},
+    )
+    _write_centroids(spark, cents, life.uri("centroids"))
+    life.save()
+
+
+def load_kmeans_model(
+    spark, path: str
+) -> list[tuple[int, list[int], int]]:
+    """Open the CURRENT model version and return the exact centroid
+    state, bit-identical to what was saved — assignments from a loaded
+    model equal assignments from the in-session one by construction
+    (the state is integers; no serialization rounding exists)."""
+    life = _model_life(path)
+    rows = spark.read.parquet(life.uri("centroids")).collect()
+    return sorted(
+        (int(r["j"]), [int(x) for x in r["s"]], int(r["c"])) for r in rows
+    )
+
+
+def retrain_kmeans_model(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    iterations: int = 3,
+) -> list[tuple[int, list[int], int]]:
+    """Refresh the persisted model on (re)current data: train with the
+    model's own k, write a NEW versioned centroids dir, and atomically
+    repoint the sidecar (the shared compact verb — the swap pattern every
+    index family uses, so serving readers mid-scan of the old version
+    are never disturbed; vacuum reclaims it later). Returns the new
+    centroid state."""
+    life = _model_life(path)
+    cents = kmeans_train(
+        df, id_col, vec_col, k=int(life.meta["k"]), iterations=iterations
+    )
+    life.compact({
+        "centroids": lambda cur, new: _write_centroids(
+            df.sparkSession, cents, new
+        ),
+    })
+    return cents
+
+
+def vacuum_kmeans_model(path: str) -> list[str]:
+    """Delete centroid dirs no longer referenced by the role pointer."""
+    return _model_life(path).vacuum()
+
+
+def kmeans_model_status(path: str) -> dict:
+    """Shared lifecycle counters + the live model-file count."""
+    return _model_life(path).status(fragment_role="centroids")
+
+
 def kmeans_exact(
     df: DataFrame,
     id_col: str,

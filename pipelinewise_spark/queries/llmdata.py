@@ -3109,6 +3109,63 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_model_lifecycle_embeddings",
+    oracle=_kmeans_oracle(
+        k=8, iterations=2,
+        train_where="vec_id % 3 <> 0",
+        assign_where="TRUE",
+    ),
+)
+def kmeans_model_lifecycle_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The k-means SERVING state as a persisted, versioned artifact
+    (functions/kmeans.py:save/load/retrain/vacuum_kmeans_model through
+    the shared IndexLifecycle contract — the same maintenance story as
+    the LSH/IVF/PQ/text indexes, closing the r9 gap where trained
+    centroids lived only as driver memory): train 1 Lloyd iteration on
+    2/3 of the corpus and SAVE (version 0), RETRAIN at 2 iterations
+    (compact verb: new versioned centroids dir + atomic sidecar repoint;
+    in-flight readers of v0 undisturbed), VACUUM the superseded version,
+    then assign the FULL corpus from the RELOADED model. The reload is
+    bit-identical by construction (integer state, no serialization
+    rounding) — asserted in-query — so the output must match the DuckDB
+    oracle that replays a 2-iteration train on the same split and
+    assigns everything in HUGEINT. Lifecycle counters and the vacuum of
+    exactly one superseded dir are asserted too."""
+    from pipelinewise_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_model_status,
+        kmeans_train,
+        load_kmeans_model,
+        retrain_kmeans_model,
+        save_kmeans_model,
+        vacuum_kmeans_model,
+    )
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 3 != 0)
+    with fixture_timer():
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pws_kmmodel_") + "/model"
+        cents0 = kmeans_train(train, "vec_id", "embedding", k=8,
+                              iterations=1)
+        save_kmeans_model(spark, path, cents0)
+        assert load_kmeans_model(spark, path) == sorted(cents0)
+        cents = retrain_kmeans_model(train, "vec_id", "embedding", path,
+                                     iterations=2)
+        removed = vacuum_kmeans_model(path)
+        assert removed == ["centroids-0000"], removed
+        st = kmeans_model_status(path)
+        assert st["compactions"] == 1 and st["centroids_dir"] != "centroids"
+    loaded = load_kmeans_model(spark, path)
+    assert loaded == sorted(cents), "reload must be bit-identical"
+    return kmeans_assign(emb, "vec_id", "embedding", loaded)
+
+
 def _mmr_oracle(k: int = 5, pool: int = 15, lam: float = 0.7) -> str:
     """DuckDB twin of similarity.py:mmr_diversify_topk — the greedy MMR
     loop replayed as a recursive CTE (the kmeans/BPE oracle pattern).

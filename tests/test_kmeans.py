@@ -149,3 +149,46 @@ def test_kmeans_assign_budget_guard_on_new_frame(spark):
     )
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_assign(huge, "id", "vec", cents)
+
+
+def test_kmeans_model_lifecycle_roundtrip(spark):
+    """save -> load is bit-identical; retrain versions via the shared
+    compact verb (atomic repoint, superseded dir survives until vacuum);
+    status carries the lifecycle counters."""
+    import tempfile
+
+    from pipelinewise_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_model_status,
+        kmeans_train,
+        load_kmeans_model,
+        retrain_kmeans_model,
+        save_kmeans_model,
+        vacuum_kmeans_model,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = tempfile.mkdtemp(prefix="pws_kmlife_") + "/model"
+    cents0 = kmeans_train(emb, "vec_id", "embedding", k=4, iterations=1)
+    save_kmeans_model(spark, path, cents0)
+    loaded0 = load_kmeans_model(spark, path)
+    assert loaded0 == sorted(cents0)
+    # assignments from the loaded state are bit-identical to in-session
+    a = kmeans_assign(emb, "vec_id", "embedding", cents0).collect()
+    b = kmeans_assign(emb, "vec_id", "embedding", loaded0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    st0 = kmeans_model_status(path)
+    assert st0["compactions"] == 0 and st0["centroids_dir"] == "centroids-0000"
+    cents1 = retrain_kmeans_model(emb, "vec_id", "embedding", path,
+                                  iterations=2)
+    st1 = kmeans_model_status(path)
+    assert st1["compactions"] == 1
+    assert st1["centroids_dir"] == "centroids-0001"
+    # old version still on disk for in-flight readers, then vacuumed
+    import os
+
+    assert os.path.isdir(os.path.join(path, "centroids-0000"))
+    assert vacuum_kmeans_model(path) == ["centroids-0000"]
+    assert not os.path.isdir(os.path.join(path, "centroids-0000"))
+    assert load_kmeans_model(spark, path) == sorted(cents1)
