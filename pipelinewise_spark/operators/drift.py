@@ -291,6 +291,189 @@ def _two_sample_value_counts(
     )
 
 
+def derive_segment_bucket_bounds(
+    reference: DataFrame,
+    value_col: str,
+    tie_cols: Sequence[str],
+    segment_col: str,
+    n_buckets: int,
+) -> dict[str, list[float]]:
+    """Per-SEGMENT n_buckets-tile bucket edges from the reference — ONE
+    grouped distributed-quantile pass for every segment at once
+    (operators/rank.py:exact_group_quantiles_interpolated; no per-segment
+    jobs). The result is metadata: n_segments × (n_buckets − 1) floats,
+    rounded 6 dp (engine-portable), pinning the binning per segment for
+    every later comparison against this reference epoch."""
+    from pipelinewise_spark.operators.rank import (
+        exact_group_quantiles_interpolated,
+    )
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    rows = exact_group_quantiles_interpolated(
+        reference.filter(F.col(segment_col).isNotNull()).withColumn(
+            "__seg", F.col(segment_col).cast("string")
+        ),
+        ["__seg"],
+        value_col,
+        list(tie_cols),
+        qs,
+    ).collect()
+    out: dict[str, list[float]] = {}
+    for r in rows:
+        out.setdefault(r["__seg"], []).append(float(r["value"]))
+    for seg, bs in out.items():
+        bs.sort()
+        if len(bs) < n_buckets - 1:
+            raise ValueError(
+                f"segment drift: segment {seg!r} has too few reference "
+                f"rows to derive {n_buckets}-tile bounds"
+            )
+    return out
+
+
+def _segment_bounds_frame(spark, bounds: dict[str, list[float]]):
+    """(segment, es array<double>) — the broadcastable per-segment edge
+    table (metadata-scale: one row per segment)."""
+    return spark.createDataFrame(
+        [(seg, [float(x) for x in es]) for seg, es in sorted(bounds.items())],
+        "segment string, es array<double>",
+    )
+
+
+def _segment_bucket_counts(
+    df: DataFrame,
+    bounds: dict[str, list[float]],
+    value_col: str,
+    segment_col: str,
+    out: str,
+) -> DataFrame:
+    """(segment, bucket, <out>) counts with PER-SEGMENT edges: rows join
+    the broadcast edge table on segment and bucket via the sorted-edge
+    count ``#edges < value + 1`` — identical to the global
+    :func:`_bucket_col` when-chain semantics (``v <= edge_i`` picks the
+    first i). NULL values/segments excluded; rows whose segment has no
+    reference bounds are out of the BUCKETED monitor's scope (an
+    appeared segment is the scalar monitors' finding)."""
+    bf = _segment_bounds_frame(df.sparkSession, bounds)
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull() & F.col(segment_col).isNotNull())
+        .select(
+            F.col(segment_col).cast("string").alias("segment"),
+            v.alias("__v"),
+        )
+        .join(F.broadcast(bf), "segment")
+        .select(
+            "segment",
+            (
+                F.size(F.filter("es", lambda e: F.col("__v") > e)) + 1
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(F.count("*").alias(out))
+    )
+
+
+def _segment_bucket_frame(spark, bounds: dict[str, list[float]],
+                          n_buckets: int) -> DataFrame:
+    rows = []
+    for seg, es in sorted(bounds.items()):
+        for i in range(n_buckets):
+            rows.append((
+                seg,
+                i + 1,
+                float(es[i - 1]) if i > 0 else None,
+                float(es[i]) if i < n_buckets - 1 else None,
+            ))
+    return spark.createDataFrame(
+        rows, "segment string, bucket int, lo double, hi double"
+    )
+
+
+def _score_tvd_by_segment(per: DataFrame,
+                          tvd_threshold_ppm: int) -> DataFrame:
+    """(segment, bucket, lo, hi, ref_cnt, cur_cnt) → the per-SEGMENT
+    drift report: each segment's integer-exact TVD (ppm) on its own
+    rows. One groupBy over the answer-sized per frame; same decimal
+    cross-multiplication as the global :func:`_score_tvd`."""
+    tot = per.groupBy("segment").agg(
+        F.sum("ref_cnt").alias("__nr"), F.sum("cur_cnt").alias("__nc")
+    )
+    scored = per.join(F.broadcast(tot), "segment").withColumn(
+        "__absdiff",
+        F.abs(
+            F.col("ref_cnt").cast("decimal(38,0)") * F.col("__nc")
+            - F.col("cur_cnt").cast("decimal(38,0)") * F.col("__nr")
+        ),
+    )
+    tvd = scored.groupBy("segment").agg(
+        F.when(F.max("__nc") == 0, F.lit(1_000_000))
+        .otherwise(
+            F.floor(
+                (F.lit(1_000_000).cast("decimal(38,0)") * F.sum("__absdiff"))
+                / (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.max("__nr")
+                    * F.max("__nc")
+                )
+            )
+        )
+        .cast("long")
+        .alias("tvd_ppm")
+    )
+    return (
+        per.join(F.broadcast(tvd), "segment")
+        .withColumn("drifted", F.col("tvd_ppm") > F.lit(tvd_threshold_ppm))
+        .select(
+            "segment", "bucket", "lo", "hi", "ref_cnt", "cur_cnt",
+            "tvd_ppm", "drifted",
+        )
+    )
+
+
+def distribution_drift_by_segment(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    tie_cols: Sequence[str],
+    segment_col: str,
+    n_buckets: int = 10,
+    tvd_threshold_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-SEGMENT histogram drift: :func:`distribution_drift` grouped —
+    each segment buckets by ITS OWN reference n_buckets-tile bounds and
+    scores its own integer-exact TVD, so a shift confined to one segment
+    can't be diluted by the rest of the table (the failure mode of the
+    global monitor on segment-local regressions). Corpus cost: one
+    grouped quantile-rank pass + one bucket-count aggregate per side —
+    the same two passes as the global monitor, never per-segment jobs.
+
+    Returns one row per (segment, bucket): (segment, bucket, lo, hi,
+    ref_cnt, cur_cnt, tvd_ppm, drifted) with tvd_ppm/drifted per
+    segment."""
+    bounds = derive_segment_bucket_bounds(
+        reference, value_col, tie_cols, segment_col, n_buckets
+    )
+    spark = reference.sparkSession
+    per = (
+        _segment_bucket_frame(spark, bounds, n_buckets)
+        .join(
+            F.broadcast(_segment_bucket_counts(
+                reference, bounds, value_col, segment_col, "ref_cnt"
+            )),
+            ["segment", "bucket"], "left",
+        )
+        .join(
+            F.broadcast(_segment_bucket_counts(
+                current, bounds, value_col, segment_col, "cur_cnt"
+            )),
+            ["segment", "bucket"], "left",
+        )
+        .na.fill({"ref_cnt": 0, "cur_cnt": 0})
+    )
+    return _score_tvd_by_segment(per, tvd_threshold_ppm)
+
+
 def ks_drift_by_segment(
     reference: DataFrame,
     current: DataFrame,
@@ -491,6 +674,125 @@ class StreamingDriftMonitor:
             "bucket int, ref_cnt long, cur_cnt long",
         )
         return _score_tvd(per.join(counts, "bucket"), self.threshold)
+
+
+class SegmentedStreamingDriftMonitor:
+    """:class:`StreamingDriftMonitor` at the SEGMENT level — production
+    monitors segment, because a shift confined to one segment dilutes
+    into noise in a global fold. The reference epoch pins PER-SEGMENT
+    bucket bounds (one grouped quantile pass for all segments) and
+    reference counts once; each micro-batch folds one
+    (segment, bucket)-grouped aggregate — still a single
+    map-side-combinable job per batch, still metadata-scale state
+    (n_segments × n_buckets counts + the epoch high-water mark, one JSON
+    sidecar through MetaFS, written atomically, at-least-once-safe by
+    the same monotone-epoch guard).
+
+    Stream ≡ batch by construction: after draining a stream whose rows
+    are exactly `current`, :meth:`report` equals
+    :func:`distribution_drift_by_segment` row-for-row (the fold is a sum
+    of per-batch counts; addition is associative). Batch rows in
+    segments absent from the reference epoch are out of the bucketed
+    monitor's scope on BOTH paths (the scalar monitors own appeared
+    segments)."""
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        value_col: str,
+        tie_cols: Sequence[str],
+        segment_col: str,
+        state_dir: str,
+        n_buckets: int = 10,
+        tvd_threshold_ppm: int = 50_000,
+    ):
+        import json
+
+        from pipelinewise_spark.operators.fsio import MetaFS
+
+        self.value_col = value_col
+        self.segment_col = segment_col
+        self.n_buckets = n_buckets
+        self.threshold = tvd_threshold_ppm
+        self.mfs = MetaFS(state_dir)
+        import pyarrow.fs as _pafs
+
+        if isinstance(self.mfs.fs, _pafs.LocalFileSystem):
+            self.mfs.mkdirs()
+        if self.mfs.exists("_drift_state.json"):
+            self.state = json.loads(self.mfs.read_text("_drift_state.json"))
+            return
+        bounds = derive_segment_bucket_bounds(
+            reference, value_col, tie_cols, segment_col, n_buckets
+        )
+        ref_rows = _segment_bucket_counts(
+            reference, bounds, value_col, segment_col, "ref_cnt"
+        ).collect()  # n_segments x n_buckets rows — metadata
+        zero = {
+            seg: {str(b): 0 for b in range(1, n_buckets + 1)}
+            for seg in bounds
+        }
+        ref = {seg: dict(z) for seg, z in zero.items()}
+        for r in ref_rows:
+            ref[r["segment"]][str(int(r["bucket"]))] = int(r["ref_cnt"])
+        self.state = {
+            "bounds": bounds,
+            "ref": ref,
+            "cur": zero,
+            "epoch_hwm": None,
+            "n_applied": 0,
+        }
+        self._save()
+
+    def _save(self) -> None:
+        import json
+
+        self.mfs.write_text(
+            json.dumps(self.state), "_drift_state.json", atomic=True
+        )
+
+    def on_batch(self, batch: DataFrame, epoch: int) -> None:
+        """Fold one micro-batch's (segment, bucket) counts into the
+        monitor. Idempotent per epoch (at-least-once transport safe)."""
+        hwm = self.state.get("epoch_hwm")
+        if hwm is not None and epoch <= hwm:
+            return
+        rows = _segment_bucket_counts(
+            batch, self.state["bounds"], self.value_col, self.segment_col,
+            "n",
+        ).collect()  # n_segments x n_buckets rows — metadata
+        for r in rows:
+            seg, b = r["segment"], str(int(r["bucket"]))
+            cur = self.state["cur"][seg]
+            cur[b] = cur.get(b, 0) + int(r["n"])
+        self.state["epoch_hwm"] = (
+            epoch if hwm is None else max(hwm, epoch)
+        )
+        self.state["n_applied"] = self.state.get("n_applied", 0) + 1
+        self._save()
+
+    def report(self, spark) -> DataFrame:
+        """The same (segment, bucket, lo, hi, ref_cnt, cur_cnt, tvd_ppm,
+        drifted) frame :func:`distribution_drift_by_segment` emits, from
+        the folded state."""
+        bounds = self.state["bounds"]
+        per = _segment_bucket_frame(spark, bounds, self.n_buckets)
+        counts = spark.createDataFrame(
+            [
+                (
+                    seg,
+                    b,
+                    int(self.state["ref"][seg].get(str(b), 0)),
+                    int(self.state["cur"][seg].get(str(b), 0)),
+                )
+                for seg in sorted(bounds)
+                for b in range(1, self.n_buckets + 1)
+            ],
+            "segment string, bucket int, ref_cnt long, cur_cnt long",
+        )
+        return _score_tvd_by_segment(
+            per.join(counts, ["segment", "bucket"]), self.threshold
+        )
 
 
 def segment_scalar_drift(

@@ -1169,3 +1169,141 @@ def stream_drift_monitor_events(
     monitor.on_batch(cur.limit(500), 0)
     assert monitor.state["n_applied"] == n_applied
     return monitor.report(spark)
+
+
+@register(
+    "stream_drift_by_segment_events",
+    oracle="""
+    WITH ref AS (
+        SELECT event_type AS segment, value AS v, event_id FROM events
+        WHERE event_id % 2 = 0),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN value + 50
+                    ELSE value END AS v
+        FROM events WHERE event_id % 2 = 1),
+    edges AS (
+        SELECT segment,
+               list_transform(
+                 quantile_cont(v,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref GROUP BY segment),
+    rb AS (
+        SELECT r.segment,
+               COALESCE(len(list_filter(e.es, x -> r.v > x)), 0) + 1
+                   AS bucket
+        FROM ref r JOIN edges e USING (segment)),
+    cb AS (
+        SELECT c.segment,
+               COALESCE(len(list_filter(e.es, x -> c.v > x)), 0) + 1
+                   AS bucket
+        FROM cur c JOIN edges e USING (segment)),
+    rc AS (SELECT segment, bucket, COUNT(*) AS ref_cnt FROM rb
+           GROUP BY segment, bucket),
+    cc AS (SELECT segment, bucket, COUNT(*) AS cur_cnt FROM cb
+           GROUP BY segment, bucket),
+    per AS (
+        SELECT e.segment, b.bucket,
+               CASE WHEN b.bucket > 1 THEN es[b.bucket - 1] END AS lo,
+               CASE WHEN b.bucket < 10 THEN es[b.bucket] END AS hi,
+               COALESCE(rc.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cc.cur_cnt, 0) AS cur_cnt
+        FROM edges e
+        CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) b
+        LEFT JOIN rc ON rc.segment = e.segment AND rc.bucket = b.bucket
+        LEFT JOIN cc ON cc.segment = e.segment AND cc.bucket = b.bucket),
+    tvd AS (
+        SELECT segment,
+               CAST(CASE WHEN SUM(cur_cnt) = 0 THEN 1000000
+                    ELSE FLOOR(
+                      1000000::HUGEINT
+                      * SUM(ABS(ref_cnt::HUGEINT * nc
+                                - cur_cnt::HUGEINT * nr))
+                      / (2::HUGEINT * MAX(nr) * MAX(nc)))
+               END AS BIGINT) AS tvd_ppm
+        FROM (SELECT per.*,
+                     SUM(ref_cnt) OVER (PARTITION BY segment) AS nr,
+                     SUM(cur_cnt) OVER (PARTITION BY segment) AS nc
+              FROM per)
+        GROUP BY segment)
+    SELECT per.segment, CAST(per.bucket AS INT) AS bucket, per.lo, per.hi,
+           per.ref_cnt, per.cur_cnt, tvd.tvd_ppm,
+           tvd.tvd_ppm > 50000 AS drifted
+    FROM per JOIN tvd USING (segment)
+    """,
+)
+def stream_drift_by_segment_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEGMENT-LEVEL distribution drift maintained AT INGEST
+    (operators/drift.py:SegmentedStreamingDriftMonitor — the r9 global
+    stream monitor taken to where production monitors actually run): the
+    reference epoch (even event_ids) pins PER-event_type decile bounds +
+    reference counts in ONE grouped quantile pass; the current epoch
+    (odd event_ids, a +50 value shift injected on the 'click' segment
+    only) arrives as a JSONL stream and every micro-batch folds one
+    (segment, bucket)-grouped aggregate into the still-metadata-scale
+    state (n_segments x n_buckets counts + the epoch high-water mark).
+    The segment-local shift MUST flag 'click' while the global fold of
+    the same stream would dilute it 5-to-1. At-least-once transport is
+    exercised: replaying an already-folded epoch is a no-op under the
+    monotone-epoch guard. The drained report equals the batch
+    distribution_drift_by_segment over the same split row-for-row
+    (stream = batch; pinned in tests/test_monitors_r10.py)."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.drift import (
+        SegmentedStreamingDriftMonitor,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    cur = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "click", F.col("value") + 50.0)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_segdrift_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        cur.repartition(8).write.mode("append").json(src)
+
+    monitor = SegmentedStreamingDriftMonitor(
+        ref, "value", ["event_id"], "event_type",
+        os.path.join(tmp, "state"), n_buckets=10,
+    )
+    stream = (
+        spark.readStream.schema(
+            T._parse_datatype_string(
+                "event_id long, event_type string, value double"
+            )
+        )
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(monitor.on_batch)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_applied = monitor.state["n_applied"]
+    assert n_applied >= 2, "the stream must have produced >= 2 batches"
+    # at-least-once re-delivery: an already-folded epoch must be a no-op
+    monitor.on_batch(cur.limit(500), 0)
+    assert monitor.state["n_applied"] == n_applied
+    rep = monitor.report(spark)
+    clicks = {r["segment"]: r["drifted"] for r in rep.collect()}
+    assert clicks["click"], "the segment-local shift must flag 'click'"
+    return rep

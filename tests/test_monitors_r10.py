@@ -139,3 +139,38 @@ def test_quality_report_empty_segment_sides(spark):
             assert cells[(m, seg)]["drifted"], (m, seg)
         assert cells[("ks", seg)]["metric"] == 1_000_000
         assert cells[("ks", seg)]["threshold"] is None
+
+
+def test_segmented_stream_monitor_equals_batch(spark):
+    """Drain a stream whose rows are exactly `current` through the
+    segmented monitor: the folded report must equal
+    distribution_drift_by_segment row-for-row (stream = batch), and
+    epoch redelivery must be a no-op."""
+    import tempfile
+
+    from pipelinewise_spark.operators.drift import (
+        SegmentedStreamingDriftMonitor,
+        distribution_drift_by_segment,
+    )
+
+    ev = read_table(spark, SF, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") + 50.0)
+        .otherwise(F.col("value")),
+    )
+    mon = SegmentedStreamingDriftMonitor(
+        ref, "value", ["event_id"], "event_type",
+        tempfile.mkdtemp(prefix="pws_segmon_"), n_buckets=5,
+    )
+    # fold `cur` as three uneven batches (associativity is the claim)
+    mon.on_batch(cur.filter(F.col("event_id") % 5 < 2), 0)
+    mon.on_batch(cur.filter(F.col("event_id") % 5 == 2), 1)
+    mon.on_batch(cur.filter(F.col("event_id") % 5 > 2), 2)
+    mon.on_batch(cur.limit(100), 1)  # redelivery: no-op
+    got = sorted(map(tuple, mon.report(spark).collect()))
+    want = sorted(map(tuple, distribution_drift_by_segment(
+        ref, cur, "value", ["event_id"], "event_type", n_buckets=5
+    ).collect()))
+    assert got == want
