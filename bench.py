@@ -257,6 +257,11 @@ BENCH_QUERIES = [
     "cardinality_drift_events",
     "kmeans_assign_embeddings",
     "mw_drift_by_segment_orders",
+    # r10
+    "quality_report_orders",
+    "cardinality_drift_hll_events",
+    "kmeans_model_lifecycle_embeddings",
+    "stream_drift_by_segment_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture
@@ -288,6 +293,24 @@ HEADLINE = [
 ]
 
 
+def _load_prior() -> dict[str, float]:
+    """Per-query honest-floor timings (committed BENCH_PRIOR.json — the
+    cross-run per-query minimum of the builder's clean full runs; see
+    BENCH_NOTES). The anti-host-stall reference: the r9 record froze a
+    4.36s pass for a query whose honest time is ~0.3s because the old
+    absolute >12s challenge never fired — a pass is now challenged
+    whenever it exceeds 3x ITS OWN prior floor."""
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PRIOR.json"
+    )
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+        return {k: float(v) for k, v in d.get("queries", {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -297,6 +320,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--queries":
         only = set(sys.argv[2].split(","))
     bench_queries = [q for q in BENCH_QUERIES if only is None or q in only]
+    # prior floors apply only at the canonical sf0.1 — a different
+    # $SPARK_GRAFT_SF_DIR has different honest times
+    prior = _load_prior() if sf == "0.1" else {}
     # a 119-query single-session run needs driver heap headroom: streaming
     # state, listener backlog, and broadcast cleanup all live there, and a
     # GC-bound driver drags every query measured late in the run
@@ -314,24 +340,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     fixtures: dict[str, float] = {}
     errors: dict[str, str] = {}
+    challenged: dict[str, float] = {}
     for qi, name in enumerate(bench_queries):
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # Challenge threshold — a pass above it must NEVER become the
+        # record unchallenged. With a prior floor: 3x the query's own
+        # honest time (the r9 lesson: a 4.36s host stall on a 0.3s query
+        # sailed under the old absolute 12s rule while being 14x its
+        # honest time), clamped to >= 1.5s so sub-second queries don't
+        # retry-loop on ordinary noise. Without a prior (new query,
+        # non-canonical sf): the absolute 12s anomaly bound — every
+        # structurally-heavy query in this suite sits under ~9s clean.
+        limit = max(3.0 * prior[name], 1.5) if name in prior else 12.0
         best = None  # (total_sec, fixture_sec) with min total
         try:
-            # adaptive min-of-N (2..4) damps JIT/GC/scheduler noise;
-            # queries whose first pass is already slow (heavy table-write
-            # fixtures) are timed once — the second pass would double
-            # wall-clock for noise reduction that long runs don't need.
-            # Extra passes (3rd/4th) run ONLY while the timing is still
-            # improving >10% — the r8 lesson: multi-stage overhead-
-            # dominated queries early in the session (positions ~10-50)
+            # adaptive min-of-N (2..4, up to 6 while challenged) damps
+            # JIT/GC/scheduler noise; queries whose first pass is already
+            # converged are timed twice. Extra passes (3rd/4th) run ONLY
+            # while the timing is still improving >10% — the r8 lesson:
+            # multi-stage overhead-dominated queries early in the session
             # need ~4 passes before C2 finishes compiling their codegen
-            # stages, and a min-of-2 froze dedup_clusters at +27% over its
-            # converged time (clean-session 5-pass: 9.3 → 4.9 → 4.5 →
-            # 4.3 → 3.4s, the last matching r7's record).
-            for _attempt in range(4):
+            # stages (dedup_clusters clean-session 5-pass: 9.3 → 4.9 →
+            # 4.5 → 4.3 → 3.4s). Challenged passes get up to 6 attempts:
+            # a transient stall loses to the first clean retry; a genuine
+            # regression runs 6 bounded passes and is recorded honestly
+            # (and listed under "challenged" in BENCH_DETAIL).
+            for _attempt in range(6):
                 fixturetime.drain()  # zero the fixture accumulator
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -347,27 +383,13 @@ def main() -> None:
                 # caches so the retry starts from the same storage state
                 df = None
                 release_caches(spark)
-                # 12 s cutoff: every structurally-heavy query in this suite
-                # sits under ~8 s on a clean pass, so an 8-12 s first pass
-                # is almost always a GC/scheduler hiccup — exactly the case
-                # min-of-2 exists for (an 11 s transient on a 2 s query
-                # landed in a round record under the old 8 s cutoff)
-                # A >12 s pass on this suite is ALWAYS an anomaly (every
-                # structurally-heavy query sits under ~9 s clean), so it
-                # must never become the record unchallenged: retry once
-                # (transient stall -> the retry is fast and wins; genuine
-                # 12 s+ query -> two passes, bounded wall-clock). The old
-                # break-on-first-pass froze a 26 s IO stall into a 1.8 s
-                # query's record.
-                if dt > 12.0 and _attempt >= 1:
-                    break
+                if best[0] > limit:
+                    # still looks like a stall: keep challenging (bounded
+                    # by the 6-attempt budget)
+                    continue
                 # converged: the 2nd+ pass stopped improving materially —
                 # stop re-running (most queries exit here at 2 passes)
-                if (
-                    dt <= 12.0
-                    and prev_best is not None
-                    and dt >= 0.9 * prev_best
-                ):
+                if prev_best is not None and dt >= 0.9 * prev_best:
                     break
         except Exception as exc:  # one bad query must never zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -375,6 +397,15 @@ def main() -> None:
             release_caches(spark)
             continue
         timings[name] = round(best[0], 4)
+        if best[0] > limit:
+            challenged[name] = round(limit, 4)
+            print(
+                f"[bench] {name} recorded {best[0]:.2f}s above its "
+                f"challenge limit {limit:.2f}s after 6 passes "
+                f"(prior floor {prior.get(name, float('nan')):.2f}s) — "
+                "either a genuine regression or a persistently sick host",
+                file=sys.stderr,
+            )
         if best[1] > 0.005:
             fixtures[name] = round(best[1], 4)
         # Untimed inter-query hygiene: unpersist operator-registered caches,
@@ -401,8 +432,15 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    if challenged:
+        # queries recorded ABOVE their challenge limit even after the
+        # 6-pass budget: genuine regressions or a persistently sick host
+        # — either way the record says so instead of freezing silently
+        detail["challenged"] = challenged
+    # subset runs are dev tooling: never clobber the full run's detail
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL.json" if only is None else "BENCH_DETAIL_SUBSET.json",
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -417,6 +455,8 @@ def main() -> None:
         "n_errors": len(errors),
         "detail": "BENCH_DETAIL.json",
     }
+    if challenged:
+        out["n_challenged"] = len(challenged)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1500:  # hard guard: never exceed the driver's window again
         out["queries"] = dict(list(out["queries"].items())[:10])

@@ -25,51 +25,70 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
-    # ================= r9 prefix-50 =================
-    # Composition (per the r8-documented rotation plan): 13 queries whose
-    # CODE r9 touched (Arrow-kernel k-means + runtime magnitude guard;
-    # xxhash64 reconcile bucketing; the IndexLifecycle unification behind
-    # all four persisted indexes; the write-shape repartition in the SCD2/
-    # CDC/MV/IVM per-batch folds) + 6 r9-new queries + 31 staleness
-    # rotations covering the ENTIRE remaining r1/r3-green block except
-    # q6_forecast_revenue, monthly_revenue_moving_avg, pivot_user_event_
-    # counts, retention_cohorts_weekly, histogram_order_totals,
-    # median_order_price_by_priority and cube_order_revenue (deferred to
-    # r10 for slot budget; all trivial agg/window shapes, pytest-verified
-    # value-exact at sf0.001 every session). The cdc.py/mv.py
-    # transports also feed cdc_stream_mv_orders / medallion / curation
-    # streams — those keep their r7/r8 green rows and the full-registry
-    # pytest sweep re-verifies them value-exact every session.
-    # r10 rotation plan: lead with the seven deferred r3-green rows
-    # above, then the oldest remaining cumulative-green block — the
-    # r4-green rows (sessionize, windowed_event_counts, rollup,
-    # range_join, salted_agg/join, mask variants, curation_pipeline,
-    # embedding_cosine_topk, snapshot_diff, timestamp_clamp,
-    # merge_hard_delete, frequent_tokens, kafka_json_payload,
-    # minhash_incremental, schema_evolution_add_column) — plus any query
-    # whose code r10 touches.
-    # Part 1 (13): r9 code-touched.
-    "kmeans_embeddings", "reconcile_report_orders", "reconcile_diff_orders",
+    # ================= r10 prefix-50 =================
+    # Composition (executes the r9-documented rotation plan verbatim,
+    # then fills the remaining slots with the oldest r5-green rows):
+    # Part 1 (7): the r3-green rows r9 explicitly deferred to r10.
+    "q6_forecast_revenue", "monthly_revenue_moving_avg",
+    "pivot_user_event_counts", "retention_cohorts_weekly",
+    "histogram_order_totals", "median_order_price_by_priority",
+    "cube_order_revenue",
+    # Part 2 (18): the entire r4-green block (6 rounds stale by now).
+    "sessionize_events", "windowed_event_counts", "rollup_order_revenue",
+    "range_join_attribution", "salted_agg_events_by_type",
+    "salted_join_events_users", "mask_conditional_orders",
+    "mask_condition_field_path_events", "mask_json_field_paths_events",
+    "curation_pipeline_documents", "embedding_cosine_topk",
+    "snapshot_diff_orders", "timestamp_clamp_orders",
+    "merge_hard_delete_orders", "frequent_tokens_documents",
+    "kafka_json_payload_events", "minhash_incremental_batch_documents",
+    "schema_evolution_add_column",
+    # Part 3 (4): NEW in r10 — the unified quality matrix, the HLL
+    # cardinality-drift swap, the persisted k-means model lifecycle,
+    # the segment-level streaming drift monitor.
+    "quality_report_orders", "cardinality_drift_hll_events",
+    "kmeans_model_lifecycle_embeddings", "stream_drift_by_segment_events",
+    # Part 4 (11): r10 code-touched — the decimal(38,0) KS/MW ppm fix
+    # (drift.py + the global KS), the segment_scalar_drift refactor
+    # under cardinality_drift, the Benford/freshness kernel extraction
+    # into operators/monitors.py, the StreamingDriftMonitor epoch
+    # high-water mark, and the zero-row Arrow-batch guards in the
+    # k-means argmin and PQ code kernels.
+    "ks_drift_by_segment_orders", "mw_drift_by_segment_orders",
+    "ks_test_price_priorities", "cardinality_drift_events",
+    "stream_drift_monitor_events", "benford_audit_orders",
+    "freshness_report_events", "kmeans_embeddings",
+    "kmeans_assign_embeddings", "embedding_pq_topk",
+    "pq_index_lifecycle_embeddings",
+    # Part 5 (10): staleness rotation — the oldest r5-green rows (the
+    # sync/sink/masking/Mongo core).
+    "full_table_sync_lineitem", "incremental_sync_orders",
+    "pk_dedupe_events", "merge_soft_delete_orders", "validate_events",
+    "quarantine_events", "flatten_events_props", "mask_transforms_customer",
+    "mongo_documents_normalize", "mongo_change_stream_apply",
+    # r11 rotation plan: the remaining r5-green rows (~21 — the LLM-data
+    # dedup/quality family: exact_dedup, minhash_lsh_pairs, simhash,
+    # ngram_jaccard, edit_distance, dedup_keep_best, cluster_aware_split,
+    # lang_percentile_filter, cross/intra_doc_line_dedup, stratified/
+    # weighted_sample, quality_filter, term_frequencies, pii_scrub,
+    # decontaminate, boilerplate_strip, chunk_documents, bm25,
+    # partial_sync_orders, csv/jsonl_source_lineno) + any query r11's
+    # code touches. After the r10 check lands, no registry row's latest
+    # green is older than r5.
+    # ============== end r10 prefix-50 ==============
+    # r9 prefix (all r9-green; kept next so the post-prefix order still
+    # leads with the most recently re-verified operator cross-section):
+    "reconcile_report_orders", "reconcile_diff_orders",
     "lsh_index_lifecycle_documents", "ivf_index_lifecycle_embeddings",
-    "pq_index_lifecycle_embeddings", "text_index_search_documents",
+    "text_index_search_documents",
     "stream_ingest_dedup_index_documents", "cdc_stream_scd2_customer",
     "cdf_incremental_mv_orders", "incremental_join_view_orders",
     "cdc_stream_apply_orders", "cdc_stream_mv_orders",
-    # Part 2 (6): NEW in r9 — segment-level KS and Mann-Whitney drift
-    # monitors, the reconcile repair verb, the ingest-time streaming
-    # drift monitor, the per-segment cardinality-drift monitor, the
-    # k-means held-out serving path.
-    "ks_drift_by_segment_orders", "mw_drift_by_segment_orders",
     "reconcile_repair_orders",
-    "stream_drift_monitor_events", "cardinality_drift_events",
-    "kmeans_assign_embeddings",
-    # Part 3 (31): staleness rotation — every remaining r1/r3-green row.
-    # r1-green (5 rounds stale):
     "archive_load_metadata_orders", "embedding_ann_bucket_top1",
     "embedding_lsh_buckets", "fingerprint_documents", "lang_id_documents",
     "multimodal_binary_metadata", "schema_evolution_version_column",
     "text_quality_documents", "winnowing_fingerprint_documents",
-    # r3-green TPC-H block:
     "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier_volume",
     "q7_nation_volume", "q8_national_market_share", "q9_product_type_profit",
     "q10_returned_items", "q11_important_parts", "q12_priority_shipping",
@@ -78,10 +97,8 @@ _SHOWCASE_ORDER = [
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q20_excess_suppliers",
     "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    # r3-green relational/profile block:
     "profile_orders_columns", "anti_join_inactive_customers",
     "semi_join_parts_shipped",
-    # ============== end r9 prefix-50 ==============
     "sessionize_events",
     "windowed_event_counts", "rollup_order_revenue",
     "range_join_attribution", "q21_waiting_suppliers",
