@@ -503,9 +503,18 @@ def ks_drift_by_segment(
     Returns one row per segment:
     (segment, n_ref, n_cur, d_ppm, significant).
     """
+    pv = _two_sample_value_counts(reference, current, value_col, segment_col)
+    return ks_drift_from_counts(pv)
+
+
+def ks_drift_from_counts(pv: DataFrame) -> DataFrame:
+    """KS drift from a prebuilt (segment, v, cr, cc) counts frame — the
+    seam that lets :func:`~pipelinewise_spark.operators.monitors.
+    quality_report` build the two-sample counts ONCE and feed both rank
+    monitors (KS here, MW in :func:`mw_drift_from_counts`) instead of
+    re-aggregating the corpus per monitor."""
     from pipelinewise_spark.functions.curation import group_prefix_sum
 
-    pv = _two_sample_value_counts(reference, current, value_col, segment_col)
     cum = group_prefix_sum(pv, ["segment"], ["v"], "cr", out_col="cum_r")
     cum = group_prefix_sum(cum, ["segment"], ["v"], "cc", out_col="cum_c")
     n = pv.groupBy("segment").agg(
@@ -984,11 +993,18 @@ def mw_drift_by_segment(
     ``u_ref_x2`` is 2·U_ref (integer-exact even when tie-averaged ranks
     are half-integers).
     """
+    pv = _two_sample_value_counts(reference, current, value_col, segment_col)
+    return mw_drift_from_counts(pv, effect_threshold_ppm)
+
+
+def mw_drift_from_counts(
+    pv: DataFrame, effect_threshold_ppm: int = 100_000
+) -> DataFrame:
+    """Mann-Whitney drift from a prebuilt (segment, v, cr, cc) counts
+    frame (see :func:`ks_drift_from_counts` for why the seam exists)."""
     from pipelinewise_spark.functions.curation import group_prefix_sum
 
-    pv = _two_sample_value_counts(
-        reference, current, value_col, segment_col
-    ).withColumn("cv", F.col("cr") + F.col("cc"))
+    pv = pv.withColumn("cv", F.col("cr") + F.col("cc"))
     cum = group_prefix_sum(pv, ["segment"], ["v"], "cv", out_col="cum")
     # doubled tie-averaged rank of value v within its segment:
     # 2*rank_min + ties - 1 = 2*(cum - cv + 1) + cv - 1 = 2*cum - cv + 1.

@@ -198,11 +198,13 @@ def quality_report(
     Each kernel keeps its own exact flag semantics — this composition
     never recomputes a verdict, it only reshapes columns — so the matrix
     stays value-exact wherever the standalone monitors are."""
+    from pipelinewise_spark.caching import register_cache
     from pipelinewise_spark.operators.drift import (
+        _two_sample_value_counts,
         cardinality_drift,
         distribution_drift,
-        ks_drift_by_segment,
-        mw_drift_by_segment,
+        ks_drift_from_counts,
+        mw_drift_from_counts,
         volume_drift,
     )
 
@@ -227,7 +229,22 @@ def quality_report(
         "tvd", F.lit("(all)"), F.col("tvd_ppm"),
         F.lit(tvd_threshold_ppm), F.col("drifted"),
     )
-    ks = ks_drift_by_segment(reference, current, value_col, segment_col)
+    # the two rank monitors consume the SAME per-(segment, value) counts
+    # — build (and pin) that shuffled aggregate once instead of
+    # re-scanning both epochs per monitor; released by the host's
+    # release_caches sweep like every operator-registered persist.
+    # Deliberately NO coalesce before the persist: narrowing the cached
+    # width to defaultParallelism looked attractive (a cached plan is
+    # pinned — AQE can't re-coalesce below the cache boundary) but
+    # measured FLAT at sf0.1 and, worse, 32 concurrent fat cache-build
+    # tasks OOM a vanilla 1 GiB driver heap on local[32]; the
+    # un-coalesced shuffle width is the safe shape in both worlds.
+    pv = register_cache(
+        _two_sample_value_counts(
+            reference, current, value_col, segment_col
+        ).persist()
+    )
+    ks = ks_drift_from_counts(pv)
     nr, nc = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
     empty = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
     ks_rows = _rows(
@@ -242,9 +259,7 @@ def quality_report(
         ),
         F.col("significant"),
     )
-    mw = mw_drift_by_segment(
-        reference, current, value_col, segment_col, mw_threshold_ppm
-    )
+    mw = mw_drift_from_counts(pv, mw_threshold_ppm)
     mw_rows = _rows(
         mw, "mw", F.col("segment"),
         F.abs(F.col("effect_ppm") - F.lit(500_000)),
