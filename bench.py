@@ -262,6 +262,10 @@ BENCH_QUERIES = [
     "cardinality_drift_hll_events",
     "kmeans_model_lifecycle_embeddings",
     "stream_drift_by_segment_events",
+    "k_anonymity_customer",
+    "event_transitions_events",
+    "rrf_fusion_documents",
+    "data_card_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture
@@ -453,7 +457,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     if challenged:
         out["n_challenged"] = len(challenged)

@@ -124,3 +124,56 @@ def hybrid_rerank(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N candidate rankings — the standard
+    score-free way to merge a lexical list and a dense list (and any
+    others) when their score scales don't compare:
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))        (k = 60 classic)
+
+    Each list contributes ``floor(1e9 / (k + rank))`` integer "ppb"
+    points instead of the float reciprocal: integer addition is
+    associative, so the fused ordering is bit-identical under any
+    partitioning / engine (a float Σ over 3+ lists is summation-order
+    sensitive), and the quantization can only merge ranks beyond
+    ~30k — far past any candidate-list depth. Docs missing from a list
+    contribute nothing (the graceful-degradation property RRF is chosen
+    for). Returns top-``topk`` with ``rrf_ppb``, ``n_lists`` (how many
+    lists proposed the doc) and the fused ``rank``.
+
+    Scale shape: inputs are candidate lists (top-n each), so the union,
+    the groupBy and the final rank window all run on ≤ N·n rows —
+    metadata-scale however big the corpus behind the lists is. The
+    single-partition window is therefore safe by construction here,
+    unlike corpus-ranking windows."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    pts = F.floor(
+        F.lit(10**9) / (F.lit(int(k)) + F.col(rank_col))
+    ).cast("long")
+    scored = [
+        r.select(F.col(id_col), pts.alias("__pts")) for r in rankings
+    ]
+    fused = (
+        reduce(DataFrame.unionByName, scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__pts").cast("long").alias("rrf_ppb"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_ppb").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -1,4 +1,6 @@
-"""Right-to-be-forgotten: physical erasure across live data AND history.
+"""Privacy compliance: re-identification risk measurement (k-anonymity /
+l-diversity) and right-to-be-forgotten physical erasure across live data
+AND history.
 
 The reference's hard delete (target_snowflake/db_sync.py:632-637)
 removes rows from the LIVE table only; a warehouse with snapshots,
@@ -24,7 +26,78 @@ incomplete and this function reports the surviving refs.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier re-identification risk report — the measurement
+    side of the privacy story whose erasure side is :func:`forget`.
+
+    Groups the table by the quasi-identifier tuple (the columns an
+    attacker could link against an external dataset) and reports, per
+    equivalence class: ``class_size`` (the k-anonymity of every record
+    in the class — a record in a class of 1 is uniquely re-identifiable),
+    ``l_diversity`` (distinct ``sensitive_col`` values in the class; a
+    class can be k-anonymous yet leak its attribute when every member
+    shares one sensitive value — l=1), and ``at_risk`` (class_size < k).
+
+    Scale shape: ONE map-side-combinable groupBy on the quasi tuple
+    (count + count-distinct); the answer is class-count-sized, bounded
+    by the quasi-domain product, never row-scale. No windows, no joins.
+    Publishing-side mitigation (generalize / suppress the at-risk
+    classes) stays with the caller — this verb only measures.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(sensitive_col).cast("long").alias("l_diversity")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    if sensitive_col is None:
+        # with no sensitive attribute, the class itself is the secret:
+        # diversity degenerates to the class size
+        out = out.withColumn("l_diversity", F.col("class_size"))
+    return out.withColumn("at_risk", F.col("class_size") < F.lit(int(k)))
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """One-row release-gate summary over :func:`k_anonymity_report`:
+    ``k_anonymity`` (min class size — the dataset's k), ``l_diversity``
+    (min per-class distinct sensitive values — the dataset's l),
+    ``n_classes``, ``rows_at_risk`` and ``at_risk_ppm`` (integer ppm of
+    rows living in classes smaller than ``k``). Report-sized input, so
+    the final aggregate is metadata-scale."""
+    rep = k_anonymity_report(df, quasi_cols, sensitive_col, k)
+    return rep.agg(
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.min("l_diversity").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.floor(
+            F.lit(1000000)
+            * F.sum(
+                F.when(F.col("at_risk"), F.col("class_size")).otherwise(0)
+            )
+            / F.sum("class_size")
+        )
+        .cast("long")
+        .alias("at_risk_ppm"),
+    )
 
 
 def forget(

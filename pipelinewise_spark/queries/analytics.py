@@ -2817,3 +2817,38 @@ def ks_test_price_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (na * nb))
         ).alias("significant"),
     )
+
+
+@register(
+    "event_transitions_events",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events),
+    c AS (
+        SELECT event_type AS prev_state, next_type AS next_state,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+    t AS (SELECT prev_state, SUM(n) AS total FROM c GROUP BY 1)
+    SELECT c.prev_state, c.next_state, c.n,
+           CAST(FLOOR(1000000.0 * c.n / t.total) AS BIGINT) AS p_ppm
+    FROM c JOIN t USING (prev_state)
+    """,
+)
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the replicated event
+    stream (operators/transitions.py): per (prev, next) event-type pair
+    across consecutive events of the same user (ordered by ts, event_id),
+    the count and the integer-ppm share of the prev-state's outgoing
+    edges. One entity-keyed window exchange + one map-side-combinable
+    matrix aggregate; totals join broadcast (states^2 rows)."""
+    from pipelinewise_spark.operators.transitions import transition_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", ["ts", "event_id"]
+    )

@@ -3300,3 +3300,163 @@ def pq_index_lifecycle_embeddings(
     )
     exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
     return _ann_contract(ann, exact, recall_bound=0.5)
+
+
+@register(
+    "rrf_fusion_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen, toks FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, dlen, unnest(toks) AS term FROM dl),
+    tfq AS (
+        SELECT doc_id, dlen, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ('data', 'pipeline', 'spark')
+        GROUP BY 1, 2, 3),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tfq GROUP BY 1),
+    bm AS (
+        SELECT t.doc_id,
+               round(sum(
+                   ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dlen / s.avgdl))
+               ), 6) AS score
+        FROM tfq t JOIN dfreq f USING (term) CROSS JOIN stats s
+        GROUP BY 1),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+    cs AS (
+        SELECT vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, 65), i -> ce.v[i] * qv.q[i])) /
+                     (sqrt(list_sum(list_transform(range(1, 65), i -> ce.v[i] * ce.v[i]))) *
+                      sqrt(list_sum(list_transform(range(1, 65), i -> qv.q[i] * qv.q[i])))), 6) AS cos
+        FROM ce CROSS JOIN qv),
+    den AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+        FROM cs),
+    pts AS (
+        SELECT doc_id, CAST(FLOOR(1000000000.0 / (60 + r)) AS BIGINT) AS p
+        FROM lex WHERE r <= 20
+        UNION ALL
+        SELECT doc_id, CAST(FLOOR(1000000000.0 / (60 + r)) AS BIGINT)
+        FROM den WHERE r <= 20),
+    fz AS (
+        SELECT doc_id, CAST(SUM(p) AS BIGINT) AS rrf_ppb,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM pts GROUP BY 1)
+    SELECT doc_id, rrf_ppb, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fz
+    QUALIFY rank <= 10
+    """,
+)
+def rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (functions/retrieval.py:rrf_fuse) of the
+    lexical and dense retrieval stages: BM25 top-20 for a fixed term
+    query fused with exact-cosine top-20 to query vector 0 (embeddings
+    map 1:1 to doc_id) via integer-ppb RRF points floor(1e9/(60+rank)).
+    Score-free fusion is the standard when lexical and dense scales
+    don't compare; integer points keep the fused order engine-exact.
+    All windows run on candidate lists, never the corpus."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.functions.retrieval import bm25_scores, rrf_fuse
+
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(
+        d, "doc_id", "text", query_terms=["data", "pipeline", "spark"]
+    )
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        bm.withColumn("rank", F.row_number().over(wlex))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    dense = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], id_col="doc_id", topk=10)
+
+
+@register(
+    "data_card_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, lang, source, {_TOKS} AS toks FROM documents),
+    t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(toks) AS BIGINT) AS ntok,
+               CAST(length(text) AS BIGINT) AS nchars,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS fp
+        FROM d),
+    scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               SUM(ntok) AS tok, SUM(nchars) AS chars,
+               CAST(count(DISTINCT fp) AS BIGINT) AS fps
+        FROM t),
+    scalars AS (
+        SELECT 'corpus' AS section, 'docs' AS metric,
+               CAST(n AS DOUBLE) AS value FROM scal
+        UNION ALL
+        SELECT 'corpus', 'total_tokens', CAST(tok AS DOUBLE) FROM scal
+        UNION ALL
+        SELECT 'corpus', 'total_chars', CAST(chars AS DOUBLE) FROM scal
+        UNION ALL
+        SELECT 'dedup', 'exact_dup_ppm',
+               CAST(FLOOR(1000000.0 * (n - fps) / n) AS DOUBLE) FROM scal),
+    r AS (
+        SELECT ntok, row_number() OVER (ORDER BY ntok, doc_id) AS rn,
+               count(*) OVER () AS cnt
+        FROM t),
+    q AS (
+        SELECT 'token_quantiles' AS section,
+               'p' || CAST(CAST(FLOOR(qq.q * 100) AS BIGINT) AS VARCHAR)
+                   AS metric,
+               CAST(r.ntok AS DOUBLE) AS value
+        FROM (VALUES (0.1), (0.5), (0.9)) qq(q)
+        JOIN r ON r.rn = GREATEST(1, CAST(ceil(qq.q * r.cnt) AS BIGINT))),
+    lm AS (
+        SELECT 'lang_mix_ppm' AS section,
+               COALESCE(CAST(lang AS VARCHAR), '<null>') AS metric,
+               CAST(FLOOR(1000000.0 * count(*) / (SELECT n FROM scal))
+                    AS DOUBLE) AS value
+        FROM t GROUP BY lang),
+    sm AS (
+        SELECT 'source_mix_ppm' AS section,
+               COALESCE(CAST(source AS VARCHAR), '<null>') AS metric,
+               CAST(FLOOR(1000000.0 * count(*) / (SELECT n FROM scal))
+                    AS DOUBLE) AS value
+        FROM t GROUP BY source)
+    SELECT * FROM scalars
+    UNION ALL SELECT * FROM q
+    UNION ALL SELECT * FROM lm
+    UNION ALL SELECT * FROM sm
+    """,
+)
+def data_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publishable corpus datasheet (operators/datacard.py:data_card
+    — "Datasheets for Datasets", Gebru et al. 2021): corpus scalars,
+    exact-dup rate in ppm (canonical fingerprint), discrete token-count
+    quantiles via the no-single-reducer distributed rank, and lang /
+    source mix shares in integer ppm — one tall (section, metric, value)
+    frame, every value integer-exact so the card hash-compares across
+    engines. Each section is one column-pruned map-side-combinable
+    pass; the answer is sections x cardinality, never row-scale."""
+    from pipelinewise_spark.operators.datacard import data_card
+
+    d = read_table(spark, sf_dir, "documents")
+    return data_card(
+        d, "doc_id", "text", mix_cols=("lang", "source")
+    )

@@ -1212,3 +1212,38 @@ def mw_drift_by_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return mw_drift_by_segment(ref, cur, "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "k_anonymity_customer",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_diversity,
+           count(*) < 10 AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk report (operators/compliance.py:
+    k_anonymity_report) — the measurement face of the privacy story
+    whose erasure face is `forget`: equivalence classes over the
+    (nation, market-segment) quasi-identifier tuple, each class's size
+    (its k-anonymity), its l-diversity over the banded account balance
+    (floor(acctbal/1000) — a class where every member shares a balance
+    band leaks the attribute even when k-anonymous), and the at_risk
+    flag (class smaller than k=10). One map-side-combinable groupBy;
+    the answer is quasi-domain-sized, never row-scale."""
+    from pipelinewise_spark.operators.compliance import k_anonymity_report
+
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "__band", F.floor(F.col("c_acctbal") / 1000.0)
+    )
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="__band",
+        k=10,
+    )

@@ -1,0 +1,174 @@
+"""Unit pins for the r10 second-wave operators: k-anonymity report,
+Markov transition matrix, reciprocal-rank fusion, corpus data card.
+
+Edge semantics each operator must hold (the registry compare proves the
+happy path against DuckDB; these pin the branches the sf tables don't
+exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.functions.retrieval import rrf_fuse
+from pipelinewise_spark.operators.compliance import (
+    k_anonymity_report,
+    k_anonymity_summary,
+)
+from pipelinewise_spark.operators.datacard import data_card
+from pipelinewise_spark.operators.transitions import transition_matrix
+
+
+def test_k_anonymity_report_classes_and_risk(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 1),
+            ("a", "x", 1),
+            ("a", "x", 2),
+            ("b", "y", 3),  # singleton class: k=1, l=1
+        ],
+        "qi1 string, qi2 string, secret int",
+    )
+    rep = {
+        (r["qi1"], r["qi2"]): r
+        for r in k_anonymity_report(
+            df, ["qi1", "qi2"], "secret", k=2
+        ).collect()
+    }
+    assert rep[("a", "x")]["class_size"] == 3
+    assert rep[("a", "x")]["l_diversity"] == 2
+    assert not rep[("a", "x")]["at_risk"]
+    assert rep[("b", "y")]["class_size"] == 1
+    assert rep[("b", "y")]["l_diversity"] == 1
+    assert rep[("b", "y")]["at_risk"]
+
+
+def test_k_anonymity_no_sensitive_degenerates_to_class_size(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "qi string"
+    )
+    rep = {
+        r["qi"]: r for r in k_anonymity_report(df, ["qi"], k=2).collect()
+    }
+    assert rep["a"]["l_diversity"] == rep["a"]["class_size"] == 2
+    assert rep["b"]["at_risk"]
+
+
+def test_k_anonymity_summary_ppm(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 3 + [("b", 2)], "qi string, secret int"
+    )
+    row = k_anonymity_summary(df, ["qi"], "secret", k=2).collect()[0]
+    assert row["k_anonymity"] == 1
+    assert row["l_diversity"] == 1
+    assert row["n_classes"] == 2
+    assert row["rows_at_risk"] == 1
+    assert row["at_risk_ppm"] == 250000  # floor(1e6 * 1/4)
+
+
+def test_transition_matrix_counts_and_ppm(spark):
+    # user 1: a -> b -> a -> b ; user 2: b -> b
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "b"), (2, 2, "b"),
+        ],
+        "uid int, seq int, state string",
+    )
+    out = {
+        (r["prev_state"], r["next_state"]): r
+        for r in transition_matrix(df, "uid", "state", ["seq"]).collect()
+    }
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["p_ppm"] == 1000000  # a always -> b
+    assert out[("b", "a")]["n"] == 1
+    assert out[("b", "b")]["n"] == 1
+    assert out[("b", "a")]["p_ppm"] == 500000
+    # single-event entities contribute no pairs
+    assert len(out) == 3
+
+
+def test_transition_matrix_min_count_keeps_denominator(spark):
+    df = spark.createDataFrame(
+        [(1, i, s) for i, s in enumerate(["a", "b", "a", "b", "a", "c"])],
+        "uid int, seq int, state string",
+    )
+    out = {
+        (r["prev_state"], r["next_state"]): r
+        for r in transition_matrix(
+            df, "uid", "state", ["seq"], min_count=2
+        ).collect()
+    }
+    # (a,c) n=1 dropped, but (a,b) keeps its TRUE denominator of 3
+    assert ("a", "c") not in out
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["p_ppm"] == 666666
+
+
+def test_rrf_fuse_missing_doc_and_order(spark):
+    l1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id int, rank int"
+    )
+    l2 = spark.createDataFrame(
+        [(20, 1), (10, 2)], "doc_id int, rank int"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([l1, l2], k=60, topk=10).collect()
+    }
+    pts = lambda r: 10**9 // (60 + r)  # noqa: E731
+    assert rows[10]["rrf_ppb"] == pts(1) + pts(2)
+    assert rows[20]["rrf_ppb"] == pts(2) + pts(1)
+    assert rows[30]["rrf_ppb"] == pts(3)
+    assert rows[30]["n_lists"] == 1
+    # 10 and 20 tie exactly on integer points -> id tie-break
+    assert rows[10]["rank"] == 1 and rows[20]["rank"] == 2
+    assert rows[30]["rank"] == 3
+
+
+def test_rrf_fuse_topk_cuts(spark):
+    l1 = spark.createDataFrame(
+        [(i, i) for i in range(1, 8)], "doc_id int, rank int"
+    )
+    out = rrf_fuse([l1], topk=3).collect()
+    assert len(out) == 3
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3,
+    ]
+
+
+def test_data_card_tiny_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en"),
+            (2, "hello world", "en"),  # exact dup of doc 1
+            (3, "bonjour", "fr"),
+            (4, "le monde entier", "fr"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in data_card(df, "doc_id", "text", mix_cols=("lang",)).collect()
+    }
+    assert card[("corpus", "docs")] == 4.0
+    assert card[("corpus", "total_tokens")] == 8.0
+    assert card[("dedup", "exact_dup_ppm")] == 250000.0  # 1 of 4 is a dup
+    assert card[("lang_mix_ppm", "en")] == 500000.0
+    assert card[("lang_mix_ppm", "fr")] == 500000.0
+    # discrete quantiles of token counts [1, 2, 2, 3]
+    assert card[("token_quantiles", "p10")] == 1.0
+    assert card[("token_quantiles", "p50")] == 2.0
+    assert card[("token_quantiles", "p90")] == 3.0
+
+
+def test_data_card_null_mix_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", None), (2, "c", "web")],
+        "doc_id int, text string, src string",
+    )
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in data_card(df, "doc_id", "text", mix_cols=("src",)).collect()
+    }
+    assert card[("src_mix_ppm", "<null>")] == 500000.0
+    assert card[("src_mix_ppm", "web")] == 500000.0
