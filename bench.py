@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "event_transitions_events",
     "rrf_fusion_documents",
     "data_card_documents",
+    "frequent_event_paths",
+    "tfidf_keywords_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -177,3 +177,62 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    topk: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the standard cheap
+    "what is this document about" enrichment a curation pipeline runs
+    before clustering / mixing / reporting:
+
+        score(t, D) = tf(t, D) · ln(N / df(t))
+
+    Terms shorter than ``min_len`` chars drop (function-word noise).
+    Scores round to 6 dp so the per-doc ranking (score desc, term asc)
+    is engine-stable despite libm ulp differences in ln(); a term that
+    appears in every document scores exactly 0 (idf = ln 1).
+
+    Scale shape: one explode + (doc, term) aggregate (map-side
+    combinable), a vocab-sized document-frequency aggregate joined back
+    on the term key (sort-merge, Zipf-bounded vocab ≪ corpus tokens),
+    the corpus-count scalar broadcast, and a per-doc rank window — every
+    shuffle keyed and linear, nothing all-pairs. Output is topk rows per
+    document (an enrichment, so row-scale output is inherent)."""
+    from pyspark.sql import Window
+
+    pairs = (
+        spread(df)
+        .select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .filter(F.length("term") >= min_len)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = pairs.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("__df")
+    )
+    scored = (
+        pairs.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("__df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -68,3 +68,51 @@ def transition_matrix(
             .alias("p_ppm"),
         )
     )
+
+
+def frequent_paths(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    order_cols: list[str | Column],
+    n: int = 3,
+    topk: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-``topk`` length-``n`` state paths across consecutive events of
+    the same entity — the n-gram generalization of
+    :func:`transition_matrix` (n=2 pairs → n-step journeys). Returns
+    ``(path, n_occurrences, rank)`` with the path rendered
+    ``s1>s2>…>sn`` and rank tie-broken on the path string.
+
+    Shape: the SAME single entity-keyed window exchange as the matrix
+    (n-1 ``lead()`` columns ride one window — Catalyst collapses them
+    into one Window node), one map-side-combinable path aggregate, then
+    a rank window over the aggregated paths — states^n rows, i.e.
+    answer-sized, so its single partition is metadata-scale by
+    construction (like rrf_fuse's candidate window), never row-scale.
+    """
+    if n < 2:
+        raise ValueError("paths need n >= 2 states")
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    steps = df.select(
+        F.col(state_col).alias("__s0"),
+        *[
+            F.lead(state_col, i).over(w).alias(f"__s{i}")
+            for i in range(1, n)
+        ],
+    )
+    # lead(n-1) null => the path runs off the entity's last events
+    paths = steps.where(F.col(f"__s{n - 1}").isNotNull()).select(
+        F.concat_ws(sep, *[F.col(f"__s{i}") for i in range(n)]).alias(
+            "path"
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    rw = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

@@ -52,7 +52,8 @@ _SHOWCASE_ORDER = [
     "kmeans_model_lifecycle_embeddings", "stream_drift_by_segment_events",
     "k_anonymity_customer", "event_transitions_events",
     "rrf_fusion_documents", "data_card_documents",
-    # Part 4 (7): r10 code-touched — the decimal(38,0) KS/MW ppm fix
+    "frequent_event_paths", "tfidf_keywords_documents",
+    # Part 4 (5): r10 code-touched — the decimal(38,0) KS/MW ppm fix
     # (drift.py + the global KS), the StreamingDriftMonitor epoch
     # high-water mark, and the zero-row Arrow-batch guards in the
     # k-means argmin and PQ code kernels. Four rows the first cut of
@@ -62,11 +63,15 @@ _SHOWCASE_ORDER = [
     # exercised INSIDE an in-prefix sibling (quality_report_orders
     # composes all seven monitor verbs hash-checked; the HLL twin
     # carries cardinality exact; ks_drift carries the decimal ppm
-    # pattern) and all stay pytest-value-verified every session.
+    # pattern) and all stay pytest-value-verified every session. Same
+    # trade for kmeans_embeddings / embedding_pq_topk (displaced by the
+    # third-wave queries): the touched Arrow kernels run inside the
+    # in-prefix kmeans_assign / kmeans_model_lifecycle / pq_lifecycle
+    # rows.
     "ks_drift_by_segment_orders",
     "ks_test_price_priorities",
-    "stream_drift_monitor_events", "kmeans_embeddings",
-    "kmeans_assign_embeddings", "embedding_pq_topk",
+    "stream_drift_monitor_events",
+    "kmeans_assign_embeddings",
     "pq_index_lifecycle_embeddings",
     # Part 5 (10): staleness rotation — the oldest r5-green rows (the
     # sync/sink/masking/Mongo core).
@@ -89,6 +94,7 @@ _SHOWCASE_ORDER = [
     # in-prefix siblings; pytest-value-verified every session):
     "mw_drift_by_segment_orders", "cardinality_drift_events",
     "benford_audit_orders", "freshness_report_events",
+    "kmeans_embeddings", "embedding_pq_topk",
     # r9 prefix (all r9-green; kept next so the post-prefix order still
     # leads with the most recently re-verified operator cross-section):
     "reconcile_report_orders", "reconcile_diff_orders",

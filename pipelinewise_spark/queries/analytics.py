@@ -2852,3 +2852,40 @@ def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(
         ev, "user_id", "event_type", ["ts", "event_id"]
     )
+
+
+@register(
+    "frequent_event_paths",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (
+        SELECT event_type || '>' || s2 || '>' || s3 AS path
+        FROM s WHERE s3 IS NOT NULL),
+    c AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY 1)
+    SELECT path, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+                AS BIGINT) AS rank
+    FROM c
+    QUALIFY rank <= 20
+    """,
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (operators/transitions.py:
+    frequent_paths) — the n-gram generalization of the transition
+    matrix: per-user consecutive event-type trigrams (ordered by ts,
+    event_id), counted corpus-wide. The n-1 lead() columns ride ONE
+    entity-keyed window exchange; the final rank window runs on the
+    aggregated path table (states^n rows — answer-sized)."""
+    from pipelinewise_spark.operators.transitions import frequent_paths
+
+    ev = read_table(spark, sf_dir, "events")
+    return frequent_paths(
+        ev, "user_id", "event_type", ["ts", "event_id"], n=3, topk=20
+    )

@@ -3460,3 +3460,43 @@ def data_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_card(
         d, "doc_id", "text", mix_cols=("lang", "source")
     )
+
+
+@register(
+    "tfidf_keywords_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    p AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d) t
+        WHERE length(term) >= 3
+        GROUP BY 1, 2),
+    f AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM p GROUP BY 1),
+    s AS (
+        SELECT p.doc_id, p.term,
+               round(p.tf * ln(n.n / f.df), 6) AS score
+        FROM p JOIN f USING (term) CROSS JOIN n),
+    r AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rank
+        FROM s)
+    SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (functions/retrieval.py:
+    tfidf_keywords): top-3 terms per document by tf·ln(N/df), terms
+    < 3 chars dropped, score rounded to 6 dp with a term tie-break so
+    the enrichment is engine-exact. One explode aggregate + a
+    Zipf-vocab df join + a per-doc rank window — all keyed, all linear."""
+    from pipelinewise_spark.functions.retrieval import tfidf_keywords
+
+    d = read_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", topk=3)

@@ -64,3 +64,26 @@ def test_data_card_plan_single_partition_only_for_scalar_reduces(spark):
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
         assert "partial" in child, f"non-aggregate SinglePartition:\n{ln}\n{child}"
+
+
+def test_frequent_paths_single_window_node(spark):
+    from pipelinewise_spark.operators.transitions import frequent_paths
+
+    ev = read_table(spark, SF, "events")
+    out = frequent_paths(ev, "user_id", "event_type", ["ts", "event_id"], n=3)
+    plan = _plan(out)
+    assert "Cartesian" not in plan, plan
+    # both lead() columns ride ONE entity-keyed Window node; the only
+    # other Window is the answer-sized rank over aggregated paths
+    assert plan.count("Window") <= 2, plan
+
+
+def test_tfidf_keywords_plan_keyed_no_cartesian(spark):
+    from pipelinewise_spark.functions.retrieval import tfidf_keywords
+
+    d = read_table(spark, SF, "documents")
+    out = tfidf_keywords(d, "doc_id", "text", topk=3)
+    plan = _plan(out)
+    assert "Cartesian" not in plan, plan
+    # the corpus-count scalar broadcasts; the df join is keyed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -1,5 +1,6 @@
-"""Unit pins for the r10 second-wave operators: k-anonymity report,
-Markov transition matrix, reciprocal-rank fusion, corpus data card.
+"""Unit pins for the r10 second/third-wave operators: k-anonymity
+report, Markov transition matrix, reciprocal-rank fusion, corpus data
+card, frequent event paths, TF-IDF keyword extraction.
 
 Edge semantics each operator must hold (the registry compare proves the
 happy path against DuckDB; these pin the branches the sf tables don't
@@ -172,3 +173,78 @@ def test_data_card_null_mix_bucket(spark):
     }
     assert card[("src_mix_ppm", "<null>")] == 500000.0
     assert card[("src_mix_ppm", "web")] == 500000.0
+
+
+def test_frequent_paths_trigrams(spark):
+    from pipelinewise_spark.operators.transitions import frequent_paths
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        ],
+        "uid int, seq int, state string",
+    )
+    out = {
+        r["path"]: r
+        for r in frequent_paths(df, "uid", "state", ["seq"], n=3).collect()
+    }
+    assert out["a>b>c"]["n_occurrences"] == 2
+    assert out["b>c>a"]["n_occurrences"] == 1
+    assert len(out) == 2  # entity boundaries never produce cross-user paths
+    assert out["a>b>c"]["rank"] == 1
+
+
+def test_frequent_paths_short_entities_drop(spark):
+    from pipelinewise_spark.operators.transitions import frequent_paths
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "x")],
+        "uid int, seq int, state string",
+    )
+    assert frequent_paths(df, "uid", "state", ["seq"], n=3).count() == 0
+    # but the same data still yields a bigram
+    rows = frequent_paths(df, "uid", "state", ["seq"], n=2).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "a>b"
+
+
+def test_tfidf_keywords_scores_and_cut(spark):
+    import math
+
+    from pipelinewise_spark.functions.retrieval import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in tfidf_keywords(df, "doc_id", "text", topk=2).collect()
+    }
+    # 'common' appears in all docs -> idf 0 -> never a top keyword when
+    # a rarer term exists; doc 1's top term is apple (tf=2, df=1)
+    assert out[(1, "apple")]["rank"] == 1
+    assert abs(
+        out[(1, "apple")]["score"] - round(2 * math.log(3 / 1), 6)
+    ) < 1e-9
+    assert out[(3, "cherry")]["rank"] == 1
+    # every doc gets at most topk rows
+    from collections import Counter
+
+    c = Counter(doc for doc, _ in out)
+    assert max(c.values()) <= 2
+
+
+def test_tfidf_min_len_filters_short_terms(spark):
+    from pipelinewise_spark.functions.retrieval import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "an it to zebra"), (2, "an it to")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_keywords(df, "doc_id", "text", topk=5).collect()
+    assert {r["term"] for r in rows} == {"zebra"}
