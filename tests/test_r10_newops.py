@@ -8,7 +8,6 @@ exercise)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions.retrieval import rrf_fuse
 from pipelinewise_spark.operators.compliance import (
