@@ -12,13 +12,14 @@ shares in integer ppm, and the exact-duplicate rate in ppm.
 Every value is integer-exact (counts, ppm floors, discrete quantiles of
 integer token counts), so the card hash-compares across engines.
 
-Scale shape: each section is ONE column-pruned, map-side-combinable pass
-(scalars + distinct-fingerprint count share a pass; each mix column
-prunes to itself; quantiles ride the distributed rank). Nothing is
+Scale shape: three column-pruned, map-side-combinable passes total —
+scalars + distinct-fingerprint count share one, ALL mix columns share
+one (rows melt into (section, category) pairs so k mix columns never
+means k scans), and the quantiles ride the distributed rank. Nothing is
 row-scale in the answer — the card is sections × cardinality rows. At
 100 TB you'd persist the (id, n_tokens, fingerprint, mix…) projection
-once and feed all sections from it; at bench scale the re-scan is
-cheaper than the cache churn.
+once and feed all three from it; at bench scale the re-scan is cheaper
+than the cache churn.
 """
 
 from __future__ import annotations
@@ -115,17 +116,33 @@ def data_card(
     )
 
     parts = [scalars, qdf]
-    total = scal.select("__n")
-    for c in mix_cols:
+    if mix_cols:
+        # ALL mix columns in ONE corpus pass: melt each row into
+        # (section, category) pairs, then one map-side-combinable
+        # aggregate — k mix columns never means k scans
+        total = scal.select("__n")
+        melted = toked.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{c}_mix_ppm").alias("section"),
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("<null>")
+                            ).alias("metric"),
+                        )
+                        for c in mix_cols
+                    ]
+                )
+            ).alias("kv")
+        )
         parts.append(
-            toked.groupBy(c)
+            melted.groupBy("kv.section", "kv.metric")
             .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
             .crossJoin(F.broadcast(total))
             .select(
-                F.lit(f"{c}_mix_ppm").alias("section"),
-                F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(
-                    "metric"
-                ),
+                "section",
+                "metric",
                 F.floor(F.lit(1000000) * F.col("__cnt") / F.col("__n"))
                 .cast("double")
                 .alias("value"),
