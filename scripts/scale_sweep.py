@@ -6,7 +6,11 @@ ratios. A plan whose documented shape is linear should land near 10x
 dominates at sf0.1, well past ~10x means a super-linear stage to audit).
 
 Usage: python scripts/scale_sweep.py [query ...]
-Defaults to the bench HEADLINE subset.
+Defaults to the bench HEADLINE subset. Point PWS_SCALED_DIR at any
+make_scaled_data.py output (R=10/30/100…); at R>=100 set
+SPARK_GRAFT_DRIVER_MEM=48g — memory must scale with data, or AQE
+runtime broadcasts (compressed-size threshold, deserialized-size
+build) kill the run on the default 8g heap (SCALE.md, round-10 notes).
 """
 
 from __future__ import annotations
