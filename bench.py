@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "data_card_documents",
     "frequent_event_paths",
     "tfidf_keywords_documents",
+    "vocab_drift_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

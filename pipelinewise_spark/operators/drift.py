@@ -1040,3 +1040,130 @@ def mw_drift_from_counts(
             > F.lit(int(effect_threshold_ppm))
         ).alias("drifted"),
     )
+
+
+def vocab_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    text_col: str,
+    top_k: int = 200,
+    threshold_ppm: int = 50_000,
+) -> DataFrame:
+    """Text-corpus VOCABULARY drift — the text face of the drift family
+    (scraper breakage, template injection, language-mix shifts: corpus
+    pathologies that never touch a numeric column). The reference epoch
+    pins the comparison alphabet — its ``top_k`` terms by frequency
+    (term tie-break) plus one ``(oov)`` bucket absorbing every other
+    token — and both epochs' token masses over that alphabet compare by
+    integer-exact TVD (cross-multiplied in decimal(38,0), ppm at the
+    very end — :func:`_score_tvd`'s arithmetic on a term-keyed frame).
+
+    Shapes: one tokenize+count pass per epoch (map-side combinable,
+    vocab-sized shuffle — Zipf-bounded ≪ token count); top-K selection
+    rides the distributed rank (operators/rank.py — never a
+    SinglePartition window over the vocabulary); the alphabet
+    broadcasts (top_k rows); the report is top_k+1 rows.
+
+    Returns (term, ref_cnt, cur_cnt, ref_ppm, cur_ppm, tvd_ppm,
+    drifted): counts are token occurrences, ppm shares are of each
+    epoch's TOTAL token mass, tvd/drifted are table-wide on every row
+    (the family's report shape). An epoch with zero tokens is maximal
+    drift by definition (tvd = 1e6), mirroring _score_tvd's empty-side
+    rule."""
+    from pipelinewise_spark.functions.text import tokens
+    from pipelinewise_spark.operators.rank import distributed_row_number
+    from pipelinewise_spark.partitioning import spread
+
+    def _term_counts(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .filter(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    ref_tc = _term_counts(reference)
+    cur_tc = _term_counts(current)
+    vocab = (
+        distributed_row_number(
+            ref_tc, [F.col("cnt").desc(), "term"], "__r"
+        )
+        .filter(F.col("__r") <= F.lit(int(top_k)))
+        .select("term")
+    )
+    rv = ref_tc.join(F.broadcast(vocab), "term").withColumnRenamed(
+        "cnt", "ref_cnt"
+    )
+    cv = cur_tc.join(F.broadcast(vocab), "term").withColumnRenamed(
+        "cnt", "cur_cnt"
+    )
+    in_alpha = (
+        vocab.join(rv, "term", "left")
+        .join(cv, "term", "left")
+        .na.fill({"ref_cnt": 0, "cur_cnt": 0})
+    )
+    zero = F.lit(0).cast("long")
+    rtot = ref_tc.agg(
+        F.coalesce(F.sum("cnt"), zero).alias("__rt")
+    )
+    ctot = cur_tc.agg(
+        F.coalesce(F.sum("cnt"), zero).alias("__ct")
+    )
+    rin = in_alpha.agg(F.coalesce(F.sum("ref_cnt"), zero).alias("__ri"))
+    cin = in_alpha.agg(F.coalesce(F.sum("cur_cnt"), zero).alias("__ci"))
+    oov = (
+        rtot.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(rin))
+        .crossJoin(F.broadcast(cin))
+        .select(
+            F.lit("(oov)").alias("term"),
+            (F.col("__rt") - F.col("__ri")).cast("long").alias("ref_cnt"),
+            (F.col("__ct") - F.col("__ci")).cast("long").alias("cur_cnt"),
+        )
+    )
+    per = in_alpha.unionByName(oov)
+    tot = per.agg(
+        F.sum("ref_cnt").alias("__nr"), F.sum("cur_cnt").alias("__nc")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__absdiff",
+        F.abs(
+            dec(F.col("ref_cnt")) * F.col("__nc")
+            - dec(F.col("cur_cnt")) * F.col("__nr")
+        ),
+    )
+    tvd = scored.agg(
+        F.when(
+            (F.max("__nr") == 0) | (F.max("__nc") == 0), F.lit(1_000_000)
+        )
+        .otherwise(
+            F.floor(
+                (dec(F.lit(1_000_000)) * F.sum("__absdiff"))
+                / (dec(F.lit(2)) * F.max("__nr") * F.max("__nc"))
+            )
+        )
+        .cast("long")
+        .alias("tvd_ppm")
+    )
+    ppm = lambda cnt, n: (  # noqa: E731 — exact share, 0 on an empty epoch
+        F.when(n > 0, F.floor(dec(F.lit(1_000_000)) * cnt / dec(n)))
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tvd))
+        .select(
+            "term",
+            "ref_cnt",
+            "cur_cnt",
+            ppm(F.col("ref_cnt"), F.col("__nr")).alias("ref_ppm"),
+            ppm(F.col("cur_cnt"), F.col("__nc")).alias("cur_ppm"),
+            "tvd_ppm",
+            (F.col("tvd_ppm") > F.lit(int(threshold_ppm))).alias(
+                "drifted"
+            ),
+        )
+    )

@@ -43,17 +43,20 @@ _SHOWCASE_ORDER = [
     "merge_hard_delete_orders", "frequent_tokens_documents",
     "kafka_json_payload_events", "minhash_incremental_batch_documents",
     "schema_evolution_add_column",
-    # Part 3 (8): NEW in r10 — the unified quality matrix, the HLL
+    # Part 3 (11): NEW in r10 — the unified quality matrix, the HLL
     # cardinality-drift swap, the persisted k-means model lifecycle,
-    # the segment-level streaming drift monitor, and the second wave:
-    # the k-anonymity/l-diversity report, the Markov event-transition
-    # matrix, integer-ppb reciprocal-rank fusion, the corpus data card.
+    # the segment-level streaming drift monitor; the second wave (the
+    # k-anonymity/l-diversity report, the Markov event-transition
+    # matrix, integer-ppb reciprocal-rank fusion, the corpus data card);
+    # and the third wave (frequent event paths, TF-IDF keywords, the
+    # text-corpus vocabulary-drift monitor).
     "quality_report_orders", "cardinality_drift_hll_events",
     "kmeans_model_lifecycle_embeddings", "stream_drift_by_segment_events",
     "k_anonymity_customer", "event_transitions_events",
     "rrf_fusion_documents", "data_card_documents",
     "frequent_event_paths", "tfidf_keywords_documents",
-    # Part 4 (5): r10 code-touched — the decimal(38,0) KS/MW ppm fix
+    "vocab_drift_documents",
+    # Part 4 (4): r10 code-touched — the decimal(38,0) KS/MW ppm fix
     # (drift.py + the global KS), the StreamingDriftMonitor epoch
     # high-water mark, and the zero-row Arrow-batch guards in the
     # k-means argmin and PQ code kernels. Four rows the first cut of
@@ -67,9 +70,11 @@ _SHOWCASE_ORDER = [
     # trade for kmeans_embeddings / embedding_pq_topk (displaced by the
     # third-wave queries): the touched Arrow kernels run inside the
     # in-prefix kmeans_assign / kmeans_model_lifecycle / pq_lifecycle
-    # rows.
+    # rows. ks_test_price_priorities moved below the fold for
+    # vocab_drift: the global-KS decimal fix's arithmetic is the same
+    # pattern the in-prefix ks_drift_by_segment + quality_report rows
+    # hash-check.
     "ks_drift_by_segment_orders",
-    "ks_test_price_priorities",
     "stream_drift_monitor_events",
     "kmeans_assign_embeddings",
     "pq_index_lifecycle_embeddings",
@@ -95,6 +100,7 @@ _SHOWCASE_ORDER = [
     "mw_drift_by_segment_orders", "cardinality_drift_events",
     "benford_audit_orders", "freshness_report_events",
     "kmeans_embeddings", "embedding_pq_topk",
+    "ks_test_price_priorities",
     # r9 prefix (all r9-green; kept next so the post-prefix order still
     # leads with the most recently re-verified operator cross-section):
     "reconcile_report_orders", "reconcile_diff_orders",

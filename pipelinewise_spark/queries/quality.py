@@ -1247,3 +1247,91 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive_col="__band",
         k=10,
     )
+
+
+@register(
+    "vocab_drift_documents",
+    oracle=r"""
+    WITH ref AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE doc_id % 2 = 0),
+    cur0 AS (
+        SELECT CASE WHEN doc_id % 10 = 1
+                    THEN text || ' lorem_template_block lorem_template_block'
+                         || ' lorem_template_block lorem_template_block'
+                         || ' lorem_template_block lorem_template_block'
+                         || ' lorem_template_block lorem_template_block'
+                         || ' lorem_template_block lorem_template_block'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 2 = 1),
+    cur AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM cur0),
+    rt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(toks) AS term FROM ref) t
+        WHERE length(term) > 0 GROUP BY 1),
+    ct AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(toks) AS term FROM cur) t
+        WHERE length(term) > 0 GROUP BY 1),
+    v AS (
+        SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r
+            FROM rt)
+        WHERE r <= 50),
+    pr AS (
+        SELECT v.term, COALESCE(rt.cnt, 0) AS ref_cnt,
+               COALESCE(ct.cnt, 0) AS cur_cnt
+        FROM v LEFT JOIN rt USING (term) LEFT JOIN ct USING (term)),
+    rtot AS (SELECT COALESCE(SUM(cnt), 0) AS n FROM rt),
+    ctot AS (SELECT COALESCE(SUM(cnt), 0) AS n FROM ct),
+    rin AS (SELECT COALESCE(SUM(ref_cnt), 0) AS s FROM pr),
+    cin AS (SELECT COALESCE(SUM(cur_cnt), 0) AS s FROM pr),
+    per AS (
+        SELECT term, ref_cnt, cur_cnt FROM pr
+        UNION ALL
+        SELECT '(oov)', rtot.n - rin.s, ctot.n - cin.s
+        FROM rtot, ctot, rin, cin),
+    tot AS (SELECT SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc FROM per),
+    tvd AS (
+        SELECT CAST(FLOOR(
+            1000000::HUGEINT
+            * SUM(ABS(ref_cnt::HUGEINT * nc - cur_cnt::HUGEINT * nr))
+            / (2::HUGEINT * MAX(nr) * MAX(nc))) AS BIGINT) AS tvd_ppm
+        FROM per, tot)
+    SELECT per.term,
+           CAST(per.ref_cnt AS BIGINT) AS ref_cnt,
+           CAST(per.cur_cnt AS BIGINT) AS cur_cnt,
+           CAST(FLOOR(1000000.0 * per.ref_cnt / tot.nr) AS BIGINT)
+               AS ref_ppm,
+           CAST(FLOOR(1000000.0 * per.cur_cnt / tot.nc) AS BIGINT)
+               AS cur_ppm,
+           tvd.tvd_ppm, tvd.tvd_ppm > 33000 AS drifted
+    FROM per, tot, tvd
+    """,
+)
+def vocab_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-corpus vocabulary drift (operators/drift.py:vocab_drift) —
+    the TEXT face of the drift family: even-doc_id documents pin the
+    reference alphabet (top-50 terms + the (oov) bucket); the current
+    epoch (odd doc_ids) carries an injected template block (10 repeated
+    tokens on every tenth document — the scraper-breakage / boilerplate-
+    injection pathology) that lands in (oov) and must push the
+    integer-exact TVD over the calibrated 33k-ppm bound, while the
+    organic parity split alone stays under it (measured 21-27k ppm vs
+    42-47k injected at sf0.001/0.01). Top-K selection rides the
+    distributed rank — no SinglePartition window over the vocabulary."""
+    from pipelinewise_spark.operators.drift import vocab_drift
+
+    d = read_table(spark, sf_dir, "documents")
+    blk = " ".join(["lorem_template_block"] * 10)
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.col("text"), F.lit(" " + blk)),
+        ).otherwise(F.col("text")),
+    )
+    return vocab_drift(ref, cur, "text", top_k=50, threshold_ppm=33_000)

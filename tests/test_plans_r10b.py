@@ -87,3 +87,23 @@ def test_tfidf_keywords_plan_keyed_no_cartesian(spark):
     assert "Cartesian" not in plan, plan
     # the corpus-count scalar broadcasts; the df join is keyed
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_drift_topk_rides_distributed_rank(spark):
+    from pipelinewise_spark.operators.drift import vocab_drift
+
+    d = read_table(spark, SF, "documents")
+    out = vocab_drift(
+        d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"), "text",
+        top_k=50,
+    )
+    plan = _plan(out)
+    assert "Cartesian" not in plan, plan
+    # every SinglePartition exchange is a scalar reduce (partial agg
+    # child) — the vocabulary top-K must never globally sort one task
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "partial" in child, f"non-aggregate SinglePartition:\n{ln}\n{child}"

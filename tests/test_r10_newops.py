@@ -247,3 +247,38 @@ def test_tfidf_min_len_filters_short_terms(spark):
     )
     rows = tfidf_keywords(df, "doc_id", "text", topk=5).collect()
     assert {r["term"] for r in rows} == {"zebra"}
+
+
+def test_vocab_drift_oov_accounting_and_flags(spark):
+    from pipelinewise_spark.operators.drift import vocab_drift
+
+    ref = spark.createDataFrame(
+        [("aa bb aa",), ("aa cc",)], "text string"
+    )  # counts: aa=3 bb=1 cc=1 -> top-2 alphabet = {aa, bb} (cc ties bb,
+    #    term tie-break keeps bb)
+    cur = spark.createDataFrame(
+        [("aa zz zz zz",)], "text string"
+    )  # zz is out-of-alphabet: 3 of 4 current tokens land in (oov)
+    rows = {
+        r["term"]: r
+        for r in vocab_drift(ref, cur, "text", top_k=2,
+                             threshold_ppm=100_000).collect()
+    }
+    assert set(rows) == {"aa", "bb", "(oov)"}
+    assert rows["aa"]["ref_cnt"] == 3 and rows["aa"]["cur_cnt"] == 1
+    assert rows["(oov)"]["ref_cnt"] == 1  # cc
+    assert rows["(oov)"]["cur_cnt"] == 3  # zz
+    assert rows["aa"]["ref_ppm"] == 600000 and rows["aa"]["cur_ppm"] == 250000
+    # TVD = (|3*4-1*5| + |1*4-0*5| + |1*4-3*5|)/(2*5*4) = 22/40 = 550000ppm
+    assert rows["aa"]["tvd_ppm"] == 550000
+    assert rows["aa"]["drifted"]
+
+
+def test_vocab_drift_empty_current_is_max_drift(spark):
+    from pipelinewise_spark.operators.drift import vocab_drift
+
+    ref = spark.createDataFrame([("aa bb",)], "text string")
+    cur = spark.createDataFrame([], "text string")
+    rows = vocab_drift(ref, cur, "text", top_k=5).collect()
+    assert rows and all(r["tvd_ppm"] == 1000000 for r in rows)
+    assert all(r["cur_ppm"] == 0 for r in rows)
