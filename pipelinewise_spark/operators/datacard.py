@@ -15,8 +15,11 @@ integer token counts), so the card hash-compares across engines.
 Scale shape: three column-pruned, map-side-combinable passes total —
 scalars + distinct-fingerprint count share one, ALL mix columns share
 one (rows melt into (section, category) pairs so k mix columns never
-means k scans), and the quantiles ride the distributed rank. Nothing is
-row-scale in the answer — the card is sections × cardinality rows. At
+means k scans; the ppm denominator comes from the melted aggregate
+itself via a per-section window over the answer-sized frame, not a
+separate count scan), and the quantiles ride the distributed rank.
+Nothing is row-scale in the answer — the card is sections ×
+cardinality rows. At
 100 TB you'd persist the (id, n_tokens, fingerprint, mix…) projection
 once and feed all three from it; at bench scale the re-scan is cheaper
 than the cache churn.
@@ -119,8 +122,12 @@ def data_card(
     if mix_cols:
         # ALL mix columns in ONE corpus pass: melt each row into
         # (section, category) pairs, then one map-side-combinable
-        # aggregate — k mix columns never means k scans
-        total = scal.select("__n")
+        # aggregate — k mix columns never means k scans. The ppm
+        # denominator is derived FROM the melted aggregate itself
+        # (every doc contributes exactly one category per section,
+        # nulls included, so each section's counts sum to the doc
+        # total) via a window over the answer-sized frame — no extra
+        # count scan, no scalar crossJoin.
         melted = toked.select(
             F.explode(
                 F.array(
@@ -136,10 +143,13 @@ def data_card(
                 )
             ).alias("kv")
         )
+        from pyspark.sql import Window
+
+        sect = Window.partitionBy("section")
         parts.append(
             melted.groupBy("kv.section", "kv.metric")
             .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
-            .crossJoin(F.broadcast(total))
+            .withColumn("__n", F.sum("__cnt").over(sect))
             .select(
                 "section",
                 "metric",

@@ -102,8 +102,16 @@ def frequent_paths(
             for i in range(1, n)
         ],
     )
-    # lead(n-1) null => the path runs off the entity's last events
-    paths = steps.where(F.col(f"__s{n - 1}").isNotNull()).select(
+    # a window qualifies only when EVERY step is a real state: lead(n-1)
+    # null means the path runs off the entity's last events, and a NULL
+    # state ANYWHERE in the window is not a state — concat_ws silently
+    # skips nulls, so an unfiltered null middle would render a string
+    # indistinguishable from a genuine (n-1)-state path (and diverge from
+    # the SQL '||' oracle, which null-propagates the whole path)
+    keep = F.lit(True)
+    for i in range(n):
+        keep = keep & F.col(f"__s{i}").isNotNull()
+    paths = steps.where(keep).select(
         F.concat_ws(sep, *[F.col(f"__s{i}") for i in range(n)]).alias(
             "path"
         )

@@ -2865,7 +2865,8 @@ def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     p AS (
         SELECT event_type || '>' || s2 || '>' || s3 AS path
-        FROM s WHERE s3 IS NOT NULL),
+        FROM s WHERE event_type IS NOT NULL
+          AND s2 IS NOT NULL AND s3 IS NOT NULL),
     c AS (
         SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
         FROM p GROUP BY 1)

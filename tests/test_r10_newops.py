@@ -207,6 +207,35 @@ def test_frequent_paths_short_entities_drop(spark):
     assert len(rows) == 1 and rows[0]["path"] == "a>b"
 
 
+def test_frequent_paths_null_state_drops_window(spark):
+    """A NULL state anywhere in the window disqualifies the path —
+    concat_ws would otherwise silently skip it and render a string
+    indistinguishable from a genuine shorter path (r10 ADVICE)."""
+    from pipelinewise_spark.operators.transitions import frequent_paths
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, None), (1, 3, "c"), (1, 4, "d"),
+            (2, 1, "a"), (2, 2, "c"),
+        ],
+        "uid int, seq int, state string",
+    )
+    out = {
+        r["path"]: r["n_occurrences"]
+        for r in frequent_paths(df, "uid", "state", ["seq"], n=3).collect()
+    }
+    # user 1's a>NULL>c and NULL>c>d windows must NOT collapse into
+    # "a>c" / "c>d" lookalikes; only the clean NULL-free window survives
+    assert out == {}
+    bi = {
+        r["path"]: r["n_occurrences"]
+        for r in frequent_paths(df, "uid", "state", ["seq"], n=2).collect()
+    }
+    # the genuine a>c bigram (user 2) counts ONCE — user 1's a>NULL
+    # and NULL>c windows are dropped, not rendered as "a" / "c"
+    assert bi == {"a>c": 1, "c>d": 1}
+
+
 def test_tfidf_keywords_scores_and_cut(spark):
     import math
 
