@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "frequent_event_paths",
     "tfidf_keywords_documents",
     "vocab_drift_documents",
+    "minhash_lsh_bounded_pairs_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

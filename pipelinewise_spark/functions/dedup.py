@@ -141,6 +141,72 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter.cast("double") / (F.size(a) + F.size(b) - inter)
 
 
+def bounded_bucket_candidates(
+    bands: DataFrame,
+    id_col: str,
+    max_pairs_per_bucket: int,
+    bucket_col: str = "band_key",
+) -> DataFrame:
+    """Candidate pairs with a per-bucket EMISSION GUARD — the dedup-side
+    twin of record linkage's dense-block cap (functions/linkage.py:
+    link_records ``max_block_pairs``), except dense buckets here must
+    NOT be skipped: in dedup the dense bucket IS the signal (a pile of
+    replicas), so it degrades to a SPANNING PATH instead of a quadratic
+    emission.
+
+    Buckets whose full pair set fits the cap (n·(n−1)/2 ≤ cap) emit all
+    C(n,2) pairs, exactly as the unguarded join would. Larger buckets
+    emit the n−1 CONSECUTIVE-id pairs of their id-sorted member list —
+    a spanning path: linear in bucket size, and every member stays
+    reachable from every other, so connected components over the
+    guarded pairs equal the unguarded components wherever consecutive
+    members verify (exact replicas always do — identical shingle sets
+    give Jaccard 1.0 on every consecutive pair). That is the contract:
+    cluster-driving fidelity (dedup_clusters / resolve_duplicates /
+    cluster_aware_split are component-consumers) at O(n) emission — on
+    a degenerate replica corpus the unguarded pair set is
+    output-quadratic BY CONSTRUCTION and no plan shape can fix an
+    answer that big (SCALE.md r10 had to omit the R=100 measurement for
+    exactly this reason).
+
+    Cost shape: ONE hash exchange on the bucket key carrying narrow
+    (id, bucket) rows; both the per-bucket count and the lead() ride
+    that single partitioning (two Window nodes, one exchange), and the
+    sparse branch's self-join reuses it. Returns (id_a, id_b) with
+    id_a < id_b, deduped across buckets.
+    """
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy(bucket_col)
+    wo = Window.partitionBy(bucket_col).orderBy(F.col(id_col))
+    # integer form of n(n-1)/2 > cap — no division, no float
+    dense = F.col("__bn") * (F.col("__bn") - 1) > 2 * int(
+        max_pairs_per_bucket
+    )
+    tagged = bands.select(F.col(id_col), F.col(bucket_col)).withColumn(
+        "__bn", F.count(F.lit(1)).over(wc)
+    )
+    sparse = tagged.filter(~dense).select(id_col, bucket_col)
+    a, b = sparse.alias("a"), sparse.alias("b")
+    full = a.join(
+        b,
+        (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    spanning = (
+        tagged.filter(dense)
+        .withColumn("__nxt", F.lead(id_col).over(wo))
+        .filter(F.col("__nxt").isNotNull())
+        .select(
+            F.col(id_col).alias("id_a"), F.col("__nxt").alias("id_b")
+        )
+    )
+    return full.unionByName(spanning).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -148,12 +214,22 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Banding: band key b = md5('b|' ++ concat of its rows' minhashes); docs
     sharing any band key become candidates; candidates verified with exact
     Jaccard on their shingle sets. Never materializes the cross product.
+
+    ``max_pairs_per_bucket`` is the production emission guard for
+    duplicate-dense corpora: band buckets whose full pair set exceeds
+    the cap degrade to a spanning path over their id-sorted members
+    (see :func:`bounded_bucket_candidates`) — per-bucket output drops
+    from C(n,2) to n−1 while connected components over the verified
+    pairs stay intact for replica runs, which is what the cluster
+    consumers (dedup_clusters / resolve_duplicates) need. ``None``
+    keeps the exact full pair set.
     """
     rows_per_band = num_hashes // num_bands
     # sh feeds three plan branches (signatures + both verify joins): persist
@@ -170,16 +246,21 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    if max_pairs_per_bucket is not None:
+        cand = bounded_bucket_candidates(
+            bands, id_col, max_pairs_per_bucket
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # verification joins fetch each side's shingle set once per pair
     x = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     y = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -141,6 +141,7 @@ def signlsh_near_dup_pairs(
     planes_per_band: int = 4,
     dim: int = DIM,
     round_to: int = 6,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH — the
     embedding analog of MinHash banding (functions/dedup.py): a pair is a
@@ -156,6 +157,13 @@ def signlsh_near_dup_pairs(
     synthetic test vectors. Hot buckets (degenerate embeddings, e.g.
     all-zero vectors from failed encodes) take the same salted-grid
     treatment as ngram_jaccard's blocked join (functions/dedup.py:226-309).
+
+    ``max_pairs_per_bucket`` is the replica-corpus emission guard shared
+    with the MinHash path (functions/dedup.py:bounded_bucket_candidates):
+    buckets past the cap emit a spanning path (n−1 consecutive-id pairs)
+    instead of C(n,2) — exact-replica components survive intact (every
+    consecutive pair verifies at cos 1.0), so cluster consumers are
+    unaffected while the answer stops being output-quadratic.
     """
     planes = hyperplanes(bands * planes_per_band, dim)
     df = spread(df)
@@ -176,20 +184,30 @@ def signlsh_near_dup_pairs(
     tagged = df.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("bk")
     )
-    left = tagged.select(F.col(id_col).alias("a_id"), "bk")
-    right = tagged.select(
-        F.col(id_col).alias("b_id"), F.col("bk").alias("__bk2")
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("bk") == F.col("__bk2")) & (F.col("a_id") < F.col("b_id")),
+    if max_pairs_per_bucket is not None:
+        from pipelinewise_spark.functions.dedup import (
+            bounded_bucket_candidates,
         )
-        # a pair matching in several bands is one candidate — dedupe BEFORE
-        # the (expensive) exact-cosine verify
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+
+        cand = bounded_bucket_candidates(
+            tagged, id_col, max_pairs_per_bucket, bucket_col="bk"
+        ).withColumnsRenamed({"id_a": "a_id", "id_b": "b_id"})
+    else:
+        left = tagged.select(F.col(id_col).alias("a_id"), "bk")
+        right = tagged.select(
+            F.col(id_col).alias("b_id"), F.col("bk").alias("__bk2")
+        )
+        cand = (
+            left.join(
+                right,
+                (F.col("bk") == F.col("__bk2"))
+                & (F.col("a_id") < F.col("b_id")),
+            )
+            # a pair matching in several bands is one candidate — dedupe
+            # BEFORE the (expensive) exact-cosine verify
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
     # pair rows are tiny in bytes but each costs a 64-dim fold in the verify
     # stage — AQE's byte-based coalesce would starve the CPU here (observed:
     # 3 post-coalesce partitions on 32 cores). Re-spread the narrow frame.

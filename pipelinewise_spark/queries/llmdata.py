@@ -199,6 +199,60 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.3)
 
 
+def _minhash_bounded_oracle(threshold: float = 0.3, cap: int = 2) -> str:
+    """Same signature/band scheme as _minhash_oracle, with the
+    per-bucket emission guard: buckets whose full pair set exceeds
+    ``cap`` emit the spanning path over their id-sorted members."""
+    base = _minhash_oracle(threshold)
+    return base.replace(
+        """cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),""",
+        f"""sized AS (
+        SELECT doc_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_key) AS bn,
+               LEAD(doc_id) OVER (
+                   PARTITION BY band_key ORDER BY doc_id) AS nxt
+        FROM band),
+    cand AS (
+        SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sized a JOIN sized b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            WHERE a.bn * (a.bn - 1) <= 2 * {cap}
+            UNION ALL
+            SELECT doc_id AS id_a, nxt AS id_b FROM sized
+            WHERE bn * (bn - 1) > 2 * {cap} AND nxt IS NOT NULL)),""",
+    )
+
+
+@register(
+    "minhash_lsh_bounded_pairs_documents",
+    oracle=_minhash_bounded_oracle(),
+)
+def minhash_lsh_bounded_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs under the per-bucket EMISSION GUARD
+    (functions/dedup.py:bounded_bucket_candidates): band buckets past
+    the pair cap degrade to a spanning path over their id-sorted
+    members — per-bucket emission drops from C(n,2) to n−1 while
+    connected components over the verified pairs stay intact for
+    replica runs (pinned in tests/test_bounded_pairs.py). On a
+    degenerate-duplicate corpus the unguarded answer is
+    output-quadratic BY CONSTRUCTION (SCALE.md r10 had to omit the
+    R=100 dedup-pair measurement for exactly this reason); this guard
+    is what makes that measurement publishable. The cap here is
+    fixture-calibrated (2) so BOTH branches — full pairs in small
+    buckets, spanning in dense ones — execute at every test scale;
+    production runs set it ~1000s."""
+    d = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.3, max_pairs_per_bucket=2
+    )
+
+
 def _minhash_against_oracle(threshold: float = 0.3) -> str:
     """Same signature/band scheme as _minhash_oracle, but candidate pairs
     are restricted to (corpus side: doc_id % 10 <> 0) × (batch side:
