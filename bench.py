@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "tfidf_keywords_documents",
     "vocab_drift_documents",
     "minhash_lsh_bounded_pairs_documents",
+    "domain_cap_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -597,6 +597,76 @@ def token_budget_mixture(
     )
 
 
+def domain_cap_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    max_domain_ppm: int,
+    quality_col: str | None = None,
+    quality_quota_ppm: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Domain-aware corpus curation — the C4/RefinedWeb web-corpus lever:
+    per-domain FREQUENCY CAPS ("no domain exceeds ``max_domain_ppm`` of
+    the mix") plus optional per-domain QUALITY QUOTAS ("each domain
+    contributes only its top ``quality_quota_ppm`` share by quality").
+
+    Every domain's documents are ranked best-first — ``quality_col``
+    descending when given, md5-of-key otherwise (a deterministic uniform
+    shuffle), key as the final tiebreak so reruns keep identical rows —
+    and a document survives when its in-domain rank clears BOTH knobs:
+
+    - cap:   rank · 1e6 ≤ N · max_domain_ppm   (N = input corpus size,
+      the mix denominator — a flood domain is held to its ppm share of
+      the corpus it arrived in);
+    - quota: rank · 1e6 ≤ n_d · quality_quota_ppm   (n_d = the domain's
+      own size — the domain keeps only its best slice).
+
+    All comparisons are integer cross-multiplications (exact in both
+    engines; longs hold rank·1e6 up to ~9·10¹² docs — far past any real
+    corpus).
+
+    Scale shape: ONE distributed per-domain rank (group_prefix_sum —
+    range partitioning keeps a flood domain parallel instead of
+    funnelling it through one window task), one broadcast join against
+    the domain-cardinality count frame, one 1-row broadcast total.
+    Returns the surviving rows plus ``domain_rank``.
+    """
+    if quality_quota_ppm is not None and quality_col is None:
+        raise ValueError("quality_quota_ppm needs quality_col")
+    order: list[str] = []
+    d = df
+    if quality_col is not None:
+        # negated quality: group_prefix_sum orders ascending by name
+        d = d.withColumn(
+            "__negq", -F.col(quality_col).cast("double")
+        )
+        order.append("__negq")
+    d = d.withColumn("__h", F.md5(F.col(key_col).cast("string")))
+    order += ["__h", key_col]
+    ranked = group_prefix_sum(
+        d.withColumn("__one", F.lit(1)),
+        [domain_col], order, "__one",
+        out_col="domain_rank", num_partitions=num_partitions,
+    ).drop("__one", "__h", *(["__negq"] if quality_col else []))
+    sizes = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    rn6 = F.col("domain_rank").cast("long") * F.lit(1_000_000).cast("long")
+    keep = rn6 <= F.col("__N") * F.lit(int(max_domain_ppm)).cast("long")
+    if quality_quota_ppm is not None:
+        keep = keep & (
+            rn6 <= F.col("__nd") * F.lit(int(quality_quota_ppm)).cast("long")
+        )
+    return (
+        ranked.join(F.broadcast(sizes), domain_col)
+        .crossJoin(F.broadcast(total))
+        .filter(keep)
+        .drop("__nd", "__N")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

@@ -3554,3 +3554,57 @@ def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return tfidf_keywords(d, "doc_id", "text", topk=3)
+
+
+@register(
+    "domain_cap_documents",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'bulk'
+                    ELSE source END AS domain
+        FROM documents),
+    ranked AS (
+        SELECT domain, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY -CAST(n_chars AS DOUBLE),
+                            md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS domain_rank
+        FROM d),
+    sized AS (SELECT domain, COUNT(*) AS nd FROM d GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT r.domain, r.doc_id, r.n_chars, r.domain_rank
+    FROM ranked r JOIN sized USING (domain), tot
+    WHERE r.domain_rank * 1000000 <= tot.n * 100000
+      AND r.domain_rank * 1000000 <= sized.nd * 900000
+    """,
+)
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-aware corpus curation (functions/curation.py:
+    domain_cap_mix) — the C4/RefinedWeb web-corpus lever the LLM-data
+    family lacked: per-domain frequency caps ("no domain exceeds
+    100000 ppm of the mix") + per-domain quality quotas ("each domain
+    keeps only its best 900000 ppm by n_chars"). Three sources collapse
+    into one flood 'bulk' domain so the CAP binds there (held to 10 %
+    of the corpus) while the QUOTA binds on the organic domains (top
+    90 % by quality) — both knobs exercised at every test scale. One
+    distributed per-domain rank (group_prefix_sum — a flood domain
+    stays parallel, never one window task), one broadcast domain-count
+    join, one 1-row broadcast total; every comparison an integer
+    cross-multiplication."""
+    from pipelinewise_spark.functions.curation import domain_cap_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    dom = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit("bulk")
+    ).otherwise(F.col("source"))
+    out = domain_cap_mix(
+        d.withColumn("domain", dom),
+        "domain",
+        "doc_id",
+        max_domain_ppm=100_000,
+        quality_col="n_chars",
+        quality_quota_ppm=900_000,
+    )
+    return out.select("domain", "doc_id", "n_chars", "domain_rank")
