@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "vocab_drift_documents",
     "minhash_lsh_bounded_pairs_documents",
     "domain_cap_documents",
+    "wap_privacy_gate_customer",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

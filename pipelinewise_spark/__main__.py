@@ -607,7 +607,10 @@ def _cmd_audit(args: argparse.Namespace) -> int:
     "column": "c", "values": [...]}, {"rule": "in_range", "column":
     "c", "lo": .., "hi": ..}, {"rule": "row_count_at_least", "n": 1},
     {"rule": "references", "column": "fk", "dim": "<parquet path or
-    ManifestTable root>", "dim_column": "pk"}].
+    ManifestTable root>", "dim_column": "pk"},
+    {"rule": "k_anonymous", "quasi_columns": [...], "k": 5},
+    {"rule": "l_diverse", "quasi_columns": [...],
+    "sensitive_column": "s", "l": 2}].
     The WAP loop from the CLI: branch create → load → audit --branch →
     branch publish."""
     from pipelinewise_spark.operators import expectations as X
@@ -639,6 +642,20 @@ def _cmd_audit(args: argparse.Namespace) -> int:
             )
         elif kind == "row_count_at_least":
             rules.append(X.row_count_at_least(r["n"]))
+        elif kind == "k_anonymous":
+            rules.append(
+                X.k_anonymous(
+                    r["quasi_columns"], r.get("k", 5),
+                    r.get("min_ratio", 1.0),
+                )
+            )
+        elif kind == "l_diverse":
+            rules.append(
+                X.l_diverse(
+                    r["quasi_columns"], r["sensitive_column"],
+                    r.get("l", 2), r.get("min_ratio", 1.0),
+                )
+            )
         elif kind == "references":
             rules.append(("__references__", r))  # resolved once spark is up
         else:

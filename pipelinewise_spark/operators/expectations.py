@@ -133,6 +133,65 @@ def references(
     )
 
 
+def k_anonymous(
+    quasi_cols: Sequence[str], k: int = 5, min_ratio: float = 1.0
+) -> Rule:
+    """Privacy expectation: fraction of rows living in quasi-identifier
+    equivalence classes of size ≥ ``k`` (operators/compliance.py measures
+    this as a report; this Rule form wires it into the SAME
+    write-audit-publish gate that refuses FK violations — a release
+    whose re-identification risk exceeds the bound never publishes).
+
+    ``min_ratio=1.0`` demands full k-anonymity; a tolerance is a
+    max-at-risk-ppm bound expressed as ``1 − ppm/1e6``. ``prepare``
+    joins the class-size frame back on the quasi tuple (broadcast —
+    classes are answer-sized, bounded by the quasi-domain product; for
+    a pathological high-cardinality quasi tuple drop to compliance.py's
+    report instead, where the groupBy IS the answer)."""
+    cols = list(quasi_cols)
+    marker = "__kanon_" + "_".join(cols)
+
+    def prep(df: DataFrame) -> DataFrame:
+        classes = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias(marker)
+        )
+        return df.join(F.broadcast(classes), cols, "left")
+
+    return Rule(
+        "k_anonymous", ",".join(cols),
+        lambda: _ratio(F.col(marker) >= F.lit(int(k))), min_ratio,
+        prepare=prep,
+    )
+
+
+def l_diverse(
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_min: int = 2,
+    min_ratio: float = 1.0,
+) -> Rule:
+    """Privacy expectation: fraction of rows whose quasi-identifier
+    class carries ≥ ``l_min`` distinct ``sensitive_col`` values — the
+    attribute-disclosure guard k-anonymity alone misses (a class can be
+    k-anonymous yet leak its attribute when every member shares one
+    sensitive value). Same broadcast class-join shape as
+    :func:`k_anonymous`."""
+    cols = list(quasi_cols)
+    marker = f"__ldiv_{sensitive_col}_" + "_".join(cols)
+
+    def prep(df: DataFrame) -> DataFrame:
+        classes = df.groupBy(*cols).agg(
+            F.count_distinct(F.col(sensitive_col)).alias(marker)
+        )
+        return df.join(F.broadcast(classes), cols, "left")
+
+    return Rule(
+        "l_diverse", ",".join(cols),
+        lambda: _ratio(F.col(marker) >= F.lit(int(l_min))), min_ratio,
+        prepare=prep,
+    )
+
+
 def expectations_report(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """(rule, column, metric, threshold, passed) — one row per rule, all
     metrics from a single aggregate pass over ``df``. A NULL metric

@@ -1335,3 +1335,99 @@ def vocab_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return vocab_drift(ref, cur, "text", top_k=50, threshold_ppm=33_000)
+
+
+@register(
+    "wap_privacy_gate_customer",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+               COUNT(DISTINCT c_nationkey) AS l
+        FROM customer GROUP BY 1),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN n >= 5 THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n) AS ka,
+               CAST(SUM(CASE WHEN l >= 2 THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n) AS la
+        FROM seg),
+    nameseg AS (SELECT c_name, COUNT(*) AS n FROM customer GROUP BY 1),
+    aggb AS (
+        SELECT CAST(SUM(CASE WHEN n >= 5 THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n) AS kb
+        FROM nameseg)
+    SELECT 'generalized' AS scenario, 'k_anonymous' AS rule,
+           'c_mktsegment' AS col_name, ka AS metric, 1.0 AS threshold,
+           ka >= 1.0 AS passed, (ka >= 1.0 AND la >= 1.0) AS published
+    FROM agg
+    UNION ALL
+    SELECT 'generalized', 'l_diverse', 'c_mktsegment', la, 1.0,
+           la >= 1.0, (ka >= 1.0 AND la >= 1.0) FROM agg
+    UNION ALL
+    SELECT 'fine_quasi', 'k_anonymous', 'c_name', kb, 1.0, kb >= 1.0,
+           kb >= 1.0 FROM aggb
+    """,
+)
+def wap_privacy_gate_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy as a RELEASE GATE (operators/expectations.py:k_anonymous/
+    l_diverse wired into write_audit_publish): a data release stages on
+    a ManifestTable branch, the k-anonymity/l-diversity audit runs
+    against the STAGED snapshot, and main fast-forwards only when the
+    re-identification risk clears the bound — the same WAP machinery
+    that refuses FK violations (wap_publish_orders) now refuses privacy
+    risk. Scenario 'generalized' (quasi = c_mktsegment, sensitive =
+    c_nationkey) publishes: every class is large and diverse. Scenario
+    'fine_quasi' (quasi = c_name — globally unique, every class a
+    singleton) is BLOCKED with main untouched, asserted in-query.
+    Metrics are row-share ratios from ONE aggregate pass per audit
+    (exact 0/1 indicator division, identical IEEE in both engines)."""
+    cust = read_table(spark, sf_dir, "customer")
+    from pipelinewise_spark.operators.expectations import (
+        k_anonymous,
+        l_diverse,
+    )
+
+    release = cust.select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    fine = cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_privgate_")
+        table_a = ManifestTable(os.path.join(tmp, "release"))
+        table_a.overwrite(release.limit(0))
+        table_b = ManifestTable(os.path.join(tmp, "release_fine"))
+        table_b.overwrite(fine.limit(0))
+
+    rules_a = [
+        k_anonymous(["c_mktsegment"], k=5),
+        l_diverse(["c_mktsegment"], "c_nationkey", l_min=2),
+    ]
+    ok_a, rep_a = write_audit_publish(
+        spark, table_a, rules_a,
+        lambda br: br.merge(spark, release, ["c_custkey"]),
+    )
+    assert ok_a, "generalized release must publish"
+    assert table_a.read(spark).count() == release.count()
+
+    rules_b = [k_anonymous(["c_name"], k=5)]
+    ok_b, rep_b = write_audit_publish(
+        spark, table_b, rules_b,
+        lambda br: br.merge(spark, fine, ["c_custkey"]),
+    )
+    assert not ok_b, "singleton-quasi release must be blocked"
+    # the blocked release never reaches main's readers
+    assert table_b.read(spark).count() == 0
+
+    rows = [
+        ("generalized", r["rule"], r["column"], r["metric"],
+         r["threshold"], r["passed"], ok_a)
+        for r in rep_a
+    ] + [
+        ("fine_quasi", r["rule"], r["column"], r["metric"],
+         r["threshold"], r["passed"], ok_b)
+        for r in rep_b
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scenario string, rule string, col_name string, metric double, "
+        "threshold double, passed boolean, published boolean",
+    )

@@ -227,3 +227,31 @@ def test_cli_optimize_rejects_where_with_zorder(capsys, spark, tmp_path):
     t.overwrite(spark.range(3).selectExpr("id AS k", "id * 1.0 AS v"))
     with pytest.raises(SystemExit, match="one or the other"):
         cli_main(["optimize", root, "--zorder", "k", "--where", "p=0"])
+
+
+def test_cli_audit_privacy_rules(capsys, spark, tmp_path):
+    """The audit verb speaks the privacy expectations: a singleton-quasi
+    table fails k_anonymous (exit 1), a coarse-quasi one passes."""
+    df = spark.createDataFrame(
+        [(i, f"u{i}", "seg%d" % (i % 2), i % 3) for i in range(10)],
+        "pk int, name string, seg string, secret int",
+    )
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    t.overwrite(df)
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([
+        {"rule": "k_anonymous", "quasi_columns": ["name"], "k": 2},
+    ]))
+    assert cli_main(["audit", root, str(bad)]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["report"][0]["metric"] == 0.0
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps([
+        {"rule": "k_anonymous", "quasi_columns": ["seg"], "k": 5},
+        {"rule": "l_diverse", "quasi_columns": ["seg"],
+         "sensitive_column": "secret", "l": 2},
+    ]))
+    assert cli_main(["audit", root, str(good)]) == 0

@@ -213,3 +213,98 @@ def test_concurrent_commit_detected_not_lost(spark, table, monkeypatch):
         spark, _df(spark, 10).withColumn("v", F.col("v") + 1), ["k"]
     )
     assert table.read(spark).count() == 12
+
+
+# ------------------------------------------------------- privacy rules
+
+
+def test_k_anonymous_rule_fraction(spark):
+    from pipelinewise_spark.operators.expectations import (
+        expectations_report,
+        k_anonymous,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)],
+        "qi string",
+    )
+    row = expectations_report(df, [k_anonymous(["qi"], k=3)]).collect()[0]
+    # 5 of 8 rows live in a class of size >= 3
+    assert row["metric"] == 5 / 8
+    assert not row["passed"]
+    row = expectations_report(
+        df, [k_anonymous(["qi"], k=3, min_ratio=0.5)]
+    ).collect()[0]
+    assert row["passed"]
+
+
+def test_l_diverse_rule_fraction(spark):
+    from pipelinewise_spark.operators.expectations import (
+        expectations_report,
+        l_diverse,
+    )
+
+    df = spark.createDataFrame(
+        # class 'a': 3 rows, 2 distinct secrets (diverse);
+        # class 'b': 2 rows, 1 secret (leaks its attribute)
+        [("a", 1), ("a", 1), ("a", 2), ("b", 9), ("b", 9)],
+        "qi string, secret int",
+    )
+    row = expectations_report(
+        df, [l_diverse(["qi"], "secret", l_min=2)]
+    ).collect()[0]
+    assert row["metric"] == 3 / 5
+    assert not row["passed"]
+
+
+def test_privacy_rules_compose_with_classic_rules_one_pass(spark):
+    from pipelinewise_spark.operators.expectations import (
+        expectations_report,
+        k_anonymous,
+        l_diverse,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 11), (3, "a", 12), (4, "b", 13)],
+        "pk int, qi string, secret int",
+    )
+    rep = {
+        r["rule"]: r
+        for r in expectations_report(
+            df,
+            [
+                not_null("pk"),
+                unique("pk"),
+                k_anonymous(["qi"], k=3, min_ratio=0.7),
+                l_diverse(["qi"], "secret", l_min=2, min_ratio=0.7),
+            ],
+        ).collect()
+    }
+    assert rep["not_null"]["passed"] and rep["unique"]["passed"]
+    assert rep["k_anonymous"]["metric"] == 0.75
+    assert rep["k_anonymous"]["passed"]
+    assert rep["l_diverse"]["metric"] == 0.75
+    assert rep["l_diverse"]["passed"]
+
+
+def test_wap_refuses_on_privacy_risk(spark, tmp_path):
+    from pipelinewise_spark.operators.expectations import (
+        k_anonymous,
+        write_audit_publish,
+    )
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(10)], "pk int, name string"
+    )
+    t = ManifestTable(str(tmp_path / "rel"))
+    t.overwrite(df.limit(0))
+    ok, report = write_audit_publish(
+        spark, t, [k_anonymous(["name"], k=2)],
+        lambda br: br.merge(spark, df, ["pk"]),
+    )
+    assert not ok
+    assert report[0]["metric"] == 0.0
+    assert t.read(spark).count() == 0  # main never saw the staged rows
