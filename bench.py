@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "minhash_lsh_bounded_pairs_documents",
     "domain_cap_documents",
     "wap_privacy_gate_customer",
+    "stream_quality_report_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

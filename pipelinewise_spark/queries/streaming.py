@@ -1307,3 +1307,264 @@ def stream_drift_by_segment_events(
     clicks = {r["segment"]: r["drifted"] for r in rep.collect()}
     assert clicks["click"], "the segment-local shift must flag 'click'"
     return rep
+
+
+@register(
+    "stream_quality_report_events",
+    oracle="""
+    WITH ref AS (
+        SELECT event_type AS segment, value AS v, user_id AS k,
+               CAST(date_trunc('day', ts) AS DATE) AS d, event_id
+        FROM events WHERE event_id % 2 = 0),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN value + 50
+                    ELSE value END AS v,
+               CASE WHEN event_type = 'click' THEN user_id % 5
+                    ELSE user_id END AS k,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events WHERE event_id % 2 = 1),
+    -- volume --------------------------------------------------------
+    volr AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS rn
+             FROM ref GROUP BY segment),
+    volc AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS cn
+             FROM cur GROUP BY segment),
+    vol AS (
+        SELECT 'volume' AS monitor, segment,
+               CAST(CASE WHEN COALESCE(rn, 0) = 0 THEN 1000000
+                    ELSE FLOOR(1000000.0 * ABS(COALESCE(cn, 0) - rn) / rn)
+               END AS BIGINT) AS metric,
+               CAST(200000 AS BIGINT) AS threshold
+        FROM volr FULL JOIN volc USING (segment)),
+    -- cardinality (exact twin; the Spark row carries the stream's HLL
+    -- flag, which must agree with this exact flag) -------------------
+    cardr AS (SELECT segment, CAST(COUNT(DISTINCT k) AS BIGINT) AS rn
+              FROM ref WHERE k IS NOT NULL GROUP BY segment),
+    cardc AS (SELECT segment, CAST(COUNT(DISTINCT k) AS BIGINT) AS cn
+              FROM cur WHERE k IS NOT NULL GROUP BY segment),
+    card AS (
+        SELECT 'cardinality' AS monitor, segment,
+               CAST(CASE WHEN COALESCE(rn, 0) = 0 THEN 1000000
+                    ELSE FLOOR(1000000.0 * ABS(COALESCE(cn, 0) - rn) / rn)
+               END AS BIGINT) AS metric,
+               CAST(200000 AS BIGINT) AS threshold
+        FROM cardr FULL JOIN cardc USING (segment)),
+    -- tvd (per-segment reference-decile buckets) ---------------------
+    edges AS (
+        SELECT segment,
+               list_transform(
+                 quantile_cont(v,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref GROUP BY segment),
+    rb AS (
+        SELECT r.segment,
+               COALESCE(len(list_filter(e.es, x -> r.v > x)), 0) + 1
+                   AS bucket
+        FROM ref r JOIN edges e USING (segment)),
+    cb AS (
+        SELECT c.segment,
+               COALESCE(len(list_filter(e.es, x -> c.v > x)), 0) + 1
+                   AS bucket
+        FROM cur c JOIN edges e USING (segment)),
+    rc AS (SELECT segment, bucket, COUNT(*) AS ref_cnt FROM rb
+           GROUP BY segment, bucket),
+    cc AS (SELECT segment, bucket, COUNT(*) AS cur_cnt FROM cb
+           GROUP BY segment, bucket),
+    per AS (
+        SELECT e.segment, b.bucket,
+               COALESCE(rc.ref_cnt, 0) AS ref_cnt,
+               COALESCE(cc.cur_cnt, 0) AS cur_cnt
+        FROM edges e
+        CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) b
+        LEFT JOIN rc ON rc.segment = e.segment AND rc.bucket = b.bucket
+        LEFT JOIN cc ON cc.segment = e.segment AND cc.bucket = b.bucket),
+    tvd AS (
+        SELECT 'tvd' AS monitor, segment,
+               CAST(CASE WHEN SUM(cur_cnt) = 0 THEN 1000000
+                    ELSE FLOOR(
+                      1000000::HUGEINT
+                      * SUM(ABS(ref_cnt::HUGEINT * nc
+                                - cur_cnt::HUGEINT * nr))
+                      / (2::HUGEINT * MAX(nr) * MAX(nc)))
+               END AS BIGINT) AS metric,
+               CAST(50000 AS BIGINT) AS threshold
+        FROM (SELECT per.*,
+                     SUM(ref_cnt) OVER (PARTITION BY segment) AS nr,
+                     SUM(cur_cnt) OVER (PARTITION BY segment) AS nc
+              FROM per)
+        GROUP BY segment),
+    -- benford (current epoch) ----------------------------------------
+    bdig AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(v * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cur WHERE v > 0),
+    bobs AS (SELECT digit, COUNT(*) AS cnt FROM bdig GROUP BY digit),
+    bexp AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                              (4, 96910), (5, 79181), (6, 66947),
+                              (7, 57992), (8, 51153), (9, 45757))
+            e(digit, expected_ppm)),
+    bn AS (SELECT SUM(cnt) AS total FROM bobs),
+    ben AS (
+        SELECT 'benford' AS monitor, 'digit=' || bexp.digit AS segment,
+               CAST(FLOOR(ABS(COALESCE(bobs.cnt, 0) * 1000000
+                              - CAST(bexp.expected_ppm AS BIGINT) * bn.total)
+                          / bn.total) AS BIGINT) AS metric,
+               CAST(20000 AS BIGINT) AS threshold,
+               ABS(COALESCE(bobs.cnt, 0) * 1000000
+                   - CAST(bexp.expected_ppm AS BIGINT) * bn.total)
+                 > 20000 * bn.total AS drifted
+        FROM bexp LEFT JOIN bobs USING (digit) CROSS JOIN bn),
+    -- freshness (current epoch, date-grained) -------------------------
+    fper AS (SELECT segment, MAX(d) AS last FROM cur GROUP BY segment),
+    fref AS (SELECT MAX(last) AS now FROM fper),
+    fresh AS (
+        SELECT 'freshness' AS monitor, segment,
+               CAST(date_diff('day', last, now) AS BIGINT) AS metric,
+               CAST(2 AS BIGINT) AS threshold
+        FROM fper, fref)
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM vol
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM card
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM tvd
+    UNION ALL
+    SELECT monitor, segment, metric, threshold, drifted FROM ben
+    UNION ALL
+    SELECT monitor, segment, metric, threshold,
+           metric > threshold AS drifted FROM fresh
+    """,
+)
+def stream_quality_report_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The QUALITY MATRIX maintained AT INGEST (operators/monitors.py:
+    StreamingQualityMonitor): every monitor verb with an
+    O(segments)-mergeable sufficient statistic — per-segment volume,
+    HLL cardinality (mergeable register blobs, KB-sized), per-segment
+    TVD against reference-pinned deciles, Benford, freshness — folds
+    per micro-batch into ONE metadata-scale JSON state, and the drained
+    report equals the batch twin (quality_report_streamable) ROW FOR
+    ROW (sums/maxes/register-maxes are associative; the matrix shaping
+    is shared code; pinned over explicit multi-batch splits in
+    tests/test_stream_quality.py). KS/MW stay nightly-batch by
+    necessity (value-domain-scale sufficient statistic) — the division
+    of labor the module docstring documents.
+
+    The current epoch (odd event_ids) streams in with two injected
+    regressions confined to the 'click' segment: a +50 value shift
+    (TVD must flag) and a user-id collapse to 5 ids (cardinality must
+    flag). At-least-once transport is exercised (replaying a folded
+    epoch is a no-op). Returned cardinality rows carry the EXACT
+    distinct-count delta as the metric (the oracle-computable twin)
+    with the STREAM's HLL flag as the verdict — in-query the HLL flags
+    are asserted equal to the exact flags (thresholds are calibrated
+    25x above the lgK=14 sketch error), so the driver hash-check IS
+    the flag-agreement contract."""
+    import pyspark.sql.types as T
+
+    from pipelinewise_spark.operators.drift import cardinality_drift
+    from pipelinewise_spark.operators.monitors import (
+        StreamingQualityMonitor,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "user_id", "value", d
+    )
+    is_click = F.col("event_type") == "click"
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.when(is_click, F.col("user_id") % 5)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(is_click, F.col("value") + 50.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        d,
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_squal_")
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        cur.repartition(8).write.mode("append").json(src)
+
+    monitor = StreamingQualityMonitor(
+        ref, "value", "user_id", "event_type", ["event_id"],
+        os.path.join(tmp, "state"), date_col="d",
+        freshness_sla_days=2,
+    )
+    stream = (
+        spark.readStream.schema(
+            T._parse_datatype_string(
+                "event_id long, event_type string, user_id long, "
+                "value double, d date"
+            )
+        )
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(monitor.on_batch)
+        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_applied = monitor.state["n_applied"]
+    assert n_applied >= 2, "the stream must have produced >= 2 batches"
+    # at-least-once re-delivery: an already-folded epoch must be a no-op
+    monitor.on_batch(cur.limit(500), 0)
+    assert monitor.state["n_applied"] == n_applied
+
+    # stream ≡ batch (drained matrix == quality_report_streamable row
+    # for row) is pinned in tests/test_stream_quality.py, where the
+    # fold law is exercised over explicit multi-batch splits — re-
+    # deriving the batch twin here would double every corpus pass the
+    # query times. Collect the (answer-sized) matrix ONCE; the report
+    # plan is a lattice of broadcast joins over local frames whose
+    # re-execution per consumer is pure overhead.
+    rep_rows = monitor.report(spark).collect()
+    flags = {(r["monitor"], r["segment"]): r["drifted"] for r in rep_rows}
+    assert flags[("tvd", "click")], "TVD must flag the shifted segment"
+    assert flags[("cardinality", "click")], (
+        "cardinality must flag the collapsed segment"
+    )
+
+    # returned frame: exact cardinality twin as the metric, stream HLL
+    # flag as the verdict — flag agreement asserted first
+    exact_rows = cardinality_drift(
+        ref, cur, "user_id", "event_type", 200_000
+    ).collect()
+    card_stream = {
+        r["segment"]: r["drifted"]
+        for r in rep_rows
+        if r["monitor"] == "cardinality"
+    }
+    exact_flags = {r["segment"]: r["drifted"] for r in exact_rows}
+    assert card_stream == exact_flags, (
+        "HLL drift flags must agree with exact flags at calibrated "
+        "thresholds"
+    )
+    out = [
+        (r["monitor"], r["segment"], r["metric"], r["threshold"],
+         r["drifted"])
+        for r in rep_rows
+        if r["monitor"] != "cardinality"
+    ] + [
+        ("cardinality", r["segment"], int(r["delta_ppm"]), 200_000,
+         bool(card_stream[r["segment"]]))
+        for r in exact_rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "monitor string, segment string, metric long, threshold long, "
+        "drifted boolean",
+    )
