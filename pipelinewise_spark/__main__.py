@@ -686,6 +686,89 @@ def _cmd_audit(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def _cmd_quality(args: argparse.Namespace) -> int:
+    """The nightly quality matrix as ONE command (operators/monitors.py:
+    quality_report): the CURRENT epoch is the NET rows added since the
+    reference snapshot (change-feed inserts minus deletes between
+    ``--ref-version`` — default the previous version — and live, so
+    copy-on-write rewrites cancel out), the REFERENCE epoch is the
+    table AS OF that snapshot; every monitor verb runs (volume,
+    cardinality, TVD, KS, Mann-Whitney, Benford, freshness when
+    ``--date-col`` is given — restrict with ``--monitors``) and the
+    matrix lands as a JSON sidecar beside the table through MetaFS
+    (``<root>/_quality/report_v<ref>_v<cur>.json`` — s3://-capable,
+    atomic). Prints the matrix; exit 1 when any reported monitor
+    drifted, so a cron line IS the nightly alert."""
+    from pipelinewise_spark.operators.fsio import MetaFS
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.monitors import quality_report
+    from pipelinewise_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("pipelinewise-quality")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ManifestTable(args.table)
+    versions = t.versions()
+    cur_v = versions[-1]
+    if args.ref_version is not None:
+        ref_v = int(args.ref_version)
+    elif len(versions) >= 2:
+        ref_v = versions[-2]
+    else:
+        raise SystemExit(
+            "table has a single snapshot — pass --ref-version or commit "
+            "a new epoch first"
+        )
+    ref = t.read(spark, version=ref_v)
+    # current epoch = the NET rows added since the reference snapshot:
+    # CDF inserts minus deletes as a multiset — a copy-on-write rewrite
+    # re-lists surviving rows on both sides of the feed, and the
+    # exceptAll cancels them, leaving exactly the arrived rows
+    feed = t.changes_between(spark, ref_v, cur_v)
+    ins = feed.filter(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"
+    )
+    dels = feed.filter(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version"
+    )
+    cur = ins.exceptAll(dels)
+    rep = quality_report(
+        ref,
+        cur,
+        value_col=args.value_col,
+        key_col=args.key_col,
+        segment_col=args.segment_col,
+        tie_cols=[args.tie_col or args.key_col],
+        date_col=args.date_col,
+    )
+    monitors = (
+        None if args.monitors in (None, "all")
+        else {m.strip() for m in args.monitors.split(",")}
+    )
+    if monitors is not None:
+        rep = rep.filter(F.col("monitor").isin(sorted(monitors)))
+    rows = [r.asDict() for r in rep.collect()]
+    payload = {
+        "table": args.table,
+        "ref_version": ref_v,
+        "cur_version": cur_v,
+        "drifted": any(r["drifted"] for r in rows),
+        "report": rows,
+    }
+    mfs = MetaFS(args.table)
+    import pyarrow.fs as _pafs
+
+    if isinstance(mfs.fs, _pafs.LocalFileSystem):
+        mfs.mkdirs("_quality")
+    mfs.write_text(
+        json.dumps(payload),
+        "_quality", f"report_v{ref_v}_v{cur_v}.json",
+        atomic=True,
+    )
+    print(json.dumps(payload))
+    return 1 if payload["drifted"] else 0
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -1027,6 +1110,27 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("rules", help="JSON rules file")
     aud.add_argument("--branch", help="audit a staged branch instead of main")
     aud.set_defaults(fn=_cmd_audit)
+
+    qual = sub.add_parser(
+        "quality",
+        help="nightly quality matrix: live snapshot vs a reference "
+             "snapshot, written beside the table",
+    )
+    qual.add_argument("table", help="ManifestTable root")
+    qual.add_argument("--value-col", required=True)
+    qual.add_argument("--key-col", required=True)
+    qual.add_argument("--segment-col", required=True)
+    qual.add_argument("--tie-col", help="quantile tiebreak (default: key)")
+    qual.add_argument("--date-col", help="DATE column for freshness rows")
+    qual.add_argument(
+        "--ref-version", type=int,
+        help="reference snapshot (default: previous version)",
+    )
+    qual.add_argument(
+        "--monitors",
+        help="comma list of monitor verbs to report (default: all)",
+    )
+    qual.set_defaults(fn=_cmd_quality)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"

@@ -501,8 +501,12 @@ class ManifestTable:
         import pyarrow.parquet as pq
 
         def enc(v: Any) -> Any:
-            if isinstance(v, (datetime.datetime, datetime.date)):
+            if isinstance(v, datetime.datetime):
                 return v.isoformat(sep=" ")
+            if isinstance(v, datetime.date):
+                # date.isoformat() takes no sep; datetime is checked
+                # FIRST (datetime is a date subclass)
+                return v.isoformat()
             if isinstance(v, (bool, int, float, str)):
                 return v
             return None

@@ -255,3 +255,62 @@ def test_cli_audit_privacy_rules(capsys, spark, tmp_path):
          "sensitive_column": "secret", "l": 2},
     ]))
     assert cli_main(["audit", root, str(good)]) == 0
+
+
+def test_cli_quality_verb(capsys, spark, tmp_path):
+    """`quality` runs the full monitor matrix between two snapshots of
+    a ManifestTable and writes the report sidecar beside the table:
+    exit 0 on a quiet epoch pair, exit 1 (and drifted rows) after an
+    injected segment-local shift; the JSON sidecar lands under
+    _quality/ with the version pair in its name."""
+    import pyspark.sql.functions as F
+
+    base = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("seg"),
+        (F.col("id") % 100 + 1).cast("double").alias("v"),
+        F.to_date(F.lit("2024-03-01")).alias("d"),
+    )
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    t.overwrite(base)
+    # epoch 2: same distribution — quiet (benford excluded: uniform
+    # synthetic values legitimately deviate from Benford's law)
+    t.merge(spark, base.withColumn("k", F.col("k") + 3000), ["k"])
+    rc = cli_main([
+        "quality", root, "--value-col", "v", "--key-col", "k",
+        "--segment-col", "seg", "--date-col", "d",
+        "--monitors", "volume,cardinality,tvd,ks,mw,freshness",
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and not rep["drifted"]
+    assert {r["monitor"] for r in rep["report"]} == {
+        "volume", "cardinality", "tvd", "ks", "mw", "freshness"
+    }
+    sidecar = (
+        tmp_path / "t" / "_quality"
+        / f"report_v{rep['ref_version']}_v{rep['cur_version']}.json"
+    )
+    assert sidecar.exists()
+    assert json.loads(sidecar.read_text()) == rep
+
+    # epoch 3: shift one segment's values hard — the matrix must flag
+    shifted = base.withColumn("k", F.col("k") + 6000).withColumn(
+        "v",
+        F.when(F.col("seg") == "1", F.col("v") + 500.0).otherwise(
+            F.col("v")
+        ),
+    )
+    t.merge(spark, shifted, ["k"])
+    rc = cli_main([
+        "quality", root, "--value-col", "v", "--key-col", "k",
+        "--segment-col", "seg", "--date-col", "d",
+        "--ref-version", str(rep["cur_version"]),
+        "--monitors", "volume,cardinality,tvd,ks,mw,freshness",
+    ])
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rc == 1 and rep2["drifted"]
+    drifted_monitors = {
+        r["monitor"] for r in rep2["report"] if r["drifted"]
+    }
+    assert "ks" in drifted_monitors or "mw" in drifted_monitors
