@@ -25,6 +25,64 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
+    # ================= r11 prefix-50 =================
+    # Composition (executes the r10-documented rotation plan, corrected
+    # against the actual CORRECTNESS_r* record: the cumulative latest-
+    # green map shows 24 r5-green and 31 r6-green rows, not the ~21 the
+    # r10 comment estimated):
+    # Part A (4): NEW in r11 — the streaming quality matrix (all
+    # O(segments)-mergeable monitor verbs folded at ingest, stream ≡
+    # batch), the k-anonymity/l-diversity WAP release gate, domain-aware
+    # curation caps+quotas, and the bounded-emit (spanning-path) LSH
+    # pair guard.
+    "stream_quality_report_events", "wap_privacy_gate_customer",
+    "domain_cap_documents", "minhash_lsh_bounded_pairs_documents",
+    # Part B (4): r11 code-touched — the frequent_paths null-window fix,
+    # the data-card melt-derived denominator, and the benford/freshness
+    # kernel refactor (shared by batch + stream) exercised through both
+    # its composer and its direct query.
+    "frequent_event_paths", "data_card_documents",
+    "quality_report_orders", "benford_audit_orders",
+    # Part C (24): the ENTIRE r5-green block — the LLM-data
+    # dedup/quality core plus the r5 stragglers the r10 estimate missed
+    # (embedding_near_dup_pairs also re-verifies the r11-touched
+    # signlsh path).
+    "partial_sync_orders", "exact_dedup_documents", "simhash_documents",
+    "embedding_near_dup_pairs", "multimodal_resize_images",
+    "pack_sequences_documents", "gopher_quality_documents",
+    "weighted_sample_documents", "bm25_documents",
+    "edit_distance_pairs_documents", "ngram_lm_score_documents",
+    "hybrid_retrieval_documents", "bigram_lm_score_documents",
+    "repeated_ngram_coverage_documents", "cross_doc_line_dedup_documents",
+    "kafka_protobuf_events", "stream_dedupe_events",
+    "dedup_clusters_documents", "cluster_aware_split_documents",
+    "dedup_keep_best_documents", "orc_roundtrip_orders",
+    "salted_topk_events_per_user", "incremental_mv_minmax_orders",
+    "manifest_time_travel_orders",
+    # Part D (18): the oldest r6-green rows — the named r10-plan rows
+    # (minhash_lsh_pairs also re-verifies the r11-touched guard
+    # signature) + sources/sinks stragglers. The 13 r6-green rows that
+    # didn't fit (incremental_lm_update, curation_funnel,
+    # embedding_incremental_batch, stream_stream_join_attribution,
+    # stream_curation_ingest, zorder_pruned_read, bloom_point_lookup,
+    # incremental_mv, snapshot_drift, exact/group/interpolated/
+    # group_interpolated quantiles) are the r12 rotation plan — after
+    # the r11 check lands, no registry row's latest green is older
+    # than r6.
+    "minhash_lsh_pairs_documents", "ngram_jaccard_pairs_documents",
+    "stratified_sample_documents", "quality_filter_documents",
+    "pii_scrub_documents", "decontaminate_documents",
+    "boilerplate_strip_documents", "intra_doc_line_dedup_documents",
+    "chunk_documents_token_windows", "term_frequencies_documents",
+    "lang_percentile_filter_documents", "csv_source_lineno_orders",
+    "jsonl_source_lineno_orders", "kafka_records_events",
+    "binary_file_source_documents", "bucketed_merge_orders",
+    "ntile_documents_by_length", "multimodal_frame_sample",
+    # ============== end r11 prefix-50 ==============
+    # The full r10 ordering follows unchanged (duplicates of the rows
+    # above collapse in the ordered-dict rebuild): its prefix rows are
+    # all r10-green — the freshest on record — so they lead the
+    # post-prefix order.
     # ================= r10 prefix-50 =================
     # Composition (executes the r9-documented rotation plan verbatim,
     # then fills the remaining slots with the oldest r5-green rows):
