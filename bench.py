@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "domain_cap_documents",
     "wap_privacy_gate_customer",
     "stream_quality_report_events",
+    "retrieval_metrics_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

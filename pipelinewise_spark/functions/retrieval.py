@@ -236,3 +236,106 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking quality — the EVAL verb of the retrieval
+    family (BM25 / hybrid / ANN / RRF produce rankings; this scores
+    them against graded judgments): ``hits_at_k``, ``precision_ppm`` /
+    ``recall_ppm`` (exact integer ppm), ``mrr`` (reciprocal rank of the
+    first relevant hit) and ``ndcg`` at ``k``.
+
+    Engine-exact by construction: precision/recall stay in integer
+    cross-multiplication; MRR is one round-6 division; and the DCG /
+    ideal-DCG sums — irrational ``grade/log2(1+rank)`` terms — are
+    ORDER-PINNED fold-lefts over rank-sorted arrays (``F.aggregate``
+    here, ``list_reduce`` in SQL), so the float summation order is
+    identical in any engine and the round-6 quotient hash-compares.
+    nDCG's ideal ranking is the top-``k`` judged grades sorted
+    descending; queries with no relevant documents score 0.
+
+    Scale shape: results are answer-sized (n_queries × k) and qrels
+    judgment-sized — every aggregate here is a groupBy on the query
+    key over small frames; the expensive part of evaluation is the
+    retrieval run that PRODUCED ``results``, not this scoring.
+    Returns (query, hits_at_k, n_relevant, precision_ppm, recall_ppm,
+    mrr, ndcg)."""
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__r"),
+    )
+    judged = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(grade_col).cast("double").alias("__g"),
+    )
+    j = res.join(judged, ["__q", "__d"], "left").withColumn(
+        "__g", F.coalesce(F.col("__g"), F.lit(0.0))
+    )
+    log2r = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
+    per = j.groupBy("__q").agg(
+        F.sum((F.col("__g") > 0).cast("long")).alias("hits_at_k"),
+        F.min(F.when(F.col("__g") > 0, F.col("__r"))).alias("__first"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__r").alias("r"),
+                                    F.col("__g").alias("g")))
+        ).alias("__ranked"),
+    )
+    dcg = F.aggregate(
+        F.transform("__ranked", lambda x: x["g"] / log2r(x["r"])),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # ideal DCG: the top-k judged grades, descending, folded in order
+    ideal = judged.filter(F.col("__g") > 0).groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant"),
+        F.slice(
+            F.sort_array(F.collect_list("__g"), asc=False), 1, k
+        ).alias("__ideal"),
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            "__ideal",
+            F.sequence(F.lit(1), F.size("__ideal")),
+            lambda g, i: g / log2r(i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = per.join(ideal, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        "hits_at_k",
+        F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+        F.floor(F.col("hits_at_k") * 1_000_000 / F.lit(k))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.coalesce("n_relevant", F.lit(0)) > 0,
+            F.floor(F.col("hits_at_k") * 1_000_000 / F.col("n_relevant")),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            F.col("__first").isNotNull(),
+            F.round(F.lit(1.0) / F.col("__first"), 6),
+        )
+        .otherwise(0.0)
+        .alias("mrr"),
+        F.when(
+            F.coalesce("n_relevant", F.lit(0)) > 0,
+            F.round(dcg / idcg, 6),
+        )
+        .otherwise(0.0)
+        .alias("ndcg"),
+    )
+    return out

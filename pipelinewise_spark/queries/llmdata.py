@@ -3608,3 +3608,105 @@ def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_quota_ppm=900_000,
     )
     return out.select("domain", "doc_id", "n_chars", "domain_rank")
+
+
+@register(
+    "retrieval_metrics_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT term AS query_id, doc_id, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks WHERE term IN ('data', 'pipeline', 'spark')
+        GROUP BY 1, 2),
+    res AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY tf DESC, doc_id
+               ) AS INT) AS r
+        FROM tf QUALIFY r <= 10),
+    qrels AS (
+        SELECT query_id, doc_id, least(tf, 3.0) AS g
+        FROM tf WHERE tf >= 2),
+    j AS (
+        SELECT res.query_id, res.r, COALESCE(qrels.g, 0.0) AS g
+        FROM res LEFT JOIN qrels USING (query_id, doc_id)),
+    per AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits_at_k,
+               MIN(CASE WHEN g > 0 THEN r END) AS first_rel,
+               list(struct_pack(r := r, g := g) ORDER BY r) AS ranked
+        FROM j GROUP BY 1),
+    ideal AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+               list(g ORDER BY g DESC, doc_id)[1:10] AS gs
+        FROM qrels GROUP BY 1),
+    scored AS (
+        SELECT p.query_id, p.hits_at_k,
+               COALESCE(i.n_relevant, 0) AS n_relevant,
+               p.first_rel,
+               list_reduce(
+                   list_transform(p.ranked, x -> x.g / log2(x.r + 1)),
+                   (a, b) -> a + b) AS dcg,
+               CASE WHEN i.n_relevant > 0 THEN
+                   list_reduce(
+                       list_transform(i.gs,
+                           (g, idx) -> g / log2(idx + 1)),
+                       (a, b) -> a + b)
+               END AS idcg
+        FROM per p LEFT JOIN ideal i USING (query_id))
+    SELECT query_id, hits_at_k, n_relevant,
+           CAST(FLOOR(hits_at_k * 1000000 / 10) AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN n_relevant > 0
+                THEN FLOOR(hits_at_k * 1000000 / n_relevant)
+                ELSE 0 END AS BIGINT) AS recall_ppm,
+           CASE WHEN first_rel IS NOT NULL
+                THEN round(1.0 / first_rel, 6) ELSE 0.0 END AS mrr,
+           CASE WHEN n_relevant > 0 THEN round(dcg / idcg, 6)
+                ELSE 0.0 END AS ndcg
+    FROM scored
+    """,
+)
+def retrieval_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (functions/retrieval.py:
+    ranking_metrics) — the eval verb that closes the retrieval loop:
+    three term 'queries' rank documents by term frequency (top-10,
+    doc-id tiebreak) and are scored against TF-derived graded judgments
+    (grade = min(tf, 3) where tf >= 2): hits/precision/recall in exact
+    integer ppm, MRR as one round-6 division, and nDCG@10 whose
+    irrational grade/log2(1+rank) sums fold LEFT over rank-sorted
+    arrays in BOTH engines (F.aggregate here, list_reduce in DuckDB) —
+    float summation order pinned, so the round-6 quotient
+    hash-compares. Everything after the one token-explode aggregate is
+    answer-sized (queries × k)."""
+    from pipelinewise_spark.functions.retrieval import ranking_metrics
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    terms = ["data", "pipeline", "spark"]
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(TX.tokens(F.col("text"))).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy(F.col("term").alias("query_id"), "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf").desc(), F.col("doc_id")
+    )
+    results = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = tf.filter(F.col("tf") >= 2).select(
+        "query_id", "doc_id", F.least("tf", F.lit(3.0)).alias("grade")
+    )
+    return ranking_metrics(results, qrels, k=10)

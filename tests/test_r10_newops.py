@@ -311,3 +311,51 @@ def test_vocab_drift_empty_current_is_max_drift(spark):
     rows = vocab_drift(ref, cur, "text", top_k=5).collect()
     assert rows and all(r["tvd_ppm"] == 1000000 for r in rows)
     assert all(r["cur_ppm"] == 0 for r in rows)
+
+
+def test_ranking_metrics_perfect_and_empty(spark):
+    from pipelinewise_spark.functions.retrieval import ranking_metrics
+
+    results = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q2", 30, 1), ("q2", 40, 2)],
+        "query_id string, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 2.0), ("q1", 20, 1.0)],
+        "query_id string, doc_id int, grade double",
+    )
+    out = {
+        r["query_id"]: r
+        for r in ranking_metrics(results, qrels, k=2).collect()
+    }
+    # q1: perfect ranking (grades already descending) -> ndcg 1, mrr 1
+    assert out["q1"]["ndcg"] == 1.0 and out["q1"]["mrr"] == 1.0
+    assert out["q1"]["precision_ppm"] == 1_000_000
+    assert out["q1"]["recall_ppm"] == 1_000_000
+    # q2: nothing judged relevant -> all zeros, no division blowups
+    assert out["q2"]["ndcg"] == 0.0 and out["q2"]["mrr"] == 0.0
+    assert out["q2"]["hits_at_k"] == 0 and out["q2"]["n_relevant"] == 0
+
+
+def test_ranking_metrics_inverted_order_and_recall(spark):
+    from pipelinewise_spark.functions.retrieval import ranking_metrics
+
+    # best doc (grade 3) ranked LAST of 3; one relevant doc missed
+    results = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 3, 3.0), ("q", 2, 1.0), ("q", 99, 2.0)],
+        "query_id string, doc_id int, grade double",
+    )
+    row = ranking_metrics(results, qrels, k=3).collect()[0]
+    import math
+
+    dcg = 1.0 / math.log2(3) + 3.0 / math.log2(4)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    assert row["mrr"] == 0.5  # first relevant at rank 2
+    assert row["hits_at_k"] == 2 and row["n_relevant"] == 3
+    assert row["recall_ppm"] == 666666
+    assert row["precision_ppm"] == 666666
