@@ -637,9 +637,16 @@ def domain_cap_mix(
     order: list[str] = []
     d = df
     if quality_col is not None:
-        # negated quality: group_prefix_sum orders ascending by name
+        # negated quality: group_prefix_sum orders ascending by name.
+        # NULL quality ranks WORST explicitly (+inf) — engines disagree
+        # on null placement in ascending sorts (Spark nulls-first,
+        # DuckDB nulls-last), so a bare null must never reach the sort.
         d = d.withColumn(
-            "__negq", -F.col(quality_col).cast("double")
+            "__negq",
+            F.coalesce(
+                -F.col(quality_col).cast("double"),
+                F.lit(float("inf")),
+            ),
         )
         order.append("__negq")
     d = d.withColumn("__h", F.md5(F.col(key_col).cast("string")))

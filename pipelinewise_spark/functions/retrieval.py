@@ -273,10 +273,16 @@ def ranking_metrics(
         F.col(doc_col).alias("__d"),
         F.col(rank_col).cast("int").alias("__r"),
     )
-    judged = qrels.select(
-        F.col(query_col).alias("__q"),
-        F.col(doc_col).alias("__d"),
-        F.col(grade_col).cast("double").alias("__g"),
+    # duplicate judgments collapse to the max grade — a doubled qrel
+    # row must never double-count a hit or fan out the results join
+    judged = (
+        qrels.select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(grade_col).cast("double").alias("__g"),
+        )
+        .groupBy("__q", "__d")
+        .agg(F.max("__g").alias("__g"))
     )
     j = res.join(judged, ["__q", "__d"], "left").withColumn(
         "__g", F.coalesce(F.col("__g"), F.lit(0.0))
