@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "wap_privacy_gate_customer",
     "stream_quality_report_events",
     "retrieval_metrics_documents",
+    "embedding_bounded_near_dup_pairs",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -3710,3 +3710,87 @@ def retrieval_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.least("tf", F.lit(3.0)).alias("grade")
     )
     return ranking_metrics(results, qrels, k=10)
+
+
+def _bounded_near_dup_pairs_oracle(
+    threshold: float = 0.4, bands: int = 4, planes_per_band: int = 4,
+    cap: int = 200,
+) -> str:
+    """signlsh near-dup pairs under the per-bucket emission guard: the
+    (band, key) buckets of _near_dup_pairs_oracle, full pairs where
+    n(n-1) <= 2*cap, the id-sorted spanning path where denser."""
+    planes = S.hyperplanes(bands * planes_per_band)
+    keys = []
+    for b in range(bands):
+        terms = []
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+            d = (
+                "list_sum(list_transform(range(1, 65), "
+                f"i -> ev[i] * ({lit})[i]))"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN (1 << {j}) ELSE 0 END)")
+        keys.append(f"({' + '.join(terms)}) AS k{b}")
+    cos = (
+        f"round({_DOT.format(a='ea.ev', b='eb.ev')} / "
+        f"(sqrt({_DOT.format(a='ea.ev', b='ea.ev')}) * "
+        f"sqrt({_DOT.format(a='eb.ev', b='eb.ev')})), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    k AS (SELECT vec_id, ev, {', '.join(keys)} FROM e),
+    br AS (
+        SELECT vec_id, b.band,
+               CASE b.band WHEN 0 THEN k0 WHEN 1 THEN k1
+                    WHEN 2 THEN k2 ELSE k3 END AS key
+        FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+    sized AS (
+        SELECT vec_id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bn,
+               LEAD(vec_id) OVER (
+                   PARTITION BY band, key ORDER BY vec_id) AS nxt
+        FROM br),
+    cand AS (
+        SELECT DISTINCT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.key = b.key
+             AND a.vec_id < b.vec_id
+            WHERE a.bn * (a.bn - 1) <= 2 * {cap}
+            UNION ALL
+            SELECT vec_id AS a_id, nxt AS b_id FROM sized
+            WHERE bn * (bn - 1) > 2 * {cap} AND nxt IS NOT NULL)),
+    scored AS (
+        SELECT c.a_id, c.b_id, {cos} AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a_id
+        JOIN e eb ON eb.vec_id = c.b_id)
+    SELECT a_id, b_id, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+@register(
+    "embedding_bounded_near_dup_pairs",
+    oracle=_bounded_near_dup_pairs_oracle(),
+)
+def embedding_bounded_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs under the per-bucket EMISSION
+    GUARD (functions/dedup.py:bounded_bucket_candidates via
+    signlsh_near_dup_pairs max_pairs_per_bucket) — the embedding twin
+    of minhash_lsh_bounded_pairs_documents, and the driver-checkable
+    face of the SCALE.md r11 measurement that closed the previously
+    output-quadratic R=100 dedup point (unguarded ~26M pairs thrashed
+    the box; guarded runs in 3.4s at eps=0.28). Cap 200 is calibrated
+    so BOTH branches execute at every test scale (fixture buckets span
+    13-53 members: <=20 keep full C(n,2) fidelity, denser degrade to
+    the id-sorted spanning path). Components over the verified pairs
+    stay equal to the unguarded clustering on replica corpora
+    (tests/test_bounded_pairs.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.signlsh_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        max_pairs_per_bucket=200,
+    )
