@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "stream_quality_report_events",
     "retrieval_metrics_documents",
     "embedding_bounded_near_dup_pairs",
+    "stream_domain_cap_documents",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

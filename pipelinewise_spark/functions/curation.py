@@ -725,3 +725,123 @@ def shuffle_shards(
         shard_col,
         ((F.col(pos_col) - 1) % n_shards).cast("int"),
     ).drop("__h")
+
+
+class StreamingDomainCapAdmitter:
+    """INGEST-TIME domain frequency caps — the streaming face of
+    :func:`domain_cap_mix`: admit at most ``cap`` documents per domain
+    over the LIFE of the stream, first-come (deterministically ordered
+    by ``order_col`` within each micro-batch), with the leftovers
+    dropped at the door instead of by a nightly re-curation pass.
+
+    State is O(domains) and constant in stream length — one JSON
+    sidecar ({domain: admitted_count} + the monotone epoch high-water
+    mark) through the MetaFS seam (s3://-capable, atomic writes), the
+    same at-least-once discipline as the streaming monitors
+    (operators/drift.py): replaying a folded epoch is a no-op.
+
+    Admitted rows land as PER-EPOCH parquet directories
+    (``out_dir/epoch=N``, mode=overwrite) — the exactly-once-by-
+    epoch-artifact pattern (cf. streaming/mv.py): a writer that dies
+    between the artifact write and the state save replays into the
+    SAME directory with the SAME admitted set (state unchanged ⇒ same
+    remaining budgets), so duplicates cannot exist.
+
+    Per batch: one batch-sized window (row_number per domain — a batch
+    is delta-sized, never the corpus) + one broadcast join against the
+    O(domains) budget frame + one filtered write.
+    """
+
+    def __init__(
+        self,
+        domain_col: str,
+        order_col: str,
+        cap: int,
+        state_dir: str,
+        out_dir: str,
+    ):
+        import json
+
+        import pyarrow.fs as _pafs
+
+        from pipelinewise_spark.operators.fsio import MetaFS
+
+        self.domain_col = domain_col
+        self.order_col = order_col
+        self.cap = int(cap)
+        self.out_dir = out_dir
+        self.mfs = MetaFS(state_dir)
+        if isinstance(self.mfs.fs, _pafs.LocalFileSystem):
+            self.mfs.mkdirs()
+        if self.mfs.exists("_domain_cap_state.json"):
+            self.state = json.loads(
+                self.mfs.read_text("_domain_cap_state.json")
+            )
+            return
+        self.state = {
+            "cap": self.cap,
+            "admitted": {},
+            "epoch_hwm": None,
+            "n_applied": 0,
+        }
+        self._save()
+
+    def _save(self) -> None:
+        import json
+
+        self.mfs.write_text(
+            json.dumps(self.state), "_domain_cap_state.json", atomic=True
+        )
+
+    def on_batch(self, batch: DataFrame, epoch: int) -> None:
+        """Admit this batch's rows against the remaining per-domain
+        budgets; write the admitted slice as this epoch's artifact and
+        fold the new counts. Idempotent per epoch."""
+        hwm = self.state.get("epoch_hwm")
+        if hwm is not None and epoch <= hwm:
+            return
+        spark = batch.sparkSession
+        dom = F.col(self.domain_col).cast("string")
+        used_rows = [
+            (d, int(n)) for d, n in sorted(self.state["admitted"].items())
+        ]
+        used = spark.createDataFrame(
+            used_rows or [(None, 0)], "__dom string, __used long"
+        ).filter(F.col("__dom").isNotNull())
+        w = Window.partitionBy(dom).orderBy(F.col(self.order_col))
+        admitted = (
+            batch.filter(dom.isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(used), dom == F.col("__dom"), "left")
+            .filter(
+                F.col("__rn") + F.coalesce(F.col("__used"), F.lit(0))
+                <= F.lit(self.cap)
+            )
+            .drop("__rn", "__dom", "__used")
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{self.out_dir}/epoch={int(epoch)}"
+        )
+        # fold the written slice's counts (answer-sized aggregate over
+        # the epoch artifact just produced)
+        new_counts = (
+            spark.read.parquet(f"{self.out_dir}/epoch={int(epoch)}")
+            .groupBy(dom.alias("__dom"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        for r in new_counts:
+            d = r["__dom"]
+            self.state["admitted"][d] = (
+                self.state["admitted"].get(d, 0) + int(r["__n"])
+            )
+        self.state["epoch_hwm"] = (
+            epoch if hwm is None else max(hwm, epoch)
+        )
+        self.state["n_applied"] = self.state.get("n_applied", 0) + 1
+        self._save()
+
+    def admitted(self, spark) -> DataFrame:
+        """Every admitted row across all epochs (reads the per-epoch
+        artifacts; the epoch partition column is not projected)."""
+        return spark.read.parquet(f"{self.out_dir}/epoch=*")

@@ -3794,3 +3794,74 @@ def embedding_bounded_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.4,
         max_pairs_per_bucket=200,
     )
+
+
+@register(
+    "stream_domain_cap_documents",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'bulk'
+                    ELSE source END AS domain
+        FROM documents),
+    r AS (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM d)
+    SELECT domain, doc_id FROM r WHERE rn <= 12
+    """,
+)
+def stream_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME domain frequency caps (functions/curation.py:
+    StreamingDomainCapAdmitter) — the streaming face of
+    domain_cap_documents: at most 12 documents per domain admitted over
+    the life of the stream, first-come, leftovers dropped at the door.
+    Four id-range micro-batches arrive in order, so the admitted set is
+    exactly the first 12 per domain by doc_id — the SQL oracle. State
+    is O(domains) ({domain: admitted} + epoch high-water mark, MetaFS
+    JSON); admitted rows land as per-epoch overwrite artifacts, so an
+    at-least-once redelivery (exercised: replaying epoch 0 is a no-op)
+    can never duplicate a row. Per batch: one batch-sized window + one
+    broadcast budget join — the corpus never shuffles."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.functions.curation import (
+        StreamingDomainCapAdmitter,
+    )
+    from pipelinewise_spark.queries.fixturetime import fixture_timer
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2"), F.lit("bulk")
+        ).otherwise(F.col("source")).alias("domain"),
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_sdcap_")
+        lohi = d.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        lo, hi = int(lohi["lo"]), int(lohi["hi"])
+
+    adm = StreamingDomainCapAdmitter(
+        "domain", "doc_id", cap=12,
+        state_dir=os.path.join(tmp, "state"),
+        out_dir=os.path.join(tmp, "out"),
+    )
+    span = hi - lo + 1
+    bounds = [lo + span * k // 4 for k in range(4)] + [hi + 1]
+    first = None
+    for k in range(4):
+        batch = d.filter(
+            (F.col("doc_id") >= bounds[k]) & (F.col("doc_id") < bounds[k + 1])
+        )
+        if k == 0:
+            first = batch
+        adm.on_batch(batch, k)
+    assert adm.state["n_applied"] == 4
+    # at-least-once redelivery: an already-folded epoch is a no-op
+    adm.on_batch(first, 0)
+    assert adm.state["n_applied"] == 4
+    return adm.admitted(spark).select("domain", "doc_id")
