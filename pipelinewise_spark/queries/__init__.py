@@ -61,14 +61,18 @@ _SHOWCASE_ORDER = [
     "manifest_time_travel_orders",
     # Part D (18): the oldest r6-green rows — the named r10-plan rows
     # (minhash_lsh_pairs also re-verifies the r11-touched guard
-    # signature) + sources/sinks stragglers. The 13 r6-green rows that
-    # didn't fit (incremental_lm_update, curation_funnel,
-    # embedding_incremental_batch, stream_stream_join_attribution,
-    # stream_curation_ingest, zorder_pruned_read, bloom_point_lookup,
-    # incremental_mv, snapshot_drift, exact/group/interpolated/
-    # group_interpolated quantiles) are the r12 rotation plan — after
-    # the r11 check lands, no registry row's latest green is older
-    # than r6.
+    # signature) + sources/sinks stragglers. The r12 rotation plan:
+    # the 13 r6-green rows that didn't fit (incremental_lm_update,
+    # curation_funnel, embedding_incremental_batch,
+    # stream_stream_join_attribution, stream_curation_ingest,
+    # zorder_pruned_read, bloom_point_lookup, incremental_mv,
+    # snapshot_drift, exact/group/interpolated/group_interpolated
+    # quantiles) + the four r11 post-prefix registrations
+    # (retrieval_metrics_documents, embedding_bounded_near_dup_pairs,
+    # stream_domain_cap_documents — all pytest-value-verified at
+    # sf0.001 every session and hand-verified at sf0.01) + anything
+    # r12's code touches. After the r11 check lands, no registry row's
+    # latest green is older than r6.
     "minhash_lsh_pairs_documents", "ngram_jaccard_pairs_documents",
     "stratified_sample_documents", "quality_filter_documents",
     "pii_scrub_documents", "decontaminate_documents",

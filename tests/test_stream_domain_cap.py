@@ -104,3 +104,33 @@ def test_real_stream_honors_cap(spark, tmp_path):
     }
     # arrival order is stream-dependent; the CAP is not
     assert by_dom == {f"d{i}": 9 for i in range(4)}
+
+
+def test_crash_between_artifact_and_state_is_replay_safe(
+    spark, tmp_path, monkeypatch
+):
+    """Writer dies AFTER the epoch artifact lands but BEFORE the state
+    save: the replay recomputes the same admitted set from the
+    unchanged budgets and overwrites the same directory — no
+    duplicates, no lost rows."""
+    import pytest
+
+    d = _docs(spark, 40)
+    sd, od = str(tmp_path / "st"), str(tmp_path / "out")
+    adm = StreamingDomainCapAdmitter("dom", "doc_id", 5, sd, od)
+
+    def dying_save():
+        raise RuntimeError("died before state save")
+
+    monkeypatch.setattr(adm, "_save", dying_save)
+    with pytest.raises(RuntimeError):
+        adm.on_batch(d, 0)
+    monkeypatch.undo()
+    # the artifact exists, the state does not know it — a fresh
+    # admitter (restart) replays epoch 0 idempotently
+    adm2 = StreamingDomainCapAdmitter("dom", "doc_id", 5, sd, od)
+    assert adm2.state["n_applied"] == 0
+    adm2.on_batch(d, 0)
+    out = adm2.admitted(spark)
+    assert out.count() == 20
+    assert out.select("doc_id").distinct().count() == 20  # no dupes
