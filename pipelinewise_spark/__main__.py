@@ -709,9 +709,20 @@ def _cmd_quality(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t = ManifestTable(args.table)
     versions = t.versions()
+    if not versions:
+        raise SystemExit(
+            f"{args.table} has no committed snapshots — nothing to "
+            "monitor; load the table first"
+        )
     cur_v = versions[-1]
     if args.ref_version is not None:
         ref_v = int(args.ref_version)
+        if ref_v >= cur_v:
+            raise SystemExit(
+                f"--ref-version {ref_v} must be OLDER than the live "
+                f"version {cur_v} — an empty/inverted change feed would "
+                "report maximal drift, not a real comparison"
+            )
     elif len(versions) >= 2:
         ref_v = versions[-2]
     else:

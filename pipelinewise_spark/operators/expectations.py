@@ -133,6 +133,27 @@ def references(
     )
 
 
+def _null_safe_class_join(
+    df: DataFrame, classes: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Join a per-quasi-class marker frame back onto ``df`` with
+    NULL-SAFE equality on every quasi column (groupBy already groups
+    NULLs into one class; a plain equi-join back would drop exactly
+    those rows). The class columns are aliased on the right side so
+    the joined frame keeps ``df``'s original columns unambiguous."""
+    right = classes.select(
+        *[F.col(c).alias(f"__cls_{c}") for c in cols],
+        *[F.col(c) for c in classes.columns if c not in cols],
+    )
+    cond = None
+    for c in cols:
+        term = F.col(c).eqNullSafe(F.col(f"__cls_{c}"))
+        cond = term if cond is None else (cond & term)
+    return df.join(F.broadcast(right), cond, "left").drop(
+        *[f"__cls_{c}" for c in cols]
+    )
+
+
 def k_anonymous(
     quasi_cols: Sequence[str], k: int = 5, min_ratio: float = 1.0
 ) -> Rule:
@@ -147,7 +168,14 @@ def k_anonymous(
     joins the class-size frame back on the quasi tuple (broadcast —
     classes are answer-sized, bounded by the quasi-domain product; for
     a pathological high-cardinality quasi tuple drop to compliance.py's
-    report instead, where the groupBy IS the answer)."""
+    report instead, where the groupBy IS the answer).
+
+    NULL quasi values form a measurable class like any other: the
+    class join is NULL-SAFE (``eqNullSafe`` per quasi column), so a
+    release whose only sub-k class is the all-NULL-quasi group still
+    fails the gate instead of silently passing (a plain equi-join
+    would never match the null-keyed rows, leaving their marker NULL
+    and dropping them from the ratio entirely — fail-open)."""
     cols = list(quasi_cols)
     marker = "__kanon_" + "_".join(cols)
 
@@ -155,7 +183,7 @@ def k_anonymous(
         classes = df.groupBy(*cols).agg(
             F.count(F.lit(1)).alias(marker)
         )
-        return df.join(F.broadcast(classes), cols, "left")
+        return _null_safe_class_join(df, classes, cols)
 
     return Rule(
         "k_anonymous", ",".join(cols),
@@ -174,8 +202,9 @@ def l_diverse(
     class carries ≥ ``l_min`` distinct ``sensitive_col`` values — the
     attribute-disclosure guard k-anonymity alone misses (a class can be
     k-anonymous yet leak its attribute when every member shares one
-    sensitive value). Same broadcast class-join shape as
-    :func:`k_anonymous`."""
+    sensitive value). Same NULL-SAFE broadcast class-join shape as
+    :func:`k_anonymous` (NULL quasi classes are measured, not
+    silently skipped)."""
     cols = list(quasi_cols)
     marker = f"__ldiv_{sensitive_col}_" + "_".join(cols)
 
@@ -183,7 +212,7 @@ def l_diverse(
         classes = df.groupBy(*cols).agg(
             F.count_distinct(F.col(sensitive_col)).alias(marker)
         )
-        return df.join(F.broadcast(classes), cols, "left")
+        return _null_safe_class_join(df, classes, cols)
 
     return Rule(
         "l_diverse", ",".join(cols),

@@ -605,11 +605,12 @@ class StreamingQualityMonitor:
         ]
         if self.date_col is not None:
             sel.append(F.col(self.date_col).alias("__d"))
-        b = (
-            batch.filter(F.col(self.segment_col).isNotNull())
-            .select(*sel)
-            .join(F.broadcast(bf), "segment", "left")
-        )
+        # NULL-segment rows stay in the frame: Benford is a CORPUS
+        # monitor (the batch twin scores the unfiltered current epoch),
+        # so their digits must count; the segment-scoped verbs (volume,
+        # tvd, cardinality, freshness) skip them in the fold below —
+        # exactly the batch twin's per-verb isNotNull filters.
+        b = batch.select(*sel).join(F.broadcast(bf), "segment", "left")
         bucket = F.when(
             F.col("es").isNotNull() & F.col("__v").isNotNull(),
             F.size(F.filter("es", lambda e: F.col("__v") > e)) + 1,
@@ -633,6 +634,15 @@ class StreamingQualityMonitor:
         for r in rows:
             seg = r["segment"]
             n = int(r["n"])
+            # Benford first: corpus-scoped, counts NULL-segment rows
+            # too (matches the batch twin's unfiltered benford_report)
+            if r["__digit"] is not None:
+                d = str(int(r["__digit"]))
+                self.state["ben_cur"][d] = (
+                    self.state["ben_cur"].get(d, 0) + n
+                )
+            if seg is None:
+                continue  # segment-scoped verbs exclude NULL segments
             self.state["vol_cur"][seg] = (
                 self.state["vol_cur"].get(seg, 0) + n
             )
@@ -640,11 +650,6 @@ class StreamingQualityMonitor:
                 cur = self.state["tvd_cur"][seg]
                 bk = str(int(r["__bucket"]))
                 cur[bk] = cur.get(bk, 0) + n
-            if r["__digit"] is not None:
-                d = str(int(r["__digit"]))
-                self.state["ben_cur"][d] = (
-                    self.state["ben_cur"].get(d, 0) + n
-                )
             if self.date_col is not None and r["last"] is not None:
                 prev = self.state["fresh_cur"].get(seg)
                 iso = r["last"].isoformat()
