@@ -734,22 +734,40 @@ class StreamingDomainCapAdmitter:
     by ``order_col`` within each micro-batch), with the leftovers
     dropped at the door instead of by a nightly re-curation pass.
 
-    State is O(domains) and constant in stream length — one JSON
-    sidecar ({domain: admitted_count} + the monotone epoch high-water
-    mark) through the MetaFS seam (s3://-capable, atomic writes), the
-    same at-least-once discipline as the streaming monitors
-    (operators/drift.py): replaying a folded epoch is a no-op.
+    Determinism contract: ``order_col`` (extended by ``tiebreak_cols``
+    when given) must be UNIQUE per domain within a batch — ties under
+    row_number would make the admitted subset run-dependent, and the
+    crash-safety argument below leans on a replay writing the SAME
+    admitted set. Rows with a NULL domain are DROPPED at the door (an
+    uncappable domain is not a domain; route them through a default-
+    domain projection upstream if they must be kept).
+
+    State is O(domains) and constant in stream length, and — because a
+    real web crawl carries 10⁷–10⁸ domains — the per-domain budgets
+    live as a PARQUET TABLE (``state_dir/budgets/v=N``), not driver
+    JSON: the fold is a distributed full-outer join of the old budget
+    table with the epoch's admitted counts, and the admit step joins
+    the batch against the budget table with a PLAIN join (AQE turns it
+    into a broadcast when the table is small, a shuffle join when it
+    is not) — no driver-side materialization at any domain count. Only
+    metadata (cap, epoch high-water mark, budget-table version) rides
+    the JSON sidecar through the MetaFS seam (s3://-capable, atomic
+    writes), the same at-least-once discipline as the streaming
+    monitors (operators/drift.py): replaying a folded epoch is a
+    no-op.
 
     Admitted rows land as PER-EPOCH parquet directories
     (``out_dir/epoch=N``, mode=overwrite) — the exactly-once-by-
     epoch-artifact pattern (cf. streaming/mv.py): a writer that dies
     between the artifact write and the state save replays into the
     SAME directory with the SAME admitted set (state unchanged ⇒ same
-    remaining budgets), so duplicates cannot exist.
+    budget-table version ⇒ same remaining budgets) and overwrites the
+    same next budget version, so duplicates cannot exist.
 
     Per batch: one batch-sized window (row_number per domain — a batch
-    is delta-sized, never the corpus) + one broadcast join against the
-    O(domains) budget frame + one filtered write.
+    is delta-sized, never the corpus) + one join against the
+    O(domains) budget table + one filtered write + one O(domains)
+    budget fold.
     """
 
     def __init__(
@@ -759,6 +777,7 @@ class StreamingDomainCapAdmitter:
         cap: int,
         state_dir: str,
         out_dir: str,
+        tiebreak_cols: Sequence[str] | None = None,
     ):
         import json
 
@@ -768,8 +787,10 @@ class StreamingDomainCapAdmitter:
 
         self.domain_col = domain_col
         self.order_col = order_col
+        self.tiebreak_cols = list(tiebreak_cols or [])
         self.cap = int(cap)
         self.out_dir = out_dir
+        self.state_dir = state_dir
         self.mfs = MetaFS(state_dir)
         if isinstance(self.mfs.fs, _pafs.LocalFileSystem):
             self.mfs.mkdirs()
@@ -777,10 +798,11 @@ class StreamingDomainCapAdmitter:
             self.state = json.loads(
                 self.mfs.read_text("_domain_cap_state.json")
             )
+            self.state.setdefault("budget_version", 0)
             return
         self.state = {
             "cap": self.cap,
-            "admitted": {},
+            "budget_version": 0,
             "epoch_hwm": None,
             "n_applied": 0,
         }
@@ -793,26 +815,45 @@ class StreamingDomainCapAdmitter:
             json.dumps(self.state), "_domain_cap_state.json", atomic=True
         )
 
+    def _budget_path(self, version: int) -> str:
+        return f"{self.state_dir}/budgets/v={int(version)}"
+
+    def budgets(self, spark) -> DataFrame:
+        """The live per-domain budget table (``__dom``, ``__used``) —
+        a parquet read at the committed version; empty before the
+        first fold. A legacy JSON ``admitted`` dict (pre-r12 state)
+        is served as a driver frame until the next fold migrates it
+        to parquet."""
+        legacy = self.state.get("admitted")
+        if legacy is not None:
+            rows = [(d, int(n)) for d, n in sorted(legacy.items())]
+            return spark.createDataFrame(
+                rows or [("", 0)], "__dom string, __used long"
+            ).limit(len(rows))
+        v = self.state.get("budget_version", 0)
+        if v == 0:
+            return spark.createDataFrame([], "__dom string, __used long")
+        return spark.read.parquet(self._budget_path(v))
+
     def on_batch(self, batch: DataFrame, epoch: int) -> None:
         """Admit this batch's rows against the remaining per-domain
         budgets; write the admitted slice as this epoch's artifact and
-        fold the new counts. Idempotent per epoch."""
+        fold the new counts into the next budget-table version.
+        Idempotent per epoch."""
         hwm = self.state.get("epoch_hwm")
         if hwm is not None and epoch <= hwm:
             return
         spark = batch.sparkSession
         dom = F.col(self.domain_col).cast("string")
-        used_rows = [
-            (d, int(n)) for d, n in sorted(self.state["admitted"].items())
+        used = self.budgets(spark)
+        order = [F.col(self.order_col)] + [
+            F.col(c) for c in self.tiebreak_cols
         ]
-        used = spark.createDataFrame(
-            used_rows or [(None, 0)], "__dom string, __used long"
-        ).filter(F.col("__dom").isNotNull())
-        w = Window.partitionBy(dom).orderBy(F.col(self.order_col))
+        w = Window.partitionBy(dom).orderBy(*order)
         admitted = (
             batch.filter(dom.isNotNull())
             .withColumn("__rn", F.row_number().over(w))
-            .join(F.broadcast(used), dom == F.col("__dom"), "left")
+            .join(used, dom == F.col("__dom"), "left")
             .filter(
                 F.col("__rn") + F.coalesce(F.col("__used"), F.lit(0))
                 <= F.lit(self.cap)
@@ -822,24 +863,41 @@ class StreamingDomainCapAdmitter:
         admitted.write.mode("overwrite").parquet(
             f"{self.out_dir}/epoch={int(epoch)}"
         )
-        # fold the written slice's counts (answer-sized aggregate over
-        # the epoch artifact just produced)
+        # fold the written slice's counts into the next budget version:
+        # old budgets ⊔ epoch counts, all distributed (O(domains) rows
+        # never touch the driver), overwrite-idempotent on replay
         new_counts = (
             spark.read.parquet(f"{self.out_dir}/epoch={int(epoch)}")
             .groupBy(dom.alias("__dom"))
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
         )
-        for r in new_counts:
-            d = r["__dom"]
-            self.state["admitted"][d] = (
-                self.state["admitted"].get(d, 0) + int(r["__n"])
+        next_v = int(self.state.get("budget_version", 0)) + 1
+        merged = (
+            self.budgets(spark)
+            .join(new_counts, "__dom", "full_outer")
+            .select(
+                "__dom",
+                (
+                    F.coalesce(F.col("__used"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+                ).alias("__used"),
             )
+        )
+        merged.write.mode("overwrite").parquet(self._budget_path(next_v))
+        self.state["budget_version"] = next_v
+        self.state.pop("admitted", None)  # legacy JSON budgets migrated
         self.state["epoch_hwm"] = (
             epoch if hwm is None else max(hwm, epoch)
         )
         self.state["n_applied"] = self.state.get("n_applied", 0) + 1
         self._save()
+        # GC: keep the committed version and its predecessor (the
+        # crash-replay window); each fold retires one trailing version,
+        # so budget storage stays at 2 × O(domains) regardless of
+        # stream length
+        stale = next_v - 2
+        if stale >= 1 and self.mfs.exists("budgets", f"v={stale}"):
+            self.mfs.delete_dir("budgets", f"v={stale}")
 
     def admitted(self, spark) -> DataFrame:
         """Every admitted row across all epochs (reads the per-epoch

@@ -134,3 +134,92 @@ def test_crash_between_artifact_and_state_is_replay_safe(
     out = adm2.admitted(spark)
     assert out.count() == 20
     assert out.select("doc_id").distinct().count() == 20  # no dupes
+
+
+def test_budget_state_is_parquet_backed_at_1m_domains(spark, tmp_path):
+    """r12: the per-domain budget table is parquet, not driver JSON —
+    at 1M domains the sidecar stays metadata-sized and the fold is a
+    distributed join (flat driver memory at any domain count)."""
+    n_dom = 1_000_000
+    b0 = spark.range(n_dom).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("dom"),
+    )
+    # second wave: 100k duplicates of the first domains — all rejected
+    b1 = spark.range(100_000).select(
+        (F.col("id") + n_dom).alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("dom"),
+    )
+    adm = StreamingDomainCapAdmitter(
+        "dom", "doc_id", cap=1,
+        state_dir=str(tmp_path / "st"), out_dir=str(tmp_path / "out"),
+    )
+    adm.on_batch(b0, 0)
+    adm.on_batch(b1, 1)
+    assert adm.admitted(spark).count() == n_dom
+    assert adm.budgets(spark).count() == n_dom
+    # the JSON sidecar carries METADATA only — no per-domain entries
+    st_path = tmp_path / "st" / "_domain_cap_state.json"
+    st = json.loads(st_path.read_text())
+    assert "admitted" not in st
+    assert st["budget_version"] == 2
+    assert st_path.stat().st_size < 1024
+    # GC keeps at most the committed version and its predecessor
+    vs = sorted(os.listdir(tmp_path / "st" / "budgets"))
+    assert vs == ["v=1", "v=2"]
+
+
+def test_legacy_json_budget_state_migrates(spark, tmp_path):
+    """A pre-r12 sidecar ({domain: count} JSON) resumes correctly and
+    migrates to the parquet budget table on the next fold."""
+    sd = tmp_path / "st"
+    os.makedirs(sd)
+    legacy = {
+        "cap": 3,
+        "admitted": {"d0": 2, "d1": 3},
+        "epoch_hwm": 0,
+        "n_applied": 1,
+    }
+    (sd / "_domain_cap_state.json").write_text(json.dumps(legacy))
+    adm = StreamingDomainCapAdmitter(
+        "dom", "doc_id", cap=3,
+        state_dir=str(sd), out_dir=str(tmp_path / "out"),
+    )
+    d = _docs(spark, 40)  # 10 per domain d0..d3
+    adm.on_batch(d, 1)
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "epoch=1"))
+        .groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    # d0 had 1 budget left, d1 none, d2/d3 full cap
+    assert by_dom == {"d0": 1, "d2": 3, "d3": 3}
+    st = json.loads((sd / "_domain_cap_state.json").read_text())
+    assert "admitted" not in st and st["budget_version"] == 1
+    used = {
+        r["__dom"]: r["__used"] for r in adm.budgets(spark).collect()
+    }
+    assert used == {"d0": 3, "d1": 3, "d2": 3, "d3": 3}
+
+
+def test_tiebreak_cols_make_admission_deterministic(spark, tmp_path):
+    """With ties in order_col, tiebreak_cols pin the admitted subset:
+    two runs over the same batch admit the SAME rows."""
+    rows = [(i, "d0", i % 2, f"u{i}") for i in range(10)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, dom string, pri int, uid string"
+    )
+    got = []
+    for run in range(2):
+        adm = StreamingDomainCapAdmitter(
+            "dom", "pri", cap=4,
+            state_dir=str(tmp_path / f"st{run}"),
+            out_dir=str(tmp_path / f"out{run}"),
+            tiebreak_cols=["uid"],
+        )
+        adm.on_batch(d.repartition(8 if run else 3), 0)
+        got.append(sorted(r["doc_id"] for r in adm.admitted(spark).collect()))
+    assert got[0] == got[1]
+    # pri asc then uid asc: pri=0 ids {0,2,4,6,8} -> uids u0,u2,u4,u6,u8
+    # sorted lexicographically: u0,u2,u4,u6 -> ids 0,2,4,6
+    assert got[0] == [0, 2, 4, 6]
