@@ -884,6 +884,31 @@ def _unit(col: Column) -> Column:
     return F.transform(v, lambda x: x / n)
 
 
+def _collect_probe_vectors(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int
+) -> list:
+    """Collect the PROBE set for ADC-table construction — bounded by
+    ``max_queries`` (counted distributed, BEFORE any collect): the ADC
+    lookup tables are per-query driver/broadcast metadata, so a caller
+    passing a corpus-sized frame as ``queries`` must be stopped with
+    guidance rather than OOM the driver (same invariant as
+    curation.py's group_prefix_sum offset guard)."""
+    n = queries.count()
+    if n > max_queries:
+        raise ValueError(
+            f"PQ/ADC probe set has {n} query vectors "
+            f"(> max_queries={max_queries}): ADC tables are per-query "
+            f"broadcast metadata, so the probe set must be answer-"
+            f"scale — batch the queries, raise max_queries explicitly "
+            f"if the driver can hold n_queries x num_subspaces x "
+            f"codes_per_subspace doubles, or use cosine_topk / "
+            f"signlsh_near_dup_pairs for corpus-vs-corpus workloads"
+        )
+    return queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).collect()
+
+
 def _pq_codes_udf(codebooks: list[list[list[float]]], dim: int):
     """Vectorized PQ assignment kernel: vec column -> array<int> of
     per-subspace nearest-code ids (1-based; ties -> lower code via numpy
@@ -1019,6 +1044,7 @@ def pq_topk(
     refine: int = 64,
     round_to: int = 6,
     dim: int = DIM,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """PQ ANN search (the FAISS IVFPQ recipe, minus the coarse stage):
 
@@ -1048,9 +1074,8 @@ def pq_topk(
     # ADC tables: driver-side pure-double arithmetic over metadata-scale
     # inputs (|queries| x num_subspaces x codes_per_subspace distances);
     # they only pick the shortlist — the exact re-rank fixes the answer.
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).collect()
+    # The probe set is size-guarded BEFORE collecting.
+    qrows = _collect_probe_vectors(queries, id_col, vec_col, max_queries)
     spark = corpus.sparkSession
     adc_rows = []
     for r in qrows:
@@ -1316,6 +1341,7 @@ def pq_topk_against_index(
     k: int = 3,
     refine: int = 64,
     round_to: int = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Probe the persisted PQ index: ADC-score the CODE TABLE (the only
     full scan — 8 ints per row), shortlist ``refine`` deep, exact-cosine
@@ -1329,9 +1355,7 @@ def pq_topk_against_index(
     sub_dim = meta["dim"] // num_subspaces
     codes = spark.read.parquet(life.uri("codes"))
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).collect()
+    qrows = _collect_probe_vectors(queries, id_col, vec_col, max_queries)
     adc_rows = []
     for r in qrows:
         qv = [float(x) for x in r["__qv"]]

@@ -102,3 +102,26 @@ def test_pq_index_lifecycle(spark, emb, tmp_path):
     ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
     hits = sum((r["query_id"], r["neighbor_id"]) in ex for r in out)
     assert hits / len(ex) >= 0.5
+
+
+def test_probe_set_guard_raises_on_corpus_sized_queries(spark):
+    """r12: the ADC query-vector collect is bounded — a corpus-sized
+    probe set raises with guidance instead of materializing on the
+    driver."""
+    import pytest
+
+    from pipelinewise_spark.functions.similarity import pq_topk
+
+    n, dim = 60, 8
+    vecs = spark.range(n).select(
+        F.col("id"),
+        F.array(*[
+            (F.col("id") % (i + 3)).cast("double") + F.lit(0.1)
+            for i in range(dim)
+        ]).alias("emb"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(
+            vecs, vecs, "id", "emb", k=2, num_subspaces=2,
+            codes_per_subspace=4, dim=dim, max_queries=10,
+        )
