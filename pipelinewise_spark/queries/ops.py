@@ -2703,3 +2703,179 @@ def cdf_cms_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("freq_est") >= F.col("exact_cnt")).alias("overcount_ok"),
         )
     )
+
+
+@register(
+    "singer_stream_sync_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def singer_stream_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer NDJSON capture interop (sources/singer.py:replay_capture)
+    — the reference's lingua franca ingested end to end: a captured tap
+    stdout stream (SCHEMA → StructType via the JSON-Schema bridge,
+    RECORDs parsed DISTRIBUTED via from_json, STATE → bookmarks with
+    the reference's flushed_state discipline —
+    target_snowflake/__init__.py:122-416 persist_lines) replays through
+    buffered flushes into a ParquetTable. The capture carries an
+    initial half-load, a mid-capture STATE, then a full resync with
+    every price bumped +1.0 — so cross-batch MERGE last-wins must
+    leave exactly the bumped rows (the SQL oracle). Asserted in-query:
+    a STATE arriving while records are buffered never advances the
+    flushed bookmark until those records land (out-of-order STATE /
+    flush-ordering), and the final state adopts the last STATE
+    wholesale."""
+    import json
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.singer import replay_capture
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singer_")
+        rows = sorted(
+            base.collect(), key=lambda r: r["o_orderkey"]
+        )  # capture fixture — tap output is inherently ordered
+        schema_msg = {
+            "type": "SCHEMA", "stream": "orders",
+            "schema": {"type": "object", "properties": {
+                "o_orderkey": {"type": ["null", "integer"]},
+                "o_custkey": {"type": ["null", "integer"]},
+                "o_orderstatus": {"type": ["null", "string"]},
+                "o_totalprice": {"type": ["null", "number"]},
+                "o_orderpriority": {"type": ["null", "string"]},
+            }},
+            "key_properties": ["o_orderkey"],
+        }
+
+        def rec(r, bump):
+            return {"type": "RECORD", "stream": "orders", "record": {
+                "o_orderkey": r["o_orderkey"],
+                "o_custkey": r["o_custkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": r["o_totalprice"] + bump,
+                "o_orderpriority": r["o_orderpriority"],
+            }}
+
+        def state(pos):
+            return {"type": "STATE",
+                    "value": {"bookmarks": {"orders": {"pos": pos}}}}
+
+        lines = [schema_msg, state(0)]
+        lines += [rec(r, 0.0) for r in rows if r["o_orderkey"] % 2 == 0]
+        lines.append(state(1))  # arrives while records may be buffered
+        lines += [rec(r, 1.0) for r in rows]  # full resync, price +1.0
+        lines.append(state(2))
+        cap = os.path.join(tmp, "cap.ndjson")
+        with open(cap, "w") as fh:
+            for o in lines:
+                fh.write(json.dumps(o) + "\n")
+        # scale-relative: a handful of real flushes at every sf
+        batch = max(4, len(rows) // 6)
+
+    res = replay_capture(
+        spark, cap, os.path.join(tmp, "tgt"), batch_size_rows=batch
+    )
+    # flush-ordering contract: no mid-capture emit ever carries a
+    # bookmark past the records that had not flushed yet, and the EOF
+    # flush-all adopts the final STATE wholesale
+    assert res.state == {"bookmarks": {"orders": {"pos": 2}}}
+    assert all(
+        s["bookmarks"]["orders"]["pos"] <= 1
+        for s in res.emitted_states[:-1] if s is not None
+    )
+    assert res.n_flushes >= 3
+    return res.tables["orders"].read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "singer_activate_version_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(2 AS BIGINT) AS _sdc_table_version
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def singer_activate_version_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Singer ACTIVATE_VERSION swap through the BULK capture path
+    (sources/singer.py:load_capture — one distributed pass per stream:
+    version filter + PK last-wins by capture position + MERGE):
+    version-1 records load, ACTIVATE_VERSION(1) lands, then a full
+    version-2 resync with ACTIVATE_VERSION(2) — rows seen only in
+    version 1 must leave the table (the full-resync table swap,
+    reference fastsync/ACTIVATE_VERSION semantics). Final table =
+    exactly the version-2 records; bookmarks take the capture's final
+    STATE."""
+    import json
+    import os
+    import tempfile
+
+    from pipelinewise_spark.plans.state import BookmarkStore
+    from pipelinewise_spark.sources.singer import load_capture
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singerav_")
+        rows = sorted(base.collect(), key=lambda r: r["o_orderkey"])
+        schema_msg = {
+            "type": "SCHEMA", "stream": "orders",
+            "schema": {"type": "object", "properties": {
+                "o_orderkey": {"type": ["null", "integer"]},
+                "o_orderstatus": {"type": ["null", "string"]},
+                "o_totalprice": {"type": ["null", "number"]},
+            }},
+            "key_properties": ["o_orderkey"],
+        }
+
+        def rec(r, version):
+            return {"type": "RECORD", "stream": "orders", "version": version,
+                    "record": {
+                        "o_orderkey": r["o_orderkey"],
+                        "o_orderstatus": r["o_orderstatus"],
+                        "o_totalprice": r["o_totalprice"],
+                    }}
+
+        lines = [schema_msg]
+        # version 1: only every other key — these must vanish post-swap
+        lines += [rec(r, 1) for r in rows if r["o_orderkey"] % 2 == 0]
+        lines.append({"type": "ACTIVATE_VERSION", "stream": "orders",
+                      "version": 1})
+        lines += [rec(r, 2) for r in rows]  # version 2: full resync
+        lines.append({"type": "ACTIVATE_VERSION", "stream": "orders",
+                      "version": 2})
+        lines.append({"type": "STATE",
+                      "value": {"bookmarks": {"orders": {"version": 2}}}})
+        cap = os.path.join(tmp, "cap.ndjson")
+        with open(cap, "w") as fh:
+            for o in lines:
+                fh.write(json.dumps(o) + "\n")
+
+    bm = BookmarkStore(os.path.join(tmp, "state.json"))
+    tables = load_capture(
+        spark, cap, os.path.join(tmp, "tgt"), bookmarks=bm
+    )
+    assert bm.get("orders", "version") == 2
+    return tables["orders"].read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("_sdc_table_version"),
+    )

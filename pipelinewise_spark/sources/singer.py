@@ -1,0 +1,459 @@
+"""Singer NDJSON capture interop — replay a captured tap stdout stream.
+
+The reference's lingua franca is a Singer tap's stdout: NDJSON messages
+``SCHEMA`` / ``RECORD`` / ``STATE`` / ``ACTIVATE_VERSION`` consumed by a
+target's ``persist_lines`` loop (reference contract:
+singer-connectors/target-snowflake/target_snowflake/__init__.py:122-327).
+This module ingests a CAPTURED stream (the tap's stdout tee'd to a file)
+into engine tables, so every real-world Singer tap — including API taps
+the engine has no native source for — is usable as-is:
+
+- SCHEMA   → StructType via the existing JSON-Schema bridge
+  (schema/jsonschema.py) + ``key_properties`` (required by default, the
+  reference's ``primary_key_required`` semantics — __init__.py:269-276);
+- RECORD   → rows parsed DISTRIBUTED (``from_json`` over the raw lines;
+  the driver never sees a payload), with ``_sdc_extracted_at`` from
+  ``time_extracted`` and ``_sdc_table_version`` from ``version``;
+- STATE    → bookmark advances with the reference's ``flushed_state``
+  discipline (a STATE message only becomes the emitted/persisted state
+  once the records buffered BEFORE it have flushed —
+  __init__.py:323-327, 401-416);
+- ACTIVATE_VERSION → rows of older table versions are dropped (the
+  full-resync swap).
+
+Two entry points, one contract:
+
+- :func:`load_capture` — the SCALE path: one distributed pass per
+  stream (PK last-wins by capture position, version filter, MERGE or
+  overwrite). Message ORDER inside the capture only matters up to the
+  per-PK winner, which the lineno window decides — nothing iterates
+  the capture on the driver except the metadata-scale control plane
+  (SCHEMA/STATE/ACTIVATE_VERSION lines).
+- :func:`replay_capture` — the FAITHFUL path: reproduces
+  ``persist_lines``' buffered flush ordering (batch_size_rows,
+  new-PK row counting, in-batch PK last-wins, per-stream
+  flushed_state). The control loop walks (lineno, stream, pk) TUPLES
+  collected from a distributed projection — O(messages) driver
+  metadata, never payloads; each flush is a distributed range filter
+  + window dedupe + MERGE. Use it to resume interrupted tap runs with
+  exact state semantics; use load_capture for bulk backfills.
+
+A capture is ONE NDJSON file (a single tap run's stdout); line order
+is the file's physical order (per-file block-ordered row_number, same
+mechanism as sources/files.py line numbering).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SDC_EXTRACTED_AT = "_sdc_extracted_at"
+SDC_TABLE_VERSION = "_sdc_table_version"
+
+
+def capture_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(lineno, line) for one capture file — physical line order via the
+    per-file block window (the minimum coordination a total order
+    needs; one capture = one file, so the window is per-file)."""
+    w = Window.partitionBy(F.col("_metadata.file_path")).orderBy(
+        F.col("_metadata.file_block_start"), F.monotonically_increasing_id()
+    )
+    return spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.row_number().over(w).alias("lineno"),
+    )
+
+
+@dataclass
+class CapturePlan:
+    """The capture's control plane — metadata-scale, collected once."""
+
+    schemas: dict[str, dict]                 # stream -> last JSON Schema
+    key_properties: dict[str, list[str]]     # stream -> PK columns
+    messages: list[dict] = field(default_factory=list)  # non-RECORD, ordered
+    n_lines: int = 0
+
+
+def scan_control_plane(
+    spark: SparkSession, path: str, primary_key_required: bool = True
+) -> CapturePlan:
+    """Collect the SCHEMA/STATE/ACTIVATE_VERSION lines (never RECORDs)
+    with their positions. Raises on a missing ``key_properties`` when
+    ``primary_key_required`` (the reference default — log-based and
+    incremental replication duplicate rows without a PK)."""
+    lines = capture_lines(spark, path)
+    rows = (
+        lines.select(
+            "lineno",
+            F.get_json_object("line", "$.type").alias("t"),
+            "line",
+        )
+        .filter(F.col("t") != "RECORD")
+        .collect()
+    )
+    schemas: dict[str, dict] = {}
+    keys: dict[str, list[str]] = {}
+    messages: list[dict] = []
+    for r in sorted(rows, key=lambda r: r["lineno"]):
+        o = json.loads(r["line"])
+        t = o.get("type")
+        if t is None:
+            raise ValueError(f"capture line missing 'type': {r['line'][:200]}")
+        o["__lineno"] = r["lineno"]
+        if t == "SCHEMA":
+            stream = o["stream"]
+            schemas[stream] = o["schema"]
+            kp = o.get("key_properties")
+            if kp is None or (primary_key_required and not kp):
+                raise ValueError(
+                    f"SCHEMA for stream {stream!r} has no key_properties "
+                    "(primary_key_required) — pass "
+                    "primary_key_required=False for append-only streams"
+                )
+            keys[stream] = list(kp or [])
+        elif t not in ("STATE", "ACTIVATE_VERSION"):
+            raise ValueError(f"unknown Singer message type {t!r}")
+        messages.append(o)
+    return CapturePlan(schemas=schemas, key_properties=keys,
+                       messages=messages)
+
+
+def stream_records(
+    spark: SparkSession,
+    path: str,
+    stream: str,
+    struct: T.StructType,
+) -> DataFrame:
+    """This stream's RECORD payloads, parsed distributed: (lineno,
+    _sdc_table_version, _sdc_extracted_at, <record columns>). The JSON
+    stays executor-side end to end (get_json_object + from_json)."""
+    lines = capture_lines(spark, path)
+    rec = lines.filter(
+        (F.get_json_object("line", "$.type") == "RECORD")
+        & (F.get_json_object("line", "$.stream") == stream)
+    )
+    return rec.select(
+        "lineno",
+        F.get_json_object("line", "$.version")
+        .cast("long")
+        .alias(SDC_TABLE_VERSION),
+        F.get_json_object("line", "$.time_extracted")
+        .cast("timestamp")
+        .alias(SDC_EXTRACTED_AT),
+        F.from_json(
+            F.get_json_object("line", "$.record"), struct
+        ).alias("__r"),
+    ).select("lineno", SDC_TABLE_VERSION, SDC_EXTRACTED_AT, "__r.*")
+
+
+def _last_wins(df: DataFrame, pks: list[str]) -> DataFrame:
+    """PK dedupe by capture position — the distributed form of
+    persist_lines' in-batch ``records_to_load[stream][pk] = record``
+    dict (later line wins)."""
+    w = Window.partitionBy(*[F.col(k) for k in pks]).orderBy(
+        F.col("lineno").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _apply_activate(df: DataFrame, version: int) -> DataFrame:
+    """ACTIVATE_VERSION semantics: rows of OLDER versions leave the
+    table; unversioned rows (incremental taps) are untouched."""
+    v = F.col(SDC_TABLE_VERSION)
+    return df.filter(v.isNull() | (v >= F.lit(int(version))))
+
+
+def _merge_into(spark, table, batch: DataFrame, pks: list[str]) -> None:
+    from pipelinewise_spark.operators.merge import merge_upsert
+
+    if table.exists():
+        merged = merge_upsert(table.read(spark), batch, pks)
+    else:
+        merged = batch
+    table.overwrite(merged)
+
+
+def load_capture(
+    spark: SparkSession,
+    path: str,
+    target_root: str,
+    bookmarks: Any | None = None,
+    float_compat: bool = False,
+    primary_key_required: bool = True,
+) -> dict[str, Any]:
+    """BULK one-pass load of a capture into ParquetTables under
+    ``target_root/<stream>``: per stream, records parse distributed,
+    the last ACTIVATE_VERSION filters older versions, PK last-wins by
+    capture position, and the result MERGEs into (or creates) the
+    table. The final STATE message becomes each stream's bookmark.
+
+    Returns {stream: ParquetTable}. Captures with a mid-stream schema
+    change load under the LAST schema (merge_upsert aligns columns);
+    use :func:`replay_capture` when per-epoch schema fidelity matters.
+    """
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
+    plan = scan_control_plane(spark, path, primary_key_required)
+    activations: dict[str, int] = {}
+    final_state: dict | None = None
+    for m in plan.messages:
+        if m["type"] == "ACTIVATE_VERSION":
+            activations[m["stream"]] = int(m["version"])
+        elif m["type"] == "STATE":
+            final_state = m["value"]
+    out: dict[str, Any] = {}
+    for stream, schema in plan.schemas.items():
+        struct = json_schema_to_struct(schema, float_compat)
+        recs = stream_records(spark, path, stream, struct)
+        if stream in activations:
+            recs = _apply_activate(recs, activations[stream])
+        pks = plan.key_properties[stream]
+        batch = (
+            _last_wins(recs, pks) if pks else recs
+        ).drop("lineno")
+        table = ParquetTable(f"{target_root}/{stream}")
+        if pks:
+            _merge_into(spark, table, batch, pks)
+        else:
+            from pipelinewise_spark.operators.merge import append_only
+
+            prev = table.read(spark) if table.exists() else None
+            table.overwrite(append_only(prev, batch))
+        out[stream] = table
+    if bookmarks is not None and final_state is not None:
+        for stream, bm in (final_state.get("bookmarks") or {}).items():
+            bookmarks.update(stream, dict(bm))
+        bookmarks.save()
+    return out
+
+
+@dataclass
+class ReplayResult:
+    tables: dict[str, Any]
+    state: dict | None                 # the final flushed_state
+    emitted_states: list[dict | None]  # one per emit, in order
+    n_flushes: int
+
+
+def _records_meta(
+    spark: SparkSession, path: str, plan: CapturePlan
+) -> list[tuple[int, str, str]]:
+    """(lineno, stream, pk_string) for every RECORD line — a distributed
+    projection (payloads never collected; each tuple is bytes). NULL PK
+    components raise, mirroring primary_key_required."""
+    lines = capture_lines(spark, path)
+    known = list(plan.key_properties)
+    orphan = (
+        lines.filter(F.get_json_object("line", "$.type") == "RECORD")
+        .select(F.get_json_object("line", "$.stream").alias("s"))
+        .filter(~F.col("s").isin(known) if known else F.lit(True))
+        .limit(1)
+        .collect()
+    )
+    if orphan:
+        raise ValueError(
+            f"RECORD for stream {orphan[0]['s']!r} before its SCHEMA "
+            "(no SCHEMA message for that stream in the capture)"
+        )
+    frames = []
+    for stream, pks in plan.key_properties.items():
+        rec = lines.filter(
+            (F.get_json_object("line", "$.type") == "RECORD")
+            & (F.get_json_object("line", "$.stream") == stream)
+        )
+        parts = [
+            F.get_json_object("line", f"$.record.{k}") for k in pks
+        ] or [F.lit("")]
+        null_pk = None
+        for p in parts:
+            cond = p.isNull()
+            null_pk = cond if null_pk is None else (null_pk | cond)
+        frames.append(
+            rec.select(
+                "lineno",
+                F.lit(stream).alias("stream"),
+                F.concat_ws("\x1f", *parts).alias("pk"),
+                null_pk.alias("__nullpk"),
+            )
+        )
+    if not frames:
+        return []
+    allrec = frames[0]
+    for f in frames[1:]:
+        allrec = allrec.unionByName(f)
+    if plan.key_properties and allrec.filter(F.col("__nullpk")).count() > 0:
+        raise ValueError(
+            "RECORD with NULL primary-key component — refuse to replay "
+            "(the reference would synthesize an RID; pass records a real "
+            "PK or use load_capture with primary_key_required=False)"
+        )
+    return sorted(
+        (r["lineno"], r["stream"], r["pk"])
+        for r in allrec.select("lineno", "stream", "pk").collect()
+    )
+
+
+def replay_capture(
+    spark: SparkSession,
+    path: str,
+    target_root: str,
+    batch_size_rows: int = 10_000,
+    bookmarks: Any | None = None,
+    float_compat: bool = False,
+    primary_key_required: bool = True,
+) -> ReplayResult:
+    """Faithful ``persist_lines`` replay (reference
+    target_snowflake/__init__.py:122-416):
+
+    - records buffer per stream; the buffer is a PK dict (last wins)
+      and ``row_count`` counts NEW PKs only;
+    - a stream flushes when its row_count reaches ``batch_size_rows``;
+      a re-encountered CHANGED SCHEMA flushes the stream first; EOF
+      flushes everything;
+    - ``flushed_state``: a STATE message sets the candidate state; it
+      becomes the flushed (emitted/persisted) state immediately ONLY
+      when nothing is buffered; otherwise each per-stream flush copies
+      that stream's bookmark from the candidate, and the EOF
+      flush-all adopts the candidate wholesale — so a bookmark never
+      advances past records that haven't landed;
+    - ACTIVATE_VERSION flushes its stream, then drops rows of older
+      table versions.
+
+    Every flush is DISTRIBUTED: the buffered linenos form a contiguous
+    per-stream range since the last flush, so the batch is a range
+    filter over the parsed records + the last-wins window + MERGE.
+    The driver holds only (lineno, stream, pk) tuples.
+    """
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
+    plan = scan_control_plane(spark, path, primary_key_required)
+    for stream, pks in plan.key_properties.items():
+        if not pks:
+            raise ValueError(
+                f"stream {stream!r} has no key_properties — replay's "
+                "buffered PK dedupe needs a PK; use load_capture for "
+                "append-only streams"
+            )
+    meta = _records_meta(spark, path, plan)
+
+    # merge control messages + record tuples into one ordered walk
+    events: list[tuple[int, str, Any]] = [
+        (m["__lineno"], m["type"], m) for m in plan.messages
+    ] + [(ln, "RECORD", (stream, pk)) for ln, stream, pk in meta]
+    events.sort(key=lambda e: e[0])
+
+    structs: dict[str, T.StructType] = {}
+    seen_schema: dict[str, dict] = {}
+    tables: dict[str, Any] = {}
+    buffers: dict[str, dict[str, int]] = {}   # stream -> {pk: lineno}
+    lo: dict[str, int] = {}                    # stream -> range start
+    state: dict | None = None
+    flushed_state: dict | None = None
+    emitted: list[dict | None] = []
+    n_flushes = 0
+
+    def pending_total() -> int:
+        return sum(len(b) for b in buffers.values())
+
+    def flush(stream: str, hi: int, final: bool = False) -> None:
+        nonlocal flushed_state, n_flushes
+        buf = buffers.get(stream)
+        if not buf:
+            return
+        recs = stream_records(spark, path, stream, structs[stream])
+        batch = _last_wins(
+            recs.filter(
+                (F.col("lineno") >= lo[stream]) & (F.col("lineno") <= hi)
+            ),
+            plan.key_properties[stream],
+        ).drop("lineno")
+        table = tables.setdefault(
+            stream, ParquetTable(f"{target_root}/{stream}")
+        )
+        _merge_into(spark, table, batch, plan.key_properties[stream])
+        buffers[stream] = {}
+        n_flushes += 1
+        if final:
+            return  # EOF flush-all adopts the candidate state ONCE below
+        # per-stream flushed_state advance (__init__.py:401-410)
+        if state is not None and stream in (state.get("bookmarks") or {}):
+            if flushed_state is None:
+                flushed_state = {}
+            flushed_state.setdefault("bookmarks", {})[stream] = (
+                copy.deepcopy(state["bookmarks"][stream])
+            )
+        emitted.append(copy.deepcopy(flushed_state))
+
+    for lineno, kind, payload in events:
+        if kind == "RECORD":
+            stream, pk = payload
+            if stream not in structs:
+                raise ValueError(
+                    f"RECORD for stream {stream!r} before its SCHEMA"
+                )
+            buf = buffers.setdefault(stream, {})
+            if not buf:
+                lo[stream] = lineno
+            buf[pk] = lineno
+            if len(buf) >= batch_size_rows:
+                flush(stream, lineno)
+        elif kind == "SCHEMA":
+            stream = payload["stream"]
+            new_schema = payload["schema"]
+            if seen_schema.get(stream) == new_schema:
+                continue
+            if buffers.get(stream):
+                flush(stream, max(buffers[stream].values()))
+            seen_schema[stream] = new_schema
+            structs[stream] = json_schema_to_struct(
+                new_schema, float_compat
+            )
+        elif kind == "STATE":
+            state = payload["value"]
+            if flushed_state is None or pending_total() == 0:
+                flushed_state = copy.deepcopy(state)
+        elif kind == "ACTIVATE_VERSION":
+            stream = payload["stream"]
+            if buffers.get(stream):
+                flush(stream, max(buffers[stream].values()))
+            table = tables.setdefault(
+                stream, ParquetTable(f"{target_root}/{stream}")
+            )
+            if table.exists():
+                table.overwrite(
+                    _apply_activate(
+                        table.read(spark), int(payload["version"])
+                    )
+                )
+    # EOF: flush every stream with pending rows, then adopt the
+    # candidate state wholesale (__init__.py:330-337, 411-413)
+    had_pending = pending_total() > 0
+    for stream in list(buffers):
+        if buffers[stream]:
+            flush(stream, max(buffers[stream].values()), final=True)
+    if had_pending and state is not None:
+        flushed_state = copy.deepcopy(state)
+        emitted.append(copy.deepcopy(flushed_state))
+    if bookmarks is not None and flushed_state is not None:
+        for stream, bm in (flushed_state.get("bookmarks") or {}).items():
+            bookmarks.update(stream, dict(bm))
+        bookmarks.save()
+    return ReplayResult(
+        tables=tables,
+        state=flushed_state,
+        emitted_states=emitted,
+        n_flushes=n_flushes,
+    )

@@ -1,0 +1,217 @@
+"""Singer NDJSON capture interop (sources/singer.py): bulk one-pass
+load, faithful persist_lines replay (flush ordering, flushed_state,
+in-batch PK last-wins, schema-change flush), ACTIVATE_VERSION swaps.
+
+Reference contract: singer-connectors/target-snowflake/
+target_snowflake/__init__.py:122-416 (persist_lines / flush_streams).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.sources.singer import (
+    load_capture,
+    replay_capture,
+    scan_control_plane,
+)
+
+SCHEMA_PROPS = {
+    "id": {"type": ["null", "integer"]},
+    "name": {"type": ["null", "string"]},
+    "amount": {"type": ["null", "number"]},
+}
+
+
+def _schema(stream="t1", props=None, keys=("id",)):
+    return json.dumps({
+        "type": "SCHEMA", "stream": stream,
+        "schema": {"type": "object", "properties": props or SCHEMA_PROPS},
+        "key_properties": list(keys),
+    })
+
+
+def _rec(id_, name, amount, stream="t1", version=None, extra=None):
+    r = {"id": id_, "name": name, "amount": amount}
+    if extra:
+        r.update(extra)
+    o = {"type": "RECORD", "stream": stream, "record": r,
+         "time_extracted": "2024-03-01T00:00:00"}
+    if version is not None:
+        o["version"] = version
+    return json.dumps(o)
+
+
+def _state(bookmarks):
+    return json.dumps({"type": "STATE", "value": {"bookmarks": bookmarks}})
+
+
+def _activate(version, stream="t1"):
+    return json.dumps(
+        {"type": "ACTIVATE_VERSION", "stream": stream, "version": version}
+    )
+
+
+def _write(tmp_path, lines, name="cap.ndjson"):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_scan_control_plane_requires_key_properties(spark, tmp_path):
+    cap = _write(tmp_path, [json.dumps({
+        "type": "SCHEMA", "stream": "t1",
+        "schema": {"type": "object", "properties": SCHEMA_PROPS},
+        "key_properties": [],
+    })])
+    with pytest.raises(ValueError, match="key_properties"):
+        scan_control_plane(spark, cap)
+
+
+def test_load_capture_last_wins_merge_and_bookmarks(spark, tmp_path):
+    from pipelinewise_spark.plans.state import BookmarkStore
+
+    cap = _write(tmp_path, [
+        _schema(),
+        _rec(1, "a", 1.5), _rec(2, "b", 2.5), _rec(3, "c", 3.5),
+        _state({"t1": {"replication_key_value": 3}}),
+        _rec(3, "c2", 30.5),  # later line wins for id=3
+        _rec(4, "d", 4.5),
+        _state({"t1": {"replication_key_value": 4}}),
+    ])
+    bm = BookmarkStore(str(tmp_path / "state.json"))
+    tables = load_capture(spark, cap, str(tmp_path / "tgt"), bookmarks=bm)
+    got = {
+        r["id"]: (r["name"], r["amount"])
+        for r in tables["t1"].read(spark).collect()
+    }
+    assert got == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("c2", 30.5),
+                   4: ("d", 4.5)}
+    assert bm.get("t1", "replication_key_value") == 4
+    # _sdc lineage columns ride along
+    cols = tables["t1"].read(spark).columns
+    assert "_sdc_extracted_at" in cols and "_sdc_table_version" in cols
+
+
+def test_load_capture_activate_version_swap(spark, tmp_path):
+    cap = _write(tmp_path, [
+        _schema(),
+        _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        _rec(3, "c", 3.0, version=1),
+        _activate(1),
+        _rec(2, "B", 20.0, version=2), _rec(3, "C", 30.0, version=2),
+        _rec(4, "D", 40.0, version=2),
+        _activate(2),
+    ])
+    tables = load_capture(spark, cap, str(tmp_path / "tgt"))
+    got = {r["id"]: r["name"] for r in tables["t1"].read(spark).collect()}
+    assert got == {2: "B", 3: "C", 4: "D"}  # version-1-only rows gone
+
+
+def test_replay_flush_ordering_and_flushed_state(spark, tmp_path):
+    """The out-of-order STATE pin: a STATE arriving while records are
+    buffered must NOT advance the flushed state until those records
+    land; the EOF flush-all adopts the candidate wholesale."""
+    cap = _write(tmp_path, [
+        _schema(),
+        _state({"t1": {"pos": 0}}),           # nothing pending -> flushed
+        _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        _state({"t1": {"pos": 2}}),           # 2 pending -> NOT flushed yet
+        _rec(3, "c", 3.0),                    # row_count=3 -> FLUSH
+        _rec(3, "c2", 30.0),                  # cross-batch update
+        _rec(4, "d", 4.0), _rec(4, "d2", 40.0),  # in-batch dup: 1 new PK
+        _state({"t1": {"pos": 4}}),           # pending -> not flushed
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=3
+    )
+    assert res.n_flushes == 2
+    # first emit (the mid-capture flush) carries pos=2 — never pos=4
+    assert res.emitted_states[0]["bookmarks"]["t1"] == {"pos": 2}
+    assert all(
+        s["bookmarks"]["t1"]["pos"] < 4 for s in res.emitted_states[:-1]
+    )
+    # EOF flush-all adopts the final candidate state wholesale
+    assert res.state == {"bookmarks": {"t1": {"pos": 4}}}
+    got = {
+        r["id"]: (r["name"], r["amount"])
+        for r in res.tables["t1"].read(spark).collect()
+    }
+    # id=3: cross-batch MERGE last wins; id=4: in-batch dict last wins
+    assert got == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("c2", 30.0),
+                   4: ("d2", 40.0)}
+
+
+def test_replay_schema_change_flushes_previous_records(spark, tmp_path):
+    props2 = dict(SCHEMA_PROPS, tag={"type": ["null", "string"]})
+    cap = _write(tmp_path, [
+        _schema(),
+        _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        _schema(props=props2),                 # changed -> flush first
+        _rec(3, "c", 3.0, extra={"tag": "x"}),
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=100
+    )
+    assert res.n_flushes == 2
+    out = res.tables["t1"].read(spark)
+    assert "tag" in out.columns
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+
+
+def test_replay_activate_version(spark, tmp_path):
+    cap = _write(tmp_path, [
+        _schema(),
+        _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        _rec(3, "c", 3.0, version=1),
+        _activate(1),
+        _rec(2, "B", 20.0, version=2), _rec(3, "C", 30.0, version=2),
+        _rec(4, "D", 40.0, version=2),
+        _activate(2),
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=2
+    )
+    got = {r["id"]: r["name"] for r in res.tables["t1"].read(spark).collect()}
+    assert got == {2: "B", 3: "C", 4: "D"}
+
+
+def test_replay_multi_stream_independent_flush(spark, tmp_path):
+    s2_props = {"k": {"type": ["null", "integer"]},
+                "v": {"type": ["null", "string"]}}
+    cap = _write(tmp_path, [
+        _schema("t1"),
+        _schema("t2", props=s2_props, keys=("k",)),
+        _rec(1, "a", 1.0, stream="t1"),
+        json.dumps({"type": "RECORD", "stream": "t2",
+                    "record": {"k": 10, "v": "x"}}),
+        _state({"t1": {"pos": 1}, "t2": {"pos": 10}}),
+        _rec(2, "b", 2.0, stream="t1"),        # t1 row_count=2 -> flush t1
+        json.dumps({"type": "RECORD", "stream": "t2",
+                    "record": {"k": 11, "v": "y"}}),
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=2
+    )
+    # the t1 flush advanced ONLY t1's bookmark (t2 still buffered)
+    first = next(s for s in res.emitted_states if s is not None)
+    assert first["bookmarks"].get("t1") == {"pos": 1}
+    assert res.tables["t1"].read(spark).count() == 2
+    assert res.tables["t2"].read(spark).count() == 2
+
+
+def test_record_before_schema_raises(spark, tmp_path):
+    cap = _write(tmp_path, [_rec(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="before its SCHEMA"):
+        replay_capture(spark, cap, str(tmp_path / "tgt"))
+
+
+def test_null_pk_component_raises(spark, tmp_path):
+    cap = _write(tmp_path, [_schema(), _rec(None, "a", 1.0)])
+    with pytest.raises(ValueError, match="NULL primary-key"):
+        replay_capture(spark, cap, str(tmp_path / "tgt"))
