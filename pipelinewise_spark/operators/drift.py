@@ -1167,3 +1167,174 @@ def vocab_drift(
             ),
         )
     )
+
+
+class StreamingKSMonitor:
+    """APPROXIMATE per-segment Kolmogorov-Smirnov drift AT INGEST — the
+    missing stream twin of :func:`ks_drift_by_segment`, which stays
+    nightly-batch because exact KS needs the per-(segment, value) count
+    table (value-domain-scale state no bounded monitor should hold).
+    This monitor closes the batch/stream asymmetry with an O(segments ×
+    n_buckets) histogram-sketch CDF and a PROVABLE error bound:
+
+    - PIN (reference epoch, once): per-segment ``n_buckets``-tile edges
+      (one grouped distributed-quantile pass) and the reference's EXACT
+      cumulative counts at those edges — bucketing by ``#edges < v``
+      makes the CDF at each edge value exact on both sides, duplicate
+      edges included;
+    - FOLD (per micro-batch): one (segment, bucket)-grouped aggregate,
+      sum-mergeable — identical shape/state discipline to
+      :class:`SegmentedStreamingDriftMonitor` (metadata-scale JSON via
+      MetaFS, monotone-epoch guard, at-least-once-safe);
+    - DRAIN: the edge-restricted sup ``d_lo = max_i |F_r(e_i) −
+      F_c(e_i)|`` is a certain LOWER bound on the true KS statistic
+      (the CDFs are exact at the edges and the sup ranges over a subset
+      of the value axis), and ``d_hi = d_lo + max_i min(r_i/n_r,
+      c_i/n_c)`` is a certain UPPER bound: for v inside bucket i,
+      monotonicity gives F_r(v) − F_c(v) ≤ [F_r(e_{i−1}) − F_c(e_{i−1})]
+      + r_i/n_r and ≤ [F_r(e_i) − F_c(e_i)] + c_i/n_c (symmetrically
+      for F_c − F_r), so the true sup exceeds the edge sup by at most
+      the smaller one-side bucket mass. With reference-B-tile edges
+      r_i/n_r ≈ 1/n_buckets, so the bound width is ~1e6/n_buckets ppm
+      at worst and usually far tighter on the current side.
+
+    Everything stays in exact integer space (Python bigints over the
+    drained counts; the per-batch fold is count addition), so
+    ``d_lo_ppm ≤ exact_d_ppm ≤ d_hi_ppm`` is a checkable contract
+    against :func:`ks_drift_by_segment` on the same rows — asserted in
+    tests and in the registry query's oracle. NULL values/segments are
+    excluded on both sides and segments absent from the reference epoch
+    are out of scope, exactly like the exact batch KS
+    (:func:`_two_sample_value_counts`) and the bucketed TVD monitor.
+
+    Returns from :meth:`report`: (segment, n_ref, n_cur, d_lo_ppm,
+    d_hi_ppm, err_bound_ppm, significant) — ``significant`` is the
+    alpha=0.05 two-sample test applied to the CONSERVATIVE d_hi (a
+    monitor should page on "may have drifted past the bound", and the
+    d_lo/d_hi pair tells the operator how much of that is bucketing
+    slack)."""
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        value_col: str,
+        tie_cols: Sequence[str],
+        segment_col: str,
+        state_dir: str,
+        n_buckets: int = 64,
+    ):
+        import json
+
+        import pyarrow.fs as _pafs
+
+        from pipelinewise_spark.operators.fsio import MetaFS
+
+        self.value_col = value_col
+        self.segment_col = segment_col
+        self.n_buckets = n_buckets
+        self.mfs = MetaFS(state_dir)
+        if isinstance(self.mfs.fs, _pafs.LocalFileSystem):
+            self.mfs.mkdirs()
+        if self.mfs.exists("_ks_state.json"):
+            self.state = json.loads(self.mfs.read_text("_ks_state.json"))
+            self.n_buckets = int(self.state["n_buckets"])
+            return
+        bounds = derive_segment_bucket_bounds(
+            reference, value_col, tie_cols, segment_col, n_buckets
+        )
+        ref_rows = _segment_bucket_counts(
+            reference, bounds, value_col, segment_col, "ref_cnt"
+        ).collect()  # n_segments x n_buckets rows — metadata
+        zero = {
+            seg: {str(b): 0 for b in range(1, n_buckets + 1)}
+            for seg in bounds
+        }
+        ref = {seg: dict(z) for seg, z in zero.items()}
+        for r in ref_rows:
+            ref[r["segment"]][str(int(r["bucket"]))] = int(r["ref_cnt"])
+        self.state = {
+            "n_buckets": n_buckets,
+            "bounds": bounds,
+            "ref": ref,
+            "cur": zero,
+            "epoch_hwm": None,
+            "n_applied": 0,
+        }
+        self._save()
+
+    def _save(self) -> None:
+        import json
+
+        self.mfs.write_text(
+            json.dumps(self.state), "_ks_state.json", atomic=True
+        )
+
+    def on_batch(self, batch: DataFrame, epoch: int) -> None:
+        """Fold one micro-batch's (segment, bucket) counts. Idempotent
+        per epoch (at-least-once transport safe)."""
+        hwm = self.state.get("epoch_hwm")
+        if hwm is not None and epoch <= hwm:
+            return
+        rows = _segment_bucket_counts(
+            batch, self.state["bounds"], self.value_col, self.segment_col,
+            "n",
+        ).collect()  # n_segments x n_buckets rows — metadata
+        for r in rows:
+            seg, b = r["segment"], str(int(r["bucket"]))
+            cur = self.state["cur"][seg]
+            cur[b] = cur.get(b, 0) + int(r["n"])
+        self.state["epoch_hwm"] = (
+            epoch if hwm is None else max(hwm, epoch)
+        )
+        self.state["n_applied"] = self.state.get("n_applied", 0) + 1
+        self._save()
+
+    def report(self, spark) -> DataFrame:
+        """(segment, n_ref, n_cur, d_lo_ppm, d_hi_ppm, err_bound_ppm,
+        significant) from the folded state — exact bigint arithmetic
+        over O(segments × n_buckets) drained counts; the only floats
+        are the literal-coefficient significance test."""
+        B = self.n_buckets
+        out = []
+        for seg in sorted(self.state["bounds"]):
+            rc = [
+                int(self.state["ref"][seg].get(str(b), 0))
+                for b in range(1, B + 1)
+            ]
+            cc = [
+                int(self.state["cur"][seg].get(str(b), 0))
+                for b in range(1, B + 1)
+            ]
+            n_r, n_c = sum(rc), sum(cc)
+            if n_r == 0 or n_c == 0:
+                out.append((seg, n_r, n_c, 1_000_000, 1_000_000, 0, True))
+                continue
+            d2 = 0
+            cum_r = cum_c = 0
+            for i in range(B - 1):  # CDFs at the B-1 edges
+                cum_r += rc[i]
+                cum_c += cc[i]
+                d2 = max(d2, abs(cum_r * n_c - cum_c * n_r))
+            mass2 = max(min(r * n_c, c * n_r) for r, c in zip(rc, cc))
+            denom = n_r * n_c
+            # floor is monotone and the exact statistic's d2 satisfies
+            # d2 <= d2_exact <= d2 + mass2 in integer space, so
+            # d_lo_ppm <= exact_d_ppm <= d_hi_ppm with plain floors
+            d_lo = (1_000_000 * d2) // denom
+            d_hi = (1_000_000 * (d2 + mass2)) // denom
+            # operand-converted IEEE arithmetic (cast each exact integer
+            # to double, THEN divide) — the evaluation order every SQL
+            # engine uses, so the boolean is engine-portable even when
+            # d2 + mass2 exceeds 2^53
+            fden = float(n_r) * float(n_c)
+            sig = float(d2 + mass2) / fden > 1.358 * (
+                (n_r + n_c) / fden
+            ) ** 0.5
+            out.append(
+                (seg, n_r, n_c, d_lo, d_hi, d_hi - d_lo, bool(sig))
+            )
+        return spark.createDataFrame(
+            out,
+            "segment string, n_ref long, n_cur long, d_lo_ppm long, "
+            "d_hi_ppm long, err_bound_ppm long, significant boolean",
+        )

@@ -1568,3 +1568,191 @@ def stream_quality_report_events(
         "monitor string, segment string, metric long, threshold long, "
         "drifted boolean",
     )
+
+
+_KS_QS = ", ".join(str(i / 16) for i in range(1, 16))  # dyadic: float-exact
+
+_STREAM_KS_ORACLE = f"""
+    WITH ref AS (
+        SELECT event_type AS segment, value AS v
+        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN value + 50
+                    ELSE value END AS v
+        FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    -- the pinned per-segment 16-tile edges (6-dp-rounded, the
+    -- engine-portable pin derive_segment_bucket_bounds writes)
+    edges AS (
+        SELECT segment,
+               list_transform(
+                 quantile_cont(v, [{_KS_QS}]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref GROUP BY segment),
+    rb AS (
+        SELECT r.segment,
+               COALESCE(len(list_filter(e.es, x -> r.v > x)), 0) + 1
+                   AS bucket
+        FROM ref r JOIN edges e USING (segment)),
+    cb AS (
+        SELECT c.segment,
+               COALESCE(len(list_filter(e.es, x -> c.v > x)), 0) + 1
+                   AS bucket
+        FROM cur c JOIN edges e USING (segment)),
+    rcnt AS (SELECT segment, bucket, COUNT(*) AS rn FROM rb
+             GROUP BY segment, bucket),
+    ccnt AS (SELECT segment, bucket, COUNT(*) AS cn FROM cb
+             GROUP BY segment, bucket),
+    per AS (
+        SELECT e.segment, b.bucket,
+               CAST(COALESCE(rcnt.rn, 0) AS HUGEINT) AS rn,
+               CAST(COALESCE(ccnt.cn, 0) AS HUGEINT) AS cn
+        FROM edges e
+        CROSS JOIN (SELECT unnest(range(1, 17)) AS bucket) b
+        LEFT JOIN rcnt ON rcnt.segment = e.segment
+                      AND rcnt.bucket = b.bucket
+        LEFT JOIN ccnt ON ccnt.segment = e.segment
+                      AND ccnt.bucket = b.bucket),
+    tot AS (SELECT segment, SUM(rn) AS snr, SUM(cn) AS snc
+            FROM per GROUP BY segment),
+    cums AS (
+        SELECT per.segment, per.bucket, per.rn, per.cn,
+               SUM(rn) OVER (PARTITION BY per.segment
+                             ORDER BY bucket) AS cum_r,
+               SUM(cn) OVER (PARTITION BY per.segment
+                             ORDER BY bucket) AS cum_c
+        FROM per),
+    es AS (
+        SELECT c.segment,
+               MAX(CASE WHEN c.bucket < 16
+                        THEN ABS(c.cum_r * t.snc - c.cum_c * t.snr)
+                        ELSE 0 END) AS d2e,
+               MAX(LEAST(c.rn * t.snc, c.cn * t.snr)) AS mass2
+        FROM cums c JOIN tot t USING (segment) GROUP BY c.segment),
+    -- the exact two-sample KS on the same rows (the nightly batch twin)
+    pv AS (
+        SELECT segment, v,
+               CAST(SUM(r) AS HUGEINT) AS cr, CAST(SUM(c) AS HUGEINT) AS cc
+        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
+              UNION ALL
+              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
+        GROUP BY segment, v),
+    cum AS (
+        SELECT segment, v,
+               SUM(cr) OVER (PARTITION BY segment ORDER BY v) AS cum_r,
+               SUM(cc) OVER (PARTITION BY segment ORDER BY v) AS cum_c
+        FROM pv),
+    n AS (SELECT segment, CAST(SUM(cr) AS HUGEINT) AS n_ref,
+                 CAST(SUM(cc) AS HUGEINT) AS n_cur
+          FROM pv GROUP BY segment),
+    dx AS (SELECT c.segment,
+                  MAX(ABS(cum_r * n_cur - cum_c * n_ref)) AS d2x
+           FROM cum c JOIN n ON c.segment = n.segment
+           GROUP BY c.segment)
+    SELECT n.segment,
+           CAST(n.n_ref AS BIGINT) AS n_ref,
+           CAST(n.n_cur AS BIGINT) AS n_cur,
+           CAST((1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
+                AS BIGINT) AS d_ppm,
+           CAST((1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+                AS BIGINT) AS d_lo_ppm,
+           CAST((1000000::HUGEINT * (es.d2e + es.mass2))
+                // (n.n_ref * n.n_cur) AS BIGINT) AS d_hi_ppm,
+           CAST((1000000::HUGEINT * (es.d2e + es.mass2))
+                // (n.n_ref * n.n_cur)
+                - (1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+                AS BIGINT) AS err_bound_ppm,
+           (1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+               <= (1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
+           AND (1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
+               <= (1000000::HUGEINT * (es.d2e + es.mass2))
+                  // (n.n_ref * n.n_cur) AS within_bound,
+           CAST(es.d2e + es.mass2 AS DOUBLE)
+               / (CAST(n.n_ref AS DOUBLE) * CAST(n.n_cur AS DOUBLE))
+               > 1.358 * sqrt((CAST(n.n_ref AS BIGINT)
+                               + CAST(n.n_cur AS BIGINT))
+                              / (CAST(n.n_ref AS DOUBLE)
+                                 * CAST(n.n_cur AS DOUBLE)))
+               AS stream_significant,
+           CAST(dx.d2x AS DOUBLE)
+               / (CAST(n.n_ref AS DOUBLE) * CAST(n.n_cur AS DOUBLE))
+               > 1.358 * sqrt((CAST(n.n_ref AS BIGINT)
+                               + CAST(n.n_cur AS BIGINT))
+                              / (CAST(n.n_ref AS DOUBLE)
+                                 * CAST(n.n_cur AS DOUBLE)))
+               AS exact_significant
+    FROM n JOIN dx ON n.segment = dx.segment
+           JOIN es ON n.segment = es.segment
+"""
+
+
+@register("stream_ks_drift_events", oracle=_STREAM_KS_ORACLE)
+def stream_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE streaming KS drift (operators/drift.py:
+    StreamingKSMonitor) — the last batch/stream monitor-matrix
+    asymmetry closed: exact per-segment KS needs per-(segment, value)
+    state, so the INGEST monitor folds an O(segments × 16) histogram
+    CDF against reference-pinned 16-tile edges and, on drain, brackets
+    the true statistic with a PROVABLE sandwich d_lo ≤ d_exact ≤ d_hi
+    (CDFs are exact at the pinned edges; the slack is one bucket's
+    smaller-side mass). The current epoch (odd event_ids, 'click'
+    values shifted +50) folds in four micro-batches with one
+    at-least-once redelivery; the result joins the drained bracket to
+    the nightly batch-exact KS on the same rows, so the driver's hash
+    check pins BOTH engines computing the exact statistic, the
+    bracket, the bound width, the within-bound contract, and both
+    significance verdicts (the stream's conservative d_hi test and the
+    exact test) to identical integers/booleans."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.operators.drift import (
+        StreamingKSMonitor,
+        ks_drift_by_segment,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    is_click = F.col("event_type") == "click"
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.when(is_click, F.col("value") + 50.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).filter(F.col("value").isNotNull())
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_sks_")
+    mon = StreamingKSMonitor(
+        ref, "value", ["event_id"], "event_type",
+        os.path.join(tmp, "st"), n_buckets=16,
+    )
+    for k in (1, 3, 5, 7):  # odd ids split four ways
+        mon.on_batch(cur.filter(F.col("event_id") % 8 == k), k)
+    mon.on_batch(cur.filter(F.col("event_id") % 8 == 1), 1)  # replay: no-op
+    assert mon.state["n_applied"] == 4
+    rep = mon.report(spark).alias("s")
+    exact = ks_drift_by_segment(
+        ref, cur, "value", "event_type"
+    ).alias("e")
+    out = exact.join(rep, "segment").select(
+        "segment",
+        F.col("e.n_ref").alias("n_ref"),
+        F.col("e.n_cur").alias("n_cur"),
+        F.col("e.d_ppm").alias("d_ppm"),
+        F.col("s.d_lo_ppm").alias("d_lo_ppm"),
+        F.col("s.d_hi_ppm").alias("d_hi_ppm"),
+        F.col("s.err_bound_ppm").alias("err_bound_ppm"),
+        (
+            (F.col("s.d_lo_ppm") <= F.col("e.d_ppm"))
+            & (F.col("e.d_ppm") <= F.col("s.d_hi_ppm"))
+        ).alias("within_bound"),
+        F.col("s.significant").alias("stream_significant"),
+        F.col("e.significant").alias("exact_significant"),
+    )
+    rows = out.collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    return spark.createDataFrame(rows, out.schema)
