@@ -780,6 +780,73 @@ def _cmd_quality(args: argparse.Namespace) -> int:
     return 1 if payload["drifted"] else 0
 
 
+def _cmd_replay_quarantine(args: argparse.Namespace) -> int:
+    """Complete the validation → quarantine → repair loop
+    (operators/validation.py:quarantine_split buries the reference's
+    validate-and-abort; this verb is the missing way BACK): dead-letter
+    rows carry their full payload as ``_dlq_record`` JSON, so after the
+    schema or source is fixed, re-parse them under the FIXED JSON
+    Schema, re-validate, MERGE the now-valid rows into the target
+    ManifestTable by PK, and keep only the still-invalid remainder
+    quarantined (published atomically when the quarantine is a
+    ParquetTable root; written to ``<dir>_remaining`` for a plain
+    parquet dir). Exit 0 when the quarantine drains, 1 when rows
+    remain — a cron line IS the repair monitor."""
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.operators.validation import (
+        compile_json_schema,
+        quarantine_split,
+    )
+    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-replay-quarantine")
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(args.schema, encoding="utf-8") as fh:
+        schema_doc = json.load(fh)
+    qtable = ParquetTable(args.quarantine)
+    versioned = qtable.exists()
+    dlq = (
+        qtable.read(spark) if versioned
+        else spark.read.parquet(args.quarantine)
+    )
+    if "_dlq_record" not in dlq.columns:
+        raise SystemExit(
+            f"{args.quarantine} has no _dlq_record column — not a "
+            "quarantine produced by quarantine_split"
+        )
+    struct = json_schema_to_struct(schema_doc)
+    parsed = dlq.select(
+        F.from_json("_dlq_record", struct).alias("__r")
+    ).select("__r.*")
+    valid, still = quarantine_split(
+        parsed, compile_json_schema(schema_doc)
+    )
+    n_valid = valid.count()
+    if n_valid:
+        ManifestTable(args.table).merge(spark, valid, list(args.pk))
+    if versioned:
+        qtable.overwrite(still)  # atomic snapshot swap, read-safe
+        remaining_path = args.quarantine
+    else:
+        remaining_path = args.quarantine.rstrip("/") + "_remaining"
+        still.write.mode("overwrite").parquet(remaining_path)
+    n_still = (
+        qtable.read(spark).count() if versioned
+        else spark.read.parquet(remaining_path).count()
+    )
+    print(json.dumps({
+        "replayed": n_valid,
+        "still_invalid": n_still,
+        "table": args.table,
+        "remaining": remaining_path,
+    }))
+    return 0 if n_still == 0 else 1
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -1142,6 +1209,24 @@ def main(argv: list[str] | None = None) -> int:
         help="comma list of monitor verbs to report (default: all)",
     )
     qual.set_defaults(fn=_cmd_quality)
+
+    rq = sub.add_parser(
+        "replay-quarantine",
+        help="re-drive dead-letter rows through validation after a "
+             "schema/source fix; repaired rows MERGE into the target, "
+             "the rest stay quarantined",
+    )
+    rq.add_argument("quarantine",
+                    help="quarantine parquet dir or ParquetTable root "
+                         "(_dlq_record + violations rows)")
+    rq.add_argument("--schema", required=True,
+                    help="path to the FIXED stream JSON Schema document")
+    rq.add_argument("--table", required=True,
+                    help="target ManifestTable root to merge repaired "
+                         "rows into")
+    rq.add_argument("--pk", action="append", required=True,
+                    help="primary-key column (repeatable)")
+    rq.set_defaults(fn=_cmd_replay_quarantine)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"
