@@ -25,6 +25,63 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
+    # ================= r12 prefix-50 =================
+    # Composition (executes the r11-documented rotation plan against the
+    # actual cumulative latest-green record: after r11 the map reads
+    # 13 r6-green rows, 42 r7-green rows, and 6 never-driver-graded
+    # registrations — the 3 r11 post-prefix rows + the 3 new in r12):
+    # Part A (6): never driver-graded — NEW in r12 (the Singer NDJSON
+    # capture interop source's two faces: faithful flush-ordered replay
+    # and the bulk ACTIVATE_VERSION path; the approximate streaming KS
+    # with its provable d_lo <= exact <= d_hi sandwich) + the r11
+    # post-prefix registrations (order-pinned ranking metrics, the
+    # bounded sign-LSH pair guard, the ingest-time domain-cap admitter
+    # — r12 also rebuilt the admitter's budget state as versioned
+    # parquet, so this row doubles as its code-touched re-grade).
+    "singer_stream_sync_orders", "singer_activate_version_orders",
+    "stream_ks_drift_events", "retrieval_metrics_documents",
+    "embedding_bounded_near_dup_pairs", "stream_domain_cap_documents",
+    # Part B (4): r12 code-touched — the null-safe k-anonymity/
+    # l-diversity class join (expectations.py), the Benford null-segment
+    # stream fold fix (monitors.py), and the PQ/ADC probe-set guard on
+    # both pq query paths (similarity.py).
+    "wap_privacy_gate_customer", "stream_quality_report_events",
+    "pq_index_lifecycle_embeddings", "embedding_pq_topk",
+    # Part C (13): the entire remaining r6-green block (the r11 plan's
+    # named rows).
+    "bloom_point_lookup_orders", "curation_funnel_documents",
+    "embedding_incremental_batch", "exact_quantiles_lineitem",
+    "group_interpolated_quantiles_orders", "group_quantiles_orders",
+    "incremental_lm_update_documents", "incremental_mv_orders",
+    "interpolated_quantiles_lineitem", "snapshot_drift_orders",
+    "stream_curation_ingest_documents", "stream_stream_join_attribution",
+    "zorder_pruned_read_orders",
+    # Part D (27): staleness rotation — the oldest r7-green rows,
+    # alphabetical for determinism (the remaining 15 r7 rows —
+    # rollback/scd2/star_rollup/session_window/shuffle_shards/
+    # temperature_sample/time_travel/token_budget/update_where/
+    # table_changes/semantic_dedup/wap_publish/winsorize/
+    # merge_on_read/mv_rewrite-adjacent — are the r13 rotation plan,
+    # together with the 44 r8-green rows next in line).
+    "approx_stats_lineitem", "ccnet_perplexity_buckets_documents",
+    "cdc_stream_mor_orders", "cdf_follow_mv_orders",
+    "cdf_sketch_maintenance_orders",
+    "contamination_span_coverage_documents", "dsir_weights_documents",
+    "duplicated_span_coverage_documents", "dv_delete_orders",
+    "embedding_ivf_topk", "embedding_mean_pool_by_label",
+    "embedding_quantized_topk", "epoch_upsample_documents",
+    "excise_duplicated_spans_documents", "expectations_report_orders",
+    "export_roundtrip_orders", "funnel_click_purchase",
+    "gap_fill_daily_revenue", "hidden_partition_prune_orders",
+    "histogram_quantile_orders", "hll_distinct_users_by_type",
+    "medallion_cdc_gold_orders", "merge_schema_drift_orders",
+    "multimodal_features_stub", "mv_rewrite_orders",
+    "nb_langid_documents", "robust_scale_order_totals",
+    # ============== end r12 prefix-50 ==============
+    # The full r11 ordering follows unchanged (duplicates of the rows
+    # above collapse in the ordered-dict rebuild): its prefix rows are
+    # all r11-green — the freshest on record — so they lead the
+    # post-prefix order.
     # ================= r11 prefix-50 =================
     # Composition (executes the r10-documented rotation plan, corrected
     # against the actual CORRECTNESS_r* record: the cumulative latest-
