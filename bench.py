@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "singer_stream_sync_orders",
     "singer_activate_version_orders",
     "stream_ks_drift_events",
+    "stream_mw_drift_events",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -1175,7 +1175,10 @@ class StreamingKSMonitor:
     nightly-batch because exact KS needs the per-(segment, value) count
     table (value-domain-scale state no bounded monitor should hold).
     This monitor closes the batch/stream asymmetry with an O(segments ×
-    n_buckets) histogram-sketch CDF and a PROVABLE error bound:
+    n_buckets) histogram-sketch CDF and a PROVABLE error bound — and
+    the SAME drained state brackets the other nightly-only rank verb,
+    Mann-Whitney (:meth:`mw_report`), so one ingest fold serves the
+    full rank-monitor family:
 
     - PIN (reference epoch, once): per-segment ``n_buckets``-tile edges
       (one grouped distributed-quantile pass) and the reference's EXACT
@@ -1337,4 +1340,70 @@ class StreamingKSMonitor:
             out,
             "segment string, n_ref long, n_cur long, d_lo_ppm long, "
             "d_hi_ppm long, err_bound_ppm long, significant boolean",
+        )
+
+    def mw_report(
+        self, spark, effect_threshold_ppm: int = 100_000
+    ) -> DataFrame:
+        """Mann-Whitney LOCATION drift from the SAME drained histogram
+        state — the second rank verb the nightly batch matrix owns
+        (:func:`mw_drift_from_counts`), bracketed exactly like
+        :meth:`report` brackets KS: cross-bucket pairs are fully
+        ORDERED by the interval partition (ref in bucket a, cur in
+        bucket b<a ⇒ ref > e_{a−1} ≥ e_b ≥ cur, strict even with
+        duplicate edges), so the doubled U-statistic satisfies the
+        certain integer sandwich
+
+            u2_lo = 2·Σ_a r_a·C(a−1)  ≤  u2_exact  ≤  u2_lo + 2·Σ_b r_b·c_b
+
+        (same-bucket pairs contribute anywhere in [0, r_b·c_b] each,
+        ties included at ½). The common-language effect brackets by
+        floor monotonicity: effect_lo_ppm ≤ exact effect_ppm ≤
+        effect_hi_ppm, checkable against the batch twin on the same
+        rows. ``drifted`` is the CONSERVATIVE page-on-possibility flag:
+        true when the bracket is not fully inside
+        [0.5 − t, 0.5 + t] — the d_lo/d_hi pair tells the operator how
+        much is bucketing slack (width ≈ 1e6/n_buckets ppm).
+
+        Returns (segment, n_ref, n_cur, u2_lo, u2_hi, effect_lo_ppm,
+        effect_hi_ppm, err_bound_ppm, drifted)."""
+        B = self.n_buckets
+        t = int(effect_threshold_ppm)
+        out = []
+        for seg in sorted(self.state["bounds"]):
+            rc = [
+                int(self.state["ref"][seg].get(str(b), 0))
+                for b in range(1, B + 1)
+            ]
+            cc = [
+                int(self.state["cur"][seg].get(str(b), 0))
+                for b in range(1, B + 1)
+            ]
+            n_r, n_c = sum(rc), sum(cc)
+            if n_r == 0 or n_c == 0:
+                out.append(
+                    (seg, n_r, n_c, 0, 0, 1_000_000, 1_000_000, 0, True)
+                )
+                continue
+            u2_lo = 0
+            cum_c = 0
+            same2 = 0
+            for a in range(B):
+                u2_lo += 2 * rc[a] * cum_c  # cur strictly below bucket a
+                same2 += 2 * rc[a] * cc[a]
+                cum_c += cc[a]
+            u2_hi = u2_lo + same2
+            denom2 = 2 * n_r * n_c
+            e_lo = (1_000_000 * u2_lo) // denom2
+            e_hi = (1_000_000 * u2_hi) // denom2
+            drifted = (e_hi > 500_000 + t) or (e_lo < 500_000 - t)
+            out.append(
+                (seg, n_r, n_c, u2_lo, u2_hi, e_lo, e_hi, e_hi - e_lo,
+                 bool(drifted))
+            )
+        return spark.createDataFrame(
+            out,
+            "segment string, n_ref long, n_cur long, u2_lo long, "
+            "u2_hi long, effect_lo_ppm long, effect_hi_ppm long, "
+            "err_bound_ppm long, drifted boolean",
         )

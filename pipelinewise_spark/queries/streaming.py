@@ -1756,3 +1756,181 @@ def stream_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     assert rows and all(r["within_bound"] for r in rows)
     return spark.createDataFrame(rows, out.schema)
+
+
+_STREAM_MW_ORACLE = f"""
+    WITH ref AS (
+        SELECT event_type AS segment, value AS v
+        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    cur AS (
+        SELECT event_type AS segment,
+               CASE WHEN event_type = 'click' THEN value + 50
+                    ELSE value END AS v
+        FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    edges AS (
+        SELECT segment,
+               list_transform(
+                 quantile_cont(v, [{_KS_QS}]),
+                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
+                   AS es
+        FROM ref GROUP BY segment),
+    rb AS (
+        SELECT r.segment,
+               COALESCE(len(list_filter(e.es, x -> r.v > x)), 0) + 1
+                   AS bucket
+        FROM ref r JOIN edges e USING (segment)),
+    cb AS (
+        SELECT c.segment,
+               COALESCE(len(list_filter(e.es, x -> c.v > x)), 0) + 1
+                   AS bucket
+        FROM cur c JOIN edges e USING (segment)),
+    rcnt AS (SELECT segment, bucket, COUNT(*) AS rn FROM rb
+             GROUP BY segment, bucket),
+    ccnt AS (SELECT segment, bucket, COUNT(*) AS cn FROM cb
+             GROUP BY segment, bucket),
+    per AS (
+        SELECT e.segment, b.bucket,
+               CAST(COALESCE(rcnt.rn, 0) AS HUGEINT) AS rn,
+               CAST(COALESCE(ccnt.cn, 0) AS HUGEINT) AS cn
+        FROM edges e
+        CROSS JOIN (SELECT unnest(range(1, 17)) AS bucket) b
+        LEFT JOIN rcnt ON rcnt.segment = e.segment
+                      AND rcnt.bucket = b.bucket
+        LEFT JOIN ccnt ON ccnt.segment = e.segment
+                      AND ccnt.bucket = b.bucket),
+    cums AS (
+        SELECT per.segment, per.bucket, per.rn, per.cn,
+               SUM(cn) OVER (PARTITION BY per.segment
+                             ORDER BY bucket) AS cum_c
+        FROM per),
+    br AS (
+        SELECT segment,
+               2 * SUM(rn * (cum_c - cn)) AS u2_lo,
+               2 * SUM(rn * cum_c) AS u2_hi
+        FROM cums GROUP BY segment),
+    -- exact MW on the same rows (the nightly batch twin)
+    pv AS (
+        SELECT segment, v,
+               CAST(SUM(r) AS HUGEINT) AS cr, CAST(SUM(c) AS HUGEINT) AS cc
+        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
+              UNION ALL
+              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
+        GROUP BY segment, v),
+    ranked AS (
+        SELECT segment, cr, cc,
+               2 * SUM(cr + cc) OVER (PARTITION BY segment ORDER BY v)
+                 - (cr + cc) + 1 AS r2
+        FROM pv),
+    agg AS (
+        SELECT segment,
+               SUM(cr * r2) AS rr2,
+               SUM(cr) AS n_ref, SUM(cc) AS n_cur
+        FROM ranked GROUP BY segment)
+    SELECT a.segment,
+           CAST(a.n_ref AS BIGINT) AS n_ref,
+           CAST(a.n_cur AS BIGINT) AS n_cur,
+           CAST(a.rr2 - a.n_ref * (a.n_ref + 1) AS BIGINT) AS u_ref_x2,
+           CAST((1000000::HUGEINT * (a.rr2 - a.n_ref * (a.n_ref + 1)))
+                // (2::HUGEINT * a.n_ref * a.n_cur) AS BIGINT)
+               AS effect_ppm,
+           CAST(br.u2_lo AS BIGINT) AS u2_lo,
+           CAST(br.u2_hi AS BIGINT) AS u2_hi,
+           CAST((1000000::HUGEINT * br.u2_lo)
+                // (2::HUGEINT * a.n_ref * a.n_cur) AS BIGINT)
+               AS effect_lo_ppm,
+           CAST((1000000::HUGEINT * br.u2_hi)
+                // (2::HUGEINT * a.n_ref * a.n_cur) AS BIGINT)
+               AS effect_hi_ppm,
+           CAST((1000000::HUGEINT * br.u2_hi)
+                // (2::HUGEINT * a.n_ref * a.n_cur)
+                - (1000000::HUGEINT * br.u2_lo)
+                  // (2::HUGEINT * a.n_ref * a.n_cur) AS BIGINT)
+               AS err_bound_ppm,
+           br.u2_lo <= a.rr2 - a.n_ref * (a.n_ref + 1)
+           AND a.rr2 - a.n_ref * (a.n_ref + 1) <= br.u2_hi
+               AS within_bound,
+           (1000000::HUGEINT * br.u2_hi)
+               // (2::HUGEINT * a.n_ref * a.n_cur) > 600000
+           OR (1000000::HUGEINT * br.u2_lo)
+               // (2::HUGEINT * a.n_ref * a.n_cur) < 400000
+               AS stream_drifted,
+           ABS((1000000::HUGEINT * (a.rr2 - a.n_ref * (a.n_ref + 1)))
+               // (2::HUGEINT * a.n_ref * a.n_cur) - 500000) > 100000
+               AS exact_drifted
+    FROM agg a JOIN br ON a.segment = br.segment
+"""
+
+
+@register("stream_mw_drift_events", oracle=_STREAM_MW_ORACLE)
+def stream_mw_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE streaming Mann-Whitney location drift
+    (operators/drift.py:StreamingKSMonitor.mw_report) — the SECOND rank
+    verb served by the same O(segments × 16) ingest histogram that
+    brackets KS, fully closing the rank-monitor batch/stream
+    asymmetry: cross-bucket pairs are completely ordered by the
+    interval partition, so the doubled U-statistic satisfies the
+    certain integer sandwich u2_lo ≤ u2_exact ≤ u2_hi (same-bucket
+    pairs contribute [0, r·c] each, ties at ½), and the
+    common-language effect brackets by floor monotonicity. The current
+    epoch (odd event_ids, 'click' +50) folds in four micro-batches
+    with one at-least-once redelivery; the result joins the drained
+    bracket to the batch-exact MW on the same rows — the driver's hash
+    check pins both engines computing the exact doubled U, the
+    bracket, the bound width, the within-bound contract, and both
+    drift verdicts (the stream's conservative bracket-outside-band
+    page and the exact test)."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.operators.drift import (
+        StreamingKSMonitor,
+        mw_drift_by_segment,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    is_click = F.col("event_type") == "click"
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.when(is_click, F.col("value") + 50.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).filter(F.col("value").isNotNull())
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_smw_")
+    mon = StreamingKSMonitor(
+        ref, "value", ["event_id"], "event_type",
+        os.path.join(tmp, "st"), n_buckets=16,
+    )
+    for k in (1, 3, 5, 7):
+        mon.on_batch(cur.filter(F.col("event_id") % 8 == k), k)
+    mon.on_batch(cur.filter(F.col("event_id") % 8 == 1), 1)  # replay: no-op
+    assert mon.state["n_applied"] == 4
+    rep = mon.mw_report(spark).alias("s")
+    exact = mw_drift_by_segment(
+        ref, cur, "value", "event_type"
+    ).alias("e")
+    out = exact.join(rep, "segment").select(
+        "segment",
+        F.col("e.n_ref").alias("n_ref"),
+        F.col("e.n_cur").alias("n_cur"),
+        F.col("e.u_ref_x2").alias("u_ref_x2"),
+        F.col("e.effect_ppm").alias("effect_ppm"),
+        F.col("s.u2_lo").alias("u2_lo"),
+        F.col("s.u2_hi").alias("u2_hi"),
+        F.col("s.effect_lo_ppm").alias("effect_lo_ppm"),
+        F.col("s.effect_hi_ppm").alias("effect_hi_ppm"),
+        F.col("s.err_bound_ppm").alias("err_bound_ppm"),
+        (
+            (F.col("s.u2_lo") <= F.col("e.u_ref_x2"))
+            & (F.col("e.u_ref_x2") <= F.col("s.u2_hi"))
+        ).alias("within_bound"),
+        F.col("s.drifted").alias("stream_drifted"),
+        F.col("e.drifted").alias("exact_drifted"),
+    )
+    rows = out.collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    return spark.createDataFrame(rows, out.schema)

@@ -109,3 +109,33 @@ def test_empty_side_is_maximal_drift(spark, tmp_path):
     assert all(
         r["d_lo_ppm"] == 1_000_000 and r["significant"] for r in rep
     )
+
+
+def test_mw_bracket_sandwiches_exact_u_and_flags(spark, tmp_path):
+    """The SAME drained histogram state brackets Mann-Whitney: the
+    doubled U sandwich u2_lo <= exact u2 <= u2_hi holds segment-wise,
+    the effect bracket contains the exact effect, the shifted segment
+    pages and the unshifted ones do not (bracket fully inside the
+    100k-ppm band)."""
+    from pipelinewise_spark.operators.drift import mw_drift_by_segment
+
+    ref, cur = _frames(spark)
+    mon = StreamingKSMonitor(
+        ref, "v", ["event_id"], "seg", str(tmp_path / "st"), n_buckets=64
+    )
+    for i in range(3):
+        mon.on_batch(cur.filter(F.col("event_id") % 3 == i), i)
+    got = {r["segment"]: r for r in mon.mw_report(spark).collect()}
+    exact = {
+        r["segment"]: r
+        for r in mw_drift_by_segment(ref, cur, "v", "seg").collect()
+    }
+    for seg in got:
+        g, e = got[seg], exact[seg]
+        assert g["u2_lo"] <= e["u_ref_x2"] <= g["u2_hi"], (seg, g, e)
+        assert (
+            g["effect_lo_ppm"] <= e["effect_ppm"] <= g["effect_hi_ppm"]
+        )
+        assert g["err_bound_ppm"] <= 30_000  # ~1/64 + integer-tie slack
+    assert got["1"]["drifted"] and exact["1"]["drifted"]
+    assert not got["0"]["drifted"] and not got["2"]["drifted"]
