@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "singer_activate_version_orders",
     "stream_ks_drift_events",
     "stream_mw_drift_events",
+    "singer_capture_roundtrip_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

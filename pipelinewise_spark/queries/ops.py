@@ -2879,3 +2879,51 @@ def singer_activate_version_orders(
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.col("_sdc_table_version"),
     )
+
+
+@register(
+    "singer_capture_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def singer_capture_roundtrip_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Singer capture EXPORT → LOAD roundtrip (sources/singer.py:
+    write_capture + load_capture) — the interop is bidirectional: an
+    engine table serializes to a standard tap-stdout NDJSON capture
+    (SCHEMA via the StructType→JSON-Schema bridge, RECORD lines
+    serialized JVM-side with a microsecond timestampFormat, pinned
+    key order so captures are byte-reproducible) and loading that
+    capture back reproduces the table EXACTLY — doubles, strings and
+    TIMESTAMPs value-identical to the source parquet, which is what
+    the SQL oracle checks. The export streams through
+    toLocalIterator (one partition of finished line strings at a
+    time); a capture is a single-file interop/archival artifact by
+    contract, never the data path."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.singer import (
+        load_capture,
+        write_capture,
+    )
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singerrt_")
+    cap = os.path.join(tmp, "cap.ndjson")
+    n = write_capture(base, cap, "orders", ["o_orderkey"])
+    tables = load_capture(spark, cap, os.path.join(tmp, "tgt"))
+    out = tables["orders"].read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    assert n == out.count()
+    return out

@@ -457,3 +457,79 @@ def replay_capture(
         emitted_states=emitted,
         n_flushes=n_flushes,
     )
+
+
+def write_capture(
+    df: DataFrame,
+    path: str,
+    stream: str,
+    key_properties: list[str],
+    state: dict | None = None,
+    version: int | None = None,
+    order_by: list[str] | None = None,
+) -> int:
+    """Export an engine table as a Singer NDJSON capture — the REVERSE
+    face of :func:`load_capture`, so an engine table can feed any
+    Singer TARGET (or archive as a replayable tap run): one SCHEMA
+    line (StructType → JSON Schema via the existing bridge), one
+    RECORD line per row, an ``ACTIVATE_VERSION`` when ``version`` is
+    given (records carry it too — a full-resync capture), and an
+    optional trailing STATE.
+
+    Record serialization happens JVM-SIDE (``to_json`` over the full
+    message struct — the driver only streams finished line strings to
+    the file through ``toLocalIterator``, holding one partition at a
+    time). A capture is a single NDJSON file by contract (a tap's
+    stdout), so the write is inherently serial — this is the interop/
+    archival artifact, not a data path; the data path is the parquet
+    the table already sits in. ``order_by`` pins the record order
+    (default: key_properties) so captures are byte-reproducible.
+
+    Returns the number of RECORD lines written. Round-trip contract
+    (pinned in tests and the registry query): ``load_capture`` of the
+    written capture reproduces the table exactly.
+    """
+    import json as _json
+
+    cols = [c for c in df.columns]
+    msg = F.struct(
+        F.lit("RECORD").alias("type"),
+        F.lit(stream).alias("stream"),
+        *([F.lit(int(version)).alias("version")] if version is not None
+          else []),
+        F.struct(*[F.col(c) for c in cols]).alias("record"),
+    )
+    ordered = df.orderBy(*[F.col(c) for c in (order_by or key_properties)])
+    # microsecond timestampFormat: to_json's default truncates to
+    # millis, which would make the roundtrip lossy for µs timestamps
+    lines = ordered.select(
+        F.to_json(
+            msg, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+        ).alias("line")
+    )
+    schema_msg = {
+        "type": "SCHEMA",
+        "stream": stream,
+        "schema": _schema_for(df),
+        "key_properties": list(key_properties),
+    }
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(_json.dumps(schema_msg) + "\n")
+        for row in lines.toLocalIterator():
+            fh.write(row["line"] + "\n")
+            n += 1
+        if version is not None:
+            fh.write(_json.dumps({
+                "type": "ACTIVATE_VERSION", "stream": stream,
+                "version": int(version),
+            }) + "\n")
+        if state is not None:
+            fh.write(_json.dumps({"type": "STATE", "value": state}) + "\n")
+    return n
+
+
+def _schema_for(df: DataFrame) -> dict:
+    from pipelinewise_spark.schema.jsonschema import struct_to_json_schema
+
+    return struct_to_json_schema(df.schema)
