@@ -847,6 +847,65 @@ def _cmd_replay_quarantine(args: argparse.Namespace) -> int:
     return 0 if n_still == 0 else 1
 
 
+def _cmd_import_capture(args: argparse.Namespace) -> int:
+    """Ingest a captured Singer tap stdout stream (sources/singer.py)
+    from the command line — the bulk one-pass load by default, or the
+    faithful persist_lines replay (--replay) when flush/state ordering
+    matters. Prints per-stream row counts and the final state."""
+    from pipelinewise_spark.plans.state import BookmarkStore
+    from pipelinewise_spark.session import get_spark
+    from pipelinewise_spark.sources.singer import (
+        load_capture,
+        replay_capture,
+    )
+
+    spark = get_spark("pipelinewise-import-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    bm = BookmarkStore(args.state) if args.state else None
+    if args.replay:
+        res = replay_capture(
+            spark, args.capture, args.target_root,
+            batch_size_rows=args.batch_size, bookmarks=bm,
+        )
+        print(json.dumps({
+            "streams": {
+                s: t.read(spark).count() for s, t in res.tables.items()
+            },
+            "n_flushes": res.n_flushes,
+            "state": res.state,
+        }))
+        return 0
+    tables = load_capture(
+        spark, args.capture, args.target_root, bookmarks=bm
+    )
+    print(json.dumps({
+        "streams": {s: t.read(spark).count() for s, t in tables.items()}
+    }))
+    return 0
+
+
+def _cmd_export_capture(args: argparse.Namespace) -> int:
+    """Export a table as a Singer NDJSON capture (sources/singer.py:
+    write_capture) — SCHEMA + RECORD lines + optional
+    ACTIVATE_VERSION/STATE, byte-reproducible, consumable by any
+    Singer target. Refuses lossy exports (NULL/duplicate keys)."""
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.session import get_spark
+    from pipelinewise_spark.sources.singer import write_capture
+
+    spark = get_spark("pipelinewise-export-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = ParquetTable(args.table)
+    df = t.read(spark) if t.exists() else spark.read.parquet(args.table)
+    n = write_capture(
+        df, args.out, args.stream, list(args.pk),
+        version=args.version,
+    )
+    print(json.dumps({"stream": args.stream, "records": n,
+                      "capture": args.out}))
+    return 0
+
+
 def _cmd_stop(args: argparse.Namespace) -> int:
     """Graceful stop of a running pipeline — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319, pidfile + SIGTERM). Spark-first: the
@@ -1227,6 +1286,38 @@ def main(argv: list[str] | None = None) -> int:
     rq.add_argument("--pk", action="append", required=True,
                     help="primary-key column (repeatable)")
     rq.set_defaults(fn=_cmd_replay_quarantine)
+
+    ic = sub.add_parser(
+        "import-capture",
+        help="load a captured Singer tap stdout stream (NDJSON) into "
+             "tables under a target root",
+    )
+    ic.add_argument("capture", help="NDJSON capture file")
+    ic.add_argument("target_root",
+                    help="directory for per-stream ParquetTables")
+    ic.add_argument("--replay", action="store_true",
+                    help="faithful persist_lines replay (buffered "
+                         "flushes + flushed_state) instead of the bulk "
+                         "one-pass load")
+    ic.add_argument("--batch-size", type=int, default=10_000,
+                    help="replay flush size in new-PK rows")
+    ic.add_argument("--state", help="bookmark state.json to advance")
+    ic.set_defaults(fn=_cmd_import_capture)
+
+    ec = sub.add_parser(
+        "export-capture",
+        help="export a table as a Singer NDJSON capture (SCHEMA + "
+             "RECORD lines, consumable by any Singer target)",
+    )
+    ec.add_argument("table", help="ParquetTable root or parquet dir")
+    ec.add_argument("--out", required=True, help="capture file to write")
+    ec.add_argument("--stream", required=True, help="Singer stream name")
+    ec.add_argument("--pk", action="append", required=True,
+                    help="key_properties column (repeatable)")
+    ec.add_argument("--version", type=int,
+                    help="emit records with this table version + a "
+                         "trailing ACTIVATE_VERSION (full-resync capture)")
+    ec.set_defaults(fn=_cmd_export_capture)
 
     stp = sub.add_parser(
         "stop", help="gracefully stop a running pipeline (stop-token file)"

@@ -467,6 +467,7 @@ def write_capture(
     state: dict | None = None,
     version: int | None = None,
     order_by: list[str] | None = None,
+    check_keys: bool = True,
 ) -> int:
     """Export an engine table as a Singer NDJSON capture — the REVERSE
     face of :func:`load_capture`, so an engine table can feed any
@@ -487,11 +488,38 @@ def write_capture(
 
     Returns the number of RECORD lines written. Round-trip contract
     (pinned in tests and the registry query): ``load_capture`` of the
-    written capture reproduces the table exactly.
+    written capture reproduces the table exactly — which is why
+    ``check_keys`` (default on) refuses NULL or DUPLICATE key tuples
+    up front: the loader's PK last-wins would otherwise silently drop
+    rows, and a lossy export must fail loudly, not load quietly.
     """
     import json as _json
 
     cols = [c for c in df.columns]
+    if check_keys and key_properties:
+        kc = [F.col(k) for k in key_properties]
+        null_any = None
+        for k in kc:
+            cond = k.isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*kc).alias("nd"),
+            F.sum(null_any.cast("long")).alias("nn"),
+        ).first()
+        if stats["nn"]:
+            raise ValueError(
+                f"write_capture: {stats['nn']} rows have NULL key "
+                f"components {key_properties} — the loader's PK "
+                "last-wins would silently collapse them"
+            )
+        if stats["nd"] != stats["n"]:
+            raise ValueError(
+                f"write_capture: key {key_properties} is not unique "
+                f"({stats['n']} rows, {stats['nd']} distinct keys) — "
+                "a snapshot export with duplicate PKs loses rows on "
+                "load; dedupe first or export with the real PK"
+            )
     msg = F.struct(
         F.lit("RECORD").alias("type"),
         F.lit(stream).alias("stream"),

@@ -265,3 +265,18 @@ def test_write_capture_versioned_resync(spark, tmp_path):
     out = tables["t1"].read(spark)
     assert out.count() == 10
     assert out.select("_sdc_table_version").distinct().collect()[0][0] == 7
+
+
+def test_write_capture_refuses_lossy_keys(spark, tmp_path):
+    from pipelinewise_spark.sources.singer import write_capture
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        write_capture(dup, str(tmp_path / "c1"), "t", ["id"])
+    nul = spark.createDataFrame(
+        [(None, "a"), (2, "c")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        write_capture(nul, str(tmp_path / "c2"), "t", ["id"])
