@@ -62,7 +62,10 @@ _SHOWCASE_ORDER = [
     # temperature_sample/time_travel/token_budget/update_where/
     # table_changes/semantic_dedup/wap_publish/winsorize/
     # merge_on_read/mv_rewrite-adjacent — are the r13 rotation plan,
-    # together with the 44 r8-green rows next in line).
+    # together with the 44 r8-green rows next in line and the TWO r12
+    # post-prefix registrations — stream_mw_drift_events and
+    # singer_capture_roundtrip_orders — both pytest-value-verified at
+    # sf0.001 every session and hand-verified at sf0.01).
     "approx_stats_lineitem", "ccnet_perplexity_buckets_documents",
     "cdc_stream_mor_orders", "cdf_follow_mv_orders",
     "cdf_sketch_maintenance_orders",
