@@ -370,7 +370,7 @@ def main() -> None:
         # host pass with two rows at 2.06-2.11x their floors — under
         # the old 3x rule they were never re-measured; the judge's
         # per-query grade is vs-floor, so the record must challenge
-        # anything past 2x), clamped to >= 1.5s so sub-second queries
+        # anything past 2x).
         # There is deliberately NO absolute clamp (r12): the old 1.5s
         # clamp let a 0.30s pass on a 0.15s floor freeze unchallenged,
         # and the record's contract is "every row within 2x its floor
@@ -378,7 +378,8 @@ def main() -> None:
         # the 6-attempt budget bounds the worst case at a few seconds
         # per noisy tiny query. Without a prior (new query,
         # non-canonical sf): the absolute 12s anomaly bound — every
-        # structurally-heavy query in this suite sits under ~9s clean.
+        # structurally-heavy query in this suite sits under ~9s
+        # clean.
         limit = 2.0 * prior[name] if name in prior else 12.0
         best = None  # (total_sec, fixture_sec) with min total
         try:

@@ -895,9 +895,13 @@ class StreamingDomainCapAdmitter:
         # crash-replay window); each fold retires one trailing version,
         # so budget storage stays at 2 × O(domains) regardless of
         # stream length
+        # sweep DOWNWARD so a crash between _save() and the delete
+        # cannot orphan a version forever: the next fold's sweep walks
+        # through any contiguous tail the crashed fold left behind
         stale = next_v - 2
-        if stale >= 1 and self.mfs.exists("budgets", f"v={stale}"):
+        while stale >= 1 and self.mfs.exists("budgets", f"v={stale}"):
             self.mfs.delete_dir("budgets", f"v={stale}")
+            stale -= 1
 
     def admitted(self, spark) -> DataFrame:
         """Every admitted row across all epochs (reads the per-epoch

@@ -1572,7 +1572,15 @@ def stream_quality_report_events(
 
 _KS_QS = ", ".join(str(i / 16) for i in range(1, 16))  # dyadic: float-exact
 
-_STREAM_KS_ORACLE = f"""
+# Shared CTE prefix for BOTH rank-drift oracles (stream KS and stream
+# MW): the parity ref/cur epochs, the pinned per-segment 16-tile edges
+# (6-dp-rounded, the engine-portable pin derive_segment_bucket_bounds
+# writes), per-bucket HUGEINT counts with empty buckets materialized,
+# per-segment totals, bucket-cumulative counts, and the exact
+# per-(segment, value) two-sample counts the batch twins consume. One
+# definition so the edge-rounding/bucketing convention can never
+# silently diverge between the two oracles.
+_RANK_DRIFT_CTES = f"""
     WITH ref AS (
         SELECT event_type AS segment, value AS v
         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
@@ -1581,8 +1589,6 @@ _STREAM_KS_ORACLE = f"""
                CASE WHEN event_type = 'click' THEN value + 50
                     ELSE value END AS v
         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
-    -- the pinned per-segment 16-tile edges (6-dp-rounded, the
-    -- engine-portable pin derive_segment_bucket_bounds writes)
     edges AS (
         SELECT segment,
                list_transform(
@@ -1623,21 +1629,23 @@ _STREAM_KS_ORACLE = f"""
                SUM(cn) OVER (PARTITION BY per.segment
                              ORDER BY bucket) AS cum_c
         FROM per),
-    es AS (
-        SELECT c.segment,
-               MAX(CASE WHEN c.bucket < 16
-                        THEN ABS(c.cum_r * t.snc - c.cum_c * t.snr)
-                        ELSE 0 END) AS d2e,
-               MAX(LEAST(c.rn * t.snc, c.cn * t.snr)) AS mass2
-        FROM cums c JOIN tot t USING (segment) GROUP BY c.segment),
-    -- the exact two-sample KS on the same rows (the nightly batch twin)
     pv AS (
         SELECT segment, v,
                CAST(SUM(r) AS HUGEINT) AS cr, CAST(SUM(c) AS HUGEINT) AS cc
         FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
               UNION ALL
               SELECT segment, v, 0 AS r, 1 AS c FROM cur)
-        GROUP BY segment, v),
+        GROUP BY segment, v)
+"""
+
+_STREAM_KS_ORACLE = _RANK_DRIFT_CTES + """,
+    es AS (
+        SELECT c.segment,
+               MAX(CASE WHEN c.bucket < 16
+                        THEN ABS(c.cum_r * t.snc - c.cum_c * t.snr)
+                        ELSE 0 END) AS d2,
+               MAX(LEAST(c.rn * t.snc, c.cn * t.snr)) AS mass2
+        FROM cums c JOIN tot t USING (segment) GROUP BY c.segment),
     cum AS (
         SELECT segment, v,
                SUM(cr) OVER (PARTITION BY segment ORDER BY v) AS cum_r,
@@ -1655,20 +1663,20 @@ _STREAM_KS_ORACLE = f"""
            CAST(n.n_cur AS BIGINT) AS n_cur,
            CAST((1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
                 AS BIGINT) AS d_ppm,
-           CAST((1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+           CAST((1000000::HUGEINT * es.d2) // (n.n_ref * n.n_cur)
                 AS BIGINT) AS d_lo_ppm,
-           CAST((1000000::HUGEINT * (es.d2e + es.mass2))
+           CAST((1000000::HUGEINT * (es.d2 + es.mass2))
                 // (n.n_ref * n.n_cur) AS BIGINT) AS d_hi_ppm,
-           CAST((1000000::HUGEINT * (es.d2e + es.mass2))
+           CAST((1000000::HUGEINT * (es.d2 + es.mass2))
                 // (n.n_ref * n.n_cur)
-                - (1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+                - (1000000::HUGEINT * es.d2) // (n.n_ref * n.n_cur)
                 AS BIGINT) AS err_bound_ppm,
-           (1000000::HUGEINT * es.d2e) // (n.n_ref * n.n_cur)
+           (1000000::HUGEINT * es.d2) // (n.n_ref * n.n_cur)
                <= (1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
            AND (1000000::HUGEINT * dx.d2x) // (n.n_ref * n.n_cur)
-               <= (1000000::HUGEINT * (es.d2e + es.mass2))
+               <= (1000000::HUGEINT * (es.d2 + es.mass2))
                   // (n.n_ref * n.n_cur) AS within_bound,
-           CAST(es.d2e + es.mass2 AS DOUBLE)
+           CAST(es.d2 + es.mass2 AS DOUBLE)
                / (CAST(n.n_ref AS DOUBLE) * CAST(n.n_cur AS DOUBLE))
                > 1.358 * sqrt((CAST(n.n_ref AS BIGINT)
                                + CAST(n.n_cur AS BIGINT))
@@ -1685,6 +1693,42 @@ _STREAM_KS_ORACLE = f"""
     FROM n JOIN dx ON n.segment = dx.segment
            JOIN es ON n.segment = es.segment
 """
+
+
+def _rank_drift_monitor(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared fixture for the two rank-drift queries: the parity
+    ref/cur epochs over events ('click' +50 in the current), ONE
+    StreamingKSMonitor folded over four odd-id micro-batches with an
+    at-least-once redelivery exercised — the same drained state serves
+    both the KS and the MW bracket."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.operators.drift import StreamingKSMonitor
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    is_click = F.col("event_type") == "click"
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.when(is_click, F.col("value") + 50.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).filter(F.col("value").isNotNull())
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix=prefix)
+    mon = StreamingKSMonitor(
+        ref, "value", ["event_id"], "event_type",
+        os.path.join(tmp, "st"), n_buckets=16,
+    )
+    for k in (1, 3, 5, 7):  # odd ids split four ways
+        mon.on_batch(cur.filter(F.col("event_id") % 8 == k), k)
+    mon.on_batch(cur.filter(F.col("event_id") % 8 == 1), 1)  # replay no-op
+    assert mon.state["n_applied"] == 4
+    return ref, cur, mon
 
 
 @register("stream_ks_drift_events", oracle=_STREAM_KS_ORACLE)
@@ -1704,36 +1748,9 @@ def stream_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket, the bound width, the within-bound contract, and both
     significance verdicts (the stream's conservative d_hi test and the
     exact test) to identical integers/booleans."""
-    import os
-    import tempfile
+    from pipelinewise_spark.operators.drift import ks_drift_by_segment
 
-    from pipelinewise_spark.operators.drift import (
-        StreamingKSMonitor,
-        ks_drift_by_segment,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    ref = ev.filter(F.col("event_id") % 2 == 0).select(
-        "event_id", "event_type", "value"
-    ).filter(F.col("value").isNotNull())
-    is_click = F.col("event_type") == "click"
-    cur = ev.filter(F.col("event_id") % 2 == 1).select(
-        "event_id",
-        "event_type",
-        F.when(is_click, F.col("value") + 50.0)
-        .otherwise(F.col("value"))
-        .alias("value"),
-    ).filter(F.col("value").isNotNull())
-    with fixture_timer():
-        tmp = tempfile.mkdtemp(prefix="pws_sks_")
-    mon = StreamingKSMonitor(
-        ref, "value", ["event_id"], "event_type",
-        os.path.join(tmp, "st"), n_buckets=16,
-    )
-    for k in (1, 3, 5, 7):  # odd ids split four ways
-        mon.on_batch(cur.filter(F.col("event_id") % 8 == k), k)
-    mon.on_batch(cur.filter(F.col("event_id") % 8 == 1), 1)  # replay: no-op
-    assert mon.state["n_applied"] == 4
+    ref, cur, mon = _rank_drift_monitor(spark, sf_dir, "pws_sks_")
     rep = mon.report(spark).alias("s")
     exact = ks_drift_by_segment(
         ref, cur, "value", "event_type"
@@ -1758,64 +1775,12 @@ def stream_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-_STREAM_MW_ORACLE = f"""
-    WITH ref AS (
-        SELECT event_type AS segment, value AS v
-        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
-    cur AS (
-        SELECT event_type AS segment,
-               CASE WHEN event_type = 'click' THEN value + 50
-                    ELSE value END AS v
-        FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
-    edges AS (
-        SELECT segment,
-               list_transform(
-                 quantile_cont(v, [{_KS_QS}]),
-                 q -> CAST(CAST(ROUND(q, 6) AS DECIMAL(18,6)) AS DOUBLE))
-                   AS es
-        FROM ref GROUP BY segment),
-    rb AS (
-        SELECT r.segment,
-               COALESCE(len(list_filter(e.es, x -> r.v > x)), 0) + 1
-                   AS bucket
-        FROM ref r JOIN edges e USING (segment)),
-    cb AS (
-        SELECT c.segment,
-               COALESCE(len(list_filter(e.es, x -> c.v > x)), 0) + 1
-                   AS bucket
-        FROM cur c JOIN edges e USING (segment)),
-    rcnt AS (SELECT segment, bucket, COUNT(*) AS rn FROM rb
-             GROUP BY segment, bucket),
-    ccnt AS (SELECT segment, bucket, COUNT(*) AS cn FROM cb
-             GROUP BY segment, bucket),
-    per AS (
-        SELECT e.segment, b.bucket,
-               CAST(COALESCE(rcnt.rn, 0) AS HUGEINT) AS rn,
-               CAST(COALESCE(ccnt.cn, 0) AS HUGEINT) AS cn
-        FROM edges e
-        CROSS JOIN (SELECT unnest(range(1, 17)) AS bucket) b
-        LEFT JOIN rcnt ON rcnt.segment = e.segment
-                      AND rcnt.bucket = b.bucket
-        LEFT JOIN ccnt ON ccnt.segment = e.segment
-                      AND ccnt.bucket = b.bucket),
-    cums AS (
-        SELECT per.segment, per.bucket, per.rn, per.cn,
-               SUM(cn) OVER (PARTITION BY per.segment
-                             ORDER BY bucket) AS cum_c
-        FROM per),
+_STREAM_MW_ORACLE = _RANK_DRIFT_CTES + """,
     br AS (
         SELECT segment,
                2 * SUM(rn * (cum_c - cn)) AS u2_lo,
                2 * SUM(rn * cum_c) AS u2_hi
         FROM cums GROUP BY segment),
-    -- exact MW on the same rows (the nightly batch twin)
-    pv AS (
-        SELECT segment, v,
-               CAST(SUM(r) AS HUGEINT) AS cr, CAST(SUM(c) AS HUGEINT) AS cc
-        FROM (SELECT segment, v, 1 AS r, 0 AS c FROM ref
-              UNION ALL
-              SELECT segment, v, 0 AS r, 1 AS c FROM cur)
-        GROUP BY segment, v),
     ranked AS (
         SELECT segment, cr, cc,
                2 * SUM(cr + cc) OVER (PARTITION BY segment ORDER BY v)
@@ -1879,36 +1844,9 @@ def stream_mw_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket, the bound width, the within-bound contract, and both
     drift verdicts (the stream's conservative bracket-outside-band
     page and the exact test)."""
-    import os
-    import tempfile
+    from pipelinewise_spark.operators.drift import mw_drift_by_segment
 
-    from pipelinewise_spark.operators.drift import (
-        StreamingKSMonitor,
-        mw_drift_by_segment,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    ref = ev.filter(F.col("event_id") % 2 == 0).select(
-        "event_id", "event_type", "value"
-    ).filter(F.col("value").isNotNull())
-    is_click = F.col("event_type") == "click"
-    cur = ev.filter(F.col("event_id") % 2 == 1).select(
-        "event_id",
-        "event_type",
-        F.when(is_click, F.col("value") + 50.0)
-        .otherwise(F.col("value"))
-        .alias("value"),
-    ).filter(F.col("value").isNotNull())
-    with fixture_timer():
-        tmp = tempfile.mkdtemp(prefix="pws_smw_")
-    mon = StreamingKSMonitor(
-        ref, "value", ["event_id"], "event_type",
-        os.path.join(tmp, "st"), n_buckets=16,
-    )
-    for k in (1, 3, 5, 7):
-        mon.on_batch(cur.filter(F.col("event_id") % 8 == k), k)
-    mon.on_batch(cur.filter(F.col("event_id") % 8 == 1), 1)  # replay: no-op
-    assert mon.state["n_applied"] == 4
+    ref, cur, mon = _rank_drift_monitor(spark, sf_dir, "pws_smw_")
     rep = mon.mw_report(spark).alias("s")
     exact = mw_drift_by_segment(
         ref, cur, "value", "event_type"

@@ -95,7 +95,7 @@ def scan_control_plane(
             F.get_json_object("line", "$.type").alias("t"),
             "line",
         )
-        .filter(F.col("t") != "RECORD")
+        .filter(F.col("t").isNull() | (F.col("t") != "RECORD"))
         .collect()
     )
     schemas: dict[str, dict] = {}
@@ -111,7 +111,7 @@ def scan_control_plane(
             stream = o["stream"]
             schemas[stream] = o["schema"]
             kp = o.get("key_properties")
-            if kp is None or (primary_key_required and not kp):
+            if primary_key_required and not kp:
                 raise ValueError(
                     f"SCHEMA for stream {stream!r} has no key_properties "
                     "(primary_key_required) — pass "
@@ -225,12 +225,24 @@ def load_capture(
         ).drop("lineno")
         table = ParquetTable(f"{target_root}/{stream}")
         if pks:
-            _merge_into(spark, table, batch, pks)
+            from pipelinewise_spark.operators.merge import merge_upsert
+
+            merged = (
+                merge_upsert(table.read(spark), batch, pks)
+                if table.exists() else batch
+            )
         else:
             from pipelinewise_spark.operators.merge import append_only
 
             prev = table.read(spark) if table.exists() else None
-            table.overwrite(append_only(prev, batch))
+            merged = append_only(prev, batch)
+        if stream in activations:
+            # the swap purges older-version rows ALREADY IN the target
+            # too (a pre-existing table from an earlier capture), not
+            # just the capture's own records — same semantics as the
+            # replay path's table rewrite
+            merged = _apply_activate(merged, activations[stream])
+        table.overwrite(merged)
         out[stream] = table
     if bookmarks is not None and final_state is not None:
         for stream, bm in (final_state.get("bookmarks") or {}).items():
@@ -323,11 +335,16 @@ def replay_capture(
       a re-encountered CHANGED SCHEMA flushes the stream first; EOF
       flushes everything;
     - ``flushed_state``: a STATE message sets the candidate state; it
-      becomes the flushed (emitted/persisted) state immediately ONLY
-      when nothing is buffered; otherwise each per-stream flush copies
-      that stream's bookmark from the candidate, and the EOF
-      flush-all adopts the candidate wholesale — so a bookmark never
-      advances past records that haven't landed;
+      becomes the flushed (emitted/persisted) state immediately when
+      nothing is buffered — or when NO state has been flushed yet,
+      the reference's own first-STATE initialization
+      (``if not flushed_state or sum(row_count.values()) == 0`` —
+      __init__.py:323-327; faithful replay keeps the wart: the very
+      first STATE is adopted even over buffered records, exactly as
+      the reference target would emit it). After that first adoption
+      each per-stream flush copies only that stream's bookmark from
+      the candidate, and the EOF flush-all adopts the candidate
+      wholesale — a bookmark never advances past unflushed records;
     - ACTIVATE_VERSION flushes its stream, then drops rows of older
       table versions.
 

@@ -280,3 +280,48 @@ def test_write_capture_refuses_lossy_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL key"):
         write_capture(nul, str(tmp_path / "c2"), "t", ["id"])
+
+
+def test_corrupt_capture_line_fails_loudly(spark, tmp_path):
+    """A truncated/typeless line must raise, not silently vanish (a tap
+    killed mid-write produces partial JSON lines)."""
+    cap = _write(tmp_path, [_schema(), '{"broken": true}'])
+    with pytest.raises(ValueError, match="missing 'type'"):
+        scan_control_plane(spark, cap)
+
+
+def test_missing_key_properties_allowed_when_not_required(spark, tmp_path):
+    """A SCHEMA with NO key_properties field at all (legal Singer for
+    append-only streams) loads under primary_key_required=False."""
+    cap = _write(tmp_path, [
+        json.dumps({"type": "SCHEMA", "stream": "t1",
+                    "schema": {"type": "object",
+                               "properties": SCHEMA_PROPS}}),
+        _rec(1, "a", 1.0), _rec(1, "a", 1.0),  # dup rows both append
+    ])
+    tables = load_capture(
+        spark, cap, str(tmp_path / "tgt"), primary_key_required=False
+    )
+    assert tables["t1"].read(spark).count() == 2
+
+
+def test_bulk_activate_version_purges_preexisting_table(spark, tmp_path):
+    """Day-2 full resync: ACTIVATE_VERSION must drop older-version rows
+    ALREADY IN the target table, not just filter the capture's own
+    records (parity with the replay path's table rewrite)."""
+    tgt = str(tmp_path / "tgt")
+    day1 = _write(tmp_path, [
+        _schema(),
+        *[_rec(i, f"v1_{i}", float(i), version=1) for i in range(1, 11)],
+        _activate(1),
+    ], name="day1.ndjson")
+    load_capture(spark, day1, tgt)
+    day2 = _write(tmp_path, [
+        _schema(),
+        *[_rec(i, f"v2_{i}", float(i), version=2) for i in range(1, 6)],
+        _activate(2),
+    ], name="day2.ndjson")
+    tables = load_capture(spark, day2, tgt)
+    got = {r["id"]: r["name"] for r in tables["t1"].read(spark).collect()}
+    # keys 6..10 were version-1-only: the swap removed them
+    assert got == {i: f"v2_{i}" for i in range(1, 6)}

@@ -223,3 +223,26 @@ def test_tiebreak_cols_make_admission_deterministic(spark, tmp_path):
     # pri asc then uid asc: pri=0 ids {0,2,4,6,8} -> uids u0,u2,u4,u6,u8
     # sorted lexicographically: u0,u2,u4,u6 -> ids 0,2,4,6
     assert got[0] == [0, 2, 4, 6]
+
+
+def test_budget_gc_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between _save() and the GC delete leaves one stale
+    budget version behind; the NEXT fold's downward sweep must retire
+    it, keeping storage at <= 2 versions."""
+    d = _docs(spark, 400)
+    adm = StreamingDomainCapAdmitter(
+        "dom", "doc_id", cap=99,
+        state_dir=str(tmp_path / "st"), out_dir=str(tmp_path / "out"),
+    )
+    for k in range(3):
+        adm.on_batch(
+            d.filter((F.col("doc_id") >= k * 100)
+                     & (F.col("doc_id") < (k + 1) * 100)), k)
+    bdir = tmp_path / "st" / "budgets"
+    assert sorted(os.listdir(bdir)) == ["v=2", "v=3"]
+    # simulate the orphan a crashed GC leaves: re-create v=1
+    os.makedirs(bdir / "v=1")
+    (bdir / "v=1" / "part-orphan.parquet").write_bytes(b"")
+    adm.on_batch(
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), 3)
+    assert sorted(os.listdir(bdir)) == ["v=3", "v=4"]
