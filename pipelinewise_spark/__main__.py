@@ -847,6 +847,34 @@ def _cmd_replay_quarantine(args: argparse.Namespace) -> int:
     return 0 if n_still == 0 else 1
 
 
+def _cmd_rank_drift(args: argparse.Namespace) -> int:
+    """Drain a StreamingKSMonitor state dir from the command line
+    (operators/drift.py): the KS bracket report — and the Mann-Whitney
+    bracket from the SAME state with ``--mw`` — printed as JSON. Exit 1
+    when any segment pages (the conservative bracket verdict), so a
+    cron line over the ingest monitor's sidecar IS the rank-drift
+    alert the nightly batch matrix would raise a day later."""
+    from pipelinewise_spark.operators.drift import StreamingKSMonitor
+    from pipelinewise_spark.session import get_spark
+
+    spark = get_spark("pipelinewise-rank-drift")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        mon = StreamingKSMonitor.from_state(args.state_dir)
+    except ValueError as exc:
+        raise SystemExit(str(exc)) from exc
+    ks = [r.asDict() for r in mon.report(spark).collect()]
+    payload = {"state_dir": args.state_dir, "n_buckets": mon.n_buckets,
+               "epoch_hwm": mon.state.get("epoch_hwm"), "ks": ks}
+    paged = any(r["significant"] for r in ks)
+    if args.mw:
+        mw = [r.asDict() for r in mon.mw_report(spark).collect()]
+        payload["mw"] = mw
+        paged = paged or any(r["drifted"] for r in mw)
+    print(json.dumps(payload))
+    return 1 if paged else 0
+
+
 def _cmd_import_capture(args: argparse.Namespace) -> int:
     """Ingest a captured Singer tap stdout stream (sources/singer.py)
     from the command line — the bulk one-pass load by default, or the
@@ -1286,6 +1314,16 @@ def main(argv: list[str] | None = None) -> int:
     rq.add_argument("--pk", action="append", required=True,
                     help="primary-key column (repeatable)")
     rq.set_defaults(fn=_cmd_replay_quarantine)
+
+    rd = sub.add_parser(
+        "rank-drift",
+        help="drain a StreamingKSMonitor state dir: KS bracket report "
+             "(+ Mann-Whitney with --mw); exit 1 when any segment pages",
+    )
+    rd.add_argument("state_dir", help="StreamingKSMonitor state dir")
+    rd.add_argument("--mw", action="store_true",
+                    help="also report the Mann-Whitney bracket")
+    rd.set_defaults(fn=_cmd_rank_drift)
 
     ic = sub.add_parser(
         "import-capture",

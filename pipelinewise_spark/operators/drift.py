@@ -1265,6 +1265,30 @@ class StreamingKSMonitor:
         }
         self._save()
 
+    @classmethod
+    def from_state(cls, state_dir: str) -> "StreamingKSMonitor":
+        """Attach to an EXISTING state dir without a reference frame —
+        the drain/report path for operational tooling (a resumed
+        monitor never rescans the reference anyway; state wins).
+        Raises when no state sidecar exists."""
+        import json
+
+        from pipelinewise_spark.operators.fsio import MetaFS
+
+        mfs = MetaFS(state_dir)
+        if not mfs.exists("_ks_state.json"):
+            raise ValueError(
+                f"{state_dir} has no _ks_state.json — not a "
+                "StreamingKSMonitor state dir"
+            )
+        mon = cls.__new__(cls)
+        mon.mfs = mfs
+        mon.state = json.loads(mfs.read_text("_ks_state.json"))
+        mon.n_buckets = int(mon.state["n_buckets"])
+        mon.value_col = None
+        mon.segment_col = None
+        return mon
+
     def _save(self) -> None:
         import json
 
