@@ -790,15 +790,19 @@ def _cmd_replay_quarantine(args: argparse.Namespace) -> int:
     ManifestTable by PK, and keep only the still-invalid remainder
     quarantined (published atomically when the quarantine is a
     ParquetTable root; written to ``<dir>_remaining`` for a plain
-    parquet dir). Exit 0 when the quarantine drains, 1 when rows
-    remain — a cron line IS the repair monitor."""
+    parquet dir). Still-invalid rows keep their ORIGINAL ``_dlq_record``
+    string — never a re-serialization of this attempt's parse, which
+    would null unparseable fields and drop fields outside the attempted
+    schema, permanently degrading the payload across repeated cron runs
+    before the schema is actually right. Exit 0 when the quarantine
+    drains, 1 when rows remain — a cron line IS the repair monitor."""
     from pyspark.sql import functions as F
 
     from pipelinewise_spark.operators.manifest_table import ManifestTable
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.operators.validation import (
         compile_json_schema,
-        quarantine_split,
+        validate,
     )
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
     from pipelinewise_spark.session import get_spark
@@ -819,11 +823,19 @@ def _cmd_replay_quarantine(args: argparse.Namespace) -> int:
             "quarantine produced by quarantine_split"
         )
     struct = json_schema_to_struct(schema_doc)
+    # carry the pristine payload string alongside the parse: the
+    # remainder re-quarantines with the ORIGINAL _dlq_record, not a
+    # lossy to_json(from_json(...)) round-trip
     parsed = dlq.select(
-        F.from_json("_dlq_record", struct).alias("__r")
-    ).select("__r.*")
-    valid, still = quarantine_split(
-        parsed, compile_json_schema(schema_doc)
+        F.col("_dlq_record").alias("__orig"),
+        F.from_json("_dlq_record", struct).alias("__r"),
+    ).select("__orig", "__r.*")
+    checked = validate(parsed, compile_json_schema(schema_doc))
+    valid = checked.filter(F.col("is_valid")).drop(
+        "violations", "is_valid", "__orig"
+    )
+    still = checked.filter(~F.col("is_valid")).select(
+        F.col("__orig").alias("_dlq_record"), "violations"
     )
     n_valid = valid.count()
     if n_valid:
@@ -890,10 +902,12 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
     spark = get_spark("pipelinewise-import-capture")
     spark.sparkContext.setLogLevel("ERROR")
     bm = BookmarkStore(args.state) if args.state else None
+    pk_required = not args.no_pk_required
     if args.replay:
         res = replay_capture(
             spark, args.capture, args.target_root,
             batch_size_rows=args.batch_size, bookmarks=bm,
+            primary_key_required=pk_required,
         )
         print(json.dumps({
             "streams": {
@@ -904,7 +918,8 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
         }))
         return 0
     tables = load_capture(
-        spark, args.capture, args.target_root, bookmarks=bm
+        spark, args.capture, args.target_root, bookmarks=bm,
+        primary_key_required=pk_required,
     )
     print(json.dumps({
         "streams": {s: t.read(spark).count() for s, t in tables.items()}
@@ -1340,6 +1355,10 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--batch-size", type=int, default=10_000,
                     help="replay flush size in new-PK rows")
     ic.add_argument("--state", help="bookmark state.json to advance")
+    ic.add_argument("--no-pk-required", action="store_true",
+                    help="allow SCHEMAs with empty key_properties "
+                         "(append-only streams; the reference's "
+                         "primary_key_required: false)")
     ic.set_defaults(fn=_cmd_import_capture)
 
     ec = sub.add_parser(

@@ -33,10 +33,15 @@ Two entry points, one contract:
   ``persist_lines``' buffered flush ordering (batch_size_rows,
   new-PK row counting, in-batch PK last-wins, per-stream
   flushed_state). The control loop walks (lineno, stream, pk) TUPLES
-  collected from a distributed projection — O(messages) driver
-  metadata, never payloads; each flush is a distributed range filter
-  + window dedupe + MERGE. Use it to resume interrupted tap runs with
-  exact state semantics; use load_capture for bulk backfills.
+  collected from a distributed projection — never payloads, but still
+  O(records) driver tuples, so the walk is BOUNDED: captures with
+  more than ``max_records`` RECORD lines (or more than
+  ``max_control_lines`` control lines — CDC taps can emit a STATE
+  per record) are refused up front with guidance to use
+  load_capture, whose one-pass form is the scale path. Each flush is
+  a distributed range filter + window dedupe + MERGE. Use replay to
+  resume interrupted tap runs with exact state semantics; use
+  load_capture for bulk backfills.
 
 A capture is ONE NDJSON file (a single tap run's stdout); line order
 is the file's physical order (per-file block-ordered row_number, same
@@ -82,22 +87,48 @@ class CapturePlan:
 
 
 def scan_control_plane(
-    spark: SparkSession, path: str, primary_key_required: bool = True
+    spark: SparkSession,
+    path: str,
+    primary_key_required: bool = True,
+    *,
+    states: str = "all",
+    max_control_lines: int = 1_000_000,
 ) -> CapturePlan:
     """Collect the SCHEMA/STATE/ACTIVATE_VERSION lines (never RECORDs)
     with their positions. Raises on a missing ``key_properties`` when
     ``primary_key_required`` (the reference default — log-based and
-    incremental replication duplicate rows without a PK)."""
+    incremental replication duplicate rows without a PK).
+
+    Driver memory is BOUNDED: ``states="last"`` keeps only the final
+    STATE line (all a bulk load consumes — CDC taps emit a STATE every
+    few records, so the full STATE stream is O(records)); with
+    ``states="all"`` (the faithful-replay walk needs every STATE's
+    position) the collect is capped at ``max_control_lines`` and
+    refuses loudly beyond it."""
+    if states not in ("all", "last"):
+        raise ValueError(f"states must be 'all' or 'last', got {states!r}")
     lines = capture_lines(spark, path)
-    rows = (
-        lines.select(
-            "lineno",
-            F.get_json_object("line", "$.type").alias("t"),
-            "line",
+    ctl = lines.select(
+        "lineno",
+        F.get_json_object("line", "$.type").alias("t"),
+        "line",
+    ).filter(F.col("t").isNull() | (F.col("t") != "RECORD"))
+    if states == "last":
+        ctl = ctl.filter(
+            F.col("t").isNull() | (F.col("t") != "STATE")
+        ).unionByName(
+            ctl.filter(F.col("t") == "STATE")
+            .orderBy(F.col("lineno").desc())
+            .limit(1)
         )
-        .filter(F.col("t").isNull() | (F.col("t") != "RECORD"))
-        .collect()
-    )
+    rows = ctl.limit(max_control_lines + 1).collect()
+    if len(rows) > max_control_lines:
+        raise ValueError(
+            f"capture has more than {max_control_lines} control "
+            "(non-RECORD) lines — collecting them would exhaust driver "
+            "memory; use load_capture (which needs only the last STATE) "
+            "or raise max_control_lines explicitly"
+        )
     schemas: dict[str, dict] = {}
     keys: dict[str, list[str]] = {}
     messages: list[dict] = []
@@ -205,7 +236,12 @@ def load_capture(
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
 
-    plan = scan_control_plane(spark, path, primary_key_required)
+    # states="last": a CDC tap emits a STATE every few records — the
+    # bulk load consumes only the final one, so the full STATE stream
+    # never reaches the driver
+    plan = scan_control_plane(
+        spark, path, primary_key_required, states="last"
+    )
     activations: dict[str, int] = {}
     final_state: dict | None = None
     for m in plan.messages:
@@ -260,11 +296,25 @@ class ReplayResult:
 
 
 def _records_meta(
-    spark: SparkSession, path: str, plan: CapturePlan
+    spark: SparkSession,
+    path: str,
+    plan: CapturePlan,
+    float_compat: bool = False,
 ) -> list[tuple[int, str, str]]:
     """(lineno, stream, pk_string) for every RECORD line — a distributed
-    projection (payloads never collected; each tuple is bytes). NULL PK
-    components raise, mirroring primary_key_required."""
+    projection (payloads never collected; each tuple is bytes).
+
+    The dedupe key is TYPED: PK components parse via ``from_json``
+    against the PK subset of the stream's CURRENT schema (per SCHEMA
+    epoch — a re-emitted SCHEMA changes the parse from its line on),
+    then serialize back with ``to_json`` — so JSON number ``1`` and
+    string ``"1"`` that the typed merge would keep distinct stay
+    distinct here too, and separator/quote characters inside string
+    PKs can't collide. NULL or type-mismatched PK components raise,
+    mirroring primary_key_required (the merge would otherwise silently
+    collapse them onto a NULL key)."""
+    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
     lines = capture_lines(spark, path)
     known = list(plan.key_properties)
     orphan = (
@@ -279,27 +329,75 @@ def _records_meta(
             f"RECORD for stream {orphan[0]['s']!r} before its SCHEMA "
             "(no SCHEMA message for that stream in the capture)"
         )
-    frames = []
-    for stream, pks in plan.key_properties.items():
-        rec = lines.filter(
-            (F.get_json_object("line", "$.type") == "RECORD")
-            & (F.get_json_object("line", "$.stream") == stream)
-        )
-        parts = [
-            F.get_json_object("line", f"$.record.{k}") for k in pks
-        ] or [F.lit("")]
-        null_pk = None
-        for p in parts:
-            cond = p.isNull()
-            null_pk = cond if null_pk is None else (null_pk | cond)
-        frames.append(
-            rec.select(
-                "lineno",
-                F.lit(stream).alias("stream"),
-                F.concat_ws("\x1f", *parts).alias("pk"),
-                null_pk.alias("__nullpk"),
+    # SCHEMA epochs: each stream's records parse under the schema in
+    # force at their line (the same struct the flush's stream_records
+    # parse uses after the walk swaps it)
+    epochs: dict[str, list[tuple[int, dict]]] = {}
+    for m in plan.messages:
+        if m["type"] == "SCHEMA":
+            epochs.setdefault(m["stream"], []).append(
+                (m["__lineno"], m["schema"])
             )
+    frames = []
+    for stream, eps in epochs.items():
+        pks = plan.key_properties[stream]
+        early = (
+            lines.filter(
+                (F.get_json_object("line", "$.type") == "RECORD")
+                & (F.get_json_object("line", "$.stream") == stream)
+                & (F.col("lineno") < F.lit(eps[0][0]))
+            )
+            .limit(1)
+            .collect()
         )
+        if early:
+            raise ValueError(
+                f"RECORD for stream {stream!r} before its SCHEMA"
+            )
+        for i, (start, schema) in enumerate(eps):
+            end = eps[i + 1][0] if i + 1 < len(eps) else None
+            full = json_schema_to_struct(schema, float_compat)
+            by_name = {f.name: f for f in full.fields}
+            missing = [k for k in pks if k not in by_name]
+            if missing:
+                raise ValueError(
+                    f"stream {stream!r} key_properties {missing} absent "
+                    "from its SCHEMA properties"
+                )
+            pk_struct = T.StructType([by_name[k] for k in pks])
+            rng = F.col("lineno") > F.lit(start)
+            if end is not None:
+                rng = rng & (F.col("lineno") < F.lit(end))
+            rec = lines.filter(
+                (F.get_json_object("line", "$.type") == "RECORD")
+                & (F.get_json_object("line", "$.stream") == stream)
+                & rng
+            ).select(
+                "lineno",
+                F.from_json(
+                    F.get_json_object("line", "$.record"), pk_struct
+                ).alias("__r"),
+            )
+            parts = [F.col(f"__r.{k}") for k in pks]
+            null_pk = None
+            for p in parts:
+                cond = p.isNull()
+                null_pk = cond if null_pk is None else (null_pk | cond)
+            key = (
+                F.to_json(F.struct(*[
+                    p.alias(f"k{j}") for j, p in enumerate(parts)
+                ]))
+                if pks else F.lit("")
+            )
+            frames.append(
+                rec.select(
+                    "lineno",
+                    F.lit(stream).alias("stream"),
+                    key.alias("pk"),
+                    (null_pk if null_pk is not None else F.lit(False))
+                    .alias("__nullpk"),
+                )
+            )
     if not frames:
         return []
     allrec = frames[0]
@@ -307,9 +405,10 @@ def _records_meta(
         allrec = allrec.unionByName(f)
     if plan.key_properties and allrec.filter(F.col("__nullpk")).count() > 0:
         raise ValueError(
-            "RECORD with NULL primary-key component — refuse to replay "
-            "(the reference would synthesize an RID; pass records a real "
-            "PK or use load_capture with primary_key_required=False)"
+            "RECORD with NULL (or type-mismatched) primary-key component "
+            "— refuse to replay (the reference would synthesize an RID; "
+            "pass records a real PK or use load_capture with "
+            "primary_key_required=False)"
         )
     return sorted(
         (r["lineno"], r["stream"], r["pk"])
@@ -325,6 +424,7 @@ def replay_capture(
     bookmarks: Any | None = None,
     float_compat: bool = False,
     primary_key_required: bool = True,
+    max_records: int | None = 5_000_000,
 ) -> ReplayResult:
     """Faithful ``persist_lines`` replay (reference
     target_snowflake/__init__.py:122-416):
@@ -351,11 +451,31 @@ def replay_capture(
     Every flush is DISTRIBUTED: the buffered linenos form a contiguous
     per-stream range since the last flush, so the batch is a range
     filter over the parsed records + the last-wins window + MERGE.
-    The driver holds only (lineno, stream, pk) tuples.
+    The driver holds only (lineno, stream, pk) tuples — which is still
+    O(records) driver memory, so the walk is BOUNDED by
+    ``max_records`` (default 5M): a larger capture is refused up
+    front with guidance to use :func:`load_capture`, the one-pass
+    scale path. Pass ``max_records=None`` to lift the guard
+    explicitly (a driver sized for the tuple volume).
     """
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
 
+    if max_records is not None:
+        n_rec = (
+            capture_lines(spark, path)
+            .filter(F.get_json_object("line", "$.type") == "RECORD")
+            .limit(max_records + 1)
+            .count()
+        )
+        if n_rec > max_records:
+            raise ValueError(
+                f"capture has more than {max_records} RECORD lines — "
+                "faithful replay holds one (lineno, stream, pk) tuple "
+                "per record on the driver; use load_capture for bulk "
+                "backfills, or pass max_records=None if the driver is "
+                "sized for it"
+            )
     plan = scan_control_plane(spark, path, primary_key_required)
     for stream, pks in plan.key_properties.items():
         if not pks:
@@ -364,7 +484,7 @@ def replay_capture(
                 "buffered PK dedupe needs a PK; use load_capture for "
                 "append-only streams"
             )
-    meta = _records_meta(spark, path, plan)
+    meta = _records_meta(spark, path, plan, float_compat)
 
     # merge control messages + record tuples into one ordered walk
     events: list[tuple[int, str, Any]] = [
@@ -544,7 +664,10 @@ def write_capture(
           else []),
         F.struct(*[F.col(c) for c in cols]).alias("record"),
     )
-    ordered = df.orderBy(*[F.col(c) for c in (order_by or key_properties)])
+    sort_cols = list(order_by or key_properties)
+    # append-only exports (no keys, no explicit order) keep the frame's
+    # partition order — a zero-column orderBy would raise
+    ordered = df.orderBy(*[F.col(c) for c in sort_cols]) if sort_cols else df
     # microsecond timestampFormat: to_json's default truncates to
     # millis, which would make the roundtrip lossy for µs timestamps
     lines = ordered.select(

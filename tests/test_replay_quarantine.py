@@ -106,3 +106,55 @@ def test_replay_rejects_non_quarantine_input(spark, tmp_path):
             "replay-quarantine", p, "--schema", sch,
             "--table", str(tmp_path / "t"), "--pk", "k",
         ])
+
+
+def test_replay_preserves_original_payload_for_remainder(
+    capsys, spark, tmp_path
+):
+    """r13 (ADVICE): a row still invalid after a replay attempt keeps
+    its ORIGINAL _dlq_record — never a to_json(from_json(...)) round
+    trip, which nulls unparseable fields and drops fields outside the
+    attempted schema. A later, correctly-fixed schema must still be
+    able to recover everything the source emitted."""
+    orig = ('{"k": 1, "value": 150.0, "extra": "keep-me", '
+            '"weird": [1, 2]}')
+    dlq = spark.createDataFrame(
+        [(orig, ["value_max"])],
+        "_dlq_record string, violations array<string>",
+    )
+    q = str(tmp_path / "dlq")
+    ParquetTable(q).overwrite(dlq)
+    target = str(tmp_path / "tgt")
+    ManifestTable(target).overwrite(
+        spark.createDataFrame([], "k long, value double")
+    )
+    # first attempt: schema STILL too tight (max 100) and missing the
+    # extra/weird fields — the row must stay quarantined, byte-intact
+    fixed1 = str(tmp_path / "fixed1.json")
+    with open(fixed1, "w") as fh:
+        json.dump(_schema(100), fh)
+    rc = cli_main([
+        "replay-quarantine", q, "--schema", fixed1,
+        "--table", target, "--pk", "k",
+    ])
+    capsys.readouterr()
+    assert rc == 1
+    remaining = ParquetTable(q).read(spark).collect()
+    assert len(remaining) == 1
+    assert remaining[0]["_dlq_record"] == orig  # pristine, not degraded
+    # second attempt: a genuinely right schema (max 200) drains it
+    fixed2 = str(tmp_path / "fixed2.json")
+    schema2 = _schema(200)
+    schema2["properties"]["extra"] = {"type": ["string", "null"]}
+    with open(fixed2, "w") as fh:
+        json.dump(schema2, fh)
+    rc = cli_main([
+        "replay-quarantine", q, "--schema", fixed2,
+        "--table", target, "--pk", "k",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["replayed"] == 1 and out["still_invalid"] == 0
+    repaired = ManifestTable(target).read(spark).collect()
+    assert {(r["k"], r["value"], r["extra"]) for r in repaired} == {
+        (1, 150.0, "keep-me")
+    }

@@ -213,7 +213,7 @@ def test_record_before_schema_raises(spark, tmp_path):
 
 def test_null_pk_component_raises(spark, tmp_path):
     cap = _write(tmp_path, [_schema(), _rec(None, "a", 1.0)])
-    with pytest.raises(ValueError, match="NULL primary-key"):
+    with pytest.raises(ValueError, match="primary-key component"):
         replay_capture(spark, cap, str(tmp_path / "tgt"))
 
 
@@ -325,3 +325,119 @@ def test_bulk_activate_version_purges_preexisting_table(spark, tmp_path):
     got = {r["id"]: r["name"] for r in tables["t1"].read(spark).collect()}
     # keys 6..10 were version-1-only: the swap removed them
     assert got == {i: f"v2_{i}" for i in range(1, 6)}
+
+
+def test_replay_typed_pk_identity_no_separator_collision(spark, tmp_path):
+    """r13: the replay dedupe key is TYPED (from_json over the PK subset
+    + to_json), so composite string PKs containing the old separator
+    byte stay distinct — ("x\\x1fy", "z") vs ("x", "y\\x1fz") are two
+    rows, exactly as load_capture's typed last-wins (and the reference
+    target's PK dict) would keep them."""
+    props = {"a": {"type": ["null", "string"]},
+             "b": {"type": ["null", "string"]},
+             "v": {"type": ["null", "integer"]}}
+
+    def rec(a, b, v):
+        return json.dumps({"type": "RECORD", "stream": "t1",
+                           "record": {"a": a, "b": b, "v": v}})
+
+    cap = _write(tmp_path, [
+        _schema(props=props, keys=("a", "b")),
+        rec("x\x1fy", "z", 1),
+        rec("x", "y\x1fz", 2),
+    ])
+    res = replay_capture(spark, cap, str(tmp_path / "tgt"))
+    rows = {(r["a"], r["b"]): r["v"]
+            for r in res.tables["t1"].read(spark).collect()}
+    assert rows == {("x\x1fy", "z"): 1, ("x", "y\x1fz"): 2}
+
+
+def test_replay_max_records_guard(spark, tmp_path):
+    """r13: faithful replay holds one (lineno, stream, pk) tuple per
+    record on the driver, so it refuses captures beyond max_records
+    with guidance to use load_capture (the one-pass scale path)."""
+    cap = _write(tmp_path, [
+        _schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0), _rec(3, "c", 3.0),
+    ])
+    with pytest.raises(ValueError, match="use load_capture"):
+        replay_capture(spark, cap, str(tmp_path / "tgt"), max_records=2)
+    # lifting the guard explicitly replays fine
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), max_records=None
+    )
+    assert res.tables["t1"].read(spark).count() == 3
+
+
+def test_scan_control_plane_state_volume_guard(spark, tmp_path):
+    """r13: CDC taps can emit a STATE per record — scan_control_plane
+    refuses an unbounded control-plane collect, and states='last'
+    (the bulk-load mode) keeps only the final STATE regardless."""
+    lines = [_schema()]
+    for i in range(1, 21):
+        lines.append(_rec(i, f"n{i}", float(i)))
+        lines.append(_state({"t1": {"pos": i}}))
+    cap = _write(tmp_path, lines)
+    with pytest.raises(ValueError, match="control"):
+        scan_control_plane(spark, cap, max_control_lines=5)
+    plan = scan_control_plane(spark, cap, states="last")
+    states = [m for m in plan.messages if m["type"] == "STATE"]
+    assert len(states) == 1
+    assert states[0]["value"] == {"bookmarks": {"t1": {"pos": 20}}}
+
+
+def test_load_capture_state_heavy_bookmarks_final(spark, tmp_path):
+    """A STATE-per-record capture bulk-loads without the driver ever
+    collecting the STATE stream; bookmarks take the final STATE."""
+    from pipelinewise_spark.plans.state import BookmarkStore
+
+    lines = [_schema()]
+    for i in range(1, 31):
+        lines.append(_rec(i, f"n{i}", float(i)))
+        lines.append(_state({"t1": {"pos": i}}))
+    cap = _write(tmp_path, lines)
+    bm = BookmarkStore(str(tmp_path / "state.json"))
+    tables = load_capture(spark, cap, str(tmp_path / "tgt"), bookmarks=bm)
+    assert tables["t1"].read(spark).count() == 30
+    assert bm.get("t1", "pos") == 30
+
+
+def test_write_capture_no_keys_append_only(spark, tmp_path):
+    """r13: key_properties=[] with no order_by exports without sorting
+    (append-only capture) instead of raising on a zero-column orderBy;
+    the capture round-trips through the no-PK load path."""
+    from pipelinewise_spark.sources.singer import write_capture
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "id long, name string"
+    )
+    cap = str(tmp_path / "cap.ndjson")
+    n = write_capture(df, cap, "t1", key_properties=[])
+    assert n == 3
+    tables = load_capture(
+        spark, cap, str(tmp_path / "tgt"), primary_key_required=False
+    )
+    got = sorted(
+        (r["id"], r["name"]) for r in tables["t1"].read(spark).collect()
+    )
+    assert got == [(1, "a"), (1, "a"), (2, "b")]
+
+
+def test_import_capture_cli_no_pk_required(spark, tmp_path):
+    """r13: the CLI exposes primary_key_required=False as
+    --no-pk-required so append-only captures import without touching
+    Python."""
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    cap = _write(tmp_path, [
+        json.dumps({"type": "SCHEMA", "stream": "t1",
+                    "schema": {"type": "object",
+                               "properties": SCHEMA_PROPS},
+                    "key_properties": []}),
+        _rec(1, "a", 1.0), _rec(1, "a", 1.0),
+    ])
+    root = str(tmp_path / "tgt")
+    rc = cli_main(["import-capture", cap, root, "--no-pk-required"])
+    assert rc == 0
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    assert ParquetTable(f"{root}/t1").read(spark).count() == 2
