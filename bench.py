@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "stream_ks_drift_events",
     "stream_mw_drift_events",
     "singer_capture_roundtrip_orders",
+    # r13 registrations
+    "singer_schema_drift_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

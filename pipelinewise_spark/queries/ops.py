@@ -2927,3 +2927,80 @@ def singer_capture_roundtrip_orders(
     )
     assert n == out.count()
     return out
+
+
+@register(
+    "singer_schema_drift_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_custkey AS BIGINT) AS o_custkey_20240101_0000,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN 'C' || CAST(o_custkey AS VARCHAR) END
+               AS o_custkey
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def singer_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-capture column TYPE change through the Singer replay path
+    (sources/singer.py:replay_capture + operators/schema_evolution.py)
+    — the reference's ``version_column`` semantics
+    (target_snowflake/db_sync.py:849-870), triggered by a re-emitted
+    SCHEMA exactly as wal2json/binlog schema refresh does
+    (tap_postgres logical_replication.py:437-453): o_custkey is
+    emitted as INTEGER, then the tap re-emits SCHEMA with it as
+    STRING and re-sends every third key as 'C'||value. The target must
+    end with the old column renamed ``o_custkey_<suffix>`` (all
+    pre-drift values retained — including for re-sent PKs, whose
+    merge only SETs the batch's columns) and a fresh string
+    ``o_custkey`` populated only for the re-sent keys — the SQL
+    oracle states exactly that."""
+    import json
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.singer import replay_capture
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singersd_")
+        rows = sorted(base.collect(), key=lambda r: r["o_orderkey"])
+
+        def schema_msg(cust_type):
+            return {"type": "SCHEMA", "stream": "orders",
+                    "schema": {"type": "object", "properties": {
+                        "o_orderkey": {"type": ["null", "integer"]},
+                        "o_orderstatus": {"type": ["null", "string"]},
+                        "o_custkey": {"type": ["null", cust_type]},
+                    }},
+                    "key_properties": ["o_orderkey"]}
+
+        lines = [schema_msg("integer")]
+        lines += [{"type": "RECORD", "stream": "orders", "record": {
+            "o_orderkey": r["o_orderkey"],
+            "o_orderstatus": r["o_orderstatus"],
+            "o_custkey": r["o_custkey"],
+        }} for r in rows]
+        lines.append(schema_msg("string"))  # the type drift
+        lines += [{"type": "RECORD", "stream": "orders", "record": {
+            "o_orderkey": r["o_orderkey"],
+            "o_orderstatus": r["o_orderstatus"],
+            "o_custkey": f"C{r['o_custkey']}",
+        }} for r in rows if r["o_orderkey"] % 3 == 0]
+        cap = os.path.join(tmp, "cap.ndjson")
+        with open(cap, "w") as fh:
+            for o in lines:
+                fh.write(json.dumps(o) + "\n")
+        batch = max(4, len(rows) // 6)  # several real flushes at any sf
+
+    res = replay_capture(
+        spark, cap, os.path.join(tmp, "tgt"), batch_size_rows=batch,
+        version_suffix="20240101_0000",
+    )
+    return res.tables["orders"].read(spark).select(
+        "o_orderkey", "o_orderstatus",
+        "o_custkey_20240101_0000", "o_custkey",
+    )

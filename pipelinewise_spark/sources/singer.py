@@ -205,11 +205,59 @@ def _apply_activate(df: DataFrame, version: int) -> DataFrame:
     return df.filter(v.isNull() | (v >= F.lit(int(version))))
 
 
-def _merge_into(spark, table, batch: DataFrame, pks: list[str]) -> None:
+def _evolved_target(
+    spark,
+    table,
+    batch: DataFrame,
+    pks: list[str],
+    version_suffix: str | None,
+) -> DataFrame:
+    """The existing table's contents, evolved for an incompatible
+    column TYPE change in the incoming batch — the reference's
+    ``version_column`` (target_snowflake/db_sync.py:849-870): the old
+    column renames to ``<name>_<suffix>`` (data retained) and a fresh
+    NULL column of the new type takes its place, exactly what a
+    re-emitted SCHEMA from wal2json/binlog schema refresh triggers
+    (tap_postgres logical_replication.py:437-453). Add-column drift
+    needs no action here — merge_upsert's union-of-columns NULL-fill
+    already is the reference's ``add_column``. A type change on a
+    primary-key column is refused: versioning the PK would break the
+    merge identity (the reference's MERGE would equally never match)."""
+    from pipelinewise_spark.operators.schema_evolution import (
+        apply_evolution,
+        plan_evolution,
+    )
+
+    target = table.read(spark)
+    actions = [
+        a
+        for a in plan_evolution(target.schema, batch.schema, version_suffix)
+        if a.kind == "version_column"
+    ]
+    if not actions:
+        return target
+    bad = [a.column for a in actions if a.column in pks]
+    if bad:
+        raise ValueError(
+            f"incompatible type change on primary-key column(s) {bad} — "
+            "a PK cannot be versioned (the merge identity would break); "
+            "resync the stream into a fresh table instead"
+        )
+    return apply_evolution(target, batch.schema, actions)
+
+
+def _merge_into(
+    spark,
+    table,
+    batch: DataFrame,
+    pks: list[str],
+    version_suffix: str | None = None,
+) -> None:
     from pipelinewise_spark.operators.merge import merge_upsert
 
     if table.exists():
-        merged = merge_upsert(table.read(spark), batch, pks)
+        target = _evolved_target(spark, table, batch, pks, version_suffix)
+        merged = merge_upsert(target, batch, pks)
     else:
         merged = batch
     table.overwrite(merged)
@@ -222,6 +270,7 @@ def load_capture(
     bookmarks: Any | None = None,
     float_compat: bool = False,
     primary_key_required: bool = True,
+    version_suffix: str | None = None,
 ) -> dict[str, Any]:
     """BULK one-pass load of a capture into ParquetTables under
     ``target_root/<stream>``: per stream, records parse distributed,
@@ -232,6 +281,11 @@ def load_capture(
     Returns {stream: ParquetTable}. Captures with a mid-stream schema
     change load under the LAST schema (merge_upsert aligns columns);
     use :func:`replay_capture` when per-epoch schema fidelity matters.
+    A PRE-EXISTING table whose column type the capture's schema changed
+    incompatibly evolves via the reference's ``version_column``
+    semantics (old column renamed ``<name>_<suffix>``, fresh column
+    added — db_sync.py:849-870); ``version_suffix`` pins the rename
+    suffix (default: the UTC load time, the reference's behavior).
     """
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
@@ -264,13 +318,20 @@ def load_capture(
             from pipelinewise_spark.operators.merge import merge_upsert
 
             merged = (
-                merge_upsert(table.read(spark), batch, pks)
+                merge_upsert(
+                    _evolved_target(spark, table, batch, pks,
+                                    version_suffix),
+                    batch, pks,
+                )
                 if table.exists() else batch
             )
         else:
             from pipelinewise_spark.operators.merge import append_only
 
-            prev = table.read(spark) if table.exists() else None
+            prev = (
+                _evolved_target(spark, table, batch, [], version_suffix)
+                if table.exists() else None
+            )
             merged = append_only(prev, batch)
         if stream in activations:
             # the swap purges older-version rows ALREADY IN the target
@@ -425,6 +486,7 @@ def replay_capture(
     float_compat: bool = False,
     primary_key_required: bool = True,
     max_records: int | None = 5_000_000,
+    version_suffix: str | None = None,
 ) -> ReplayResult:
     """Faithful ``persist_lines`` replay (reference
     target_snowflake/__init__.py:122-416):
@@ -434,6 +496,12 @@ def replay_capture(
     - a stream flushes when its row_count reaches ``batch_size_rows``;
       a re-encountered CHANGED SCHEMA flushes the stream first; EOF
       flushes everything;
+    - a re-emitted SCHEMA that changes an existing column's TYPE
+      incompatibly evolves the target on the next flush via the
+      reference's ``version_column`` (db_sync.py:849-870 — old column
+      renamed ``<name>_<version_suffix>``, fresh column added); this is
+      exactly what wal2json/binlog schema refresh emits
+      (logical_replication.py:437-453, binlog.py:578-615);
     - ``flushed_state``: a STATE message sets the candidate state; it
       becomes the flushed (emitted/persisted) state immediately when
       nothing is buffered — or when NO state has been flushed yet,
@@ -520,7 +588,10 @@ def replay_capture(
         table = tables.setdefault(
             stream, ParquetTable(f"{target_root}/{stream}")
         )
-        _merge_into(spark, table, batch, plan.key_properties[stream])
+        _merge_into(
+            spark, table, batch, plan.key_properties[stream],
+            version_suffix,
+        )
         buffers[stream] = {}
         n_flushes += 1
         if final:

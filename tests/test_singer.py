@@ -441,3 +441,113 @@ def test_import_capture_cli_no_pk_required(spark, tmp_path):
     from pipelinewise_spark.operators.table import ParquetTable
 
     assert ParquetTable(f"{root}/t1").read(spark).count() == 2
+
+
+def test_replay_type_change_versions_column(spark, tmp_path):
+    """r13: a re-emitted SCHEMA changing an existing column's TYPE
+    incompatibly routes through version_column (reference
+    db_sync.py:849-870): the old column renames to <name>_<suffix>
+    (data retained), a fresh column of the new type takes its place —
+    exactly what a wal2json/binlog schema refresh emits. A PK re-sent
+    after the change keeps its OLD value in the versioned column and
+    gains the new-typed value in the fresh one."""
+    props_v1 = {"id": {"type": ["null", "integer"]},
+                "flag": {"type": ["null", "integer"]}}
+    props_v2 = {"id": {"type": ["null", "integer"]},
+                "flag": {"type": ["null", "string"]}}
+
+    def rec(id_, flag):
+        return json.dumps({"type": "RECORD", "stream": "t1",
+                           "record": {"id": id_, "flag": flag}})
+
+    cap = _write(tmp_path, [
+        _schema(props=props_v1),
+        rec(1, 10), rec(2, 20), rec(3, 30),
+        _schema(props=props_v2),            # type drift -> flush + evolve
+        rec(2, "S20"), rec(4, "S40"),
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=100,
+        version_suffix="20240101_0000",
+    )
+    out = res.tables["t1"].read(spark)
+    assert set(out.columns) >= {"id", "flag", "flag_20240101_0000"}
+    assert dict(out.dtypes)["flag"] == "string"
+    assert dict(out.dtypes)["flag_20240101_0000"] == "bigint"
+    got = {r["id"]: (r["flag_20240101_0000"], r["flag"])
+           for r in out.collect()}
+    assert got == {
+        1: (10, None),      # pre-drift only: data retained, fresh NULL
+        2: (20, "S20"),     # re-sent: old value kept + new value
+        3: (30, None),
+        4: (None, "S40"),   # post-drift only
+    }
+
+
+def test_load_capture_day2_type_change_versions_column(spark, tmp_path):
+    """r13: the BULK path evolves a PRE-EXISTING table the same way
+    when a later capture's schema changed a column type."""
+    props_v2 = {"id": {"type": ["null", "integer"]},
+                "name": {"type": ["null", "string"]},
+                "amount": {"type": ["null", "string"]}}  # number -> string
+    tgt = str(tmp_path / "tgt")
+    day1 = _write(tmp_path, [
+        _schema(), _rec(1, "a", 1.5), _rec(2, "b", 2.5),
+    ], name="day1.ndjson")
+    load_capture(spark, day1, tgt)
+    day2 = _write(tmp_path, [
+        json.dumps({"type": "SCHEMA", "stream": "t1",
+                    "schema": {"type": "object", "properties": props_v2},
+                    "key_properties": ["id"]}),
+        json.dumps({"type": "RECORD", "stream": "t1",
+                    "record": {"id": 2, "name": "B", "amount": "2.5 EUR"}}),
+    ], name="day2.ndjson")
+    tables = load_capture(
+        spark, day2, tgt, version_suffix="20240202_0000"
+    )
+    out = tables["t1"].read(spark)
+    assert dict(out.dtypes)["amount"] == "string"
+    assert dict(out.dtypes)["amount_20240202_0000"] == "double"
+    got = {r["id"]: (r["amount_20240202_0000"], r["amount"], r["name"])
+           for r in out.collect()}
+    assert got == {1: (1.5, None, "a"), 2: (2.5, "2.5 EUR", "B")}
+
+
+def test_type_change_on_pk_refused(spark, tmp_path):
+    """A type change on a primary-key column cannot version (the merge
+    identity would break) — loud refusal, never a silent mismatch."""
+    tgt = str(tmp_path / "tgt")
+    day1 = _write(tmp_path, [_schema(), _rec(1, "a", 1.0)],
+                  name="day1.ndjson")
+    load_capture(spark, day1, tgt)
+    day2 = _write(tmp_path, [
+        json.dumps({"type": "SCHEMA", "stream": "t1",
+                    "schema": {"type": "object", "properties": {
+                        "id": {"type": ["null", "string"]},
+                        "name": {"type": ["null", "string"]},
+                        "amount": {"type": ["null", "number"]}}},
+                    "key_properties": ["id"]}),
+        json.dumps({"type": "RECORD", "stream": "t1",
+                    "record": {"id": "one", "name": "a", "amount": 1.0}}),
+    ], name="day2.ndjson")
+    with pytest.raises(ValueError, match="primary-key"):
+        load_capture(spark, day2, tgt)
+
+
+def test_load_capture_day2_add_column_drift(spark, tmp_path):
+    """Add-column drift (the compatible case) stays the plain
+    union-of-columns NULL-fill — no versioning."""
+    tgt = str(tmp_path / "tgt")
+    day1 = _write(tmp_path, [_schema(), _rec(1, "a", 1.0)],
+                  name="day1.ndjson")
+    load_capture(spark, day1, tgt)
+    props2 = dict(SCHEMA_PROPS, tag={"type": ["null", "string"]})
+    day2 = _write(tmp_path, [
+        _schema(props=props2),
+        _rec(2, "b", 2.0, extra={"tag": "x"}),
+    ], name="day2.ndjson")
+    tables = load_capture(spark, day2, tgt)
+    out = tables["t1"].read(spark)
+    assert not [c for c in out.columns if c.startswith("tag_")]
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    assert got == {1: None, 2: "x"}
