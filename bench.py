@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "singer_capture_roundtrip_orders",
     # r13 registrations
     "singer_schema_drift_orders",
+    "stream_singer_capture_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

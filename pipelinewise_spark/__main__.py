@@ -903,6 +903,29 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     bm = BookmarkStore(args.state) if args.state else None
     pk_required = not args.no_pk_required
+    if args.tail:
+        from pipelinewise_spark.operators.table import ParquetTable
+        from pipelinewise_spark.streaming.singer import sync_capture_dir
+
+        if not args.checkpoint:
+            print("import-capture --tail needs --checkpoint",
+                  file=sys.stderr)
+            return 2
+        st = sync_capture_dir(
+            spark, args.capture, args.target_root, args.checkpoint,
+            primary_key_required=pk_required, bookmarks=bm,
+        )
+        print(json.dumps({
+            "streams": {
+                s: ParquetTable(
+                    f"{args.target_root}/{s}"
+                ).read(spark).count()
+                for s in st.schemas
+            },
+            "last_batch": st.last_batch,
+            "state": st.bookmark,
+        }))
+        return 0
     if args.replay:
         res = replay_capture(
             spark, args.capture, args.target_root,
@@ -1359,6 +1382,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="allow SCHEMAs with empty key_properties "
                          "(append-only streams; the reference's "
                          "primary_key_required: false)")
+    ic.add_argument("--tail", action="store_true",
+                    help="capture is a GROWING directory of "
+                         "sequentially named NDJSON files (tap stdout "
+                         "rotated by tee): consume everything present "
+                         "via Structured Streaming and resume from "
+                         "--checkpoint on the next invocation")
+    ic.add_argument("--checkpoint",
+                    help="checkpoint dir for --tail (stream progress + "
+                         "schema-registry sidecar)")
     ic.set_defaults(fn=_cmd_import_capture)
 
     ec = sub.add_parser(

@@ -1872,3 +1872,90 @@ def stream_mw_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     assert rows and all(r["within_bound"] for r in rows)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "stream_singer_capture_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice
+             + CASE WHEN o_orderkey % 2 = 0 THEN 5.0 ELSE 0.0 END
+             AS o_totalprice
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def stream_singer_capture_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail-follow Singer capture consumption (streaming/singer.py:
+    sync_capture_dir) — ``tap | engine`` pipe parity with the
+    reference's shell pipe (cli/commands.py:346-355): a tap's stdout
+    rotated into sequentially named NDJSON files streams through
+    Structured Streaming one file per micro-batch; per-batch guarded
+    MERGE by the global capture position (``_sdc_sequence``) makes the
+    multi-micro-batch result IDENTICAL to a bulk load of the finished
+    capture. File 1 is a full snapshot, file 2 re-sends every even key
+    with the price bumped +5.0, file 3 re-asserts unchanged rows out
+    of order — cross-batch last-wins must leave exactly the bumped
+    rows (the SQL oracle). Asserted in-query: the run really was
+    multi-micro-batch, and the bookmark adopted the max-position STATE
+    only after its batch landed (flushed_state at batch granularity)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from pipelinewise_spark.streaming.singer import sync_capture_dir
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    with fixture_timer():
+        tmp = _tempfile.mkdtemp(prefix="pws_singertail_")
+        rows = sorted(base.collect(), key=lambda r: r["o_orderkey"])
+        capdir = _os.path.join(tmp, "cap")
+        _os.makedirs(capdir)
+
+        def rec(r, bump):
+            return _json.dumps({"type": "RECORD", "stream": "orders",
+                                "record": {
+                                    "o_orderkey": r["o_orderkey"],
+                                    "o_orderstatus": r["o_orderstatus"],
+                                    "o_totalprice": r["o_totalprice"] + bump,
+                                }})
+
+        schema_line = _json.dumps({
+            "type": "SCHEMA", "stream": "orders",
+            "schema": {"type": "object", "properties": {
+                "o_orderkey": {"type": ["null", "integer"]},
+                "o_orderstatus": {"type": ["null", "string"]},
+                "o_totalprice": {"type": ["null", "number"]},
+            }},
+            "key_properties": ["o_orderkey"],
+        })
+        files = {
+            "cap-000001.ndjson": [schema_line] + [rec(r, 0.0) for r in rows],
+            "cap-000002.ndjson":
+                [rec(r, 5.0) for r in rows if r["o_orderkey"] % 2 == 0]
+                + [_json.dumps({"type": "STATE", "value":
+                                {"bookmarks": {"orders": {"pos": 2}}}})],
+            # re-asserts of untouched rows AFTER the bump: the guard
+            # keeps them from clobbering only via PK (they are the
+            # same values); odd keys re-sent deliberately
+            "cap-000003.ndjson":
+                [rec(r, 0.0) for r in rows if r["o_orderkey"] % 2 == 1],
+        }
+        for name, lines in files.items():
+            with open(_os.path.join(capdir, name), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    st = sync_capture_dir(
+        spark, capdir, _os.path.join(tmp, "tgt"),
+        _os.path.join(tmp, "ckpt"), max_files_per_trigger=1,
+    )
+    assert st.last_batch >= 2, "expected a multi-micro-batch run"
+    assert st.bookmark == {"bookmarks": {"orders": {"pos": 2}}}
+    return ParquetTable(_os.path.join(tmp, "tgt", "orders")).read(
+        spark
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -1,0 +1,303 @@
+"""Tail-follow Singer capture source (streaming/singer.py): a growing
+capture directory consumed by Structured Streaming, multi-micro-batch
+stream ≡ batch load_capture on the same capture, crash/replay
+idempotence, checkpointed resume, flushed-state bookmark discipline.
+
+Reference contract: ``tap | target`` pipe (cli/commands.py:346-355) +
+persist_lines flushed_state (target_snowflake/__init__.py:122-416).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.operators.table import ParquetTable
+from pipelinewise_spark.sources.singer import load_capture
+from pipelinewise_spark.streaming.singer import (
+    CaptureStreamState,
+    apply_capture_batch,
+    sync_capture_dir,
+)
+
+PROPS = {
+    "id": {"type": ["null", "integer"]},
+    "name": {"type": ["null", "string"]},
+    "amount": {"type": ["null", "number"]},
+}
+
+
+def _schema(stream="t1", props=None, keys=("id",)):
+    return json.dumps({
+        "type": "SCHEMA", "stream": stream,
+        "schema": {"type": "object", "properties": props or PROPS},
+        "key_properties": list(keys),
+    })
+
+
+def _rec(id_, name, amount, stream="t1", version=None):
+    o = {"type": "RECORD", "stream": stream,
+         "record": {"id": id_, "name": name, "amount": amount}}
+    if version is not None:
+        o["version"] = version
+    return json.dumps(o)
+
+
+def _state(bookmarks):
+    return json.dumps({"type": "STATE", "value": {"bookmarks": bookmarks}})
+
+
+def _capdir(tmp_path, files):
+    d = tmp_path / "cap"
+    d.mkdir(exist_ok=True)
+    for name, lines in files:
+        (d / name).write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def _rows(spark, root, stream="t1"):
+    return {
+        r["id"]: (r["name"], r["amount"])
+        for r in ParquetTable(f"{root}/{stream}").read(spark).collect()
+    }
+
+
+def test_stream_equals_bulk_load(spark, tmp_path):
+    """Multi-micro-batch streaming consumption reproduces the batch
+    load_capture result exactly on the same capture — last-wins by
+    global capture position across batch boundaries."""
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        ]),
+        ("cap-000002.ndjson", [
+            _rec(3, "c", 3.0), _rec(1, "a2", 10.0),
+            _state({"t1": {"pos": 1}}),
+        ]),
+        ("cap-000003.ndjson", [
+            _rec(2, "b2", 20.0), _rec(4, "d", 4.0),
+            _state({"t1": {"pos": 2}}),
+        ]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    st = sync_capture_dir(
+        spark, capdir, str(tmp_path / "stream_tgt"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    # one big file through the batch path
+    single = tmp_path / "single.ndjson"
+    single.write_text(
+        "\n".join(line for _, ls in files for line in ls) + "\n"
+    )
+    load_capture(spark, str(single), str(tmp_path / "bulk_tgt"))
+    got_stream = _rows(spark, str(tmp_path / "stream_tgt"))
+    got_bulk = _rows(spark, str(tmp_path / "bulk_tgt"))
+    assert got_stream == got_bulk == {
+        1: ("a2", 10.0), 2: ("b2", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)
+    }
+    # flushed-state discipline: the final sidecar bookmark is the
+    # max-position STATE, adopted only after its batch landed
+    assert st.bookmark == {"bookmarks": {"t1": {"pos": 2}}}
+    assert st.last_batch >= 2  # maxFilesPerTrigger=1 -> >=3 batches
+
+
+def test_stream_resume_from_checkpoint(spark, tmp_path):
+    """New files landing after a bounded run are picked up by the next
+    run from the SAME checkpoint — tail-follow resume; already-applied
+    files are not reprocessed (schema carried by the sidecar)."""
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [_schema(), _rec(1, "a", 1.0)]),
+    ])
+    tgt, ck = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    st = sync_capture_dir(spark, capdir, tgt, ck)
+    assert _rows(spark, tgt) == {1: ("a", 1.0)}
+    first_batch = st.last_batch
+    # the tap keeps writing: a new file with an update + an insert
+    _capdir(tmp_path, [
+        ("cap-000002.ndjson", [
+            _rec(1, "a2", 10.0), _rec(2, "b", 2.0),
+            _state({"t1": {"pos": 9}}),
+        ]),
+    ])
+    st2 = sync_capture_dir(spark, capdir, tgt, ck)
+    assert st2.last_batch > first_batch
+    assert _rows(spark, tgt) == {1: ("a2", 10.0), 2: ("b", 2.0)}
+    assert st2.bookmark == {"bookmarks": {"t1": {"pos": 9}}}
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch (same files re-applied) leaves the
+    table unchanged: PK merges are guarded on _sdc_sequence, appends
+    anti-join on it."""
+    lines = [_schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0)]
+    f = tmp_path / "cap-000001.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    batch = (
+        spark.read.text(str(f))
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__block"),
+        )
+    )
+    tgt = str(tmp_path / "tgt")
+    st = apply_capture_batch(
+        spark, batch, tgt, CaptureStreamState()
+    )
+    before = _rows(spark, tgt)
+    # crash before the checkpoint committed: the SAME batch re-runs
+    # against the already-updated table and the stale sidecar
+    apply_capture_batch(spark, batch, tgt, CaptureStreamState())
+    # and once more against the advanced sidecar
+    apply_capture_batch(spark, batch, tgt, st)
+    assert _rows(spark, tgt) == before == {1: ("a", 1.0), 2: ("b", 2.0)}
+    # no duplicate snapshot rows under the replay
+    n = ParquetTable(f"{tgt}/t1").read(spark).count()
+    assert n == 2
+
+
+def test_out_of_order_file_delivery_cannot_roll_back(spark, tmp_path):
+    """If the file source lists a LATER file into an EARLIER batch, the
+    sequence guard keeps the final state last-wins by capture position
+    — applying cap-000002 then cap-000001 ends identical to in-order."""
+    f1 = tmp_path / "cap-000001.ndjson"
+    f1.write_text("\n".join([_schema(), _rec(1, "old", 1.0)]) + "\n")
+    f2 = tmp_path / "cap-000002.ndjson"
+    f2.write_text("\n".join([_rec(1, "new", 2.0)]) + "\n")
+
+    def batch_of(path):
+        return (
+            spark.read.text(str(path))
+            .select(
+                "value",
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.file_block_start").alias("__block"),
+            )
+        )
+
+    tgt = str(tmp_path / "tgt")
+    # seed the schema from file 1's SCHEMA line first (contract: a
+    # record's SCHEMA precedes it in capture order), then deliver the
+    # DATA out of order: file 2's update before file 1's insert
+    st = CaptureStreamState()
+    st = apply_capture_batch(spark, batch_of(f1), tgt, st)
+    st = apply_capture_batch(spark, batch_of(f2), tgt, st)
+    # replay file 1 again AFTER file 2 (the out-of-order/replay case):
+    # its older row must NOT roll back the newer value
+    st = apply_capture_batch(spark, batch_of(f1), tgt, st)
+    assert _rows(spark, tgt) == {1: ("new", 2.0)}
+
+
+def test_stream_schema_drift_versions_column(spark, tmp_path):
+    """Mid-stream type drift routes through version_column exactly like
+    the batch paths (reference db_sync.py:849-870)."""
+    props_v2 = {"id": {"type": ["null", "integer"]},
+                "name": {"type": ["null", "string"]},
+                "amount": {"type": ["null", "string"]}}
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [_schema(), _rec(1, "a", 1.5)]),
+        ("cap-000002.ndjson", [
+            _schema(props=props_v2),
+            json.dumps({"type": "RECORD", "stream": "t1",
+                        "record": {"id": 2, "name": "b",
+                                   "amount": "2.5 EUR"}}),
+        ]),
+    ])
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, version_suffix="20240101_0000",
+    )
+    out = ParquetTable(str(tmp_path / "tgt" / "t1")).read(spark)
+    assert dict(out.dtypes)["amount"] == "string"
+    got = {r["id"]: (r["amount_20240101_0000"], r["amount"])
+           for r in out.collect()}
+    assert got == {1: (1.5, None), 2: (None, "2.5 EUR")}
+
+
+def test_stream_activate_version_purges(spark, tmp_path):
+    """ACTIVATE_VERSION arriving in a later micro-batch purges
+    older-version rows already in the table (full-resync swap)."""
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [
+            _schema(),
+            _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        ]),
+        ("cap-000002.ndjson", [
+            _rec(2, "B", 20.0, version=2), _rec(3, "C", 30.0, version=2),
+            json.dumps({"type": "ACTIVATE_VERSION", "stream": "t1",
+                        "version": 2}),
+        ]),
+    ])
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert _rows(spark, str(tmp_path / "tgt")) == {
+        2: ("B", 20.0), 3: ("C", 30.0)
+    }
+
+
+def test_stream_record_before_schema_raises(spark, tmp_path):
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [_rec(1, "a", 1.0)]),
+    ])
+    with pytest.raises(Exception, match="before its SCHEMA"):
+        sync_capture_dir(
+            spark, capdir, str(tmp_path / "tgt"),
+            str(tmp_path / "ckpt"),
+        )
+
+
+def test_stream_append_only_idempotent(spark, tmp_path):
+    """No-PK streams append with a sequence anti-join: duplicates in
+    the DATA stay (two identical records are two rows), but a replayed
+    batch adds nothing."""
+    lines = [
+        json.dumps({"type": "SCHEMA", "stream": "t1",
+                    "schema": {"type": "object", "properties": PROPS},
+                    "key_properties": []}),
+        _rec(1, "a", 1.0), _rec(1, "a", 1.0),
+    ]
+    f = tmp_path / "cap-000001.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    batch = (
+        spark.read.text(str(f))
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__block"),
+        )
+    )
+    tgt = str(tmp_path / "tgt")
+    st = apply_capture_batch(
+        spark, batch, tgt, CaptureStreamState(),
+        primary_key_required=False,
+    )
+    apply_capture_batch(
+        spark, batch, tgt, st, primary_key_required=False
+    )
+    assert ParquetTable(f"{tgt}/t1").read(spark).count() == 2
+
+
+def test_import_capture_cli_tail(spark, tmp_path, capsys):
+    """The CLI face of tail-follow: import-capture --tail consumes a
+    capture directory and resumes from the checkpoint next run."""
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [_schema(), _rec(1, "a", 1.0)]),
+    ])
+    tgt, ck = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    rc = cli_main(["import-capture", capdir, tgt,
+                   "--tail", "--checkpoint", ck])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["streams"] == {"t1": 1}
+    _capdir(tmp_path, [
+        ("cap-000002.ndjson", [_rec(2, "b", 2.0)]),
+    ])
+    rc = cli_main(["import-capture", capdir, tgt,
+                   "--tail", "--checkpoint", ck])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["streams"] == {"t1": 2}
