@@ -25,6 +25,67 @@ from pipelinewise_spark.queries import quality as _quality  # noqa: F401,E402
 # machinery, LLM-data — rather than module import order, which would
 # front-load one family and starve the rest.
 _SHOWCASE_ORDER = [
+    # ================= r13 prefix-50 =================
+    # Composition (executes the r12-documented rotation plan against the
+    # cumulative latest-green record: after r12 the map reads 15
+    # r7-green rows, 43 r8-green rows, and 2 never-driver-graded
+    # post-prefix r12 registrations):
+    # Part A (2): never driver-graded — the Mann-Whitney bracket drained
+    # from the SAME StreamingKSMonitor state as the KS bracket, and the
+    # write_capture -> load_capture byte-roundtrip. Highest priority:
+    # pytest-value-verified every session but never seen by the driver.
+    "stream_mw_drift_events", "singer_capture_roundtrip_orders",
+    # Part B (2): NEW in r13 — mid-capture column type change through
+    # the replay path (version_column semantics, db_sync.py:849-870)
+    # and the tail-follow streaming Singer capture source
+    # (multi-micro-batch stream ≡ bulk load, sequence-guarded merges).
+    "singer_schema_drift_orders", "stream_singer_capture_orders",
+    # Part C (2): r13 code-touched — replay_capture gained the typed
+    # per-epoch PK dedupe key + the max_records driver-state guard;
+    # load_capture gained states='last' control-plane scan + capture-
+    # path evolution. Both Singer sync rows re-grade under the driver.
+    "singer_stream_sync_orders", "singer_activate_version_orders",
+    # Part D (15): staleness rotation — the ENTIRE remaining r7-green
+    # block (the r12 plan's named rows).
+    "rollback_orders", "scd2_customer_history",
+    "scd2_pit_revenue_by_segment", "semantic_dedup_embeddings",
+    "session_window_events", "shard_documents_by_tokens",
+    "shuffle_shards_documents", "star_rollup_revenue_by_nation",
+    "table_changes_orders", "temperature_sample_documents",
+    "time_travel_as_of_orders", "token_budget_mixture_documents",
+    "update_where_orders", "wap_publish_orders", "winsorize_order_totals",
+    # Part E (29): the oldest r8-green rows, alphabetical for
+    # determinism (the bpe rows got full recursive-CTE value oracles
+    # back in r8, so they rotate like any other row). r14 rotation
+    # plan: the 14 remaining r8-green rows (q3_shipping_priority,
+    # record_linkage_customer, regression_price_by_brand,
+    # rolling_7day_revenue, seasonal_anomaly_daily_events,
+    # semantic_decontaminate_embeddings, sliding_window_event_counts,
+    # source_reputation_filter_documents, stream_ohlc_bars_events,
+    # stream_running_totals_events, triangle_count_parts,
+    # unpivot_order_measures, window_functions_orders,
+    # xml_source_orders) + the oldest r9-green rows to fill + anything
+    # r14's code touches.
+    "analyze_stats_orders", "asof_join_click_purchase",
+    "bpe_encode_documents", "bpe_merges_documents",
+    "cdf_cms_maintenance_orders", "chi2_priority_status",
+    "cms_user_frequency_events", "distribution_drift_orders",
+    "events_topk_per_user", "ewma_daily_events",
+    "except_customers_both_segments", "fk_integrity_orders",
+    "freshness_report_events", "grouping_sets_revenue",
+    "hierarchy_rollup_parts", "holt_forecast_daily_events",
+    "ingest_volume_anomaly_orders", "intersect_customers_both_statuses",
+    "item_recommendations_parts", "key_skew_report_events",
+    "ks_test_price_priorities", "mann_whitney_acctbal_segments",
+    "merge_on_read_orders", "mmr_diversified_topk_embeddings",
+    "ohlc_daily_events", "pagerank_copurchase_parts",
+    "part_pairs_cooccurrence", "phash_near_dup_media",
+    "q1_pricing_summary",
+    # ============== end r13 prefix-50 ==============
+    # The full r12 ordering follows unchanged (duplicates of the rows
+    # above collapse in the ordered-dict rebuild): its prefix rows are
+    # all r12-green — the freshest on record — so they lead the
+    # post-prefix order.
     # ================= r12 prefix-50 =================
     # Composition (executes the r11-documented rotation plan against the
     # actual cumulative latest-green record: after r11 the map reads
