@@ -963,10 +963,18 @@ def _cmd_export_capture(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t = ParquetTable(args.table)
     df = t.read(spark) if t.exists() else spark.read.parquet(args.table)
-    n = write_capture(
-        df, args.out, args.stream, list(args.pk),
-        version=args.version,
-    )
+    if args.rotate_records:
+        from pipelinewise_spark.sources.singer import write_capture_rotated
+
+        n = write_capture_rotated(
+            df, args.out, args.stream, list(args.pk),
+            records_per_file=args.rotate_records, version=args.version,
+        )
+    else:
+        n = write_capture(
+            df, args.out, args.stream, list(args.pk),
+            version=args.version,
+        )
     print(json.dumps({"stream": args.stream, "records": n,
                       "capture": args.out}))
     return 0
@@ -1406,6 +1414,11 @@ def main(argv: list[str] | None = None) -> int:
     ec.add_argument("--version", type=int,
                     help="emit records with this table version + a "
                          "trailing ACTIVATE_VERSION (full-resync capture)")
+    ec.add_argument("--rotate-records", type=int, default=None,
+                    help="write --out as a capture DIRECTORY of "
+                         "sequentially named files with this many "
+                         "records each (the tail-follow producer "
+                         "contract) instead of one file")
     ec.set_defaults(fn=_cmd_export_capture)
 
     stp = sub.add_parser(

@@ -33,15 +33,16 @@ Two entry points, one contract:
   ``persist_lines``' buffered flush ordering (batch_size_rows,
   new-PK row counting, in-batch PK last-wins, per-stream
   flushed_state). The control loop walks (lineno, stream, pk) TUPLES
-  collected from a distributed projection — never payloads, but still
-  O(records) driver tuples, so the walk is BOUNDED: captures with
-  more than ``max_records`` RECORD lines (or more than
-  ``max_control_lines`` control lines — CDC taps can emit a STATE
-  per record) are refused up front with guidance to use
-  load_capture, whose one-pass form is the scale path. Each flush is
-  a distributed range filter + window dedupe + MERGE. Use replay to
-  resume interrupted tap runs with exact state semantics; use
-  load_capture for bulk backfills.
+  from a distributed projection — never payloads, and collected one
+  ``chunk_lines``-sized lineno window at a time, so driver memory is
+  bounded by the window plus the un-flushed buffers regardless of
+  capture size. Two loud guards on top: ``max_records`` (default 5M)
+  refuses captures whose flush count would make a faithful replay
+  pointlessly slow (use load_capture, the one-pass scale path), and
+  ``max_control_lines`` caps the control-plane collect (CDC taps can
+  emit a STATE per record). Each flush is a distributed range filter
+  + window dedupe + MERGE. Use replay to resume interrupted tap runs
+  with exact state semantics; use load_capture for bulk backfills.
 
 A capture is ONE NDJSON file (a single tap run's stdout); line order
 is the file's physical order (per-file block-ordered row_number, same
@@ -356,27 +357,10 @@ class ReplayResult:
     n_flushes: int
 
 
-def _records_meta(
-    spark: SparkSession,
-    path: str,
-    plan: CapturePlan,
-    float_compat: bool = False,
-) -> list[tuple[int, str, str]]:
-    """(lineno, stream, pk_string) for every RECORD line — a distributed
-    projection (payloads never collected; each tuple is bytes).
-
-    The dedupe key is TYPED: PK components parse via ``from_json``
-    against the PK subset of the stream's CURRENT schema (per SCHEMA
-    epoch — a re-emitted SCHEMA changes the parse from its line on),
-    then serialize back with ``to_json`` — so JSON number ``1`` and
-    string ``"1"`` that the typed merge would keep distinct stay
-    distinct here too, and separator/quote characters inside string
-    PKs can't collide. NULL or type-mismatched PK components raise,
-    mirroring primary_key_required (the merge would otherwise silently
-    collapse them onto a NULL key)."""
-    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
-
-    lines = capture_lines(spark, path)
+def _check_record_streams(
+    spark: SparkSession, lines: DataFrame, plan: CapturePlan
+) -> None:
+    """Fail fast on RECORDs with no (or a not-yet-emitted) SCHEMA."""
     known = list(plan.key_properties)
     orphan = (
         lines.filter(F.get_json_object("line", "$.type") == "RECORD")
@@ -390,6 +374,50 @@ def _records_meta(
             f"RECORD for stream {orphan[0]['s']!r} before its SCHEMA "
             "(no SCHEMA message for that stream in the capture)"
         )
+    firsts = {}
+    for m in plan.messages:
+        if m["type"] == "SCHEMA":
+            firsts.setdefault(m["stream"], m["__lineno"])
+    for stream, first in firsts.items():
+        early = (
+            lines.filter(
+                (F.get_json_object("line", "$.type") == "RECORD")
+                & (F.get_json_object("line", "$.stream") == stream)
+                & (F.col("lineno") < F.lit(first))
+            )
+            .limit(1)
+            .collect()
+        )
+        if early:
+            raise ValueError(
+                f"RECORD for stream {stream!r} before its SCHEMA"
+            )
+
+
+def _records_meta(
+    spark: SparkSession,
+    lines: DataFrame,
+    plan: CapturePlan,
+    float_compat: bool = False,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> list[tuple[int, str, str]]:
+    """(lineno, stream, pk_string) for the RECORD lines in the
+    ``[lo, hi]`` lineno window (the whole capture when unbounded) — a
+    distributed projection (payloads never collected; each tuple is
+    bytes).
+
+    The dedupe key is TYPED: PK components parse via ``from_json``
+    against the PK subset of the stream's CURRENT schema (per SCHEMA
+    epoch — a re-emitted SCHEMA changes the parse from its line on),
+    then serialize back with ``to_json`` — so JSON number ``1`` and
+    string ``"1"`` that the typed merge would keep distinct stay
+    distinct here too, and separator/quote characters inside string
+    PKs can't collide. NULL or type-mismatched PK components raise,
+    mirroring primary_key_required (the merge would otherwise silently
+    collapse them onto a NULL key)."""
+    from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
     # SCHEMA epochs: each stream's records parse under the schema in
     # force at their line (the same struct the flush's stream_records
     # parse uses after the walk swaps it)
@@ -399,24 +427,21 @@ def _records_meta(
             epochs.setdefault(m["stream"], []).append(
                 (m["__lineno"], m["schema"])
             )
+    window = None
+    if lo is not None:
+        window = F.col("lineno") >= F.lit(lo)
+    if hi is not None:
+        c = F.col("lineno") <= F.lit(hi)
+        window = c if window is None else (window & c)
     frames = []
     for stream, eps in epochs.items():
         pks = plan.key_properties[stream]
-        early = (
-            lines.filter(
-                (F.get_json_object("line", "$.type") == "RECORD")
-                & (F.get_json_object("line", "$.stream") == stream)
-                & (F.col("lineno") < F.lit(eps[0][0]))
-            )
-            .limit(1)
-            .collect()
-        )
-        if early:
-            raise ValueError(
-                f"RECORD for stream {stream!r} before its SCHEMA"
-            )
         for i, (start, schema) in enumerate(eps):
             end = eps[i + 1][0] if i + 1 < len(eps) else None
+            if hi is not None and start > hi:
+                continue
+            if lo is not None and end is not None and end < lo:
+                continue
             full = json_schema_to_struct(schema, float_compat)
             by_name = {f.name: f for f in full.fields}
             missing = [k for k in pks if k not in by_name]
@@ -429,6 +454,8 @@ def _records_meta(
             rng = F.col("lineno") > F.lit(start)
             if end is not None:
                 rng = rng & (F.col("lineno") < F.lit(end))
+            if window is not None:
+                rng = rng & window
             rec = lines.filter(
                 (F.get_json_object("line", "$.type") == "RECORD")
                 & (F.get_json_object("line", "$.stream") == stream)
@@ -477,6 +504,43 @@ def _records_meta(
     )
 
 
+def _iter_capture_events(
+    spark: SparkSession,
+    path: str,
+    plan: CapturePlan,
+    float_compat: bool = False,
+    chunk_lines: int = 2_000_000,
+):
+    """Yield ``(lineno, kind, payload)`` in capture order with BOUNDED
+    driver memory: control messages (already collected, capped by
+    scan_control_plane) merge with RECORD tuples collected one
+    ``chunk_lines``-sized lineno WINDOW at a time — the driver never
+    holds more than one window of (lineno, stream, pk) tuples, so a
+    faithful replay's memory no longer grows with the capture. The
+    trade is one distributed projection pass per window (O(n²/chunk)
+    scan work in the extreme); the per-flush MERGE cost still dominates
+    long before that matters, and load_capture remains the bulk path."""
+    lines = capture_lines(spark, path)
+    _check_record_streams(spark, lines, plan)
+    ctl = sorted(
+        (m["__lineno"], m["type"], m) for m in plan.messages
+    )
+    n_lines = lines.agg(F.max("lineno")).first()[0] or 0
+    lo = 1
+    while lo <= n_lines:
+        hi = min(lo + chunk_lines - 1, n_lines)
+        chunk: list[tuple[int, str, Any]] = [
+            (ln, "RECORD", (stream, pk))
+            for ln, stream, pk in _records_meta(
+                spark, lines, plan, float_compat, lo=lo, hi=hi
+            )
+        ]
+        chunk.extend(c for c in ctl if lo <= c[0] <= hi)
+        chunk.sort(key=lambda e: e[0])
+        yield from chunk
+        lo = hi + 1
+
+
 def replay_capture(
     spark: SparkSession,
     path: str,
@@ -487,6 +551,7 @@ def replay_capture(
     primary_key_required: bool = True,
     max_records: int | None = 5_000_000,
     version_suffix: str | None = None,
+    chunk_lines: int = 2_000_000,
 ) -> ReplayResult:
     """Faithful ``persist_lines`` replay (reference
     target_snowflake/__init__.py:122-416):
@@ -519,12 +584,15 @@ def replay_capture(
     Every flush is DISTRIBUTED: the buffered linenos form a contiguous
     per-stream range since the last flush, so the batch is a range
     filter over the parsed records + the last-wins window + MERGE.
-    The driver holds only (lineno, stream, pk) tuples — which is still
-    O(records) driver memory, so the walk is BOUNDED by
-    ``max_records`` (default 5M): a larger capture is refused up
-    front with guidance to use :func:`load_capture`, the one-pass
-    scale path. Pass ``max_records=None`` to lift the guard
-    explicitly (a driver sized for the tuple volume).
+    Driver memory is BOUNDED two ways: the (lineno, stream, pk) record
+    index is collected one ``chunk_lines``-sized window at a time
+    (never the whole capture — the walk's standing state is just the
+    un-flushed buffers, at most ``batch_size_rows`` PKs per stream),
+    and ``max_records`` (default 5M) refuses outright captures whose
+    per-flush MERGE count would make a faithful replay pointlessly
+    slow — use :func:`load_capture` for those, or pass
+    ``max_records=None`` to lift the refusal (memory stays bounded by
+    the chunking either way).
     """
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
@@ -552,13 +620,11 @@ def replay_capture(
                 "buffered PK dedupe needs a PK; use load_capture for "
                 "append-only streams"
             )
-    meta = _records_meta(spark, path, plan, float_compat)
-
-    # merge control messages + record tuples into one ordered walk
-    events: list[tuple[int, str, Any]] = [
-        (m["__lineno"], m["type"], m) for m in plan.messages
-    ] + [(ln, "RECORD", (stream, pk)) for ln, stream, pk in meta]
-    events.sort(key=lambda e: e[0])
+    # one ordered walk over control messages + record tuples, the
+    # record index collected one bounded window at a time
+    events = _iter_capture_events(
+        spark, path, plan, float_compat, chunk_lines=chunk_lines
+    )
 
     structs: dict[str, T.StructType] = {}
     seen_schema: dict[str, dict] = {}
@@ -703,49 +769,9 @@ def write_capture(
     """
     import json as _json
 
-    cols = [c for c in df.columns]
     if check_keys and key_properties:
-        kc = [F.col(k) for k in key_properties]
-        null_any = None
-        for k in kc:
-            cond = k.isNull()
-            null_any = cond if null_any is None else (null_any | cond)
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*kc).alias("nd"),
-            F.sum(null_any.cast("long")).alias("nn"),
-        ).first()
-        if stats["nn"]:
-            raise ValueError(
-                f"write_capture: {stats['nn']} rows have NULL key "
-                f"components {key_properties} — the loader's PK "
-                "last-wins would silently collapse them"
-            )
-        if stats["nd"] != stats["n"]:
-            raise ValueError(
-                f"write_capture: key {key_properties} is not unique "
-                f"({stats['n']} rows, {stats['nd']} distinct keys) — "
-                "a snapshot export with duplicate PKs loses rows on "
-                "load; dedupe first or export with the real PK"
-            )
-    msg = F.struct(
-        F.lit("RECORD").alias("type"),
-        F.lit(stream).alias("stream"),
-        *([F.lit(int(version)).alias("version")] if version is not None
-          else []),
-        F.struct(*[F.col(c) for c in cols]).alias("record"),
-    )
-    sort_cols = list(order_by or key_properties)
-    # append-only exports (no keys, no explicit order) keep the frame's
-    # partition order — a zero-column orderBy would raise
-    ordered = df.orderBy(*[F.col(c) for c in sort_cols]) if sort_cols else df
-    # microsecond timestampFormat: to_json's default truncates to
-    # millis, which would make the roundtrip lossy for µs timestamps
-    lines = ordered.select(
-        F.to_json(
-            msg, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
-        ).alias("line")
-    )
+        _check_export_keys(df, key_properties)
+    lines = _record_lines(df, stream, key_properties, version, order_by)
     schema_msg = {
         "type": "SCHEMA",
         "stream": stream,
@@ -765,6 +791,130 @@ def write_capture(
             }) + "\n")
         if state is not None:
             fh.write(_json.dumps({"type": "STATE", "value": state}) + "\n")
+    return n
+
+
+def _check_export_keys(df: DataFrame, key_properties: list[str]) -> None:
+    """Refuse lossy exports up front: NULL or duplicate key tuples would
+    silently lose rows under the loader's PK last-wins."""
+    kc = [F.col(k) for k in key_properties]
+    null_any = None
+    for k in kc:
+        cond = k.isNull()
+        null_any = cond if null_any is None else (null_any | cond)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*kc).alias("nd"),
+        F.sum(null_any.cast("long")).alias("nn"),
+    ).first()
+    if stats["nn"]:
+        raise ValueError(
+            f"write_capture: {stats['nn']} rows have NULL key "
+            f"components {key_properties} — the loader's PK "
+            "last-wins would silently collapse them"
+        )
+    if stats["nd"] != stats["n"]:
+        raise ValueError(
+            f"write_capture: key {key_properties} is not unique "
+            f"({stats['n']} rows, {stats['nd']} distinct keys) — "
+            "a snapshot export with duplicate PKs loses rows on "
+            "load; dedupe first or export with the real PK"
+        )
+
+
+def _record_lines(
+    df: DataFrame,
+    stream: str,
+    key_properties: list[str],
+    version: int | None,
+    order_by: list[str] | None,
+) -> DataFrame:
+    """The finished RECORD line strings, serialized JVM-side in pinned
+    order — shared by the single-file and rotated writers."""
+    msg = F.struct(
+        F.lit("RECORD").alias("type"),
+        F.lit(stream).alias("stream"),
+        *([F.lit(int(version)).alias("version")] if version is not None
+          else []),
+        F.struct(*[F.col(c) for c in df.columns]).alias("record"),
+    )
+    sort_cols = list(order_by or key_properties)
+    # append-only exports (no keys, no explicit order) keep the frame's
+    # partition order — a zero-column orderBy would raise
+    ordered = df.orderBy(*[F.col(c) for c in sort_cols]) if sort_cols else df
+    # microsecond timestampFormat: to_json's default truncates to
+    # millis, which would make the roundtrip lossy for µs timestamps
+    return ordered.select(
+        F.to_json(
+            msg, {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+        ).alias("line")
+    )
+
+
+def write_capture_rotated(
+    df: DataFrame,
+    capture_dir: str,
+    stream: str,
+    key_properties: list[str],
+    records_per_file: int = 100_000,
+    state: dict | None = None,
+    version: int | None = None,
+    order_by: list[str] | None = None,
+    check_keys: bool = True,
+) -> int:
+    """Export as a capture DIRECTORY of sequentially named NDJSON files
+    (``cap-000001.ndjson``, ...) — the PRODUCER side of the tail-follow
+    contract (streaming/singer.py): file names sort in write order, the
+    SCHEMA line opens the first file, the optional ACTIVATE_VERSION and
+    STATE close the last. Concatenating the files in name order is
+    byte-identical to :func:`write_capture`'s single file, so both
+    consumers (bulk load and the streaming source) see the same
+    capture. Returns the number of RECORD lines written."""
+    import json as _json
+    import os as _os
+
+    if check_keys and key_properties:
+        _check_export_keys(df, key_properties)
+    lines = _record_lines(df, stream, key_properties, version, order_by)
+    schema_msg = {
+        "type": "SCHEMA",
+        "stream": stream,
+        "schema": _schema_for(df),
+        "key_properties": list(key_properties),
+    }
+    _os.makedirs(capture_dir, exist_ok=True)
+    n = 0
+    file_no = 1
+    in_file = 0
+    fh = open(
+        _os.path.join(capture_dir, f"cap-{file_no:06d}.ndjson"),
+        "w", encoding="utf-8",
+    )
+    try:
+        fh.write(_json.dumps(schema_msg) + "\n")
+        for row in lines.toLocalIterator():
+            if in_file >= records_per_file:
+                fh.close()
+                file_no += 1
+                in_file = 0
+                fh = open(
+                    _os.path.join(
+                        capture_dir, f"cap-{file_no:06d}.ndjson"
+                    ),
+                    "w", encoding="utf-8",
+                )
+            fh.write(row["line"] + "\n")
+            n += 1
+            in_file += 1
+        if version is not None:
+            fh.write(_json.dumps({
+                "type": "ACTIVATE_VERSION", "stream": stream,
+                "version": int(version),
+            }) + "\n")
+        if state is not None:
+            fh.write(_json.dumps({"type": "STATE", "value": state}) + "\n")
+    finally:
+        fh.close()
     return n
 
 

@@ -551,3 +551,83 @@ def test_load_capture_day2_add_column_drift(spark, tmp_path):
     assert not [c for c in out.columns if c.startswith("tag_")]
     got = {r["id"]: r["tag"] for r in out.collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_export_capture_to_live_singer_target(spark, tmp_path):
+    """r13 stretch (env-gated): the byte-reproducible capture actually
+    drives a REAL Singer target. Set PWS_SINGER_TARGET_CMD to any
+    installed target executable (e.g. 'target-jsonl -c cfg.json'); the
+    exported capture pipes into it and the target must exit 0 having
+    consumed every message. Skipped (honestly) when no target is
+    installed in the environment — see COVERAGE.md."""
+    import shlex
+    import subprocess
+
+    from pipelinewise_spark.sources.singer import write_capture
+
+    cmd = os.environ.get("PWS_SINGER_TARGET_CMD")
+    if not cmd:
+        pytest.skip("no Singer target installed "
+                    "(set PWS_SINGER_TARGET_CMD)")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)],
+        "id long, name string, amount double",
+    )
+    cap = str(tmp_path / "cap.ndjson")
+    write_capture(
+        df, cap, "t1", ["id"],
+        state={"bookmarks": {"t1": {"pos": 2}}},
+    )
+    with open(cap, "rb") as fh:
+        proc = subprocess.run(
+            shlex.split(cmd), stdin=fh, capture_output=True,
+            cwd=str(tmp_path), timeout=120,
+        )
+    assert proc.returncode == 0, proc.stderr.decode()[:500]
+    # a conforming target emits the flushed STATE on stdout at EOF
+    out_lines = [
+        ln for ln in proc.stdout.decode().splitlines() if ln.strip()
+    ]
+    assert any('"pos": 2' in ln or '"pos":2' in ln for ln in out_lines)
+
+
+def test_replay_chunked_record_index_same_result(spark, tmp_path):
+    """r13: the record index collects one chunk_lines window at a time
+    — a chunk size smaller than the capture (here 3 lines per window,
+    forcing ~7 windows across flush and schema boundaries) must replay
+    byte-identically to the unchunked walk: same tables, same flush
+    count, same emitted states."""
+    props2 = dict(SCHEMA_PROPS, tag={"type": ["null", "string"]})
+    lines = [
+        _schema(),
+        _state({"t1": {"pos": 0}}),
+        _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        _state({"t1": {"pos": 2}}),
+        _rec(3, "c", 3.0),
+        _rec(3, "c2", 30.0),
+        _rec(4, "d", 4.0), _rec(4, "d2", 40.0),
+        _schema(props=props2),
+        _rec(5, "e", 5.0, extra={"tag": "x"}),
+        _activate(7),
+        _state({"t1": {"pos": 5}}),
+    ]
+    cap1 = _write(tmp_path, lines, name="cap1.ndjson")
+    cap2 = _write(tmp_path, lines, name="cap2.ndjson")
+    big = replay_capture(
+        spark, cap1, str(tmp_path / "tgt_big"), batch_size_rows=3
+    )
+    small = replay_capture(
+        spark, cap2, str(tmp_path / "tgt_small"), batch_size_rows=3,
+        chunk_lines=3,
+    )
+    assert small.n_flushes == big.n_flushes
+    assert small.state == big.state
+    assert small.emitted_states == big.emitted_states
+
+    def snap(res):
+        return sorted(
+            tuple(r) for r in res.tables["t1"].read(spark)
+            .select("id", "name", "amount", "tag").collect()
+        )
+
+    assert snap(small) == snap(big)

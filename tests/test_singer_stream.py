@@ -301,3 +301,49 @@ def test_import_capture_cli_tail(spark, tmp_path, capsys):
                    "--tail", "--checkpoint", ck])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["streams"] == {"t1": 2}
+
+
+def test_write_capture_rotated_feeds_tail_follow(spark, tmp_path):
+    """The rotated writer (sources/singer.py:write_capture_rotated) is
+    the tail-follow PRODUCER: its directory streams back to the exact
+    source table, and concatenating its files in name order is
+    byte-identical to the single-file export."""
+    import os
+
+    from pipelinewise_spark.sources.singer import (
+        write_capture,
+        write_capture_rotated,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) + 0.25) for i in range(10)],
+        "id long, name string, amount double",
+    )
+    capdir = str(tmp_path / "cap")
+    n = write_capture_rotated(
+        df, capdir, "t1", ["id"], records_per_file=3,
+        state={"bookmarks": {"t1": {"pos": 10}}},
+    )
+    assert n == 10
+    names = sorted(os.listdir(capdir))
+    assert names == [f"cap-{i:06d}.ndjson" for i in range(1, 5)]
+    single = str(tmp_path / "single.ndjson")
+    write_capture(
+        df, single, "t1", ["id"],
+        state={"bookmarks": {"t1": {"pos": 10}}},
+    )
+    concat = "".join(
+        open(os.path.join(capdir, f)).read() for f in names
+    )
+    assert concat == open(single).read()
+    st = sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    assert st.bookmark == {"bookmarks": {"t1": {"pos": 10}}}
+    got = {
+        r["id"]: (r["name"], r["amount"])
+        for r in ParquetTable(str(tmp_path / "tgt" / "t1"))
+        .read(spark).collect()
+    }
+    assert got == {i: (f"n{i}", float(i) + 0.25) for i in range(10)}
