@@ -39,14 +39,25 @@ def main() -> None:
     spark = get_spark("pws-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str, sf_dir: str) -> float:
-        best = None
+    def run(name: str, sf_dir: str) -> tuple[float, float]:
+        """Best (total_s, engine_s) of up to 3 passes.
+
+        engine_s subtracts the query's own fixture-build time
+        (fixturetime accumulator) — several capture/stream queries
+        synthesize their input NDJSON on the DRIVER inside the timed
+        region, which is test scaffolding a real deployment doesn't
+        pay (the tap wrote the capture). Both numbers are reported;
+        engine_s picks the pass with the best fixture-subtracted time.
+        """
+        best = best_eng = None
         for _ in range(3):
             fixturetime.drain()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            eng = dt - fixturetime.drain()
+            best_eng = eng if best_eng is None else min(best_eng, eng)
             if best is not None and dt >= 0.9 * best:
                 best = min(best, dt)
                 break
@@ -54,22 +65,27 @@ def main() -> None:
             df = None
             release_caches(spark)
         release_caches(spark)
-        return best
+        return best, best_eng
 
     out = {}
     for name in names:
         if name not in QUERIES:
             continue
-        t_small = run(name, SF01)
-        t_big = run(name, SF1)
+        t_small, e_small = run(name, SF01)
+        t_big, e_big = run(name, SF1)
         out[name] = {
             "sf0.1_s": round(t_small, 3),
             "x10_s": round(t_big, 3),
             "ratio": round(t_big / t_small, 2),
+            "engine_sf0.1_s": round(e_small, 3),
+            "engine_x10_s": round(e_big, 3),
+            "engine_ratio": round(e_big / max(e_small, 1e-9), 2),
         }
         print(
             f"{name}: {t_small:.2f}s -> {t_big:.2f}s  "
-            f"ratio {t_big / t_small:.2f}x", flush=True,
+            f"ratio {t_big / t_small:.2f}x  "
+            f"(engine {e_small:.2f}s -> {e_big:.2f}s, "
+            f"{e_big / max(e_small, 1e-9):.2f}x)", flush=True,
         )
     with open("/tmp/scale_sweep.json", "w") as fh:
         json.dump(out, fh, indent=1)
