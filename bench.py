@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     # r13 registrations
     "singer_schema_drift_orders",
     "stream_singer_capture_orders",
+    "singer_multi_stream_capture",
+    "singer_rotated_tail_roundtrip",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -3004,3 +3004,189 @@ def singer_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         "o_custkey_20240101_0000", "o_custkey",
     )
+
+
+@register(
+    "singer_multi_stream_capture",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(l.l_quantity) + 5 AS DOUBLE) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 31 = 0
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def singer_multi_stream_capture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE capture carrying TWO interleaved streams — the reference's
+    parent/child tap pattern (a tap emits orders and their lineitems
+    into the same stdout; target_snowflake/__init__.py:122-416 keeps
+    one buffer PER STREAM and flushes each independently when ITS
+    row_count fills). Replay routes each stream to its own target
+    table (sources/singer.py:replay_capture); the child stream's
+    composite PK (l_orderkey, l_lineno — a per-order line id the tap
+    assigns, because the synthetic lineitem's l_linenumber is NOT
+    unique within an order) merges a late +5 quantity correction for
+    each order's FIRST line across flush boundaries — last-wins by
+    capture position, per stream. The result joins the two TARGET
+    tables; the oracle states the same join over the source parquet
+    with the correction applied (exactly one line per order gets +5,
+    so each group sum gains a flat 5 regardless of which line)."""
+    import json
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.singer import replay_capture
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    lines_df = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singerms_")
+        orows = sorted(orders.collect(), key=lambda r: r["o_orderkey"])
+        lrows = sorted(
+            lines_df.collect(),
+            key=lambda r: (r["l_orderkey"], r["l_linenumber"]),
+        )
+        # the tap assigns its own per-order line id: the synthetic
+        # lineitem repeats l_linenumber within an order, so it is not
+        # a PK component — enumerate deterministically instead
+        by_order: dict[int, list] = {}
+        for r in lrows:
+            ls = by_order.setdefault(r["l_orderkey"], [])
+            ls.append((len(ls) + 1, r))
+
+        def schema_msg(stream, props, kp):
+            return {"type": "SCHEMA", "stream": stream,
+                    "schema": {"type": "object", "properties": props},
+                    "key_properties": kp}
+
+        def orec(r):
+            return {"type": "RECORD", "stream": "orders", "record": {
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+            }}
+
+        def lrec(lineno, r, bump=0.0):
+            return {"type": "RECORD", "stream": "lineitem", "record": {
+                "l_orderkey": r["l_orderkey"],
+                "l_lineno": lineno,
+                "l_quantity": r["l_quantity"] + bump,
+            }}
+
+        cap_lines = [
+            schema_msg("orders", {
+                "o_orderkey": {"type": ["null", "integer"]},
+                "o_orderstatus": {"type": ["null", "string"]},
+            }, ["o_orderkey"]),
+            schema_msg("lineitem", {
+                "l_orderkey": {"type": ["null", "integer"]},
+                "l_lineno": {"type": ["null", "integer"]},
+                "l_quantity": {"type": ["null", "number"]},
+            }, ["l_orderkey", "l_lineno"]),
+        ]
+        # parent/child interleave: each order, then its lines
+        for r in orows:
+            cap_lines.append(orec(r))
+            cap_lines.extend(
+                lrec(no, x)
+                for no, x in by_order.get(r["o_orderkey"], [])
+            )
+        # late child-stream correction: each order's FIRST line gets
+        # +5, merged across flush boundaries by the composite PK
+        cap_lines.extend(
+            lrec(no, x, 5.0)
+            for ls in by_order.values() for no, x in ls if no == 1
+        )
+        cap_lines.append({"type": "STATE", "value": {"bookmarks": {
+            "orders": {"pos": 1}, "lineitem": {"pos": 1}}}})
+        cap = os.path.join(tmp, "cap.ndjson")
+        with open(cap, "w") as fh:
+            for o in cap_lines:
+                fh.write(json.dumps(o) + "\n")
+        # both streams flush several times — lineitem ~4x more often
+        batch = max(4, len(orows) // 2)
+
+    res = replay_capture(
+        spark, cap, os.path.join(tmp, "tgt"), batch_size_rows=batch
+    )
+    # independent per-stream buffers: the child stream fills ~4x as
+    # often as the parent at the same batch_size_rows
+    assert res.n_flushes >= 5, res.n_flushes
+    assert res.state == {"bookmarks": {
+        "orders": {"pos": 1}, "lineitem": {"pos": 1}}}
+    o_tbl = res.tables["orders"].read(spark)
+    l_tbl = res.tables["lineitem"].read(spark)
+    return (
+        o_tbl.join(l_tbl, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "singer_rotated_tail_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def singer_rotated_tail_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rotated capture EXPORT → TAIL-FOLLOW roundtrip: the producer
+    side of the tail-follow contract (sources/singer.py:
+    write_capture_rotated — sequentially named NDJSON files whose
+    name-order concatenation is byte-identical to the single-file
+    export) feeds the Structured-Streaming consumer (streaming/
+    singer.py:sync_capture_dir, one file per micro-batch, sequence-
+    guarded merges) and reproduces the table EXACTLY — the full
+    ``engine → tap-stdout rotation → engine`` pipe loop the reference
+    runs as `tap | target` (cli/commands.py:346-355). Rotation size is
+    scale-relative so the run is multi-micro-batch at every sf."""
+    import os
+    import tempfile
+
+    from pipelinewise_spark.sources.singer import write_capture_rotated
+    from pipelinewise_spark.streaming.singer import sync_capture_dir
+
+    base = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+    with fixture_timer():
+        tmp = tempfile.mkdtemp(prefix="pws_singerrot_")
+        n_rows = base.count()
+        per_file = max(4, n_rows // 4)  # >=4 files at any sf
+    capdir = os.path.join(tmp, "cap")
+    n = write_capture_rotated(
+        base, capdir, "customer", ["c_custkey"],
+        records_per_file=per_file,
+        state={"bookmarks": {"customer": {"done": True}}},
+    )
+    st = sync_capture_dir(
+        spark, capdir, os.path.join(tmp, "tgt"),
+        os.path.join(tmp, "ckpt"), max_files_per_trigger=1,
+    )
+    assert n == n_rows
+    assert st.last_batch >= 2, "expected a multi-micro-batch run"
+    assert st.bookmark == {"bookmarks": {"customer": {"done": True}}}
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    return ParquetTable(os.path.join(tmp, "tgt", "customer")).read(
+        spark
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")

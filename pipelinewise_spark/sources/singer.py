@@ -607,10 +607,11 @@ def replay_capture(
         if n_rec > max_records:
             raise ValueError(
                 f"capture has more than {max_records} RECORD lines — "
-                "faithful replay holds one (lineno, stream, pk) tuple "
-                "per record on the driver; use load_capture for bulk "
-                "backfills, or pass max_records=None if the driver is "
-                "sized for it"
+                "faithful replay runs one MERGE per flush, which is "
+                "pointlessly slow at bulk-backfill size; use "
+                "load_capture (one distributed pass), or pass "
+                "max_records=None to lift the refusal (driver memory "
+                "stays bounded by chunk_lines either way)"
             )
     plan = scan_control_plane(spark, path, primary_key_required)
     for stream, pks in plan.key_properties.items():
