@@ -637,6 +637,30 @@ def replay_capture(
     emitted: list[dict | None] = []
     n_flushes = 0
 
+    # parsed-records cache: one text-scan + from_json per (stream,
+    # schema epoch), NOT per flush — flushes range-filter the persisted
+    # parse (MEMORY_AND_DISK: spills, never OOMs). Without this every
+    # flush re-reads the whole capture, making replay O(corpus) PER
+    # FLUSH; invalidated on a changed SCHEMA (new struct), released in
+    # the finally below.
+    from pyspark import StorageLevel
+
+    parsed: dict[str, DataFrame] = {}
+
+    def parsed_records(stream: str) -> DataFrame:
+        df = parsed.get(stream)
+        if df is None:
+            df = stream_records(
+                spark, path, stream, structs[stream]
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            parsed[stream] = df
+        return df
+
+    def drop_parsed(stream: str) -> None:
+        df = parsed.pop(stream, None)
+        if df is not None:
+            df.unpersist()
+
     def pending_total() -> int:
         return sum(len(b) for b in buffers.values())
 
@@ -645,7 +669,7 @@ def replay_capture(
         buf = buffers.get(stream)
         if not buf:
             return
-        recs = stream_records(spark, path, stream, structs[stream])
+        recs = parsed_records(stream)
         batch = _last_wins(
             recs.filter(
                 (F.col("lineno") >= lo[stream]) & (F.col("lineno") <= hi)
@@ -672,53 +696,58 @@ def replay_capture(
             )
         emitted.append(copy.deepcopy(flushed_state))
 
-    for lineno, kind, payload in events:
-        if kind == "RECORD":
-            stream, pk = payload
-            if stream not in structs:
-                raise ValueError(
-                    f"RECORD for stream {stream!r} before its SCHEMA"
-                )
-            buf = buffers.setdefault(stream, {})
-            if not buf:
-                lo[stream] = lineno
-            buf[pk] = lineno
-            if len(buf) >= batch_size_rows:
-                flush(stream, lineno)
-        elif kind == "SCHEMA":
-            stream = payload["stream"]
-            new_schema = payload["schema"]
-            if seen_schema.get(stream) == new_schema:
-                continue
-            if buffers.get(stream):
-                flush(stream, max(buffers[stream].values()))
-            seen_schema[stream] = new_schema
-            structs[stream] = json_schema_to_struct(
-                new_schema, float_compat
-            )
-        elif kind == "STATE":
-            state = payload["value"]
-            if flushed_state is None or pending_total() == 0:
-                flushed_state = copy.deepcopy(state)
-        elif kind == "ACTIVATE_VERSION":
-            stream = payload["stream"]
-            if buffers.get(stream):
-                flush(stream, max(buffers[stream].values()))
-            table = tables.setdefault(
-                stream, ParquetTable(f"{target_root}/{stream}")
-            )
-            if table.exists():
-                table.overwrite(
-                    _apply_activate(
-                        table.read(spark), int(payload["version"])
+    try:
+        for lineno, kind, payload in events:
+            if kind == "RECORD":
+                stream, pk = payload
+                if stream not in structs:
+                    raise ValueError(
+                        f"RECORD for stream {stream!r} before its SCHEMA"
                     )
+                buf = buffers.setdefault(stream, {})
+                if not buf:
+                    lo[stream] = lineno
+                buf[pk] = lineno
+                if len(buf) >= batch_size_rows:
+                    flush(stream, lineno)
+            elif kind == "SCHEMA":
+                stream = payload["stream"]
+                new_schema = payload["schema"]
+                if seen_schema.get(stream) == new_schema:
+                    continue
+                if buffers.get(stream):
+                    flush(stream, max(buffers[stream].values()))
+                drop_parsed(stream)  # next flush parses the new epoch
+                seen_schema[stream] = new_schema
+                structs[stream] = json_schema_to_struct(
+                    new_schema, float_compat
                 )
-    # EOF: flush every stream with pending rows, then adopt the
-    # candidate state wholesale (__init__.py:330-337, 411-413)
-    had_pending = pending_total() > 0
-    for stream in list(buffers):
-        if buffers[stream]:
-            flush(stream, max(buffers[stream].values()), final=True)
+            elif kind == "STATE":
+                state = payload["value"]
+                if flushed_state is None or pending_total() == 0:
+                    flushed_state = copy.deepcopy(state)
+            elif kind == "ACTIVATE_VERSION":
+                stream = payload["stream"]
+                if buffers.get(stream):
+                    flush(stream, max(buffers[stream].values()))
+                table = tables.setdefault(
+                    stream, ParquetTable(f"{target_root}/{stream}")
+                )
+                if table.exists():
+                    table.overwrite(
+                        _apply_activate(
+                            table.read(spark), int(payload["version"])
+                        )
+                    )
+        # EOF: flush every stream with pending rows, then adopt the
+        # candidate state wholesale (__init__.py:330-337, 411-413)
+        had_pending = pending_total() > 0
+        for stream in list(buffers):
+            if buffers[stream]:
+                flush(stream, max(buffers[stream].values()), final=True)
+    finally:
+        for stream in list(parsed):
+            drop_parsed(stream)
     if had_pending and state is not None:
         flushed_state = copy.deepcopy(state)
         emitted.append(copy.deepcopy(flushed_state))
