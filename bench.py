@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "stream_singer_capture_orders",
     "singer_multi_stream_capture",
     "singer_rotated_tail_roundtrip",
+    "stream_singer_capture_mor_orders",
 ]
 
 # The ~20 timings carried on the printed one-line JSON (the driver's capture

@@ -1959,3 +1959,96 @@ def stream_singer_capture_orders(
     return ParquetTable(_os.path.join(tmp, "tgt", "orders")).read(
         spark
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "stream_singer_capture_mor_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice
+             + CASE WHEN o_orderkey % 3 = 0 THEN 7.0 ELSE 0.0 END
+             AS o_totalprice
+    FROM orders WHERE o_orderkey % 19 = 0
+    """,
+)
+def stream_singer_capture_mor_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail-follow capture consumption into MERGE-ON-READ targets
+    (streaming/singer.py:apply_capture_batch target_format='mor'):
+    the same sequence-guarded semantics as the parquet twin, but each
+    micro-batch lands as a ManifestTable MOR delta — superseded rows
+    deletion-vectored, the batch appended as new files — so per-batch
+    WRITE cost is O(batch) + an answer-sized sidecar instead of
+    O(target). This is the shape a months-long ``tap | engine`` pipe
+    needs at fact-table scale: the table must not be rewritten per
+    trickle batch (compaction is a separately scheduled lever). The
+    oracle is the final merged state; asserted in-query: the run was
+    multi-micro-batch AND the update batch deletion-vectored rather
+    than rewrote batch-1 files (a DV-carrying manifest entry
+    survives)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+    from pipelinewise_spark.streaming.singer import sync_capture_dir
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    with fixture_timer():
+        tmp = _tempfile.mkdtemp(prefix="pws_singermor_")
+        rows = sorted(base.collect(), key=lambda r: r["o_orderkey"])
+        capdir = _os.path.join(tmp, "cap")
+        _os.makedirs(capdir)
+
+        def rec(r, bump):
+            return _json.dumps({"type": "RECORD", "stream": "orders",
+                                "record": {
+                                    "o_orderkey": r["o_orderkey"],
+                                    "o_orderstatus": r["o_orderstatus"],
+                                    "o_totalprice": r["o_totalprice"] + bump,
+                                }})
+
+        schema_line = _json.dumps({
+            "type": "SCHEMA", "stream": "orders",
+            "schema": {"type": "object", "properties": {
+                "o_orderkey": {"type": ["null", "integer"]},
+                "o_orderstatus": {"type": ["null", "string"]},
+                "o_totalprice": {"type": ["null", "number"]},
+            }},
+            "key_properties": ["o_orderkey"],
+        })
+        files = {
+            "cap-000001.ndjson":
+                [schema_line] + [rec(r, 0.0) for r in rows],
+            # the trickle: every third key re-sent with a +7.0 bump —
+            # in MOR mode this must supersede by DV, not rewrite
+            "cap-000002.ndjson":
+                [rec(r, 7.0) for r in rows if r["o_orderkey"] % 3 == 0]
+                + [_json.dumps({"type": "STATE", "value":
+                                {"bookmarks": {"orders": {"pos": 2}}}})],
+        }
+        for name, ls in files.items():
+            with open(_os.path.join(capdir, name), "w") as fh:
+                fh.write("\n".join(ls) + "\n")
+
+    st = sync_capture_dir(
+        spark, capdir, _os.path.join(tmp, "tgt"),
+        _os.path.join(tmp, "ckpt"), max_files_per_trigger=1,
+        target_format="mor",
+    )
+    assert st.last_batch >= 1, "expected a multi-micro-batch run"
+    assert st.bookmark == {"bookmarks": {"orders": {"pos": 2}}}
+    t = ManifestTable(_os.path.join(tmp, "tgt", "orders"))
+    entries, _ = t.select_entries()
+    assert any(e.get("dv") for e in entries), (
+        "update batch should deletion-vector batch-1 files, not "
+        "rewrite them"
+    )
+    return t.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -163,16 +163,59 @@ def apply_capture_batch(
     primary_key_required: bool = True,
     version_suffix: str | None = None,
     max_control_lines: int = 100_000,
+    target_format: str = "parquet",
 ) -> CaptureStreamState:
     """Apply one micro-batch of capture lines (columns ``value``,
     ``__file``, ``__block``) and return the advanced state. Idempotent:
     re-applying the same batch (a crash-replayed micro-batch) leaves
     the tables unchanged — PK merges are guarded on the persisted
     sequence, appends anti-join on it, AV purges and sidecar writes are
-    naturally re-runnable."""
+    naturally re-runnable.
+
+    ``target_format``:
+
+    - ``"parquet"`` (default): each flush MERGEs copy-on-write into a
+      plain ParquetTable — simple files, but per-batch write cost is
+      O(target). Right for bounded runs and small tables.
+    - ``"mor"``: targets are ManifestTables and each flush lands as a
+      merge-on-read delta (superseded rows deletion-vectored, batch
+      appended as new files, ``_sdc_sequence`` as the staleness
+      guard) — per-batch write cost is O(batch) + an answer-sized
+      sidecar, NOT O(target). This is the long-running tail-follow
+      answer: a tap trickling micro-batches into a 100 TB table for
+      months must not rewrite the table per batch. Schema drift
+      (added column / type change) falls back to one copy-on-write
+      evolution rewrite for that segment, then resumes MOR;
+      ACTIVATE_VERSION purges via an answer-sized ``delete_where``;
+      ``compact`` (the ManifestTable lever) converts accumulated read
+      debt back into clean files on whatever cadence ops chooses."""
     from pipelinewise_spark.operators.merge import merge_upsert
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
+    if target_format not in ("parquet", "mor"):
+        raise ValueError(
+            f"unknown target_format {target_format!r} — "
+            "expected 'parquet' or 'mor'"
+        )
+    mor = target_format == "mor"
+    if mor:
+        from pipelinewise_spark.operators.manifest_table import (
+            ManifestTable,
+        )
+
+    def _mor_aligned(table, seg: DataFrame) -> DataFrame | None:
+        """Fast-path guard: merge_on_read appends the batch VERBATIM,
+        so it needs the live schema (name->type). Returns the segment
+        with columns reordered to the live layout, or None on any
+        drift — which routes through the copy-on-write evolution
+        rewrite below, after which the schemas match again."""
+        live = table.read(spark).schema
+        if {f.name: f.dataType for f in live} != {
+            f.name: f.dataType for f in seg.schema.fields
+        }:
+            return None
+        return seg.select(*[f.name for f in live])
 
     lines = _sequenced_lines(batch).persist()
     try:
@@ -282,7 +325,11 @@ def apply_capture_batch(
             boundaries.sort(key=lambda e: e[0])
             cur_schema = state.schemas.get(stream)
             cur_kp = state.key_properties.get(stream, [])
-            table = ParquetTable(f"{target_root}/{stream}")
+            table = (
+                ManifestTable(f"{target_root}/{stream}")
+                if mor
+                else ParquetTable(f"{target_root}/{stream}")
+            )
 
             def flush_segment(lo: str | None, hi: str | None) -> None:
                 if cur_schema is None:
@@ -298,32 +345,69 @@ def apply_capture_batch(
                     seg = _last_wins_by_seq(seg, pks)
                     if seg.limit(1).count() == 0:
                         return
-                    if table.exists():
-                        target = _evolved_target(
-                            spark, table, seg, pks, version_suffix
+                    if not table.exists():
+                        table.overwrite(seg)
+                        return
+                    aligned = (
+                        _mor_aligned(table, seg) if mor else None
+                    )
+                    if aligned is not None:
+                        # delta-bound: superseded rows are deletion-
+                        # vectored, the batch appends as new files —
+                        # no partition rewrite, same sequence guard
+                        table.merge_on_read(
+                            spark, aligned, pks,
+                            guard_col=SDC_SEQUENCE,
                         )
-                        merged = merge_upsert(
-                            target, seg, pks, guard_col=SDC_SEQUENCE
-                        )
-                    else:
-                        merged = seg
+                        return
+                    target = _evolved_target(
+                        spark, table, seg, pks, version_suffix
+                    )
+                    merged = merge_upsert(
+                        target, seg, pks, guard_col=SDC_SEQUENCE
+                    )
                 else:
                     if seg.limit(1).count() == 0:
                         return
-                    if table.exists():
-                        prev = _evolved_target(
-                            spark, table, seg, [], version_suffix
+                    if not table.exists():
+                        table.overwrite(seg)
+                        return
+                    aligned = (
+                        _mor_aligned(table, seg) if mor else None
+                    )
+                    if aligned is not None:
+                        # idempotent append: anti-join on the batch's
+                        # own sequence window (footer stats prune the
+                        # scan to overlapping files)
+                        seg = aligned
+                        smin, smax = seg.agg(
+                            F.min(SDC_SEQUENCE), F.max(SDC_SEQUENCE)
+                        ).first()
+                        prev = (
+                            table.read(spark)
+                            .select(SDC_SEQUENCE)
+                            .filter(
+                                (F.col(SDC_SEQUENCE) >= smin)
+                                & (F.col(SDC_SEQUENCE) <= smax)
+                            )
                         )
                         fresh = seg.join(
-                            prev.select(SDC_SEQUENCE),
-                            SDC_SEQUENCE,
-                            "left_anti",
+                            prev, SDC_SEQUENCE, "left_anti"
                         )
-                        merged = prev.unionByName(
-                            fresh, allowMissingColumns=True
-                        )
-                    else:
-                        merged = seg
+                        if fresh.limit(1).count() > 0:
+                            table.append(fresh)
+                        return
+                    prev = _evolved_target(
+                        spark, table, seg, [], version_suffix
+                    )
+                    fresh = seg.join(
+                        prev.select(SDC_SEQUENCE),
+                        SDC_SEQUENCE,
+                        "left_anti",
+                    )
+                    merged = prev.unionByName(
+                        fresh, allowMissingColumns=True
+                    )
                 table.overwrite(merged)
 
             lo: str | None = None
@@ -336,9 +420,19 @@ def apply_capture_batch(
                 else:  # AV: purge older-version rows already in the table
                     state.activations[stream] = payload
                     if table.exists():
-                        table.overwrite(
-                            _apply_activate(table.read(spark), payload)
-                        )
+                        if mor:
+                            # answer-sized deletion vectors, no rewrite
+                            v = F.col(SDC_TABLE_VERSION)
+                            table.delete_where(
+                                spark,
+                                v.isNotNull() & (v < int(payload)),
+                            )
+                        else:
+                            table.overwrite(
+                                _apply_activate(
+                                    table.read(spark), payload
+                                )
+                            )
             flush_segment(lo, None)
             if cur_schema is not None:
                 state.schemas[stream] = cur_schema
@@ -370,6 +464,7 @@ def start_capture_stream(
     version_suffix: str | None = None,
     max_control_lines: int = 100_000,
     bookmarks: Any | None = None,
+    target_format: str = "parquet",
 ):
     """Start the tail-follow stream over a growing capture directory.
 
@@ -401,6 +496,7 @@ def start_capture_stream(
             primary_key_required=primary_key_required,
             version_suffix=version_suffix,
             max_control_lines=max_control_lines,
+            target_format=target_format,
         )
         state.last_batch = batch_id
         state.save(checkpoint_dir)

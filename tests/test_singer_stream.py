@@ -347,3 +347,182 @@ def test_write_capture_rotated_feeds_tail_follow(spark, tmp_path):
         .read(spark).collect()
     }
     assert got == {i: (f"n{i}", float(i) + 0.25) for i in range(10)}
+
+
+# ---------------------------------------------------------------- MOR
+
+
+def _mor_rows(spark, root, stream="t1"):
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    return {
+        r["id"]: (r["name"], r["amount"])
+        for r in ManifestTable(f"{root}/{stream}").read(spark).collect()
+    }
+
+
+def test_stream_mor_equals_parquet_mode(spark, tmp_path):
+    """target_format='mor' produces exactly the rows the copy-on-write
+    parquet mode does on the same capture — merge-on-read is a storage
+    strategy, not a semantics change."""
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        ]),
+        ("cap-000002.ndjson", [
+            _rec(3, "c", 3.0), _rec(1, "a2", 10.0),
+            _state({"t1": {"pos": 1}}),
+        ]),
+        ("cap-000003.ndjson", [
+            _rec(2, "b2", 20.0), _rec(4, "d", 4.0),
+        ]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    st = sync_capture_dir(
+        spark, capdir, str(tmp_path / "mor_tgt"),
+        str(tmp_path / "ckpt_mor"), max_files_per_trigger=1,
+        target_format="mor",
+    )
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "pq_tgt"),
+        str(tmp_path / "ckpt_pq"), max_files_per_trigger=1,
+    )
+    assert st.last_batch >= 2
+    assert (
+        _mor_rows(spark, str(tmp_path / "mor_tgt"))
+        == _rows(spark, str(tmp_path / "pq_tgt"))
+        == {1: ("a2", 10.0), 2: ("b2", 20.0), 3: ("c", 3.0),
+            4: ("d", 4.0)}
+    )
+
+
+def test_stream_mor_does_not_rewrite_earlier_files(spark, tmp_path):
+    """The point of MOR: a later micro-batch deletion-vectors and
+    appends — the data files batch 1 wrote are still live manifest
+    entries afterwards (no partition rewrite)."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(),
+            *[_rec(i, f"n{i}", float(i)) for i in range(1, 50)],
+        ]),
+        ("cap-000002.ndjson", [_rec(1, "upd", 99.0)]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        target_format="mor",
+    )
+    t = ManifestTable(str(tmp_path / "tgt" / "t1"))
+    entries, _ = t.select_entries()
+    assert len(t.versions()) >= 2
+    # batch-1 files survive batch 2 (they carry a DV, not a rewrite)
+    assert len(entries) >= 2
+    assert any(e.get("dv") for e in entries), entries
+    got = _mor_rows(spark, str(tmp_path / "tgt"))
+    assert got[1] == ("upd", 99.0) and len(got) == 49
+
+
+def test_stream_mor_batch_replay_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch applied twice against MOR targets
+    leaves the same final content (sequence-guarded supersede)."""
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        ]),
+        ("cap-000002.ndjson", [_rec(1, "a2", 10.0)]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    root = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ckpt")
+    sync_capture_dir(
+        spark, capdir, root, ck, max_files_per_trigger=1,
+        target_format="mor",
+    )
+    # replay the LAST batch's lines by hand against the current state
+    batch = spark.createDataFrame(
+        [(_rec(1, "a2", 10.0), f"{capdir}/cap-000002.ndjson", 0)],
+        "value string, __file string, __block long",
+    )
+    st = CaptureStreamState.load(ck)
+    apply_capture_batch(spark, batch, root, st, target_format="mor")
+    got = _mor_rows(spark, root)
+    assert got == {1: ("a2", 10.0), 2: ("b", 2.0)}
+
+
+def test_stream_mor_activate_version_purges(spark, tmp_path):
+    """ACTIVATE_VERSION in MOR mode purges older-version rows via
+    deletion vectors (delete_where), not a table rewrite."""
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(),
+            _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        ]),
+        ("cap-000002.ndjson", [
+            _rec(1, "a2", 10.0, version=2),
+            json.dumps({"type": "ACTIVATE_VERSION", "stream": "t1",
+                        "version": 2}),
+        ]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        target_format="mor",
+    )
+    got = _mor_rows(spark, str(tmp_path / "tgt"))
+    assert got == {1: ("a2", 10.0)}  # id=2 (v1 only) purged by the swap
+
+
+def test_stream_mor_schema_drift_falls_back_then_resumes(spark, tmp_path):
+    """A mid-stream column TYPE change in MOR mode routes through the
+    one-off copy-on-write version_column rewrite, then later batches
+    resume the MOR fast path on the evolved schema."""
+    drift_props = {
+        "id": {"type": ["null", "integer"]},
+        "name": {"type": ["null", "string"]},
+        "amount": {"type": ["null", "string"]},  # number -> string
+    }
+    files = [
+        ("cap-000001.ndjson", [
+            _schema(), _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        ]),
+        ("cap-000002.ndjson", [
+            _schema(props=drift_props), _rec(1, "a2", "high"),
+        ]),
+        ("cap-000003.ndjson", [_rec(3, "c", "low")]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        target_format="mor", version_suffix="20240101",
+    )
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    rows = {
+        r["id"]: (r["name"], r["amount"], r["amount_20240101"])
+        for r in ManifestTable(
+            str(tmp_path / "tgt" / "t1")
+        ).read(spark).collect()
+    }
+    assert rows == {
+        1: ("a2", "high", 1.0),   # re-sent post-drift; old value kept
+        2: ("b", None, 2.0),      # pre-drift only: versioned column
+        3: ("c", "low", None),    # post-drift via the resumed MOR path
+    }
+
+
+def test_stream_mor_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(ValueError, match="target_format"):
+        apply_capture_batch(
+            spark,
+            spark.createDataFrame(
+                [], "value string, __file string, __block long"
+            ),
+            str(tmp_path / "t"),
+            CaptureStreamState(),
+            target_format="delta",
+        )
