@@ -904,6 +904,9 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
     bm = BookmarkStore(args.state) if args.state else None
     pk_required = not args.no_pk_required
     if args.tail:
+        from pipelinewise_spark.operators.manifest_table import (
+            ManifestTable,
+        )
         from pipelinewise_spark.operators.table import ParquetTable
         from pipelinewise_spark.streaming.singer import sync_capture_dir
 
@@ -914,10 +917,15 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
         st = sync_capture_dir(
             spark, args.capture, args.target_root, args.checkpoint,
             primary_key_required=pk_required, bookmarks=bm,
+            target_format=args.target_format,
+        )
+        tbl = (
+            ManifestTable if args.target_format == "mor"
+            else ParquetTable
         )
         print(json.dumps({
             "streams": {
-                s: ParquetTable(
+                s: tbl(
                     f"{args.target_root}/{s}"
                 ).read(spark).count()
                 for s in st.schemas
@@ -1399,6 +1407,13 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--checkpoint",
                     help="checkpoint dir for --tail (stream progress + "
                          "schema-registry sidecar)")
+    ic.add_argument("--target-format", choices=["parquet", "mor"],
+                    default="parquet",
+                    help="--tail target layout: 'parquet' rewrites the "
+                         "table per micro-batch (simple files); 'mor' "
+                         "lands each batch as a ManifestTable "
+                         "merge-on-read delta — O(batch) writes, for "
+                         "long-running tails into big tables")
     ic.set_defaults(fn=_cmd_import_capture)
 
     ec = sub.add_parser(

@@ -526,3 +526,28 @@ def test_stream_mor_rejects_unknown_format(spark, tmp_path):
             CaptureStreamState(),
             target_format="delta",
         )
+
+
+def test_import_capture_cli_tail_mor(spark, tmp_path, capsys):
+    """--target-format mor on the CLI tail verb: counts come from the
+    ManifestTable and resume works across invocations."""
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [_schema(), _rec(1, "a", 1.0)]),
+    ])
+    tgt, ck = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    rc = cli_main(["import-capture", capdir, tgt,
+                   "--tail", "--checkpoint", ck,
+                   "--target-format", "mor"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["streams"] == {"t1": 1}
+    _capdir(tmp_path, [
+        ("cap-000002.ndjson", [_rec(1, "a2", 9.0), _rec(2, "b", 2.0)]),
+    ])
+    rc = cli_main(["import-capture", capdir, tgt,
+                   "--tail", "--checkpoint", ck,
+                   "--target-format", "mor"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["streams"] == {"t1": 2}
+    assert _mor_rows(spark, tgt) == {1: ("a2", 9.0), 2: ("b", 2.0)}
