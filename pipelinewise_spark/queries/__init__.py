@@ -57,7 +57,11 @@ _SHOWCASE_ORDER = [
     # Part E (29): the oldest r8-green rows, alphabetical for
     # determinism (the bpe rows got full recursive-CTE value oracles
     # back in r8, so they rotate like any other row). r14 rotation
-    # plan: the 14 remaining r8-green rows (q3_shipping_priority,
+    # plan: FIRST the never-driver-graded r13 post-prefix
+    # registrations (singer_multi_stream_capture,
+    # singer_rotated_tail_roundtrip, stream_singer_capture_mor_orders
+    # — each oracle-verified at sf0.001+sf0.01 in-session when
+    # registered), then the 14 remaining r8-green rows (q3_shipping_priority,
     # record_linkage_customer, regression_price_by_brand,
     # rolling_7day_revenue, seasonal_anomaly_daily_events,
     # semantic_decontaminate_embeddings, sliding_window_event_counts,
