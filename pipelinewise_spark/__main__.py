@@ -939,6 +939,7 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
             spark, args.capture, args.target_root,
             batch_size_rows=args.batch_size, bookmarks=bm,
             primary_key_required=pk_required,
+            target_format=args.target_format,
         )
         print(json.dumps({
             "streams": {
@@ -1409,11 +1410,11 @@ def main(argv: list[str] | None = None) -> int:
                          "schema-registry sidecar)")
     ic.add_argument("--target-format", choices=["parquet", "mor"],
                     default="parquet",
-                    help="--tail target layout: 'parquet' rewrites the "
-                         "table per micro-batch (simple files); 'mor' "
-                         "lands each batch as a ManifestTable "
+                    help="--tail/--replay target layout: 'parquet' "
+                         "rewrites the table per flush (simple files); "
+                         "'mor' lands each flush as a ManifestTable "
                          "merge-on-read delta — O(batch) writes, for "
-                         "long-running tails into big tables")
+                         "long captures into big tables")
     ic.set_defaults(fn=_cmd_import_capture)
 
     ec = sub.add_parser(

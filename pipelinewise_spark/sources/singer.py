@@ -247,6 +247,20 @@ def _evolved_target(
     return apply_evolution(target, batch.schema, actions)
 
 
+def _mor_aligned(spark, table, batch: DataFrame) -> DataFrame | None:
+    """merge_on_read appends the batch VERBATIM, so the fast path needs
+    the live schema (name→type). Returns the batch with columns
+    reordered to the live layout, or None on any drift — callers fall
+    back to the copy-on-write evolution rewrite, after which the
+    schemas match again."""
+    live = table.read(spark).schema
+    if {f.name: f.dataType for f in live} != {
+        f.name: f.dataType for f in batch.schema.fields
+    }:
+        return None
+    return batch.select(*[f.name for f in live])
+
+
 def _merge_into(
     spark,
     table,
@@ -552,6 +566,7 @@ def replay_capture(
     max_records: int | None = 5_000_000,
     version_suffix: str | None = None,
     chunk_lines: int = 2_000_000,
+    target_format: str = "parquet",
 ) -> ReplayResult:
     """Faithful ``persist_lines`` replay (reference
     target_snowflake/__init__.py:122-416):
@@ -596,6 +611,24 @@ def replay_capture(
     """
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
+    if target_format not in ("parquet", "mor"):
+        raise ValueError(
+            f"unknown target_format {target_format!r} — "
+            "expected 'parquet' or 'mor'"
+        )
+    mor = target_format == "mor"
+    if mor:
+        from pipelinewise_spark.operators.manifest_table import (
+            ManifestTable,
+        )
+
+    def _new_table(stream: str):
+        return (
+            ManifestTable(f"{target_root}/{stream}")
+            if mor
+            else ParquetTable(f"{target_root}/{stream}")
+        )
 
     if max_records is not None:
         n_rec = (
@@ -676,13 +709,24 @@ def replay_capture(
             ),
             plan.key_properties[stream],
         ).drop("lineno")
-        table = tables.setdefault(
-            stream, ParquetTable(f"{target_root}/{stream}")
+        table = tables.setdefault(stream, _new_table(stream))
+        aligned = (
+            _mor_aligned(spark, table, batch)
+            if mor and table.exists()
+            else None
         )
-        _merge_into(
-            spark, table, batch, plan.key_properties[stream],
-            version_suffix,
-        )
+        if aligned is not None:
+            # delta-bound flush: superseded rows deletion-vectored,
+            # the batch appended as new files — replay is ordered, so
+            # the unconditional supersede IS last-wins
+            table.merge_on_read(
+                spark, aligned, plan.key_properties[stream]
+            )
+        else:
+            _merge_into(
+                spark, table, batch, plan.key_properties[stream],
+                version_suffix,
+            )
         buffers[stream] = {}
         n_flushes += 1
         if final:
@@ -730,15 +774,22 @@ def replay_capture(
                 stream = payload["stream"]
                 if buffers.get(stream):
                     flush(stream, max(buffers[stream].values()))
-                table = tables.setdefault(
-                    stream, ParquetTable(f"{target_root}/{stream}")
-                )
+                table = tables.setdefault(stream, _new_table(stream))
                 if table.exists():
-                    table.overwrite(
-                        _apply_activate(
-                            table.read(spark), int(payload["version"])
+                    if mor:
+                        v = F.col(SDC_TABLE_VERSION)
+                        table.delete_where(
+                            spark,
+                            v.isNotNull()
+                            & (v < int(payload["version"])),
                         )
-                    )
+                    else:
+                        table.overwrite(
+                            _apply_activate(
+                                table.read(spark),
+                                int(payload["version"]),
+                            )
+                        )
         # EOF: flush every stream with pending rows, then adopt the
         # candidate state wholesale (__init__.py:330-337, 411-413)
         had_pending = pending_total() > 0

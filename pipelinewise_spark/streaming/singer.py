@@ -54,6 +54,7 @@ from pipelinewise_spark.sources.singer import (
     SDC_TABLE_VERSION,
     _apply_activate,
     _evolved_target,
+    _mor_aligned,
 )
 
 #: global capture position persisted into the target — the MERGE
@@ -204,19 +205,6 @@ def apply_capture_batch(
             ManifestTable,
         )
 
-    def _mor_aligned(table, seg: DataFrame) -> DataFrame | None:
-        """Fast-path guard: merge_on_read appends the batch VERBATIM,
-        so it needs the live schema (name->type). Returns the segment
-        with columns reordered to the live layout, or None on any
-        drift — which routes through the copy-on-write evolution
-        rewrite below, after which the schemas match again."""
-        live = table.read(spark).schema
-        if {f.name: f.dataType for f in live} != {
-            f.name: f.dataType for f in seg.schema.fields
-        }:
-            return None
-        return seg.select(*[f.name for f in live])
-
     lines = _sequenced_lines(batch).persist()
     try:
         ctl = (
@@ -349,7 +337,8 @@ def apply_capture_batch(
                         table.overwrite(seg)
                         return
                     aligned = (
-                        _mor_aligned(table, seg) if mor else None
+                        _mor_aligned(spark, table, seg)
+                        if mor else None
                     )
                     if aligned is not None:
                         # delta-bound: superseded rows are deletion-
@@ -373,7 +362,8 @@ def apply_capture_batch(
                         table.overwrite(seg)
                         return
                     aligned = (
-                        _mor_aligned(table, seg) if mor else None
+                        _mor_aligned(spark, table, seg)
+                        if mor else None
                     )
                     if aligned is not None:
                         # idempotent append: anti-join on the batch's

@@ -631,3 +631,104 @@ def test_replay_chunked_record_index_same_result(spark, tmp_path):
         )
 
     assert snap(small) == snap(big)
+
+
+# ------------------------------------------------------------ replay MOR
+
+
+def _replay_rows(res, spark, stream="t1"):
+    return {
+        r["id"]: (r["name"], r["amount"])
+        for r in res.tables[stream].read(spark).collect()
+    }
+
+
+def test_replay_mor_equals_parquet_mode(spark, tmp_path):
+    """target_format='mor' replay produces exactly the parquet-mode
+    rows on a flush-heavy capture — storage strategy, not semantics."""
+    lines = [_schema()]
+    lines += [_rec(i, f"n{i}", float(i)) for i in range(1, 21)]
+    lines += [_rec(i, f"u{i}", i + 100.0) for i in range(1, 21, 2)]
+    lines.append(_state({"t1": {"pos": 9}}))
+    cap = _write(tmp_path, lines)
+    pq = replay_capture(
+        spark, cap, str(tmp_path / "pq"), batch_size_rows=6
+    )
+    mr = replay_capture(
+        spark, cap, str(tmp_path / "mor"), batch_size_rows=6,
+        target_format="mor",
+    )
+    assert mr.n_flushes == pq.n_flushes >= 4
+    assert mr.state == pq.state == {"bookmarks": {"t1": {"pos": 9}}}
+    assert _replay_rows(mr, spark) == _replay_rows(pq, spark)
+
+
+def test_replay_mor_does_not_rewrite_earlier_flushes(spark, tmp_path):
+    """A later flush deletion-vectors the earlier flush's files instead
+    of rewriting them — the delta-bound write path."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    lines = [_schema()]
+    lines += [_rec(i, f"n{i}", float(i)) for i in range(1, 31)]
+    lines += [_rec(1, "upd", 999.0)]
+    cap = _write(tmp_path, lines)
+    res = replay_capture(
+        spark, cap, str(tmp_path / "mor"), batch_size_rows=30,
+        target_format="mor",
+    )
+    t = ManifestTable(str(tmp_path / "mor" / "t1"))
+    entries, _ = t.select_entries()
+    assert any(e.get("dv") for e in entries), entries
+    got = _replay_rows(res, spark)
+    assert got[1] == ("upd", 999.0) and len(got) == 30
+
+
+def test_replay_mor_activate_version_purges(spark, tmp_path):
+    lines = [
+        _schema(),
+        _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        _activate(1),
+        _rec(1, "a2", 10.0, version=2),
+        _activate(2),
+    ]
+    cap = _write(tmp_path, lines)
+    res = replay_capture(
+        spark, cap, str(tmp_path / "mor"), batch_size_rows=100,
+        target_format="mor",
+    )
+    assert _replay_rows(res, spark) == {1: ("a2", 10.0)}
+
+
+def test_replay_mor_type_drift_falls_back_to_cow(spark, tmp_path):
+    """The partial-SET semantics a versioned column needs are exactly
+    what MOR's verbatim append cannot express — the drifted table
+    permanently routes through the copy-on-write merge (the live
+    schema carries the versioned column the batches lack)."""
+    drift = dict(SCHEMA_PROPS, amount={"type": ["null", "string"]})
+    lines = [
+        _schema(),
+        _rec(1, "a", 1.0), _rec(2, "b", 2.0),
+        _schema(props=drift),
+        _rec(1, "a2", "high"),
+    ]
+    cap = _write(tmp_path, lines)
+    res = replay_capture(
+        spark, cap, str(tmp_path / "mor"), batch_size_rows=100,
+        target_format="mor", version_suffix="20240101",
+    )
+    rows = {
+        r["id"]: (r["name"], r["amount"], r["amount_20240101"])
+        for r in res.tables["t1"].read(spark).collect()
+    }
+    assert rows == {
+        1: ("a2", "high", 1.0),
+        2: ("b", None, 2.0),
+    }
+
+
+def test_replay_mor_rejects_unknown_format(spark, tmp_path):
+    cap = _write(tmp_path, [_schema(), _rec(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="target_format"):
+        replay_capture(
+            spark, cap, str(tmp_path / "t"), target_format="iceberg"
+        )
