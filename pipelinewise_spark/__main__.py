@@ -923,13 +923,14 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
             ManifestTable if args.target_format == "mor"
             else ParquetTable
         )
+
+        def _count(stream: str) -> int:
+            # a SCHEMA-only stream (no records yet) has no table
+            t = tbl(f"{args.target_root}/{stream}")
+            return t.read(spark).count() if t.exists() else 0
+
         print(json.dumps({
-            "streams": {
-                s: tbl(
-                    f"{args.target_root}/{s}"
-                ).read(spark).count()
-                for s in st.schemas
-            },
+            "streams": {s: _count(s) for s in st.schemas},
             "last_batch": st.last_batch,
             "state": st.bookmark,
         }))
@@ -952,6 +953,7 @@ def _cmd_import_capture(args: argparse.Namespace) -> int:
     tables = load_capture(
         spark, args.capture, args.target_root, bookmarks=bm,
         primary_key_required=pk_required,
+        target_format=args.target_format,
     )
     print(json.dumps({
         "streams": {s: t.read(spark).count() for s, t in tables.items()}
@@ -1410,11 +1412,12 @@ def main(argv: list[str] | None = None) -> int:
                          "schema-registry sidecar)")
     ic.add_argument("--target-format", choices=["parquet", "mor"],
                     default="parquet",
-                    help="--tail/--replay target layout: 'parquet' "
+                    help="target layout for every mode: 'parquet' "
                          "rewrites the table per flush (simple files); "
-                         "'mor' lands each flush as a ManifestTable "
-                         "merge-on-read delta — O(batch) writes, for "
-                         "long captures into big tables")
+                         "'mor' lands each flush/load as a "
+                         "ManifestTable merge-on-read delta — "
+                         "O(batch) writes, for long captures and "
+                         "incremental loads into big tables")
     ic.set_defaults(fn=_cmd_import_capture)
 
     ec = sub.add_parser(

@@ -172,7 +172,15 @@ def stream_records(
         & (F.get_json_object("line", "$.stream") == stream)
     )
     return rec.select(
-        "lineno",
+        "lineno", *record_payload_cols(struct)
+    ).select("lineno", SDC_TABLE_VERSION, SDC_EXTRACTED_AT, "__r.*")
+
+
+def record_payload_cols(struct: T.StructType) -> list[F.Column]:
+    """The shared RECORD-line projection (batch and streaming faces
+    parse identically; only the position column differs): version,
+    time_extracted, and the ``from_json`` payload struct."""
+    return [
         F.get_json_object("line", "$.version")
         .cast("long")
         .alias(SDC_TABLE_VERSION),
@@ -182,15 +190,18 @@ def stream_records(
         F.from_json(
             F.get_json_object("line", "$.record"), struct
         ).alias("__r"),
-    ).select("lineno", SDC_TABLE_VERSION, SDC_EXTRACTED_AT, "__r.*")
+    ]
 
 
-def _last_wins(df: DataFrame, pks: list[str]) -> DataFrame:
+def _last_wins(
+    df: DataFrame, pks: list[str], order_col: str = "lineno"
+) -> DataFrame:
     """PK dedupe by capture position — the distributed form of
     persist_lines' in-batch ``records_to_load[stream][pk] = record``
-    dict (later line wins)."""
+    dict (later line wins). ``order_col`` is the position column
+    (lineno for the batch faces, _sdc_sequence for streaming)."""
     w = Window.partitionBy(*[F.col(k) for k in pks]).orderBy(
-        F.col("lineno").desc()
+        F.col(order_col).desc()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -286,6 +297,7 @@ def load_capture(
     float_compat: bool = False,
     primary_key_required: bool = True,
     version_suffix: str | None = None,
+    target_format: str = "parquet",
 ) -> dict[str, Any]:
     """BULK one-pass load of a capture into ParquetTables under
     ``target_root/<stream>``: per stream, records parse distributed,
@@ -301,9 +313,28 @@ def load_capture(
     semantics (old column renamed ``<name>_<suffix>``, fresh column
     added — db_sync.py:849-870); ``version_suffix`` pins the rename
     suffix (default: the UTC load time, the reference's behavior).
+
+    ``target_format="mor"`` targets ManifestTables: an incremental
+    load into a PRE-EXISTING table lands as a merge-on-read delta
+    (superseded rows deletion-vectored, the batch appended as new
+    files — O(batch) writes into a large table) and the AV purge is an
+    answer-sized ``delete_where``; schema drift falls back to one
+    copy-on-write evolution rewrite, exactly like the replay and
+    tail-follow faces.
     """
     from pipelinewise_spark.operators.table import ParquetTable
     from pipelinewise_spark.schema.jsonschema import json_schema_to_struct
+
+    if target_format not in ("parquet", "mor"):
+        raise ValueError(
+            f"unknown target_format {target_format!r} — "
+            "expected 'parquet' or 'mor'"
+        )
+    mor = target_format == "mor"
+    if mor:
+        from pipelinewise_spark.operators.manifest_table import (
+            ManifestTable,
+        )
 
     # states="last": a CDC tap emits a STATE every few records — the
     # bulk load consumes only the final one, so the full STATE stream
@@ -328,7 +359,31 @@ def load_capture(
         batch = (
             _last_wins(recs, pks) if pks else recs
         ).drop("lineno")
-        table = ParquetTable(f"{target_root}/{stream}")
+        table = (
+            ManifestTable(f"{target_root}/{stream}")
+            if mor
+            else ParquetTable(f"{target_root}/{stream}")
+        )
+        aligned = (
+            _mor_aligned(spark, table, batch)
+            if mor and table.exists()
+            else None
+        )
+        if aligned is not None:
+            if pks:
+                # the whole capture is one ordered batch, last-wins
+                # already applied — unconditional supersede is correct
+                table.merge_on_read(spark, aligned, pks)
+            else:
+                table.append(aligned)
+            if stream in activations:
+                v = F.col(SDC_TABLE_VERSION)
+                table.delete_where(
+                    spark,
+                    v.isNotNull() & (v < activations[stream]),
+                )
+            out[stream] = table
+            continue
         if pks:
             from pipelinewise_spark.operators.merge import merge_upsert
 
@@ -374,35 +429,28 @@ class ReplayResult:
 def _check_record_streams(
     spark: SparkSession, lines: DataFrame, plan: CapturePlan
 ) -> None:
-    """Fail fast on RECORDs with no (or a not-yet-emitted) SCHEMA."""
-    known = list(plan.key_properties)
-    orphan = (
-        lines.filter(F.get_json_object("line", "$.type") == "RECORD")
-        .select(F.get_json_object("line", "$.stream").alias("s"))
-        .filter(~F.col("s").isin(known) if known else F.lit(True))
-        .limit(1)
-        .collect()
-    )
-    if orphan:
-        raise ValueError(
-            f"RECORD for stream {orphan[0]['s']!r} before its SCHEMA "
-            "(no SCHEMA message for that stream in the capture)"
-        )
+    """Fail fast on RECORDs with no (or a not-yet-emitted) SCHEMA —
+    ONE grouped aggregate over the capture (min record lineno per
+    stream, compared driver-side against each stream's first SCHEMA
+    position), not a scan per stream."""
     firsts = {}
     for m in plan.messages:
         if m["type"] == "SCHEMA":
             firsts.setdefault(m["stream"], m["__lineno"])
-    for stream, first in firsts.items():
-        early = (
-            lines.filter(
-                (F.get_json_object("line", "$.type") == "RECORD")
-                & (F.get_json_object("line", "$.stream") == stream)
-                & (F.col("lineno") < F.lit(first))
+    mins = (
+        lines.filter(F.get_json_object("line", "$.type") == "RECORD")
+        .groupBy(F.get_json_object("line", "$.stream").alias("s"))
+        .agg(F.min("lineno").alias("first_rec"))
+        .collect()
+    )
+    for r in mins:
+        stream, first_rec = r["s"], r["first_rec"]
+        if stream not in firsts:
+            raise ValueError(
+                f"RECORD for stream {stream!r} before its SCHEMA "
+                "(no SCHEMA message for that stream in the capture)"
             )
-            .limit(1)
-            .collect()
-        )
-        if early:
+        if first_rec < firsts[stream]:
             raise ValueError(
                 f"RECORD for stream {stream!r} before its SCHEMA"
             )
@@ -486,9 +534,17 @@ def _records_meta(
                 cond = p.isNull()
                 null_pk = cond if null_pk is None else (null_pk | cond)
             key = (
-                F.to_json(F.struct(*[
-                    p.alias(f"k{j}") for j, p in enumerate(parts)
-                ]))
+                # µs timestampFormat: to_json's default truncates to
+                # milliseconds, which would collapse µs-distinct
+                # timestamp PK components the typed merge keeps
+                # distinct (write_capture pins the same format)
+                F.to_json(
+                    F.struct(*[
+                        p.alias(f"k{j}") for j, p in enumerate(parts)
+                    ]),
+                    {"timestampFormat":
+                     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"},
+                )
                 if pks else F.lit("")
             )
             frames.append(
@@ -954,6 +1010,10 @@ def write_capture_rotated(
     import json as _json
     import os as _os
 
+    if records_per_file < 1:
+        raise ValueError(
+            f"records_per_file must be >= 1, got {records_per_file}"
+        )
     if check_keys and key_properties:
         _check_export_keys(df, key_properties)
     lines = _record_lines(df, stream, key_properties, version, order_by)

@@ -54,7 +54,9 @@ from pipelinewise_spark.sources.singer import (
     SDC_TABLE_VERSION,
     _apply_activate,
     _evolved_target,
+    _last_wins,
     _mor_aligned,
+    record_payload_cols,
 )
 
 #: global capture position persisted into the target — the MERGE
@@ -76,6 +78,11 @@ class CaptureStreamState:
     bookmark: dict | None = None
     bookmark_seq: str | None = None
     last_batch: int = -1
+    #: capture position of each stream's ADOPTED schema — control-plane
+    #: adoption is sequence-guarded like the bookmark, so a late-listed
+    #: older file cannot regress the registry (absent for pre-r13
+    #: sidecars; treated as "always adopt", the old behavior)
+    schema_seq: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def load(cls, checkpoint_dir: str) -> "CaptureStreamState":
@@ -131,27 +138,12 @@ def _segment_records(
         cond = cond & (F.col("__seq") < F.lit(hi))
     return lines.filter(cond).select(
         F.col("__seq").alias(SDC_SEQUENCE),
-        F.get_json_object("line", "$.version")
-        .cast("long")
-        .alias(SDC_TABLE_VERSION),
-        F.get_json_object("line", "$.time_extracted")
-        .cast("timestamp")
-        .alias(SDC_EXTRACTED_AT),
-        F.from_json(
-            F.get_json_object("line", "$.record"), struct
-        ).alias("__r"),
+        *record_payload_cols(struct),
     ).select(SDC_SEQUENCE, SDC_TABLE_VERSION, SDC_EXTRACTED_AT, "__r.*")
 
 
 def _last_wins_by_seq(df: DataFrame, pks: list[str]) -> DataFrame:
-    w = Window.partitionBy(*[F.col(k) for k in pks]).orderBy(
-        F.col(SDC_SEQUENCE).desc()
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _last_wins(df, pks, order_col=SDC_SEQUENCE)
 
 
 def apply_capture_batch(
@@ -401,32 +393,56 @@ def apply_capture_batch(
                 table.overwrite(merged)
 
             lo: str | None = None
+            last_schema_seq: str | None = None
             for seq, kind, payload in boundaries:
                 flush_segment(lo, seq)
                 lo = seq
                 if kind == "SCHEMA":
+                    # in-batch epoch swap: records after this boundary
+                    # IN THIS BATCH parse under it regardless of the
+                    # registry guard below (they belong to this epoch)
                     cur_schema = payload["schema"]
                     cur_kp = list(payload.get("key_properties") or [])
+                    last_schema_seq = seq
                 else:  # AV: purge older-version rows already in the table
-                    state.activations[stream] = payload
+                    v_new = int(payload)
+                    v_cur = state.activations.get(stream)
+                    if v_cur is not None and v_new <= v_cur:
+                        # a late-listed older AV is subsumed by the
+                        # purge already executed — adopting it would
+                        # resurrect purged versions in later segments
+                        continue
+                    state.activations[stream] = v_new
                     if table.exists():
                         if mor:
                             # answer-sized deletion vectors, no rewrite
-                            v = F.col(SDC_TABLE_VERSION)
+                            vc = F.col(SDC_TABLE_VERSION)
                             table.delete_where(
                                 spark,
-                                v.isNotNull() & (v < int(payload)),
+                                vc.isNotNull() & (vc < v_new),
                             )
                         else:
                             table.overwrite(
                                 _apply_activate(
-                                    table.read(spark), payload
+                                    table.read(spark), v_new
                                 )
                             )
             flush_segment(lo, None)
             if cur_schema is not None:
-                state.schemas[stream] = cur_schema
-                state.key_properties[stream] = cur_kp
+                # registry adoption is sequence-guarded (same rule as
+                # the bookmark): an out-of-order older file's SCHEMA
+                # governs ITS OWN batch's segments above but cannot
+                # regress what later batches parse with
+                prev_seq = state.schema_seq.get(stream)
+                if last_schema_seq is None:
+                    # carry-in only — re-persisting the same registry
+                    # entry (no SCHEMA line in this batch)
+                    state.schemas[stream] = cur_schema
+                    state.key_properties[stream] = cur_kp
+                elif prev_seq is None or last_schema_seq >= prev_seq:
+                    state.schemas[stream] = cur_schema
+                    state.key_properties[stream] = cur_kp
+                    state.schema_seq[stream] = last_schema_seq
 
         # flushed_state at micro-batch granularity: everything in this
         # batch landed above, so the batch's max-sequence STATE is safe

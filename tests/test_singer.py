@@ -732,3 +732,96 @@ def test_replay_mor_rejects_unknown_format(spark, tmp_path):
         replay_capture(
             spark, cap, str(tmp_path / "t"), target_format="iceberg"
         )
+
+
+# ------------------------------------------------- r13 review fixes
+
+
+def test_replay_microsecond_timestamp_pk_flush_accounting(spark, tmp_path):
+    """µs-distinct timestamp PK components must count as DISTINCT new
+    PKs in the buffer (the typed merge keeps them distinct): four
+    same-millisecond keys = four buffer entries = two size-2 flushes.
+    A dedupe key built with to_json's default ms-truncating timestamp
+    format would collapse them all onto one entry."""
+    props = {
+        "ts": {"type": ["null", "string"], "format": "date-time"},
+        "v": {"type": ["null", "number"]},
+    }
+
+    def trec(us, v):
+        return json.dumps({"type": "RECORD", "stream": "t1", "record": {
+            "ts": f"2024-01-01T12:00:00.00000{us}", "v": v}})
+
+    cap = _write(tmp_path, [
+        _schema(props=props, keys=("ts",)),
+        trec(1, 1.0), trec(2, 2.0), trec(3, 3.0), trec(4, 4.0),
+    ])
+    res = replay_capture(
+        spark, cap, str(tmp_path / "tgt"), batch_size_rows=2
+    )
+    assert res.n_flushes == 2, res.n_flushes
+    assert res.tables["t1"].read(spark).count() == 4
+
+
+def test_load_capture_mor_equals_parquet(spark, tmp_path):
+    """Bulk load with target_format='mor': an incremental load into a
+    pre-existing table lands as a MOR delta with identical final rows
+    to the parquet mode — and the earlier load's files survive."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    cap1 = _write(tmp_path, [
+        _schema(), *[_rec(i, f"n{i}", float(i)) for i in range(1, 30)],
+    ], name="cap1.ndjson")
+    cap2 = _write(tmp_path, [
+        _schema(), _rec(1, "upd", 99.0), _rec(99, "new", 9.0),
+    ], name="cap2.ndjson")
+    for fmt, root in (("parquet", "pq"), ("mor", "mr")):
+        load_capture(spark, cap1, str(tmp_path / root),
+                     target_format=fmt)
+        load_capture(spark, cap2, str(tmp_path / root),
+                     target_format=fmt)
+    from pipelinewise_spark.operators.table import ParquetTable
+
+    pq = {
+        r["id"]: (r["name"], r["amount"])
+        for r in ParquetTable(
+            str(tmp_path / "pq" / "t1")).read(spark).collect()
+    }
+    mr = {
+        r["id"]: (r["name"], r["amount"])
+        for r in ManifestTable(
+            str(tmp_path / "mr" / "t1")).read(spark).collect()
+    }
+    assert mr == pq and mr[1] == ("upd", 99.0) and mr[99] == ("new", 9.0)
+    entries, _ = ManifestTable(str(tmp_path / "mr" / "t1")).select_entries()
+    assert any(e.get("dv") for e in entries), entries
+
+
+def test_load_capture_mor_activate_version_purges(spark, tmp_path):
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    cap1 = _write(tmp_path, [
+        _schema(), _rec(1, "a", 1.0, version=1),
+        _rec(2, "b", 2.0, version=1), _activate(1),
+    ], name="cap1.ndjson")
+    cap2 = _write(tmp_path, [
+        _schema(), _rec(1, "a2", 10.0, version=2), _activate(2),
+    ], name="cap2.ndjson")
+    load_capture(spark, cap1, str(tmp_path / "mr"), target_format="mor")
+    load_capture(spark, cap2, str(tmp_path / "mr"), target_format="mor")
+    rows = {
+        r["id"]: r["name"]
+        for r in ManifestTable(
+            str(tmp_path / "mr" / "t1")).read(spark).collect()
+    }
+    assert rows == {1: "a2"}
+
+
+def test_write_capture_rotated_rejects_nonpositive_rotation(spark, tmp_path):
+    from pipelinewise_spark.sources.singer import write_capture_rotated
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="records_per_file"):
+        write_capture_rotated(
+            df, str(tmp_path / "cap"), "t1", ["id"], records_per_file=0
+        )

@@ -551,3 +551,95 @@ def test_import_capture_cli_tail_mor(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["streams"] == {"t1": 2}
     assert _mor_rows(spark, tgt) == {1: ("a2", 9.0), 2: ("b", 2.0)}
+
+
+def test_cli_tail_schema_only_stream_counts_zero(spark, tmp_path, capsys):
+    """A SCHEMA-only stream (standard taps emit SCHEMA for every
+    selected stream at startup, rows may come later) must not crash
+    the summary — it reports 0."""
+    from pipelinewise_spark.__main__ import main as cli_main
+
+    capdir = _capdir(tmp_path, [
+        ("cap-000001.ndjson", [
+            _schema(), _schema(stream="empty"), _rec(1, "a", 1.0),
+        ]),
+    ])
+    rc = cli_main(["import-capture", capdir, str(tmp_path / "tgt"),
+                   "--tail", "--checkpoint", str(tmp_path / "ckpt")])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["streams"] == {"t1": 1, "empty": 0}
+
+
+def test_stream_late_older_file_cannot_regress_registry(spark, tmp_path):
+    """Out-of-order FILE delivery: an older file's SCHEMA/AV processed
+    AFTER a newer file's governs its own batch but cannot regress the
+    persisted registry (sequence-guarded adoption, the bookmark rule
+    applied to the whole control plane)."""
+    v2_props = dict(PROPS, extra={"type": ["null", "string"]})
+    new_line = json.dumps({
+        "type": "RECORD", "stream": "t1",
+        "record": {"id": 7, "name": "late-epoch", "amount": 1.0,
+                   "extra": "kept"},
+    })
+    root, ck = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+
+    def batch_of(fname, lines):
+        return spark.createDataFrame(
+            [(line, f"{root}/{fname}", i) for i, line in enumerate(lines)],
+            "value string, __file string, __block long",
+        )
+
+    st = CaptureStreamState()
+    # newer file first (schema v2 + a record)
+    st = apply_capture_batch(
+        spark,
+        batch_of("cap-000002.ndjson",
+                 [_schema(props=v2_props), _rec(1, "a", 1.0)]),
+        root, st)
+    # older file listed late (schema v1 + a record)
+    st = apply_capture_batch(
+        spark,
+        batch_of("cap-000001.ndjson",
+                 [_schema(), _rec(2, "b", 2.0)]),
+        root, st)
+    assert "extra" in st.schemas["t1"]["properties"], (
+        "registry regressed to the older SCHEMA"
+    )
+    # a subsequent record with no SCHEMA line parses under v2
+    st = apply_capture_batch(
+        spark, batch_of("cap-000003.ndjson", [new_line]), root, st)
+    rows = {r["id"]: r.asDict() for r in ParquetTable(
+        f"{root}/t1").read(spark).collect()}
+    assert rows[7]["extra"] == "kept"
+
+
+def test_stream_late_older_activate_version_is_subsumed(spark, tmp_path):
+    """A late-listed OLDER ACTIVATE_VERSION must not regress the
+    adopted activation (it would re-admit purged versions in later
+    segments)."""
+    root, ck = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+
+    def batch_of(fname, lines):
+        return spark.createDataFrame(
+            [(line, f"{root}/{fname}", i) for i, line in enumerate(lines)],
+            "value string, __file string, __block long",
+        )
+
+    av = lambda v: json.dumps(
+        {"type": "ACTIVATE_VERSION", "stream": "t1", "version": v})
+    st = CaptureStreamState()
+    st = apply_capture_batch(
+        spark,
+        batch_of("cap-000002.ndjson",
+                 [_schema(), _rec(1, "a", 1.0, version=2), av(2)]),
+        root, st)
+    # older file late: records of version 1 + AV(1)
+    st = apply_capture_batch(
+        spark,
+        batch_of("cap-000001.ndjson",
+                 [_rec(9, "old", 9.0, version=1), av(1)]),
+        root, st)
+    assert st.activations["t1"] == 2
+    rows = {r["id"] for r in ParquetTable(
+        f"{root}/t1").read(spark).collect()}
+    assert rows == {1}, "version-1 stragglers must stay purged"
