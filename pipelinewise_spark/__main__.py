@@ -887,6 +887,21 @@ def _cmd_rank_drift(args: argparse.Namespace) -> int:
     return 1 if paged else 0
 
 
+def _cmd_capture_status(args: argparse.Namespace) -> int:
+    """Inspect a capture (sources/singer.py:capture_status) — the
+    pre-load ops check: what streams, how many records, how many
+    schema epochs, loadable keys, final state."""
+    from pipelinewise_spark.session import get_spark
+    from pipelinewise_spark.sources.singer import capture_status
+
+    spark = get_spark("pipelinewise-capture-status")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(capture_status(
+        spark, args.capture, primary_key_required=args.pk_required
+    )))
+    return 0
+
+
 def _cmd_import_capture(args: argparse.Namespace) -> int:
     """Ingest a captured Singer tap stdout stream (sources/singer.py)
     from the command line — the bulk one-pass load by default, or the
@@ -1381,6 +1396,18 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--mw", action="store_true",
                     help="also report the Mann-Whitney bracket")
     rd.set_defaults(fn=_cmd_rank_drift)
+
+    cs = sub.add_parser(
+        "capture-status",
+        help="inspect a Singer NDJSON capture without loading it: "
+             "per-stream record counts, schema epochs, keys, last "
+             "ACTIVATE_VERSION, final STATE",
+    )
+    cs.add_argument("capture", help="NDJSON capture file")
+    cs.add_argument("--pk-required", action="store_true",
+                    help="fail on SCHEMAs with empty key_properties "
+                         "(the load-time primary_key_required check)")
+    cs.set_defaults(fn=_cmd_capture_status)
 
     ic = sub.add_parser(
         "import-capture",

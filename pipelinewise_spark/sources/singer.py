@@ -1063,3 +1063,60 @@ def _schema_for(df: DataFrame) -> dict:
     from pipelinewise_spark.schema.jsonschema import struct_to_json_schema
 
     return struct_to_json_schema(df.schema)
+
+
+def capture_status(
+    spark: SparkSession,
+    path: str,
+    primary_key_required: bool = False,
+) -> dict:
+    """Inspect a capture without loading it: per stream the RECORD
+    count, SCHEMA epoch count, key_properties and last
+    ACTIVATE_VERSION, plus message-type totals and the final STATE.
+    ONE distributed (type, stream)-grouped aggregate for every count —
+    the full STATE stream of a CDC tap never reaches the driver — and
+    the capped control-plane scan for the schemas (``states="last"``).
+    The ops answer to "what is in this capture and is it loadable?"
+    before committing to a bulk load or replay."""
+    counts = (
+        capture_lines(spark, path)
+        .groupBy(
+            F.get_json_object("line", "$.type").alias("t"),
+            F.get_json_object("line", "$.stream").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict[str, int] = {}
+    records: dict[str, int] = {}
+    for r in counts:
+        t = r["t"] or "<missing type>"
+        by_type[t] = by_type.get(t, 0) + r["n"]
+        if t == "RECORD":
+            records[r["s"]] = r["n"]
+    plan = scan_control_plane(
+        spark, path, primary_key_required, states="last"
+    )
+    epochs: dict[str, int] = {}
+    last_version: dict[str, int] = {}
+    final_state = None
+    for m in plan.messages:
+        if m["type"] == "SCHEMA":
+            epochs[m["stream"]] = epochs.get(m["stream"], 0) + 1
+        elif m["type"] == "ACTIVATE_VERSION":
+            last_version[m["stream"]] = int(m["version"])
+        elif m["type"] == "STATE":
+            final_state = m["value"]
+    return {
+        "streams": {
+            s: {
+                "records": records.get(s, 0),
+                "schema_epochs": epochs.get(s, 0),
+                "key_properties": plan.key_properties.get(s, []),
+                "last_version": last_version.get(s),
+            }
+            for s in sorted(set(records) | set(plan.schemas))
+        },
+        "message_counts": dict(sorted(by_type.items())),
+        "state": final_state,
+    }

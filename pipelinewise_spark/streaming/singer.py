@@ -471,6 +471,7 @@ def start_capture_stream(
     max_control_lines: int = 100_000,
     bookmarks: Any | None = None,
     target_format: str = "parquet",
+    compact_every: int | None = None,
 ):
     """Start the tail-follow stream over a growing capture directory.
 
@@ -479,7 +480,26 @@ def start_capture_stream(
     re-launches on a schedule or uses ``available_now=False`` with a
     processing-time trigger. ``max_files_per_trigger`` caps each
     micro-batch (and is how the equivalence tests force multi-batch
-    runs). Returns the StreamingQuery."""
+    runs). Returns the StreamingQuery.
+
+    ``compact_every=N`` (MOR targets only) runs ManifestTable.compact
+    on every touched stream after every Nth micro-batch — the
+    read-debt lever scheduled inside the tail loop instead of a
+    separate cron: MOR accumulates one small file + deletion vectors
+    per batch, and compaction folds them back into clean files
+    (healthy partitions carry over by reference, so a compaction pass
+    right after a delta batch is near-free). Safe under crash/replay:
+    compaction never changes row content, only file layout."""
+    if compact_every is not None:
+        if target_format != "mor":
+            raise ValueError(
+                "compact_every needs target_format='mor' — parquet "
+                "targets rewrite per batch and never fragment"
+            )
+        if compact_every < 1:
+            raise ValueError(
+                f"compact_every must be >= 1, got {compact_every}"
+            )
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option(
@@ -505,6 +525,18 @@ def start_capture_stream(
             target_format=target_format,
         )
         state.last_batch = batch_id
+        if (
+            compact_every is not None
+            and batch_id % compact_every == compact_every - 1
+        ):
+            from pipelinewise_spark.operators.manifest_table import (
+                ManifestTable,
+            )
+
+            for stream in state.schemas:
+                t = ManifestTable(f"{target_root}/{stream}")
+                if t.exists():
+                    t.compact(spark, max_dead_ratio=0.2)
         state.save(checkpoint_dir)
         if bookmarks is not None and state.bookmark is not None:
             for stream, bm in (

@@ -825,3 +825,39 @@ def test_write_capture_rotated_rejects_nonpositive_rotation(spark, tmp_path):
         write_capture_rotated(
             df, str(tmp_path / "cap"), "t1", ["id"], records_per_file=0
         )
+
+
+def test_capture_status(spark, tmp_path, capsys):
+    """capture-status: per-stream counts/epochs/keys/version + final
+    STATE from one grouped pass + the capped control plane."""
+    from pipelinewise_spark.__main__ import main as cli_main
+    from pipelinewise_spark.sources.singer import capture_status
+
+    drift = dict(SCHEMA_PROPS, amount={"type": ["null", "string"]})
+    cap = _write(tmp_path, [
+        _schema(),
+        _rec(1, "a", 1.0, version=1), _rec(2, "b", 2.0, version=1),
+        _activate(1),
+        _schema(props=drift),                # second epoch
+        _rec(1, "a2", "x", version=2),
+        _activate(2),
+        _schema(stream="t2", keys=("id",)),  # schema-only stream
+        _state({"t1": {"pos": 7}}),
+    ])
+    st = capture_status(spark, cap)
+    assert st["streams"]["t1"] == {
+        "records": 3, "schema_epochs": 2, "key_properties": ["id"],
+        "last_version": 2,
+    }
+    assert st["streams"]["t2"] == {
+        "records": 0, "schema_epochs": 1, "key_properties": ["id"],
+        "last_version": None,
+    }
+    assert st["message_counts"] == {
+        "ACTIVATE_VERSION": 2, "RECORD": 3, "SCHEMA": 3, "STATE": 1,
+    }
+    assert st["state"] == {"bookmarks": {"t1": {"pos": 7}}}
+    rc = cli_main(["capture-status", cap])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["streams"]["t1"]["records"] == 3

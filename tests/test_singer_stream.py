@@ -643,3 +643,42 @@ def test_stream_late_older_activate_version_is_subsumed(spark, tmp_path):
     rows = {r["id"] for r in ParquetTable(
         f"{root}/t1").read(spark).collect()}
     assert rows == {1}, "version-1 stragglers must stay purged"
+
+
+def test_stream_mor_compact_every(spark, tmp_path):
+    """compact_every folds the per-batch MOR files + DVs back into
+    clean files inside the tail loop — rows identical, file count
+    reduced, checkpoint/resume unaffected."""
+    from pipelinewise_spark.operators.manifest_table import ManifestTable
+
+    files = [
+        ("cap-000001.ndjson",
+         [_schema()] + [_rec(i, f"n{i}", float(i)) for i in range(1, 40)]),
+        ("cap-000002.ndjson", [_rec(i, "u", 0.5) for i in range(1, 10)]),
+        ("cap-000003.ndjson", [_rec(i, "v", 0.25) for i in range(5, 15)]),
+        ("cap-000004.ndjson", [_rec(40, "new", 40.0)]),
+    ]
+    capdir = _capdir(tmp_path, files)
+    sync_capture_dir(
+        spark, capdir, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, target_format="mor", compact_every=2,
+    )
+    t = ManifestTable(str(tmp_path / "tgt" / "t1"))
+    entries, _ = t.select_entries()
+    # 4 MOR batches would leave >=4 files + DVs; compaction folded them
+    assert len(entries) <= 2, [e["path"] for e in entries]
+    assert not any(e.get("dv") for e in entries), "DV debt not folded"
+    got = _mor_rows(spark, str(tmp_path / "tgt"))
+    assert len(got) == 40
+    assert got[7] == ("v", 0.25) and got[1] == ("u", 0.5)
+    assert got[40] == ("new", 40.0)
+
+
+def test_compact_every_requires_mor(spark, tmp_path):
+    from pipelinewise_spark.streaming.singer import start_capture_stream
+
+    with pytest.raises(ValueError, match="compact_every"):
+        start_capture_stream(
+            spark, str(tmp_path / "cap"), str(tmp_path / "t"),
+            str(tmp_path / "ck"), compact_every=2,
+        )
