@@ -20,6 +20,7 @@ pinned against a pure-Python reference implementation in tests.
 
 from __future__ import annotations
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,7 +29,7 @@ END = "</w>"
 
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     from pipelinewise_spark.functions.text import tokens
-    from pipelinewise_spark.partitioning import spread
+    from pipelinewise_spark.partitioning import local_frame, spread
 
     return (
         spread(df)
@@ -103,7 +104,7 @@ def bpe_train_df(
         (i + 1, left, right, n)
         for i, (left, right, n) in enumerate(bpe_train(df, text_col, num_merges))
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "rank long, left string, right string, count long"
     )
 
@@ -145,7 +146,7 @@ def bpe_encode_counts(
     ``bpe_apply`` and broadcast back onto the corpus tokens — the corpus
     itself is never rewritten symbol-by-symbol."""
     from pipelinewise_spark.functions.text import tokens
-    from pipelinewise_spark.partitioning import spread
+    from pipelinewise_spark.partitioning import local_frame, spread
 
     d = spread(df).withColumn("__toks", tokens(F.col(text_col)))
     vocab = (

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -273,7 +274,7 @@ def shard_by_token_budget(
     for pid in sorted(totals):
         rows.append((pid, acc))
         acc += totals[pid] or 0
-    off = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    off = local_frame(spark, rows or [(0, 0)], "__pid int, __off long")
     cum = F.col("__run") + F.col("__off")
     return (
         d.join(F.broadcast(off), "__pid")
@@ -554,7 +555,7 @@ def group_prefix_sum(
     schema_group = ", ".join(
         f"{c} {dict(df.dtypes)[c]}" for c in group_cols
     )
-    off = spark.createDataFrame(
+    off = local_frame(spark, 
         rows or [(0, *([None] * len(group_cols)), 0)],
         f"__pid int, {schema_group}, __off long",
     )
@@ -827,12 +828,12 @@ class StreamingDomainCapAdmitter:
         legacy = self.state.get("admitted")
         if legacy is not None:
             rows = [(d, int(n)) for d, n in sorted(legacy.items())]
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 rows or [("", 0)], "__dom string, __used long"
             ).limit(len(rows))
         v = self.state.get("budget_version", 0)
         if v == 0:
-            return spark.createDataFrame([], "__dom string, __used long")
+            return local_frame(spark, [], "__dom string, __used long")
         return spark.read.parquet(self._budget_path(v))
 
     def on_batch(self, batch: DataFrame, epoch: int) -> None:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -346,7 +347,7 @@ def _model_life(path: str):
 
 
 def _write_centroids(spark, cents: list, uri: str) -> None:
-    spark.createDataFrame(
+    local_frame(spark, 
         [(j, [int(x) for x in s], int(c)) for j, s, c in cents],
         "j int, s array<long>, c long",
     ).coalesce(1).write.mode("overwrite").parquet(uri)

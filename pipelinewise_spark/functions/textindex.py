@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pipelinewise_spark.functions.retrieval import B, K1
 from pipelinewise_spark.functions.text import tokens
 from pipelinewise_spark.functions.indexlife import IndexLifecycle
-from pipelinewise_spark.partitioning import spread
+from pipelinewise_spark.partitioning import local_frame, spread
 
 N_BUCKETS = 64
 _META = "_text_index.json"
@@ -175,7 +175,7 @@ def search_text_index(
         if mfs.exists(pdir, f"bucket={bk}")
     ]
     if not dirs:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return local_frame(spark, [], "doc_id long, score double")
     post = (
         spark.read.parquet(*dirs)
         .filter(F.col("term").isin(query_terms))

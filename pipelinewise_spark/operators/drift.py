@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,7 +152,7 @@ def _bucket_counts(
 
 def _bucket_frame(spark, bounds: Sequence[float],
                   n_buckets: int) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 i + 1,
@@ -334,7 +335,7 @@ def derive_segment_bucket_bounds(
 def _segment_bounds_frame(spark, bounds: dict[str, list[float]]):
     """(segment, es array<double>) — the broadcastable per-segment edge
     table (metadata-scale: one row per segment)."""
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(seg, [float(x) for x in es]) for seg, es in sorted(bounds.items())],
         "segment string, es array<double>",
     )
@@ -385,7 +386,7 @@ def _segment_bucket_frame(spark, bounds: dict[str, list[float]],
                 float(es[i - 1]) if i > 0 else None,
                 float(es[i]) if i < n_buckets - 1 else None,
             ))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "segment string, bucket int, lo double, hi double"
     )
 
@@ -671,7 +672,7 @@ class StreamingDriftMonitor:
         frame :func:`distribution_drift` emits, from the folded state."""
         bounds = self.state["bounds"]
         per = _bucket_frame(spark, bounds, self.n_buckets)
-        counts = spark.createDataFrame(
+        counts = local_frame(spark, 
             [
                 (
                     b,
@@ -786,7 +787,7 @@ class SegmentedStreamingDriftMonitor:
         the folded state."""
         bounds = self.state["bounds"]
         per = _segment_bucket_frame(spark, bounds, self.n_buckets)
-        counts = spark.createDataFrame(
+        counts = local_frame(spark, 
             [
                 (
                     seg,
@@ -1360,7 +1361,7 @@ class StreamingKSMonitor:
             out.append(
                 (seg, n_r, n_c, d_lo, d_hi, d_hi - d_lo, bool(sig))
             )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             out,
             "segment string, n_ref long, n_cur long, d_lo_ppm long, "
             "d_hi_ppm long, err_bound_ppm long, significant boolean",
@@ -1425,7 +1426,7 @@ class StreamingKSMonitor:
                 (seg, n_r, n_c, u2_lo, u2_hi, e_lo, e_hi, e_hi - e_lo,
                  bool(drifted))
             )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             out,
             "segment string, n_ref long, n_cur long, u2_lo long, "
             "u2_hi long, effect_lo_ppm long, effect_hi_ppm long, "

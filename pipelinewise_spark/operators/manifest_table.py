@@ -29,6 +29,7 @@ import uuid
 from collections.abc import Sequence
 from typing import Any
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1805,7 +1806,7 @@ class ManifestTable:
                         tuple(d[f_.key] for f_ in fields)
                         + (max(1, round(b / target_bytes)),)
                     )
-            nmap = spark.createDataFrame(
+            nmap = local_frame(spark, 
                 nmap_rows,
                 ", ".join(f"`{f_.key}` string" for f_ in fields)
                 + ", __nslices int",
@@ -2146,7 +2147,7 @@ class ManifestTable:
                         sum(e.get("dv_rows", 0) for e in m["files"]),
                     )
                 )
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 rows,
                 "version int, committed_at string, operation string, "
                 "parent string, files int, total_rows long, "
@@ -2154,7 +2155,7 @@ class ManifestTable:
             )
         m = self._load_manifest()
         if kind == "files":
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 [
                     (
                         e["path"],
@@ -2176,7 +2177,7 @@ class ManifestTable:
                 a["files"] += 1
                 a["rows"] += e.get("rows", 0)
                 a["dead"] += e.get("dv_rows", 0)
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 [
                     (k, a["files"], a["rows"], a["dead"])
                     for k, a in sorted(agg.items())

@@ -30,6 +30,7 @@ answer-sized (segments × monitors).
 
 from __future__ import annotations
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,7 +81,7 @@ def _benford_score(
 ) -> DataFrame:
     """Score a (digit, cnt) frame against the Benford literals — shared
     by the batch report and the streaming monitor's folded counts."""
-    exp = spark.createDataFrame(BENFORD_PPM, "digit int, expected_ppm int")
+    exp = local_frame(spark, BENFORD_PPM, "digit int, expected_ppm int")
     n = obs.agg(F.sum("cnt").alias("total"))
     dev2 = F.abs(  # |cnt·1e6 − ppm·N| — the exact cross-multiplied gap
         F.col("cnt") * F.lit(1_000_000).cast("long")
@@ -663,7 +664,7 @@ class StreamingQualityMonitor:
         # segment-level aggregate)
         if merge_rows:
             merged = (
-                spark.createDataFrame(
+                local_frame(spark, 
                     merge_rows, "segment string, s binary"
                 )
                 .groupBy("segment")
@@ -698,7 +699,7 @@ class StreamingQualityMonitor:
         st = self.state
 
         def counts_frame(d: dict, out: str) -> DataFrame:
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 [(seg, int(n)) for seg, n in sorted(d.items())]
                 or [(None, 0)],
                 f"segment string, {out} long",
@@ -715,10 +716,10 @@ class StreamingQualityMonitor:
                 (seg, base64.b64decode(b)) for seg, b in sorted(d.items())
             ]
             if not rows:
-                return spark.createDataFrame(
+                return local_frame(spark, 
                     [], f"segment string, {out} long"
                 )
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 rows, "segment string, s binary"
             ).select(
                 "segment",
@@ -734,7 +735,7 @@ class StreamingQualityMonitor:
         per = _segment_bucket_frame(
             spark, st["bounds"], p["n_buckets"]
         ).join(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [
                     (
                         seg,
@@ -754,7 +755,7 @@ class StreamingQualityMonitor:
         ).select("segment", "tvd_ppm", "drifted").distinct()
         ben = _benford_score(
             spark,
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(int(d), int(c)) for d, c in sorted(st["ben_cur"].items())]
                 or [(None, 0)],
                 "digit int, cnt long",
@@ -764,7 +765,7 @@ class StreamingQualityMonitor:
         fresh = None
         if self.date_col is not None:
             fresh = _freshness_days_from_last(
-                spark.createDataFrame(
+                local_frame(spark, 
                     [
                         (seg, datetime.date.fromisoformat(d))
                         for seg, d in sorted(st["fresh_cur"].items())

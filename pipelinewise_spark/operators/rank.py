@@ -20,6 +20,7 @@ keys may straddle a range boundary and the rank is non-deterministic.
 
 from __future__ import annotations
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,7 +66,7 @@ def _ranked(
     for pid in sorted(counts):
         rows.append((pid, acc))
         acc += counts[pid]
-    off = spark.createDataFrame(rows or [(0, 0)], f"{_PID} int, {_OFF} long")
+    off = local_frame(spark, rows or [(0, 0)], f"{_PID} int, {_OFF} long")
     ranked = (
         d.join(F.broadcast(off), _PID)
         .withColumn(out_col, F.col(_RN).cast("long") + F.col(_OFF))
@@ -137,7 +138,7 @@ def exact_quantiles(
         df, [value_col, *tie_cols], "__q_rank", num_partitions
     )
     spark = df.sparkSession
-    targets = spark.createDataFrame(
+    targets = local_frame(spark, 
         [(float(q), max(1, math.ceil(q * n))) for q in quantiles],
         "quantile double, __q_rank long",
     )
@@ -175,7 +176,7 @@ def exact_quantiles_interpolated(
         h = 1.0 + float(q) * (n - 1)
         lo, hi = int(math.floor(h)), int(math.ceil(h))
         rows.append((float(q), lo, hi, h - math.floor(h)))
-    targets = spark.createDataFrame(
+    targets = local_frame(spark, 
         [(q, r, frac, kind)
          for q, lo, hi, frac in rows
          for kind, r in (("lo", lo), ("hi", hi))],

@@ -3,6 +3,7 @@ field_paths masking — remaining SURVEY §2 behaviors as oracle-checked ops."""
 
 from __future__ import annotations
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -655,7 +656,7 @@ def _manifest_two_versions(spark: SparkSession, sf_dir: str):
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
             .unionByName(
-                spark.createDataFrame(
+                local_frame(spark, 
                     [(int(max_key) + 1, "O", 1.0)],
                     "o_orderkey long, o_orderstatus string, o_totalprice double",
                 )
@@ -1666,7 +1667,7 @@ def analyze_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     if stats["version"] != t.current_manifest_name():
         raise AssertionError("fresh ANALYZE reads as stale")
     ok, st = stats["columns"]["o_orderkey"], stats["columns"]["o_orderstatus"]
-    meta = spark.createDataFrame(
+    meta = local_frame(spark, 
         [(
             int(stats["rows"]),
             int(ok["nulls"]), str(ok["min"]), str(ok["max"]), int(ok["ndv"]),
@@ -2106,7 +2107,7 @@ def cdf_incremental_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
             .unionByName(
-                spark.createDataFrame(
+                local_frame(spark, 
                     [(int(max_key) + 1, "O", 1.0)],
                     "o_orderkey long, o_orderstatus string, "
                     "o_totalprice double",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1426,7 +1427,7 @@ def wap_privacy_gate_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
          r["threshold"], r["passed"], ok_b)
         for r in rep_b
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "scenario string, rule string, col_name string, metric double, "
         "threshold double, passed boolean, published boolean",

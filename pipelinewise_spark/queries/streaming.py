@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipelinewise_spark.operators.table import ParquetTable
+from pipelinewise_spark.partitioning import local_frame
 from pipelinewise_spark.operators.sdc import add_sdc_columns
 from pipelinewise_spark.plans.spec import StreamSpec
 from pipelinewise_spark.queries.fixturetime import fixture_timer
@@ -252,7 +253,7 @@ def kafka_protobuf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         protobuf_encode,
     )
 
-    from pipelinewise_spark.partitioning import spread
+    from pipelinewise_spark.partitioning import local_frame, spread
 
     # single-split parquet would pin both Arrow UDF passes to one core
     events = spread(read_table(spark, sf_dir, "events"))
@@ -1563,7 +1564,7 @@ def stream_quality_report_events(
          bool(card_stream[r["segment"]]))
         for r in exact_rows
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out,
         "monitor string, segment string, metric long, threshold long, "
         "drifted boolean",
@@ -1772,7 +1773,7 @@ def stream_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     assert rows and all(r["within_bound"] for r in rows)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 _STREAM_MW_ORACLE = _RANK_DRIFT_CTES + """,
@@ -1871,7 +1872,7 @@ def stream_mw_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     assert rows and all(r["within_bound"] for r in rows)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 @register(

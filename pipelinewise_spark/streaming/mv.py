@@ -22,6 +22,7 @@ import os
 import tempfile
 from collections.abc import Mapping, Sequence
 
+from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,7 +221,7 @@ class StreamingRollup:
             self.read(spark)
             if self.mv_table.exists()
             else build_aggregate(
-                spark.createDataFrame([], deduped.schema),
+                local_frame(spark, [], deduped.schema),
                 self.keys, self.sums, self.count_col,
             )
         )
