@@ -43,6 +43,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_caches(spark)
+            # The driver runs these under a VANILLA session. Spark 4.1's
+            # checkpoint-file checksums leak their file-manager threads
+            # after every bounded stream run (session.py documents the
+            # measurement); disable before any streaming fixture starts
+            # so a 50-query sweep doesn't accumulate hundreds of dead
+            # threads. Runtime-settable SQL conf; harmless when unused.
+            try:
+                spark.conf.set(
+                    "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                    "false",
+                )
+            except Exception:
+                pass  # older Spark without the conf
             return fn(spark, sf_dir)
 
         return run

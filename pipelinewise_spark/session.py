@@ -33,6 +33,16 @@ _DEFAULT_CONF = {
     # tolerate TIMESTAMP(NANOS) parquet (read as long; sources convert to µs)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Spark 4.1's checkpoint-file checksums leave their
+    # ChecksumCheckpointFileManager threads alive after a streaming query
+    # stops (~40 threads per bounded run, measured): a long multi-query
+    # session accumulates hundreds of dead-pool threads and every
+    # subsequent query slows ~2x under the scheduler/GC-root load. The
+    # checksums also add one sidecar write per checkpoint commit. Engine
+    # default is OFF — bounded fixture streams re-run from source on
+    # corruption; durability-critical deployments can re-enable per
+    # session (the sidecars are additive and ignored when off).
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
     # quieter local runs
     "spark.ui.enabled": "false",
     # the status store tracks jobs/stages/executions even with the UI off;
