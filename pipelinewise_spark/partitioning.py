@@ -8,9 +8,64 @@ conditional matters so we never add a gratuitous shuffle on big inputs.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: target bytes of streaming state per state store; each store is an
+#: open+checkpoint+commit of files EVERY micro-batch, so stores are a
+#: fixed per-batch cost, not parallelism
+_STATE_STORE_BYTES = 64 * 1024 * 1024
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes under a local directory (streaming fixture sources)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+@contextmanager
+def state_sized_shuffle(spark: SparkSession, source_bytes: int | None = None):
+    """Pin shuffle width for a STATEFUL streaming run to state volume.
+
+    AQE never reaches a streaming plan's shuffles, so a stateful operator
+    (``dropDuplicatesWithinWatermark``, window aggregates, stream-stream
+    joins, ``applyInPandasWithState``) keeps exactly
+    ``spark.sql.shuffle.partitions`` state stores per operator, and every
+    micro-batch pays one open+checkpoint+commit per store. Width is
+    therefore a per-batch fixed COST, not parallelism: size it to state
+    bytes (~64 MB per store), floored at 8 so multi-core overlap of the
+    surrounding map work survives, and scale UP with state — on a real
+    cluster a TB of join state still gets thousands of stores. The width
+    must be set before ``start()`` (it is frozen into the checkpoint);
+    deployments can override via ``PWS_STREAM_STATE_PARTITIONS``.
+    Measured on local[32] at sf0.1: stream_dedupe_events 9.9 s at width
+    32 vs 3.6 s at width 8 (31 of 32 stores held no state)."""
+    env = os.environ.get("PWS_STREAM_STATE_PARTITIONS")
+    if env:
+        width = max(1, int(env))
+    else:
+        floor = min(8, spark.sparkContext.defaultParallelism)
+        per_state = (
+            0 if not source_bytes
+            else (source_bytes + _STATE_STORE_BYTES - 1) // _STATE_STORE_BYTES
+        )
+        width = max(floor, per_state)
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set(conf_key, old)
 
 
 def local_frame(

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipelinewise_spark.operators.table import ParquetTable
-from pipelinewise_spark.partitioning import local_frame
+from pipelinewise_spark.partitioning import (
+    dir_bytes,
+    local_frame,
+    state_sized_shuffle,
+)
 from pipelinewise_spark.operators.sdc import add_sdc_columns
 from pipelinewise_spark.plans.spec import StreamSpec
 from pipelinewise_spark.queries.fixturetime import fixture_timer
@@ -441,13 +445,9 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
     sink = f"pws_ssj_{uuid.uuid4().hex[:8]}"
     # state-heavy streaming sizes shuffle partitions to STATE volume, not
-    # CPU count: every partition opens+commits a state store per side per
-    # batch, so 32 partitions of tiny state is pure overhead (and on a real
-    # cluster this would be set to state-bytes / ~200MB)
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "8")
-    try:
+    # CPU count (partitioning.state_sized_shuffle): every partition
+    # opens+commits a state store per side per batch
+    with state_sized_shuffle(spark, dir_bytes(src)):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -456,8 +456,6 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(conf_key, old)
     return spark.table(sink)
 
 
@@ -516,14 +514,17 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["event_id"], ts_col="ts", watermark="3650 days"
     )
     out = os.path.join(tmp, "out")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dedup state is keys-per-horizon-sized: width tracks state volume,
+    # not cores (partitioning.state_sized_shuffle)
+    with state_sized_shuffle(spark, dir_bytes(src)):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(payload).parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -640,14 +641,17 @@ def stream_curation_ingest_documents(
         filtered, ["doc_id"], ts_col="ts", watermark="3650 days"
     )
     out = os.path.join(tmp, "out")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dedup state tracks keys-per-horizon: width follows state volume,
+    # not cores (partitioning.state_sized_shuffle)
+    with state_sized_shuffle(spark, dir_bytes(src)):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(
         "doc_id long, lang string, n_words long, ts timestamp"
     ).parquet(out).select("doc_id", "lang", "n_words")
@@ -1030,10 +1034,9 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = f"pws_rt_{uuid.uuid4().hex[:8]}"
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "8")  # state-store count tracks state, not CPUs
-    try:
+    # state-store count tracks state, not CPUs
+    # (partitioning.state_sized_shuffle)
+    with state_sized_shuffle(spark, dir_bytes(src)):
         q = (
             running_user_totals(stream)
             .writeStream.outputMode("update")
@@ -1044,8 +1047,6 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(conf_key, old)
     emissions = spark.table(sink)
     return emissions.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
