@@ -56,6 +56,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             except Exception:
                 pass  # older Spark without the conf
+            # Same-session equivalents of session.py's write/AQE
+            # optimization defaults (r13): size-first AQE coalescing so
+            # KB-scale shuffles stop scheduling core-count empty tasks,
+            # and the v2 output committer (single rename per task; the
+            # engine's snapshot dirs are published atomically by their
+            # own pointer/manifest write, so v1's double rename and the
+            # _SUCCESS marker buy nothing). All three are runtime- or
+            # hadoopConf-settable, value-neutral, and scale-adaptive
+            # (advisory size caps partition bytes; production raises it
+            # via SPARK_GRAFT_ADVISORY_MB).
+            try:
+                spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions."
+                    "parallelismFirst",
+                    "false",
+                )
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                    os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
+                )
+                hc = spark.sparkContext._jsc.hadoopConfiguration()
+                hc.set(
+                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
+                )
+                hc.set(
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                    "false",
+                )
+            except Exception:
+                pass
             return fn(spark, sf_dir)
 
         return run

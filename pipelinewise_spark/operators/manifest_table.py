@@ -193,6 +193,13 @@ class ManifestTable:
         # which pointer this handle reads/advances: main (_VERSION) or a
         # named branch ref — see branch()/create_branch()/fast_forward()
         self._ref_file = _VERSION_FILE
+        # base write-dir -> inferred read schema. Every write lands in a
+        # fresh immutable base dir whose files share one schema, so the
+        # footer-inference job only ever needs to run once per base —
+        # without this, every per-micro-batch read (MOR flushes, CDF
+        # polls) pays one 1-task inference job PER BASE per call (~0.3s
+        # of fixed cost each on the bench host).
+        self._schema_by_base: dict[str, Any] = {}
 
     # ---------------------------------------------------------- manifests
     def current_manifest_name(self) -> str | None:
@@ -965,7 +972,14 @@ class ManifestTable:
                     reader = spark.read.option(
                         "basePath", self.mfs.uri(base)
                     )
+                    known = self._schema_by_base.get(base)
+                    if known is not None:
+                        reader = reader.schema(known)
                     d = reader.parquet(*sorted(files))
+                    if known is None:
+                        # base dirs are immutable (each write mints a new
+                        # one): remember inference's answer for the session
+                        self._schema_by_base[base] = d.schema
                     if with_pos:
                         # row identity = (file, position-in-file): stable
                         # across reads because parquet row order is fixed —
@@ -994,7 +1008,11 @@ class ManifestTable:
             else:
                 spark.conf.set(conf_key, old_infer)
         if dv_files:
-            dv = spark.read.parquet(*[self.mfs.uri(p) for p in dv_files])
+            # the sidecar schema is the DV CONTRACT (two fixed columns) —
+            # pass it explicitly so no poll/flush pays an inference job
+            dv = spark.read.schema(
+                "file_path string, row_index bigint"
+            ).parquet(*[self.mfs.uri(p) for p in dv_files])
             # deletes are tiny relative to the table (the whole point of
             # DVs); broadcast turns the anti-join into a map-side filter —
             # the corpus never shuffles. Past the hint threshold Spark
@@ -1315,16 +1333,40 @@ class ManifestTable:
         # form — unquote so _attach_dv/update_where match every file.
         from urllib.parse import unquote
 
-        counts = {
-            unquote(r["file_path"]): r["cnt"]
-            for r in dels.sparkSession.read.parquet(self.mfs.uri(dv_rel))
-            .groupBy("file_path")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
         dv_files = [
             f for f in self.mfs.walk_files(dv_rel) if f.endswith(".parquet")
         ]
+        counts: dict[str, int] = {}
+        # The counts the manifest needs are files-scale metadata; the
+        # sidecar itself is answer-sized by the DV contract. Reading ONE
+        # dictionary-encoded column of it on the driver with pyarrow costs
+        # no Spark job (a MOR/delete micro-batch otherwise pays a whole
+        # read+shuffle+collect round just for this bookkeeping). A size
+        # guard keeps the 100 TB story honest: past 256 MB of sidecar the
+        # distributed aggregate does the work instead.
+        sidecar_bytes = sum(
+            (self.mfs.fs.get_file_info(self.mfs._p(f)).size or 0)
+            for f in dv_files
+        )
+        if sidecar_bytes <= 256 * 1024 * 1024:
+            import pyarrow.parquet as pq
+
+            for f in dv_files:
+                with self.mfs.fs.open_input_file(self.mfs._p(f)) as fh:
+                    col = pq.read_table(
+                        fh, columns=["file_path"]
+                    ).column("file_path")
+                for chunk in col.value_counts().to_pylist():
+                    p = unquote(chunk["values"])
+                    counts[p] = counts.get(p, 0) + int(chunk["counts"])
+        else:
+            counts = {
+                unquote(r["file_path"]): r["cnt"]
+                for r in dels.sparkSession.read.parquet(self.mfs.uri(dv_rel))
+                .groupBy("file_path")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
         return dv_files, counts
 
     @staticmethod
@@ -2040,7 +2082,9 @@ class ManifestTable:
             ):
                 rows = self._read_entries(spark, ents, as_of_m, keep_pos=True)
                 dv = F.broadcast(
-                    spark.read.parquet(*[self.mfs.uri(d) for d in dv_set])
+                    spark.read.schema(
+                        "file_path string, row_index bigint"
+                    ).parquet(*[self.mfs.uri(d) for d in dv_set])
                 )
                 hit = rows.join(
                     dv,

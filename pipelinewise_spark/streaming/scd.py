@@ -89,17 +89,24 @@ def apply_scd2_batch(
         # deterministic function of the pre-batch current slice, and that
         # slice only advances AFTER this write — so a crash-replay either
         # recomputes the identical increment (current not yet advanced;
-        # no committed _SUCCESS -> rewrite) or must SKIP the write
+        # no commit marker -> rewrite) or must SKIP the write
         # (committed marker present; re-folding against the advanced
         # slice would yield an empty increment and erase real history).
+        # The marker is the ENGINE'S OWN ``_COMMITTED`` file (written
+        # after the parquet job returns), not Hadoop's ``_SUCCESS`` —
+        # the session disables the latter (session.py committer notes)
+        # and an explicit marker keeps the protocol committer-agnostic.
+        # Underscore prefix = invisible to Spark's file listing.
         # The current-table fold itself is idempotent via the scd2_apply
         # guards, so it always runs.
         epoch_dir = posixpath.join(closed_dir, f"epoch={epoch}")
-        committed = MetaFS(epoch_dir).exists("_SUCCESS")
+        efs = MetaFS(epoch_dir)
+        committed = efs.exists("_COMMITTED") or efs.exists("_SUCCESS")
         if not committed:
             folded.filter(~F.col(IS_CURRENT)).repartition(*pk).write.mode(
                 "overwrite"
             ).parquet(epoch_dir)
+            efs.write_text("", "_COMMITTED")
         current_table.overwrite(
             folded.filter(F.col(IS_CURRENT)).repartition(*pk)
         )

@@ -288,3 +288,35 @@ def test_scd2_apply_matches_reference_fold(spark, waves):
     }
     assert got_cur == ref_cur
     assert sorted(closed_rows) == sorted(ref_closed)
+
+
+def test_closed_epoch_marker_is_engine_owned(spark, tmp_path):
+    """r13: the session disables Hadoop _SUCCESS markers (committer
+    overhead), so the closed-increment write-once protocol must ride the
+    engine's own _COMMITTED file."""
+    import os
+
+    from pipelinewise_spark.operators.table import ParquetTable
+    from pipelinewise_spark.plans.spec import StreamSpec
+    from pipelinewise_spark.streaming.cdc import envelope_schema
+    from pipelinewise_spark.streaming.scd import apply_scd2_batch
+    import pyspark.sql.types as T
+
+    payload = T._parse_datatype_string("k long, attr string")
+    spec = StreamSpec(tap_stream_id="t", primary_keys=["k"],
+                      hard_delete=True)
+    current = ParquetTable(os.path.join(str(tmp_path), "cur"))
+    closed = os.path.join(str(tmp_path), "closed")
+    ev = spark.createDataFrame(
+        [("c", 1, TS0, 1, "a")], envelope_schema(payload)
+    )
+    apply_scd2_batch(current, closed, ev, spec, 0)
+    ev1 = spark.createDataFrame(
+        [("u", 1, TS1, 1, "a2")], envelope_schema(payload)
+    )
+    apply_scd2_batch(current, closed, ev1, spec, 1)
+    epoch1 = os.path.join(closed, "epoch=1")
+    assert os.path.exists(os.path.join(epoch1, "_COMMITTED"))
+    # the point of the engine marker: Hadoop's is gone under the session
+    # committer settings, and the protocol must not depend on it
+    assert not os.path.exists(os.path.join(epoch1, "_SUCCESS"))
