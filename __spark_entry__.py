@@ -22,6 +22,21 @@ from pipelinewise_spark.caching import release_caches  # noqa: E402
 from pipelinewise_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
+_warned_conf_keys: set[str] = set()
+
+
+def _warn_conf_skip(key: str, exc: Exception) -> None:
+    """Log (once per key) when an optimization setting cannot be applied —
+    the queries still run correctly, just without that optimization."""
+    if key not in _warned_conf_keys:
+        _warned_conf_keys.add(key)
+        print(
+            f"[__spark_entry__] skipped optional conf {key}: "
+            f"{type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full training-data curation pipeline (gopher filter →
     PII scrub → exact dedup → token-budget shards) as one declarative plan
@@ -66,26 +81,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # hadoopConf-settable, value-neutral, and scale-adaptive
             # (advisory size caps partition bytes; production raises it
             # via SPARK_GRAFT_ADVISORY_MB).
+            # Each setting gets its own narrow guard so one unsupported
+            # key can't silently skip the rest (ADVICE r13); a skipped
+            # setting is logged once per process.
+            sql_confs = {
+                "spark.sql.adaptive.coalescePartitions."
+                "parallelismFirst": "false",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+                    os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m"
+                ),
+            }
+            for key, val in sql_confs.items():
+                try:
+                    spark.conf.set(key, val)
+                except Exception as exc:
+                    _warn_conf_skip(key, exc)
             try:
-                spark.conf.set(
-                    "spark.sql.adaptive.coalescePartitions."
-                    "parallelismFirst",
-                    "false",
-                )
-                spark.conf.set(
-                    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                    os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
-                )
                 hc = spark.sparkContext._jsc.hadoopConfiguration()
-                hc.set(
-                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
-                )
-                hc.set(
-                    "mapreduce.fileoutputcommitter.marksuccessfuljobs",
-                    "false",
-                )
-            except Exception:
-                pass
+            except Exception as exc:
+                _warn_conf_skip("hadoopConfiguration", exc)
+            else:
+                for key, val in (
+                    ("mapreduce.fileoutputcommitter.algorithm.version", "2"),
+                    (
+                        "mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                        "false",
+                    ),
+                ):
+                    try:
+                        hc.set(key, val)
+                    except Exception as exc:
+                        _warn_conf_skip(key, exc)
             return fn(spark, sf_dir)
 
         return run

@@ -318,22 +318,57 @@ HEADLINE = [
 ]
 
 
-def _load_prior() -> dict[str, float]:
-    """Per-query honest-floor timings (committed BENCH_PRIOR.json — the
-    cross-run per-query minimum of the builder's clean full runs; see
-    BENCH_NOTES). The anti-host-stall reference: the r9 record froze a
-    4.36s pass for a query whose honest time is ~0.3s because the old
-    absolute >12s challenge never fired — a pass is now challenged
-    whenever it exceeds 3x ITS OWN prior floor."""
+def _load_prior() -> tuple[dict[str, float], float | None]:
+    """Per-query honest-floor timings plus the host-calibration probe floor
+    (committed BENCH_PRIOR.json — the cross-run per-query minimum of the
+    builder's clean full runs; see BENCH_NOTES). The anti-host-stall
+    reference: the r9 record froze a 4.36s pass for a query whose honest
+    time is ~0.3s because the old absolute >12s challenge never fired — a
+    pass is now challenged whenever it exceeds 2x ITS OWN prior floor
+    (host-calibrated, see ``_time_probe``)."""
     p = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PRIOR.json"
     )
     try:
         with open(p) as fh:
             d = json.load(fh)
-        return {k: float(v) for k, v in d.get("queries", {}).items()}
+        probe = d.get("probe_floor")
+        return (
+            {k: float(v) for k, v in d.get("queries", {}).items()},
+            float(probe) if probe else None,
+        )
     except (OSError, ValueError):
-        return {}
+        return {}, None
+
+
+def _time_probe(spark, sf_dir: str) -> float:
+    """Fixed calibration probe, timed during the untimed warm-up: one
+    scan+shuffle+noop-consume of the orders table, min of 3 passes. Its
+    runtime tracks the host's per-job fixed costs (JVM actions, task
+    scheduling, shuffle commit) AND the session's core count, so
+    ``probe_now / probe_floor`` is a live estimate of how much slower
+    this session is than the one that recorded the floors.
+
+    Why this exists (r13 post-mortem): floors recorded on a fast host met
+    a ~2x-degraded sandbox; the 2x-floor challenge policy then fired on
+    141/255 queries at 6 passes each and the driver's bench timed out
+    (rc 124) at BOTH core counts. Scaling every challenge limit by the
+    measured host factor keeps the policy's honesty (a per-query
+    regression still trips it — the probe moves only with host/core
+    speed, not with any one query's plan) while bounding wall time."""
+    from pipelinewise_spark.sources.files import read_table
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = (
+            read_table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -347,7 +382,7 @@ def main() -> None:
     bench_queries = [q for q in BENCH_QUERIES if only is None or q in only]
     # prior floors apply only at the canonical sf0.1 — a different
     # $SPARK_GRAFT_SF_DIR has different honest times
-    prior = _load_prior() if sf == "0.1" else {}
+    prior, probe_floor = _load_prior() if sf == "0.1" else ({}, None)
     # a 119-query single-session run needs driver heap headroom: streaming
     # state, listener backlog, and broadcast cleanup all live there, and a
     # GC-bound driver drags every query measured late in the run
@@ -361,6 +396,21 @@ def main() -> None:
 
     for t in glob_tables(sf_dir):
         read_table(spark, sf_dir, t).count()
+
+    # Host calibration (untimed, part of warm-up): scale every challenge
+    # limit by how much slower THIS session is than the floor-recording
+    # one. cal >= 1 always (a faster host never trips 2x-floor anyway);
+    # capped at 10x so a totally sick host still records loudly.
+    cal = 1.0
+    probe_now = _time_probe(spark, sf_dir)
+    if probe_floor:
+        cal = min(10.0, max(1.0, probe_now / probe_floor))
+    # Global challenge budget: the r13 bench ran 141 challenged queries x
+    # 6 passes and blew the driver's wall clock. Challenge retries beyond
+    # a query's first two passes now draw from one shared pool; when it
+    # runs dry, remaining queries record their best-so-far flagged as
+    # challenged (honest, bounded).
+    challenge_budget = int(os.environ.get("PWS_BENCH_CHALLENGE_BUDGET", "60"))
 
     timings: dict[str, float] = {}
     fixtures: dict[str, float] = {}
@@ -379,14 +429,14 @@ def main() -> None:
         # anything past 2x).
         # There is deliberately NO absolute clamp (r12): the old 1.5s
         # clamp let a 0.30s pass on a 0.15s floor freeze unchallenged,
-        # and the record's contract is "every row within 2x its floor
-        # OR flagged in `challenged`". Sub-second retries are cheap —
-        # the 6-attempt budget bounds the worst case at a few seconds
-        # per noisy tiny query. Without a prior (new query,
-        # non-canonical sf): the absolute 12s anomaly bound — every
-        # structurally-heavy query in this suite sits under ~9s
-        # clean.
-        limit = 2.0 * prior[name] if name in prior else 12.0
+        # and the record's contract is "every row within 2x its
+        # host-calibrated floor OR flagged in `challenged`". Without a
+        # prior (new query, non-canonical sf): the absolute 12s anomaly
+        # bound — every structurally-heavy query in this suite sits
+        # under ~9s clean. Both limits scale by the warm-up probe's
+        # host factor (r14): floors recorded on one host must not make
+        # a slower host/core-count re-run every query 6 times.
+        limit = (2.0 * prior[name] if name in prior else 12.0) * cal
         best = None  # (total_sec, fixture_sec) with min total
         try:
             # adaptive min-of-N (2..4, up to 6 while challenged) damps
@@ -396,11 +446,14 @@ def main() -> None:
             # multi-stage overhead-dominated queries early in the session
             # need ~4 passes before C2 finishes compiling their codegen
             # stages (dedup_clusters clean-session 5-pass: 9.3 → 4.9 →
-            # 4.5 → 4.3 → 3.4s). Challenged passes get up to 6 attempts:
-            # a transient stall loses to the first clean retry; a genuine
-            # regression runs 6 bounded passes and is recorded honestly
-            # (and listed under "challenged" in BENCH_DETAIL).
-            for _attempt in range(6):
+            # 4.5 → 4.3 → 3.4s). Challenged passes get up to 3 attempts
+            # per query (r14, was 6) drawn from one global budget: a
+            # transient stall loses to the first clean retry; a genuine
+            # regression runs its bounded passes and is recorded
+            # honestly (listed under "challenged" in BENCH_DETAIL) —
+            # and the whole run's extra-pass wall time stays bounded
+            # however many queries regress (the r13 rc-124 lesson).
+            for attempt in range(6):
                 fixturetime.drain()  # zero the fixture accumulator
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -417,8 +470,11 @@ def main() -> None:
                 df = None
                 release_caches(spark)
                 if best[0] > limit:
-                    # still looks like a stall: keep challenging (bounded
-                    # by the 6-attempt budget)
+                    # still looks like a stall: keep challenging, while
+                    # the per-query (3 passes) and global budgets allow
+                    if attempt + 1 >= 3 or challenge_budget <= 0:
+                        break
+                    challenge_budget -= 1
                     continue
                 # converged: the 2nd+ pass stopped improving materially —
                 # stop re-running (most queries exit here at 2 passes)
@@ -434,9 +490,10 @@ def main() -> None:
             challenged[name] = round(limit, 4)
             print(
                 f"[bench] {name} recorded {best[0]:.2f}s above its "
-                f"challenge limit {limit:.2f}s after 6 passes "
-                f"(prior floor {prior.get(name, float('nan')):.2f}s) — "
-                "either a genuine regression or a persistently sick host",
+                f"challenge limit {limit:.2f}s (prior floor "
+                f"{prior.get(name, float('nan')):.2f}s x host cal "
+                f"{cal:.2f}) — a genuine regression, a sick host, or an "
+                "exhausted challenge budget",
                 file=sys.stderr,
             )
         if best[1] > 0.005:
@@ -462,6 +519,13 @@ def main() -> None:
         # stream/table builds timed end-to-end): operator_s = total - this
         "fixture_s": fixtures,
         "sf": sf_val,
+        # host calibration evidence: warm-up probe seconds this session,
+        # the committed probe floor, and the factor applied to every
+        # challenge limit (1.0 = floors taken at face value)
+        "probe_s": round(probe_now, 4),
+        "probe_floor": probe_floor,
+        "host_cal": round(cal, 3),
+        "challenge_budget_left": challenge_budget,
     }
     if errors:
         detail["errors"] = errors

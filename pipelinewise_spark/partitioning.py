@@ -9,6 +9,7 @@ conditional matters so we never add a gratuitous shuffle on big inputs.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Iterable
 from contextlib import contextmanager
 
@@ -50,9 +51,19 @@ def state_sized_shuffle(spark: SparkSession, source_bytes: int | None = None):
     Measured on local[32] at sf0.1: stream_dedupe_events 9.9 s at width
     32 vs 3.6 s at width 8 (31 of 32 stores held no state)."""
     env = os.environ.get("PWS_STREAM_STATE_PARTITIONS")
+    width = None
     if env:
-        width = max(1, int(env))
-    else:
+        try:
+            width = max(1, int(env))
+        except ValueError:
+            # malformed override (e.g. "8m"): warn and fall back to the
+            # computed width instead of failing the query mid-plan
+            print(
+                "[partitioning] ignoring malformed "
+                f"PWS_STREAM_STATE_PARTITIONS={env!r} (want an int)",
+                file=sys.stderr,
+            )
+    if width is None:
         floor = min(8, spark.sparkContext.defaultParallelism)
         per_state = (
             0 if not source_bytes

@@ -22,6 +22,7 @@ from pipelinewise_spark.queries.fixturetime import fixture_timer
 from pipelinewise_spark.queries.pipeline import T0, T1
 from pipelinewise_spark.queries.registry import register
 from pipelinewise_spark.sources.files import read_table
+from pipelinewise_spark.streaming.bounded import await_bounded
 from pipelinewise_spark.streaming.cdc import run_cdc_stream
 from pipelinewise_spark.streaming.kafka import seek_offsets, to_kafka_records
 
@@ -455,7 +456,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     return spark.table(sink)
 
 
@@ -524,7 +525,7 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     return spark.read.schema(payload).parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -651,7 +652,7 @@ def stream_curation_ingest_documents(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     return spark.read.schema(
         "doc_id long, lang string, n_words long, ts timestamp"
     ).parquet(out).select("doc_id", "lang", "n_words")
@@ -738,7 +739,7 @@ def stream_ingest_dedup_index_documents(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
 
     _run(F.col("doc_id") % 10 == 5)
     _run(F.col("doc_id") % 10 == 0)
@@ -991,7 +992,7 @@ def stream_ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(f"pws_ohlc_{uuid.uuid4().hex[:8]}")
         .start()
     )
-    q.awaitTermination()
+    await_bounded(q)
     return finalize_bars(bars.read(spark), keys)
 
 
@@ -1046,7 +1047,7 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_bounded(q)
     emissions = spark.table(sink)
     return emissions.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -1162,7 +1163,7 @@ def stream_drift_monitor_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    await_bounded(q)
     n_applied = monitor.state["n_applied"]
     assert n_applied >= 2, "the stream must have produced >= 2 batches"
     # at-least-once re-delivery: replaying an ALREADY-APPLIED epoch with
@@ -1299,7 +1300,7 @@ def stream_drift_by_segment_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    await_bounded(q)
     n_applied = monitor.state["n_applied"]
     assert n_applied >= 2, "the stream must have produced >= 2 batches"
     # at-least-once re-delivery: an already-folded epoch must be a no-op
@@ -1519,7 +1520,7 @@ def stream_quality_report_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    await_bounded(q)
     n_applied = monitor.state["n_applied"]
     assert n_applied >= 2, "the stream must have produced >= 2 batches"
     # at-least-once re-delivery: an already-folded epoch must be a no-op

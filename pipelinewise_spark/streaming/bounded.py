@@ -30,6 +30,38 @@ def run_bounded(query: StreamingQuery, max_run_seconds: float) -> bool:
     return bool(finished)
 
 
+def await_bounded(
+    query: StreamingQuery, max_run_seconds: float | None = None
+) -> None:
+    """Await an availableNow drain with a wall-clock guard.
+
+    Every engine query path that starts a stream awaits it through this
+    helper so ONE wedged micro-batch can never stall an entire bench/test
+    session (the r13 failure mode: a bare ``awaitTermination()`` has no
+    containment). A drain that finishes propagates exceptions exactly like
+    the bare call; a drain that exceeds the bound is stopped gracefully
+    (checkpoint stays consistent) and raises ``TimeoutError`` so callers
+    record an explicit per-query error instead of a silent partial result.
+
+    The default bound comes from ``PWS_STREAM_MAX_RUN_SECONDS`` (600 s —
+    generous: every fixture drain in the suite completes in seconds; the
+    bound exists for wedges, not pacing)."""
+    if max_run_seconds is None:
+        try:
+            max_run_seconds = float(
+                os.environ.get("PWS_STREAM_MAX_RUN_SECONDS", "600")
+            )
+        except ValueError:
+            max_run_seconds = 600.0
+    if not run_bounded(query, max_run_seconds):
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not drain "
+            f"within {max_run_seconds:.0f}s; stopped gracefully "
+            "(checkpoint consistent; raise PWS_STREAM_MAX_RUN_SECONDS "
+            "to allow longer drains)"
+        )
+
+
 class StopToken:
     """Cross-process graceful-stop handshake — the reference's ``stop_tap``
     (cli/pipelinewise.py:1319: pidfile + SIGTERM to the tap process)

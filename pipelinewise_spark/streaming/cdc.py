@@ -185,7 +185,9 @@ def run_cdc_stream(
 
         await_with_stop(query, stop_token=stop_token)
     else:
-        query.awaitTermination()
+        from pipelinewise_spark.streaming.bounded import await_bounded
+
+        await_bounded(query)
     if state is not None:
         # surface the streaming bookmark into the engine's state.json twin
         # (the reference emits STATE only after data is flushed — here the

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipelinewise_spark.operators.fsio import MetaFS
+from pipelinewise_spark.streaming.bounded import await_bounded
 from pipelinewise_spark.operators.scd import (
     IS_CURRENT,
     scd2_apply,
@@ -115,7 +116,39 @@ def apply_scd2_batch(
 
 
 def read_closed_log(spark: SparkSession, closed_dir: str) -> DataFrame:
-    """All closed versions (epoch partitioning stripped)."""
+    """All closed versions (epoch partitioning stripped).
+
+    Only epochs whose write-once protocol completed are read: with the v2
+    output committer a crashed epoch write can leave partially-committed
+    task files visible inside ``epoch=<id>``, and the engine's own
+    ``_COMMITTED`` marker (written after the parquet job returns; legacy
+    ``_SUCCESS`` accepted for pre-r13 dirs) is what distinguishes a
+    published epoch from crash garbage awaiting replay."""
+    import pyarrow.fs as pafs
+
+    mfs = MetaFS(closed_dir)
+    sel = pafs.FileSelector(mfs.root, allow_not_found=True)
+    epochs = sorted(
+        info.base_name
+        for info in mfs.fs.get_file_info(sel)
+        if info.type == pafs.FileType.Directory
+        and info.base_name.startswith("epoch=")
+    )
+    committed = [
+        e
+        for e in epochs
+        if mfs.exists(e, "_COMMITTED") or mfs.exists(e, "_SUCCESS")
+    ]
+    if committed and len(committed) < len(epochs):
+        paths = [mfs.uri(e) for e in committed]
+        return (
+            spark.read.option("basePath", closed_dir)
+            .parquet(*paths)
+            .drop("epoch")
+        )
+    # all epochs committed (the normal case: one listing, no per-epoch
+    # paths in the plan) — or none are, where the whole-dir read keeps
+    # the pre-r13 error surface for an empty/missing log
     return (
         spark.read.option("basePath", closed_dir)
         .parquet(closed_dir)
@@ -156,4 +189,4 @@ def run_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    await_bounded(q)

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pipelinewise_spark.streaming.bounded import await_bounded
 from pipelinewise_spark.sources.singer import (
     SDC_EXTRACTED_AT,
     SDC_TABLE_VERSION,
@@ -568,5 +569,5 @@ def sync_capture_dir(
         spark, capture_dir, target_root, checkpoint_dir,
         available_now=True, **kwargs,
     )
-    q.awaitTermination()
+    await_bounded(q)
     return CaptureStreamState.load(checkpoint_dir)

@@ -49,6 +49,7 @@ def main() -> None:
 
     fn = QUERIES[name]
     n_pass = int(os.environ.get("PWS_PROFILE_PASSES", "2"))
+    marker = 0.0  # PWS_PROFILE_PASSES=1: profile the only pass
     for i in range(n_pass):  # pass 2 is the converged one (codegen warm)
         release_caches(spark)
         t0 = time.perf_counter()
