@@ -20,11 +20,78 @@ pinned against a pure-Python reference implementation in tests.
 
 from __future__ import annotations
 
+import os
+
 from pipelinewise_spark.partitioning import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 END = "</w>"
+
+
+def _driver_vocab_bound() -> int:
+    """Vocabulary size below which the merge loop runs driver-side.
+
+    The BPE loop's only state is the (word, freq, syms) vocabulary —
+    Zipf-small relative to the corpus. Below this bound the loop is pure
+    answer-scale iteration: 2 Spark jobs per merge round (pair-count
+    collect + rewrite checkpoint) collapse into ONE collect total, with
+    bit-identical results (same integer counts, same lexicographic
+    tie-break, same greedy left-to-right rewrite — the word table and
+    its initial symbol split still come from the SAME distributed
+    expressions, so tokenization semantics cannot diverge). Above the
+    bound (a 100 TB web corpus can exceed 10M distinct words) the
+    distributed loop below runs unchanged. 0 disables the driver path."""
+    try:
+        return int(os.environ.get("PWS_BPE_MAX_DRIVER_VOCAB", "65536"))
+    except ValueError:
+        return 65536
+
+
+def _merge_syms(
+    syms: list[str], left: str, right: str, merged: str
+) -> list[str]:
+    """Greedy left-to-right fold of one merge over a symbol list — the
+    exact Python twin of the Catalyst ``F.aggregate`` rewrite."""
+    out: list[str] = []
+    for tok in syms:
+        if out and out[-1] == left and tok == right:
+            out[-1] = merged
+        else:
+            out.append(tok)
+    return out
+
+
+def _train_local(rows, num_merges: int) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected (freq, syms) vocabulary.
+    Pair counting: integer freq sums; winner: max count, ties broken by
+    ascending ``"left right"`` string (Python str comparison is
+    codepoint order, the same order Spark's binary UTF8String orderBy
+    yields); rewrite: greedy left-to-right, identical to the
+    distributed fold."""
+    freqs = [int(r["freq"]) for r in rows]
+    syms = [list(r["syms"]) for r in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for f, s in zip(freqs, syms):
+            for a, b in zip(s, s[1:]):
+                k = (a, b)
+                pairs[k] = pairs.get(k, 0) + f
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((left, right, int(n)))
+        merged = left + right
+        syms = [
+            _merge_syms(s, left, right, merged)
+            if any(a == left and b == right for a, b in zip(s, s[1:]))
+            else s
+            for s in syms
+        ]
+    return merges
 
 
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -65,7 +132,16 @@ def bpe_train(
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right, count), …]
     in merge order."""
-    words = _word_table(df, text_col).localCheckpoint()
+    words = _word_table(df, text_col)
+    bound = _driver_vocab_bound()
+    if bound > 0:
+        # answer-scale fast path: ONE job collects the vocabulary (take
+        # fetches at most bound+1 rows — driver memory stays bounded even
+        # over a 100M-word corpus), the merge loop runs driver-side
+        sample = words.take(bound + 1)
+        if len(sample) <= bound:
+            return _train_local(sample, num_merges)
+    words = words.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (
@@ -156,9 +232,29 @@ def bpe_encode_counts(
             "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
         )
     )
-    enc = bpe_apply(vocab, merges).select(
-        "word", F.size("syms").alias("__n_syms")
-    )
+    enc = None
+    bound = _driver_vocab_bound()
+    if bound > 0:
+        # answer-scale fast path (same guard as bpe_train): encode the
+        # collected vocabulary driver-side — the per-word merge replay is
+        # the exact Python twin of bpe_apply's fold — and broadcast the
+        # (word, n_syms) result back. Initial symbols still come from the
+        # distributed split expression, so character semantics match.
+        rows = vocab.take(bound + 1)
+        if len(rows) <= bound:
+            out = []
+            for r in rows:
+                s = list(r["syms"])
+                for left, right, _n in merges:
+                    s = _merge_syms(s, left, right, left + right)
+                out.append((r["word"], len(s)))
+            enc = local_frame(
+                df.sparkSession, out, "word string, __n_syms int"
+            )
+    if enc is None:
+        enc = bpe_apply(vocab, merges).select(
+            "word", F.size("syms").alias("__n_syms")
+        )
     tok = d.select(key_col, F.explode("__toks").alias("word"))
     return (
         tok.join(F.broadcast(enc), "word")

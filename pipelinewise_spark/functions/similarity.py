@@ -427,6 +427,60 @@ def semantic_decontaminate(
     )
 
 
+def _ann_driver_train_bound() -> int:
+    """Corpus size below which ANN coarse training (IVF k-means / PQ
+    codebooks) runs driver-side on the collected vectors.
+
+    Training state is centroids/codebooks — metadata-scale — but the
+    distributed Lloyd loop pays per-iteration job+shuffle fixed costs
+    that dwarf the arithmetic on small corpora. Below the bound the
+    SAME numpy kernels run once on the driver (assignment math is the
+    identical einsum/argmin; mean updates may differ from Spark's
+    partial-aggregation only in float summation order, which the ANN
+    contract tolerates by design — its output is the exact twin's
+    values plus recall>=bound booleans with wide margins, measured
+    ~0.8 vs bound 0.5). Above the bound (any real deployment at scale)
+    the distributed loop runs unchanged. ``take(bound+1)`` keeps driver
+    memory bounded either way. 0 disables the driver path."""
+    import os
+
+    try:
+        return int(os.environ.get("PWS_ANN_MAX_DRIVER_TRAIN", "65536"))
+    except ValueError:
+        return 65536
+
+
+def _ivf_train_local(
+    rows, num_centroids: int, iterations: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side twin of ivf_assign's Lloyd loop over collected
+    (id, vec) rows: init = the ``num_centroids`` lowest-id vectors
+    (centroid_id 1..k in id order), per iteration assign-to-nearest
+    (squared L2, ties to the lowest centroid_id — numpy argmin's
+    first-match over cid-ascending columns) then element-wise member
+    mean; clusters that lose all members drop out, exactly like the
+    distributed groupBy."""
+    rows = sorted(rows, key=lambda r: r["__id"])
+    x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    cids = list(range(1, min(num_centroids, len(rows)) + 1))
+    cents = x[: len(cids)].copy()
+    for _ in range(iterations):
+        d = ((x[:, None, :] - cents[None]) ** 2).sum(axis=-1)  # (N, K)
+        assign = d.argmin(axis=-1)
+        new_cids: list[int] = []
+        new_cents: list[np.ndarray] = []
+        for j, cid in enumerate(cids):
+            members = x[assign == j]
+            if len(members):
+                new_cids.append(cid)
+                new_cents.append(members.mean(axis=0))
+        cids = new_cids
+        cents = np.asarray(new_cents)
+    return [
+        (cid, [float(v) for v in cents[j]]) for j, cid in enumerate(cids)
+    ]
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,
@@ -447,6 +501,18 @@ def ivf_assign(
     v = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
+    bound = _ann_driver_train_bound()
+    if bound > 0:
+        sample = v.select(
+            F.col(id_col).alias("__id"), F.col("__v")
+        ).take(bound + 1)
+        if len(sample) <= bound and len(sample) > 0:
+            trained = _ivf_train_local(sample, num_centroids, iterations)
+            spark = df.sparkSession
+            centroids = spark.createDataFrame(
+                trained, "centroid_id int, centroid array<double>"
+            )
+            return _assign_to_centroids(v, centroids), centroids
     centroids = (
         v.orderBy(id_col).limit(num_centroids)
         .select(
@@ -888,25 +954,27 @@ def _collect_probe_vectors(
     queries: DataFrame, id_col: str, vec_col: str, max_queries: int
 ) -> list:
     """Collect the PROBE set for ADC-table construction — bounded by
-    ``max_queries`` (counted distributed, BEFORE any collect): the ADC
-    lookup tables are per-query driver/broadcast metadata, so a caller
-    passing a corpus-sized frame as ``queries`` must be stopped with
-    guidance rather than OOM the driver (same invariant as
-    curation.py's group_prefix_sum offset guard)."""
-    n = queries.count()
-    if n > max_queries:
-        raise ValueError(
-            f"PQ/ADC probe set has {n} query vectors "
-            f"(> max_queries={max_queries}): ADC tables are per-query "
-            f"broadcast metadata, so the probe set must be answer-"
-            f"scale — batch the queries, raise max_queries explicitly "
-            f"if the driver can hold n_queries x num_subspaces x "
-            f"codes_per_subspace doubles, or use cosine_topk / "
-            f"signlsh_near_dup_pairs for corpus-vs-corpus workloads"
-        )
-    return queries.select(
+    ``max_queries``: the ADC lookup tables are per-query driver/broadcast
+    metadata, so a caller passing a corpus-sized frame as ``queries``
+    must be stopped with guidance rather than OOM the driver (same
+    invariant as curation.py's group_prefix_sum offset guard). The bound
+    is enforced by a single ``take(max_queries + 1)`` — one job instead
+    of the former count-then-collect pair, and at most ``max_queries + 1``
+    rows ever reach the driver regardless of the probe frame's size."""
+    rows = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).collect()
+    ).take(max_queries + 1)
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"PQ/ADC probe set exceeds max_queries={max_queries}: ADC "
+            f"tables are per-query broadcast metadata, so the probe set "
+            f"must be answer-scale — batch the queries, raise "
+            f"max_queries explicitly if the driver can hold n_queries x "
+            f"num_subspaces x codes_per_subspace doubles, or use "
+            f"cosine_topk / signlsh_near_dup_pairs for corpus-vs-corpus "
+            f"workloads"
+        )
+    return rows
 
 
 def _pq_codes_udf(codebooks: list[list[list[float]]], dim: int):
@@ -944,6 +1012,52 @@ def _pq_codes_udf(codebooks: list[list[list[float]]], dim: int):
     return assign
 
 
+def _pq_train_local(
+    rows,
+    num_subspaces: int,
+    codes_per_subspace: int,
+    sub_dim: int,
+    dim: int,
+    iterations: int,
+) -> list[list[list[float]]]:
+    """Driver-side twin of the distributed PQ Lloyd loop over collected
+    (unit-normalized vec, id) rows: seed = the ``codes_per_subspace``
+    lowest-id vectors' slices, assignment = the SAME numpy kernel as
+    ``_pq_codes_udf`` (einsum distances, argmin first-match ties),
+    update = per-(subspace, code) member mean with empty codes keeping
+    their previous centroid."""
+    rows = sorted(rows, key=lambda r: r["__id"])
+    x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    cb = np.asarray(
+        [
+            [
+                x[i, m * sub_dim : (m + 1) * sub_dim]
+                for i in range(codes_per_subspace)
+            ]
+            for m in range(num_subspaces)
+        ],
+        dtype=np.float64,
+    )  # (M, C, sub_dim)
+    # the assignment kernel re-normalizes exactly like _pq_codes_udf
+    xx = x.copy()
+    norms = np.sqrt((xx * xx).sum(axis=1, keepdims=True))
+    np.divide(xx, norms, out=xx, where=norms > 0)
+    sv_all = x.reshape(len(x), num_subspaces, sub_dim)  # update side
+    sv_norm = xx.reshape(len(xx), num_subspaces, 1, sub_dim)
+    for _ in range(iterations):
+        d = ((sv_norm - cb[None]) ** 2).sum(axis=-1)  # (B, M, C)
+        codes = d.argmin(axis=-1)  # (B, M), 0-based
+        for m in range(num_subspaces):
+            for c in range(codes_per_subspace):
+                members = sv_all[codes[:, m] == c, m, :]
+                if len(members):
+                    cb[m, c] = members.mean(axis=0)
+    return [
+        [[float(v) for v in cb[m, c]] for c in range(codes_per_subspace)]
+        for m in range(num_subspaces)
+    ]
+
+
 def pq_train_codebooks(
     df: DataFrame,
     id_col: str,
@@ -968,6 +1082,21 @@ def pq_train_codebooks(
     from pipelinewise_spark.caching import register_cache
 
     sub_dim = dim // num_subspaces
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"dim ({dim}) must divide evenly into num_subspaces "
+            f"({num_subspaces})"
+        )
+    bound = _ann_driver_train_bound()
+    if bound > 0:
+        sample = df.select(
+            _unit(F.col(vec_col)).alias("__v"), F.col(id_col).alias("__id")
+        ).take(bound + 1)
+        if len(sample) <= bound and len(sample) >= codes_per_subspace:
+            return _pq_train_local(
+                sample, num_subspaces, codes_per_subspace, sub_dim, dim,
+                iterations,
+            )
     v = register_cache(
         df.select(
             _unit(F.col(vec_col)).alias("__v"), F.col(id_col).alias("__id")

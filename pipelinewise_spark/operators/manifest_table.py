@@ -554,6 +554,30 @@ class ManifestTable:
             int(md.num_rows),
         )
 
+    def _stats_for(
+        self, rels: Sequence[str]
+    ) -> dict[str, tuple[dict[str, list[Any]], int, int]]:
+        """Footer stats + byte size for many files, read CONCURRENTLY:
+        each read is a metadata-only open (pyarrow releases the GIL on
+        I/O), and a commit of N files paying N sequential driver-side
+        opens was the dominant between-job gap of the MOR/medallion
+        micro-batch loops (guide §6 — batch the metadata reads). Results
+        are keyed by rel path; callers keep their own ordering."""
+        rels = list(rels)
+        if not rels:
+            return {}
+
+        def one(rel: str) -> tuple[str, tuple[dict, int, int]]:
+            stats, rows = self._file_stats(rel)
+            return rel, (stats, rows, self.mfs.file_size(rel))
+
+        if len(rels) == 1:
+            return dict([one(rels[0])])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
+            return dict(pool.map(one, rels))
+
     def _write_files(
         self, df: DataFrame, partition_by: Sequence[str]
     ) -> list[dict[str, Any]]:
@@ -573,15 +597,19 @@ class ManifestTable:
         writer.parquet(self.mfs.uri(base_rel))
 
         entries: list[dict[str, Any]] = []
-        for rel in self.mfs.walk_files(base_rel):
-            if not rel.endswith(".parquet"):
-                continue
+        rels = [
+            rel
+            for rel in self.mfs.walk_files(base_rel)
+            if rel.endswith(".parquet")
+        ]
+        stats_by_rel = self._stats_for(rels)
+        for rel in rels:
             partition = {}
             for seg in posixpath.relpath(posixpath.dirname(rel), base_rel).split("/"):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     partition[k] = _decode_hive_value(v)
-            stats, num_rows = self._file_stats(rel)
+            stats, num_rows, n_bytes = stats_by_rel[rel]
             entries.append(
                 {
                     "path": rel,
@@ -589,7 +617,7 @@ class ManifestTable:
                     "partition": partition,
                     "stats": stats,
                     "rows": num_rows,
-                    "bytes": self.mfs.file_size(rel),
+                    "bytes": n_bytes,
                 }
             )
         return entries
@@ -670,9 +698,13 @@ class ManifestTable:
         manifest names. Reference behavior modeled: archive-to-table
         backfill of FastSync-exported files without a second copy."""
         groups: dict[Any, list[dict[str, Any]]] = {}
-        for rel in self.mfs.walk_files(base_rel):
-            if not rel.endswith(".parquet"):
-                continue
+        import_rels = [
+            rel
+            for rel in self.mfs.walk_files(base_rel)
+            if rel.endswith(".parquet")
+        ]
+        import_stats = self._stats_for(import_rels)
+        for rel in import_rels:
             partition: dict[str, Any] = {}
             split_val: Any = None
             entry_base = base_rel
@@ -690,7 +722,7 @@ class ManifestTable:
                     entry_base = posixpath.join(base_rel, seg)
                 else:
                     partition[kk] = _decode_hive_value(vv)
-            stats, num_rows = self._file_stats(rel)
+            stats, num_rows, n_bytes = import_stats[rel]
             groups.setdefault(split_val, []).append(
                 {
                     "path": rel,
@@ -698,7 +730,7 @@ class ManifestTable:
                     "partition": partition,
                     "stats": stats,
                     "rows": num_rows,
-                    "bytes": self.mfs.file_size(rel),
+                    "bytes": n_bytes,
                 }
             )
         published = []
