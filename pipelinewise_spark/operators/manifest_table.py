@@ -1485,9 +1485,13 @@ class ManifestTable:
                 # Composite PKs prune on the LEADING key column: a file
                 # whose pk[0] range misses every batch pk[0] cannot hold a
                 # full-key match, so the prune stays sound (just coarser).
+                spark.sparkContext.setJobDescription(
+                    "mor: batch pk bounds (stats-prune)"
+                )
                 b = keys.agg(
                     F.min(pk[0]).alias("lo"), F.max(pk[0]).alias("hi")
                 ).first()
+                spark.sparkContext.setJobDescription(None)
                 if isinstance(b["lo"], (int, float, str)):
                     entries, _ = self.select_entries(
                         ranges={pk[0]: (b["lo"], b["hi"])}
@@ -1534,7 +1538,9 @@ class ManifestTable:
                             "left_semi",
                         ).select("__dv_path", "__dv_pos")
                     ).distinct()
+                spark.sparkContext.setJobDescription("mor: dv write")
                 dv_files, counts = self._write_dv(dead)
+                spark.sparkContext.setJobDescription(None)
                 superseded = int(sum(counts.values()))
             if hard_delete and SDC_DELETED_AT in appended.columns:
                 appended = appended.filter(F.col(SDC_DELETED_AT).isNull())
@@ -1567,7 +1573,9 @@ class ManifestTable:
                 batch_str = batch_str.repartition(
                     max(1, spark.sparkContext.defaultParallelism // 16)
                 )
+            spark.sparkContext.setJobDescription("mor: append write")
             new_entries = self._write_files(batch_str, partition_by)
+            spark.sparkContext.setJobDescription(None)
             self._publish(
                 {
                     "partition_by": partition_by,

@@ -492,7 +492,7 @@ class StreamingQualityMonitor:
         import pyarrow.fs as _pafs
 
         from pipelinewise_spark.operators.drift import (
-            _segment_bucket_counts,
+            _segment_bounds_frame,
             derive_segment_bucket_bounds,
         )
         from pipelinewise_spark.operators.fsio import MetaFS
@@ -512,25 +512,66 @@ class StreamingQualityMonitor:
         bounds = derive_segment_bucket_bounds(
             reference, value_col, tie_cols, segment_col, n_buckets
         )
-        tvd_ref_rows = _segment_bucket_counts(
-            reference, bounds, value_col, segment_col, "n"
-        ).collect()  # n_segments x n_buckets rows — metadata
+        # ONE fine-group reference pass pins ALL of the reference-side
+        # state (r14, guide §2.3 — aggregate before you scan twice):
+        # the same (segment, bucket) fine groups the per-batch fold uses
+        # yield the tvd bucket counts directly, the per-segment volumes
+        # as bucket-group sums, and the HLL registers as a per-segment
+        # union of the fine-group sketches — register-max is
+        # associative, the exact mergeability this monitor's stream ≡
+        # batch contract already rests on. Replaces the former separate
+        # bucket-count and volume+HLL corpus passes; the union job runs
+        # over ≤ segments × (buckets+1) KB-sized rows.
+        bf = _segment_bounds_frame(reference.sparkSession, bounds)
+        v = F.col(value_col)
+        bucket = F.when(
+            F.col("es").isNotNull() & F.col("__v").isNotNull(),
+            F.size(F.filter("es", lambda e: F.col("__v") > e)) + 1,
+        ).cast("int")
+        fine = (
+            reference.filter(F.col(segment_col).isNotNull())
+            .select(
+                F.col(segment_col).cast("string").alias("segment"),
+                v.alias("__v"),
+                F.col(key_col).alias("__k"),
+            )
+            .join(F.broadcast(bf), "segment", "left")
+            .withColumn("__bucket", bucket)
+            .groupBy("segment", "__bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.hll_sketch_agg(F.col("__k"), F.lit(lgk)).alias("s"),
+            )
+        )
+        fine_rows = fine.collect()
         tvd_ref = {
             seg: {str(b): 0 for b in range(1, n_buckets + 1)}
             for seg in bounds
         }
-        for r in tvd_ref_rows:
-            tvd_ref[r["segment"]][str(int(r["bucket"]))] = int(r["n"])
-        # ONE grouped aggregate pins the reference's volume + HLL side
-        scal = (
-            reference.filter(F.col(segment_col).isNotNull())
-            .groupBy(F.col(segment_col).cast("string").alias("segment"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("s"),
-            )
-            .collect()
-        )  # n_segments rows — metadata
+        vol_ref: dict[str, int] = {}
+        sketch_rows = []
+        for r in fine_rows:
+            seg = r["segment"]
+            vol_ref[seg] = vol_ref.get(seg, 0) + int(r["n"])
+            if r["__bucket"] is not None:
+                tvd_ref[seg][str(int(r["__bucket"]))] = int(r["n"])
+            if r["s"] is not None:
+                sketch_rows.append((seg, bytes(r["s"])))
+        scal_hll: dict[str, bytes] = {}
+        if sketch_rows:
+            from pipelinewise_spark.partitioning import local_frame
+
+            scal_hll = {
+                r["segment"]: bytes(r["u"])
+                for r in local_frame(
+                    reference.sparkSession,
+                    sketch_rows,
+                    "segment string, s binary",
+                )
+                .groupBy("segment")
+                .agg(F.hll_union_agg("s").alias("u"))
+                .collect()
+            }
         self.state = {
             "params": {
                 "n_buckets": n_buckets, "lgk": lgk,
@@ -546,12 +587,11 @@ class StreamingQualityMonitor:
                 seg: {str(b): 0 for b in range(1, n_buckets + 1)}
                 for seg in bounds
             },
-            "vol_ref": {r["segment"]: int(r["n"]) for r in scal},
+            "vol_ref": vol_ref,
             "vol_cur": {},
             "hll_ref": {
-                r["segment"]: base64.b64encode(bytes(r["s"])).decode()
-                for r in scal
-                if r["s"] is not None
+                seg: base64.b64encode(blob).decode()
+                for seg, blob in scal_hll.items()
             },
             "hll_cur": {},
             "ben_cur": {},
