@@ -1108,6 +1108,12 @@ class ManifestTable:
         # runs on raw columns and _write_files re-derives at write time.
         fields = parse_partition_spec(partition_by)
         keys = [f_.key for f_ in fields]
+        # NOT pinned (r14, measured): persisting the batch here — the
+        # merge_on_read rule — A/B'd 1.11-1.23x SLOWER on the four
+        # merge-path bench queries. The touched-partition collect below is
+        # column-pruned by Catalyst to a key-only plan, so the "duplicate"
+        # execution is narrow, while a persist forces one full-width
+        # materialization pass plus a cache barrier.
         batch_str = batch
         for f_ in fields:
             batch_str = batch_str.withColumn(

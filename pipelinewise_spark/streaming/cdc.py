@@ -23,6 +23,8 @@ checkpoint-monotonic, so the merge is idempotent under replay.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,13 +59,24 @@ def envelope_schema(payload: T.StructType) -> T.StructType:
     )
 
 
-def prepare_change_batch(batch: DataFrame, spec: StreamSpec) -> DataFrame:
+def prepare_change_batch(
+    batch: DataFrame, spec: StreamSpec, prededuped: bool = False
+) -> DataFrame:
     """Envelope → load-ready rows: last-wins dedupe by PK on the event
     sequence, ``_sdc_*`` columns from the event time, tombstones as
-    ``_sdc_deleted_at``, and the persisted sequence guard."""
+    ``_sdc_deleted_at``, and the persisted sequence guard.
+
+    ``prededuped=True`` skips the last-wins window when the caller already
+    deduped the batch (e.g. ``run_cdc_stream`` shares one pinned dedupe
+    between the rollup fold and the merge) — dedupe is idempotent, so this
+    changes cost, never results."""
     if not spec.primary_keys:
         raise ValueError("CDC requires primary keys")
-    deduped = last_wins_dedupe(batch, spec.primary_keys, SEQ_COL)
+    deduped = (
+        batch
+        if prededuped
+        else last_wins_dedupe(batch, spec.primary_keys, SEQ_COL)
+    )
     ts = F.col(EVENT_TS_COL).cast("timestamp")
     return (
         deduped.withColumn(SDC_EXTRACTED_AT, ts)
@@ -83,10 +96,11 @@ def apply_change_batch(
     table: ParquetTable,
     batch: DataFrame,
     spec: StreamSpec,
+    prededuped: bool = False,
 ) -> None:
     """Merge one micro-batch of change events into the target table."""
     spark = batch.sparkSession
-    prepared = prepare_change_batch(batch, spec)
+    prepared = prepare_change_batch(batch, spec, prededuped=prededuped)
     # count-less PK repartition before full-table rewrites: AQE sizes the
     # shuffle by bytes so the PK-sized state lands as few right-sized
     # files per batch instead of shuffle-partition-many tiny ones that
@@ -158,12 +172,36 @@ def run_cdc_stream(
     stream = reader.load(events_path)
 
     def _on_batch(batch: DataFrame, epoch: int) -> None:
-        if rollup is not None:
-            # maintained aggregate folds the batch against the PRE-merge
-            # target state (streaming/mv.py) — must precede the merge; the
-            # epoch id makes the fold idempotent under checkpoint replay
-            rollup.on_batch(spark, table, batch, spec.primary_keys, epoch=epoch)
-        apply_change_batch(table, batch, spec)
+        pinned = None
+        if rollup is not None and os.environ.get(
+            "PWS_CDC_SHARED_DEDUPE", "1"
+        ) != "0":
+            # with a rollup attached the batch feeds TWO consumers — the
+            # fold's publish action and the merge's write action — and each
+            # would re-run the source parse AND the last-wins window.
+            # Dedupe once, pin the batch-sized result for the epoch (the
+            # same batch-pin rule as ManifestTable.merge_on_read), consume
+            # it twice. Dedupe is idempotent, so results are unchanged.
+            batch = last_wins_dedupe(
+                batch, spec.primary_keys, SEQ_COL
+            ).persist()
+            pinned = batch
+        try:
+            if rollup is not None:
+                # maintained aggregate folds the batch against the PRE-merge
+                # target state (streaming/mv.py) — must precede the merge;
+                # the epoch id makes the fold idempotent under checkpoint
+                # replay
+                rollup.on_batch(
+                    spark, table, batch, spec.primary_keys, epoch=epoch,
+                    prededuped=pinned is not None,
+                )
+            apply_change_batch(
+                table, batch, spec, prededuped=pinned is not None
+            )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         if state is not None:
             # per-batch bookmark advance, write-throttled like the
             # reference's UPDATE_BOOKMARK_PERIOD / commit_interval_ms —

@@ -152,6 +152,7 @@ class StreamingRollup:
         batch: DataFrame,
         primary_keys: Sequence[str],
         epoch: int | None = None,
+        prededuped: bool = False,
     ) -> None:
         """Fold one micro-batch into the rollup. MUST run against the
         target's PRE-merge state (call before ``apply_change_batch``).
@@ -162,11 +163,19 @@ class StreamingRollup:
         The old side is the target restricted to the batch's PKs — for a
         ManifestTable this is a partition/stats-pruned read; either way the
         join is batch-sized, not table-sized.
+
+        ``prededuped=True`` skips the last-wins window when the caller
+        already deduped the batch (run_cdc_stream shares one pinned dedupe
+        between this fold and the merge) — idempotent, results unchanged.
         """
         if epoch is not None and self._already_applied(epoch):
             return
         touched = [*self.keys, *{src for src in self.sums.values()}]
-        deduped = last_wins_dedupe(batch, primary_keys, SEQ_COL)
+        deduped = (
+            batch
+            if prededuped
+            else last_wins_dedupe(batch, primary_keys, SEQ_COL)
+        )
         if not target.exists():
             feed = deduped.filter(F.col(OP_COL) != "d").select(
                 F.lit("i").alias("op"),

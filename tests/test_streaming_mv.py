@@ -197,14 +197,14 @@ def test_rollup_crash_between_publish_and_merge_end_to_end(
     real_apply = cdc_mod.apply_change_batch
     crashed = {"done": False}
 
-    def crashing_apply(table_, batch_, spec_):
+    def crashing_apply(table_, batch_, spec_, **kw):
         # crash exactly once, in the SECOND micro-batch, after the rollup
         # fold for that epoch has published
         if not crashed["done"] and crashing_apply.calls >= 1:
             crashed["done"] = True
             raise RuntimeError("injected crash between publish and merge")
         crashing_apply.calls += 1
-        return real_apply(table_, batch_, spec_)
+        return real_apply(table_, batch_, spec_, **kw)
 
     crashing_apply.calls = 0
     monkeypatch.setattr(cdc_mod, "apply_change_batch", crashing_apply)
