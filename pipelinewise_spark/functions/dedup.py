@@ -635,13 +635,25 @@ def extend_lsh_index(batch: DataFrame, path: str) -> None:
     life = _load_index_life(path)
     meta = life.meta
     id_col, text_col = meta["id_col"], meta["text_col"]
-    sh = shingle_sets(batch, id_col, text_col)
-    sh.write.mode("append").parquet(life.uri("shingles"))
-    bands = _band_keys(
-        minhash_signatures(sh, id_col, meta["num_hashes"]),
-        id_col, meta["num_hashes"], meta["num_bands"],
-    )
-    bands.write.mode("append").parquet(life.uri("bands"))
+    # pin the batch-sized shingle frame (the minhash_lsh_pairs pattern —
+    # every other shingle consumer in this module persists or reads back):
+    # it feeds BOTH appends, and on an unpersisted plan the band write not
+    # only re-shingles the batch — the explode's inferred non-empty filter
+    # (InferFiltersFromGenerate) substitutes the whole 3-gram expression
+    # into the scan filter BELOW the spread() exchange, evaluating it
+    # twice per row in an input-partition-count (often 1) stage. Measured:
+    # a 2.2s single-task stage; persisting makes the inferred filter a
+    # size() check over materialized arrays.
+    sh = shingle_sets(batch, id_col, text_col).persist()
+    try:
+        sh.write.mode("append").parquet(life.uri("shingles"))
+        bands = _band_keys(
+            minhash_signatures(sh, id_col, meta["num_hashes"]),
+            id_col, meta["num_hashes"], meta["num_bands"],
+        )
+        bands.write.mode("append").parquet(life.uri("bands"))
+    finally:
+        sh.unpersist()
     life.record_extension()
 
 
