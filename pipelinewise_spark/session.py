@@ -35,6 +35,16 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
         os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m"
     ),
+    # NOT set (r14, measured): excluding InferFiltersFromGenerate. The
+    # rule adds `size(e) > 0 AND isnotnull(e)` below explode(e) and
+    # pushdown substitutes the full expression into the scan filter,
+    # re-evaluating computed token/shingle arrays 2x per row at the scan.
+    # A plan-diff scan found 12 affected queries, but the interleaved A/B
+    # over all of them geomeaned 0.99 (0.89-1.08 both directions) — the
+    # duplicate evaluation parallelizes in wide scan stages and is noise
+    # at bench scale. The one confirmed blowup (a single-task scan stage
+    # BELOW the widening exchange) was extend_lsh_index, fixed locally by
+    # pinning the shingle frame (functions/dedup.py).
     # Output-commit cost: v1 commits rename every task's output TWICE
     # (task dir -> job attempt dir -> destination), serially on the
     # driver; v2 renames once at task commit. Engine writes land in

@@ -23,11 +23,17 @@ def main() -> int:
     names = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("oracle-subset-vanilla")
-        .getOrCreate()
+    builder = SparkSession.builder.master("local[32]").appName(
+        "oracle-subset-vanilla"
     )
+    # optional extra confs ("k=v;k=v") — e.g. rehearse an engine-default
+    # conf on this otherwise-vanilla session
+    for kv in filter(None, os.environ.get(
+        "PWS_ORACLE_EXTRA_CONF", ""
+    ).split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from oracle import compare  # tests/oracle.py
